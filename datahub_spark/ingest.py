@@ -1,0 +1,171 @@
+"""Deterministic ingest of the driver's TPC-H-ish parquet into the entity
+model (see datahub_spark.model).
+
+This plays the role of the reference's data layers + StoreEntities
+(internal/server/dataset.go:216): external tabular data becomes datasets
+of entities with CURIE ids, props, and refs.
+
+Mapping (all deterministic, no wall-clock):
+  customer  -> dataset "customer":  id cust:<key>, refs p:nation
+  nation    -> dataset "nation":    id nat:<key>,  refs p:region
+  region    -> dataset "region":    id reg:<key>
+  supplier  -> dataset "supplier":  id sup:<key>,  refs p:nation
+  part      -> dataset "part":      id part:<key>
+  orders    -> dataset "orders":    id ord:<key>,  refs p:customer
+  lineitem  -> dataset "lineitem":  id li:<okey>-<line>, refs p:order/p:part/p:supplier
+  customer  -> dataset "customer.balance": partial entities holding only
+               p:acctbal (exercises cross-dataset partial merge,
+               reference store.go:634)
+  events    -> dataset "user": versioned change-log; one version per
+               event, recorded = unix micros of ts, seq = event_id,
+               deleted = (event_type = 'error') — tombstone rule.
+
+Static tables get recorded=1, seq=0 (single-version datasets).
+
+Numeric props are canonicalized as DECIMAL(18,2) strings and dates as
+'yyyy-MM-dd' so value comparisons are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos (the
+    # driver may hand us a session without this flag, so set it here too).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})").cast("string")
+
+
+def _entity(df: DataFrame, dataset: str, id_col, props: dict, refs: dict,
+            recorded=None, seq=None, deleted=None) -> DataFrame:
+    prop_items = []
+    for k, v in props.items():
+        prop_items.extend([F.lit(k), v])
+    ref_items = []
+    for k, v in refs.items():
+        ref_items.extend([F.lit(k), v])
+    return df.select(
+        id_col.alias("id"),
+        (recorded if recorded is not None else F.lit(1)).cast("long").alias("recorded"),
+        (seq if seq is not None else F.lit(0)).cast("long").alias("seq"),
+        (deleted if deleted is not None else F.lit(False)).alias("deleted"),
+        (F.create_map(*prop_items) if prop_items else F.lit(None).cast("map<string,string>")).alias("props"),
+        (F.create_map(*ref_items) if ref_items else F.lit(None).cast("map<string,array<string>>")).alias("refs"),
+        F.lit(dataset).alias("dataset"),
+    )
+
+
+def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Return {dataset_name: entity change-log DataFrame}."""
+    t = load_tables(spark, sf_dir)
+    curie = lambda pref, col: F.concat(F.lit(pref + ":"), F.col(col).cast("string"))
+    one = lambda c: F.array(c)
+
+    datasets: dict[str, DataFrame] = {}
+    datasets["region"] = _entity(
+        t["region"], "region", curie("reg", "r_regionkey"),
+        {"p:name": F.col("r_name")}, {},
+    )
+    datasets["nation"] = _entity(
+        t["nation"], "nation", curie("nat", "n_nationkey"),
+        {"p:name": F.col("n_name")},
+        {"p:region": one(curie("reg", "n_regionkey"))},
+    )
+    datasets["customer"] = _entity(
+        t["customer"], "customer", curie("cust", "c_custkey"),
+        {"p:name": F.col("c_name"), "p:mktsegment": F.col("c_mktsegment")},
+        {"p:nation": one(curie("nat", "c_nationkey"))},
+    )
+    datasets["customer.balance"] = _entity(
+        t["customer"], "customer.balance", curie("cust", "c_custkey"),
+        {"p:acctbal": _dec("c_acctbal")}, {},
+    )
+    datasets["supplier"] = _entity(
+        t["supplier"], "supplier", curie("sup", "s_suppkey"),
+        {"p:name": F.col("s_name"), "p:acctbal": _dec("s_acctbal")},
+        {"p:nation": one(curie("nat", "s_nationkey"))},
+    )
+    datasets["part"] = _entity(
+        t["part"], "part", curie("part", "p_partkey"),
+        {
+            "p:name": F.col("p_name"),
+            "p:brand": F.col("p_brand"),
+            "p:type": F.col("p_type"),
+            "p:size": F.col("p_size").cast("string"),
+            "p:retailprice": _dec("p_retailprice"),
+        },
+        {},
+    )
+    datasets["orders"] = _entity(
+        t["orders"], "orders", curie("ord", "o_orderkey"),
+        {
+            "p:orderstatus": F.col("o_orderstatus"),
+            "p:totalprice": _dec("o_totalprice"),
+            "p:orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+            "p:orderpriority": F.col("o_orderpriority"),
+        },
+        {"p:customer": one(curie("cust", "o_custkey"))},
+    )
+    datasets["lineitem"] = _entity(
+        t["lineitem"], "lineitem",
+        F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")),
+        {
+            "p:quantity": _dec("l_quantity"),
+            "p:extendedprice": _dec("l_extendedprice"),
+            "p:discount": _dec("l_discount"),
+            "p:tax": _dec("l_tax"),
+            "p:returnflag": F.col("l_returnflag"),
+            "p:linestatus": F.col("l_linestatus"),
+            "p:shipdate": F.date_format("l_shipdate", "yyyy-MM-dd"),
+        },
+        {
+            "p:order": one(curie("ord", "l_orderkey")),
+            "p:part": one(curie("part", "l_partkey")),
+            "p:supplier": one(curie("sup", "l_suppkey")),
+        },
+    )
+    # events -> versioned "user" dataset. (user_id, ts) is unique in the
+    # generated data, so (recorded, seq) is a total version order per id.
+    datasets["user"] = _entity(
+        t["events"], "user", curie("user", "user_id"),
+        {
+            "p:event_type": F.col("event_type"),
+            "p:value": _dec("value"),
+            "p:k": F.get_json_object("props", "$.k").cast("string"),
+        },
+        {},
+        recorded=F.col("ts"),  # int64 epoch-nanos (see load_tables)
+        seq=F.col("event_id"),
+        deleted=F.col("event_type") == "error",
+    )
+    return datasets
+
+
+def all_entities(spark: SparkSession, sf_dir: str, datasets: list[str] | None = None) -> DataFrame:
+    """Union of requested dataset change-logs as one entity DataFrame."""
+    ds = tpch_entities(spark, sf_dir)
+    names = datasets or list(ds)
+    out = None
+    for name in names:
+        out = ds[name] if out is None else out.unionByName(ds[name])
+    return out

@@ -1,0 +1,129 @@
+"""Graph query operators: entity lookup and related-entity traversal.
+
+Reference parity (internal/server/store.go):
+  - GetManyRelatedEntities / outgoing hop      store.go:870
+  - inverse (incoming) traversal               store.go:913 (ToRelatedFrom)
+  - predicate '*' follows all relations        DOCUMENTATION.md:415
+  - dataset scoping                            DOCUMENTATION.md:417
+  - GetManyRelatedEntitiesAtTime               store.go:999
+  - limit + continuation paging                DOCUMENTATION.md:419
+
+Spark re-expression and scale notes:
+  * Edges are derived from the refs map. For a fixed predicate we read
+    ``refs[predicate]`` directly — no full map explode — then explode the
+    (usually length-1) ref array. For '*' we explode the map once.
+  * A traversal is then one equi-join between the edge set and the
+    latest-entity view of the target side. Start sets are typically
+    small → Spark broadcasts them; dimension-sized target sides get
+    broadcast too (AQE decides at runtime from actual sizes).
+  * Point-in-time traversal = same plan over the time-restricted log
+    (range filter pushed to the parquet scan before the window agg).
+  * Paging = deterministic (id) ordering + key-set continuation
+    (``id > token``), which pushes down as a range predicate instead of
+    a global sort+offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datahub_spark.store import latest, point_in_time
+
+
+def edges(df: DataFrame, predicate: str | None = None, include_deleted: bool = False) -> DataFrame:
+    """Flatten the latest entity view into an edge list
+    (start_id, predicate, ref_id, dataset). ``predicate=None`` means '*'."""
+    return _edges_of_view(latest(df, include_deleted=include_deleted), predicate)
+
+
+def related(
+    df: DataFrame,
+    starting_entities: list[str] | DataFrame | None,
+    predicate: str | None = None,
+    inverse: bool = False,
+    datasets: list[str] | None = None,
+    target: DataFrame | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """GetManyRelatedEntities (store.go:870) as a declarative plan.
+
+    Returns rows (start_id, predicate, related) where ``related`` is the
+    struct of the related entity's latest (or as-of) version. ``df`` is
+    the entity change-log to traverse over; ``target`` optionally narrows
+    where related entities are materialized from (defaults to ``df``).
+
+    inverse=False: start --pred--> related   (edge.start_id = start)
+    inverse=True : related --pred--> start   (edge.ref_id  = start)
+    """
+    edge_log = df
+    if datasets:
+        edge_log = edge_log.filter(F.col("dataset").isin(datasets))
+    edge_view = (
+        point_in_time(edge_log, as_of) if as_of is not None else latest(edge_log)
+    )
+    edge_src = _edges_of_view(edge_view, predicate)
+
+    anchor = "ref_id" if inverse else "start_id"
+    if isinstance(starting_entities, DataFrame):
+        start_df = starting_entities.select(F.col(starting_entities.columns[0]).alias(anchor)).distinct()
+        edge_src = edge_src.join(F.broadcast(start_df), anchor)
+    elif starting_entities is not None:
+        edge_src = edge_src.filter(F.col(anchor).isin(list(starting_entities)))
+
+    tgt_log = target if target is not None else df
+    tgt_view = (
+        point_in_time(tgt_log, as_of) if as_of is not None else latest(tgt_log)
+    )
+    related_key = "start_id" if inverse else "ref_id"
+    tgt = tgt_view.select(
+        F.col("id").alias(related_key),
+        F.struct("id", "recorded", "seq", "deleted", "props", "refs", "dataset").alias("related"),
+    )
+    out = edge_src.join(tgt, related_key)
+    start_col = F.col("ref_id") if inverse else F.col("start_id")
+    return out.select(
+        start_col.alias("start_id"),
+        "predicate",
+        "related",
+    )
+
+
+def _edges_of_view(view: DataFrame, predicate: str | None) -> DataFrame:
+    if predicate is None:
+        ex = view.select(
+            F.col("id").alias("start_id"),
+            F.explode_outer("refs").alias("predicate", "_refs"),
+            "dataset",
+        )
+    else:
+        ex = view.select(
+            F.col("id").alias("start_id"),
+            F.lit(predicate).alias("predicate"),
+            F.col("refs")[predicate].alias("_refs"),
+            "dataset",
+        )
+    return ex.select("start_id", "predicate", F.explode("_refs").alias("ref_id"), "dataset")
+
+
+def hop(related_df: DataFrame, df: DataFrame, predicate: str | None, inverse: bool = False,
+        datasets: list[str] | None = None) -> DataFrame:
+    """Chain another traversal from a previous related() result — the
+    transform-code pattern Query(Query(...)) (DOCUMENTATION.md:691-706).
+    Keeps the original start_id; related becomes the new hop's entity."""
+    starts = related_df.select(F.col("related.id").alias("id"), F.col("start_id").alias("origin_id"))
+    nxt = related(df, starts.select("id"), predicate, inverse=inverse, datasets=datasets)
+    return (
+        nxt.join(starts.withColumnRenamed("id", "start_id").distinct(), "start_id")
+        .select(F.col("origin_id").alias("start_id"), "predicate", "related")
+    )
+
+
+def page(df: DataFrame, limit: int, continuation: str | None = None, key: str = "id") -> DataFrame:
+    """Key-set pagination (limit + continuation, DOCUMENTATION.md:419).
+    The continuation token is the last key of the previous page, so the
+    filter pushes down instead of a global offset."""
+    out = df
+    if continuation:
+        out = out.filter(F.col(key) > F.lit(continuation))
+    return out.orderBy(key).limit(int(limit))

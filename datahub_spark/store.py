@@ -1,0 +1,308 @@
+"""Entity store: immutable versioned change-logs + declarative read views.
+
+Reference parity:
+  - StoreEntities / append versions   internal/server/dataset.go:216
+  - GetEntities (latest view)         internal/server/dataset.go:891
+  - GetChanges(since, latestOnly)     internal/server/dataset.go:1005,1100
+  - GetEntityAtPointInTime            internal/server/store.go:695
+  - mergePartials across datasets     internal/server/store.go:634
+  - ExecuteTransaction (multi-dataset atomic write)  store.go:1707
+  - compaction 'deduplicate' strategy DOCUMENTATION.md:2349-2372
+  - statistics endpoint               internal/server/statistics.go
+
+Scale notes:
+  * latest/point-in-time views are a single hash aggregation using
+    ``max_by(struct(...), (recorded, seq))`` — map-side partial agg, one
+    shuffle on the entity key, no global sort-window.
+  * changes-since is a plain pushed-down range filter on ``recorded``.
+  * the persistent store is parquet partitioned by ``dataset`` so
+    dataset-scoped reads prune partitions; appends are new files inside
+    the dataset partition (immutable, like the reference's LSM log).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datahub_spark.model import ENTITY_COLUMNS, ENTITY_SCHEMA
+
+_VERSION_ORDER = ("recorded", "seq")
+
+
+def _order_key(df: DataFrame):
+    return F.struct(*[F.col(c) for c in _VERSION_ORDER])
+
+
+def latest(df: DataFrame, include_deleted: bool = False, key: tuple[str, ...] = ("dataset", "id")) -> DataFrame:
+    """Latest version per entity (dataset.go:891 semantics): pick the row
+    with max (recorded, seq) per key; optionally drop tombstones."""
+    row = F.max_by(F.struct(*[F.col(c) for c in df.columns]), _order_key(df))
+    out = df.groupBy(*key).agg(row.alias("_r")).select("_r.*")
+    if not include_deleted:
+        out = out.filter(~F.col("deleted"))
+    return out
+
+
+def changes(df: DataFrame, since: int = 0, latest_only: bool = False) -> DataFrame:
+    """Changes with recorded > since (dataset.go:1005). ``since`` maps to
+    the reference's continuation token. With latest_only (dataset.go:1100)
+    only the newest change per entity among the filtered set is emitted."""
+    out = df.filter(F.col("recorded") > F.lit(int(since)))
+    if latest_only:
+        out = latest(out, include_deleted=True)
+    return out
+
+
+def point_in_time(df: DataFrame, as_of: int, include_deleted: bool = False) -> DataFrame:
+    """Entity state as of a moment (store.go:695): restrict the log to
+    versions recorded <= as_of (pushed-down range filter), then latest."""
+    return latest(df.filter(F.col("recorded") <= F.lit(int(as_of))), include_deleted=include_deleted)
+
+
+def merge_partials(df: DataFrame, include_deleted: bool = False) -> DataFrame:
+    """Merge an entity's partials across datasets into one entity
+    (store.go:634 mergePartials). Later-recorded partials win on prop/ref
+    key conflicts; datasets are folded in deterministic (recorded, seq,
+    dataset) order. Output key: id."""
+    lat = latest(df, include_deleted=True)
+    parts = lat.select(
+        "id",
+        F.struct("recorded", "seq", "dataset", "deleted", "props", "refs").alias("_p"),
+    )
+    # array_sort with an explicit comparator: structs holding maps are not
+    # natively orderable, but we only order by (recorded, seq, dataset).
+    cmp = lambda l, r: (
+        F.when(l["recorded"] != r["recorded"], F.when(l["recorded"] < r["recorded"], F.lit(-1)).otherwise(F.lit(1)))
+        .when(l["seq"] != r["seq"], F.when(l["seq"] < r["seq"], F.lit(-1)).otherwise(F.lit(1)))
+        .when(l["dataset"] < r["dataset"], F.lit(-1))
+        .when(l["dataset"] > r["dataset"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    agg = parts.groupBy("id").agg(F.array_sort(F.collect_list("_p"), cmp).alias("_ps"))
+    empty_props = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    empty_refs = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<array<string>>")
+    )
+    merged_props = F.aggregate(
+        "_ps",
+        empty_props,
+        lambda acc, p: F.map_zip_with(
+            acc,
+            F.coalesce(p["props"], empty_props),
+            lambda k, v1, v2: F.coalesce(v2, v1),
+        ),
+    )
+    merged_refs = F.aggregate(
+        "_ps",
+        empty_refs,
+        lambda acc, p: F.map_zip_with(
+            acc,
+            F.coalesce(p["refs"], empty_refs),
+            lambda k, v1, v2: F.coalesce(v2, v1),
+        ),
+    )
+    out = agg.select(
+        "id",
+        F.element_at("_ps", -1)["recorded"].alias("recorded"),
+        F.element_at("_ps", -1)["seq"].alias("seq"),
+        F.element_at("_ps", -1)["deleted"].alias("deleted"),
+        merged_props.alias("props"),
+        merged_refs.alias("refs"),
+        F.lit("*merged*").alias("dataset"),
+    )
+    if not include_deleted:
+        out = out.filter(~F.col("deleted"))
+    return out
+
+
+def payload_digest(deleted="deleted", props="props", refs="refs"):
+    """Canonical string digest of an entity version's payload. Spark can't
+    compare map columns directly, so equality checks go through this
+    deterministic serialization (sorted entries)."""
+    props_s = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.coalesce(F.col(props), F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")))),
+                lambda e: F.concat_ws("", e["key"], e["value"]),
+            )
+        ),
+        "",
+    )
+    refs_s = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.coalesce(F.col(refs), F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<array<string>>")))),
+                lambda e: F.concat_ws("", e["key"], F.array_join(e["value"], "")),
+            )
+        ),
+        "",
+    )
+    return F.concat_ws("", F.col(deleted).cast("string"), props_s, refs_s)
+
+
+def compact_deduplicate(df: DataFrame) -> DataFrame:
+    """Compaction strategy 'deduplicate' (DOCUMENTATION.md:2349): drop a
+    version when the previous version of the same entity has identical
+    (deleted, props, refs) — successive duplicates — keeping timeline
+    correctness. Window is per-entity, ordered by the version key."""
+    w = Window.partitionBy("dataset", "id").orderBy(*_VERSION_ORDER)
+    digest = payload_digest()
+    prev = F.lag(digest).over(w)
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("_digest")))
+        .drop("_prev", "_digest")
+    )
+
+
+def retention_gc(df: DataFrame, horizon: int) -> DataFrame:
+    """Garbage collection (internal/server/garbagecollector.go analogue):
+    drop versions recorded <= horizon unless they are the entity's newest
+    version (the current state must survive)."""
+    newest = F.max(_order_key(df)).over(Window.partitionBy("dataset", "id"))
+    return (
+        df.withColumn("_newest", newest)
+        .filter((F.col("recorded") > F.lit(int(horizon))) | (_order_key(df) == F.col("_newest")))
+        .drop("_newest")
+    )
+
+
+def dataset_stats(df: DataFrame) -> DataFrame:
+    """Statistics endpoint analogue (statistics.go): per-dataset change and
+    entity counts plus an 'all' rollup row."""
+    per = df.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("id").alias("n_entities"),
+    )
+    allrow = df.agg(
+        F.lit("all").alias("dataset"),
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("id").alias("n_entities"),
+    )
+    return per.unionByName(allrow)
+
+
+class EntityStore:
+    """Persistent parquet-backed store (dataset partition per dataset).
+
+    Layout: ``root/log/dataset=<name>/*.parquet`` plus a JSON sidecar for
+    dataset registry + namespace context, mirroring the reference's
+    dsmanager (internal/server/dsmanager.go) at file granularity.
+    Appends are new parquet files: immutable, concurrent-reader safe.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "log")
+        self.meta_path = os.path.join(root, "datasets.json")
+        os.makedirs(self.log_dir, exist_ok=True)
+        if not os.path.exists(self.meta_path):
+            self._write_meta({"datasets": {}, "counter": 0})
+
+    # -- registry ------------------------------------------------------------
+
+    def _read_meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    def create_dataset(self, name: str, public_namespaces: list[str] | None = None) -> None:
+        meta = self._read_meta()
+        meta["datasets"].setdefault(name, {"publicNamespaces": public_namespaces or []})
+        self._write_meta(meta)
+
+    def delete_dataset(self, name: str) -> None:
+        meta = self._read_meta()
+        meta["datasets"].pop(name, None)
+        self._write_meta(meta)
+        shutil.rmtree(os.path.join(self.log_dir, f"dataset={name}"), ignore_errors=True)
+
+    def list_datasets(self) -> list[str]:
+        return sorted(self._read_meta()["datasets"])
+
+    def next_recorded(self) -> int:
+        """Monotonic txn-time analogue. File-based counter: adequate for a
+        single writer (the reference is also single-writer per store)."""
+        meta = self._read_meta()
+        meta["counter"] += 1
+        self._write_meta(meta)
+        return meta["counter"]
+
+    # -- writes ----------------------------------------------------------------
+
+    def store_entities(self, dataset: str, df: DataFrame, recorded: int | None = None) -> int:
+        """Append a batch as one new version tick (dataset.go:216)."""
+        return self.execute_transaction({dataset: df}, recorded)
+
+    def execute_transaction(self, dataset_entities: dict[str, DataFrame], recorded: int | None = None) -> int:
+        """Atomic multi-dataset write (store.go:1707 ExecuteTransaction):
+        stage every dataset's files, then move them into place; a failure
+        before the final registry write leaves no visible partial state
+        (parquet readers ignore the staging dir)."""
+        rec = recorded if recorded is not None else self.next_recorded()
+        staged: list[tuple[str, str]] = []
+        stage_root = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        try:
+            for ds_name, df in dataset_entities.items():
+                self.create_dataset(ds_name)
+                out = df
+                if "recorded" not in df.columns:
+                    out = out.withColumn("recorded", F.lit(rec).cast("long"))
+                if "seq" not in out.columns:
+                    out = out.withColumn("seq", F.monotonically_increasing_id())
+                if "deleted" not in out.columns:
+                    out = out.withColumn("deleted", F.lit(False))
+                out = out.withColumn("dataset", F.lit(ds_name)).select(*ENTITY_COLUMNS)
+                stage = os.path.join(stage_root, ds_name)
+                out.write.mode("overwrite").parquet(stage)
+                staged.append((ds_name, stage))
+            for ds_name, stage in staged:
+                dest = os.path.join(self.log_dir, f"dataset={ds_name}")
+                os.makedirs(dest, exist_ok=True)
+                for fn in os.listdir(stage):
+                    if fn.endswith(".parquet"):
+                        os.replace(os.path.join(stage, fn), os.path.join(dest, f"{rec}-{fn}"))
+        finally:
+            shutil.rmtree(stage_root, ignore_errors=True)
+        return rec
+
+    # -- reads -----------------------------------------------------------------
+
+    def log(self, datasets: list[str] | None = None) -> DataFrame:
+        df = (
+            self.spark.read.schema(ENTITY_SCHEMA)
+            .option("basePath", self.log_dir)
+            .parquet(self.log_dir)
+        )
+        if datasets:
+            df = df.filter(F.col("dataset").isin(datasets))  # partition pruning
+        return df
+
+    def entities(self, dataset: str) -> DataFrame:
+        return latest(self.log([dataset]))
+
+    def changes(self, dataset: str, since: int = 0, latest_only: bool = False) -> DataFrame:
+        return changes(self.log([dataset]), since, latest_only)
+
+    def get_entity(self, entity_id: str, datasets: list[str] | None = None, merge: bool = True) -> DataFrame:
+        """GetEntity (store.go:666): latest partials for one id, optionally
+        merged across datasets."""
+        df = self.log(datasets).filter(F.col("id") == entity_id)
+        return merge_partials(df) if merge else latest(df)
