@@ -126,9 +126,29 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         },
         {"p:customer": one(curie("cust", "o_custkey"))},
     )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    # lineitem entity id is a content digest of the full canonical row
+    # (full rows are unique). DuckDB equivalent:
+    #   'li:' || md5(l_orderkey || '|' || ... || strftime(l_shipdate, '%Y-%m-%d'))
+    li_digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            _dec("l_quantity"),
+            _dec("l_extendedprice"),
+            _dec("l_discount"),
+            _dec("l_tax"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        )
+    )
     datasets["lineitem"] = _entity(
         t["lineitem"], "lineitem",
-        F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")),
+        F.concat(F.lit("li:"), li_digest),
         {
             "p:quantity": _dec("l_quantity"),
             "p:extendedprice": _dec("l_extendedprice"),
@@ -154,7 +174,10 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "p:k": F.get_json_object("props", "$.k").cast("string"),
         },
         {},
-        recorded=F.col("ts"),  # int64 epoch-nanos (see load_tables)
+        # int64 epoch-MICROS: parquet stores nanos (read as long, see
+        # load_tables) but DuckDB truncates ns->us at scan, so micros is the
+        # engine-portable resolution. (user_id, micros) is still unique.
+        recorded=F.expr("ts div 1000"),  # integer division: ts exceeds double's exact range
         seq=F.col("event_id"),
         deleted=F.col("event_type") == "error",
     )

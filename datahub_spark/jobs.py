@@ -1,0 +1,294 @@
+"""Jobs engine: source → optional transform → sink pipelines.
+
+Reference parity (internal/jobs/):
+  job.go / pipeline.go  — job = source + transform + sink; incremental
+                          (continuation tokens) and fullsync modes
+  runner.go/scheduler.go — cron & onchange triggers, run history
+  source/               — DatasetSource (+LatestOnly), UnionDatasetSource,
+                          MultiSource (dependency tracking), SampleSource,
+                          HttpDatasetSource
+  sink.go               — DatasetSink, HttpDatasetSink, DevNullSink,
+                          ConsoleSink
+  error_handler.go      — log / reRun handlers
+  DOCUMENTATION.md:1857 — lineage graph derived from job definitions
+
+Spark re-expression: a source yields a DataFrame (a declarative view of
+the store's change-log — nothing is materialized until the sink runs);
+transforms are DataFrame→DataFrame callables; sinks write. Incremental
+state is the max (recorded) watermark seen, persisted as JSON — the
+continuation-token model of the reference, which pushes down as a range
+filter on the log scan instead of re-reading history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datahub_spark.store import EntityStore, changes, latest
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+class DatasetSource:
+    """jobs/source DatasetSource (+LatestOnly flag)."""
+
+    def __init__(self, store: EntityStore, name: str, latest_only: bool = False):
+        self.store, self.name, self.latest_only = store, name, latest_only
+
+    def read(self, since: int = 0) -> DataFrame:
+        return self.store.changes(self.name, since=since, latest_only=self.latest_only)
+
+    def watermark_of(self, df: DataFrame) -> int:
+        row = df.agg(F.max("recorded").alias("m")).collect()[0]
+        return int(row["m"] or 0)
+
+
+class UnionDatasetSource:
+    """jobs/source UnionDatasetSource: datasets read as if concatenated."""
+
+    def __init__(self, sources: list[DatasetSource]):
+        self.sources = sources
+
+    def read(self, since: int = 0) -> DataFrame:
+        out = None
+        for s in self.sources:
+            df = s.read(since)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+
+@dataclass
+class Join:
+    """One reverse-join step in a MultiSource dependency chain."""
+    dataset: str
+    predicate: str
+    inverse: bool
+
+
+@dataclass
+class Dependency:
+    dataset: str
+    joins: list[Join]
+
+
+class MultiSource:
+    """jobs/source MultiSource: emits main-dataset entities affected by
+    changes in dependency datasets, found by walking the registered join
+    chain (DOCUMENTATION.md:647-777).
+
+    Spark plan: changed dependency ids (range filter on the dep log) are
+    joined hop-by-hop through the ref indexes back to the main dataset —
+    each hop is one equi-join, start sets stay small and broadcast."""
+
+    def __init__(self, store: EntityStore, name: str, dependencies: list[Dependency],
+                 latest_only: bool = True):
+        self.store, self.name, self.dependencies = store, name, dependencies
+        self.latest_only = latest_only
+
+    def affected_ids(self, since: int = 0) -> DataFrame:
+        """Ids of main-dataset entities needing reprocessing due to
+        dependency changes."""
+        out = None
+        for dep in self.dependencies:
+            ids = (
+                self.store.changes(dep.dataset, since=since)
+                .select("id").distinct()
+            )
+            for j in dep.joins:
+                log = self.store.log([j.dataset])
+                edge = latest(log, include_deleted=True).select(
+                    F.col("id").alias("_src"),
+                    F.explode(F.col("refs")[j.predicate]).alias("_dst"),
+                )
+                if j.inverse:
+                    # entities in j.dataset pointing AT the current set
+                    ids = edge.join(ids.withColumnRenamed("id", "_dst"), "_dst").select(
+                        F.col("_src").alias("id")
+                    ).distinct()
+                else:
+                    # follow refs of the current set INTO j.dataset
+                    ids = edge.join(ids.withColumnRenamed("id", "_src"), "_src").select(
+                        F.col("_dst").alias("id")
+                    ).distinct()
+            out = ids if out is None else out.unionByName(ids).distinct()
+        return out
+
+    def read(self, since: int = 0) -> DataFrame:
+        main = self.store.changes(self.name, since=since, latest_only=self.latest_only)
+        affected = self.affected_ids(since)
+        main_all = latest(self.store.log([self.name]), include_deleted=True)
+        reprocess = main_all.join(affected, "id")
+        return main.unionByName(reprocess).dropDuplicates(["id", "recorded", "seq"])
+
+
+class VirtualDatasetSource:
+    """internal/server/virtualdataset.go: a read-only dataset whose
+    entities are produced by a script. Here: a python callable
+    (spark, params, since, limit) -> DataFrame."""
+
+    def __init__(self, spark, build_entities, params=None):
+        self.spark, self.build_entities, self.params = spark, build_entities, params
+
+    def read(self, since: int = 0, limit: int | None = None) -> DataFrame:
+        return self.build_entities(self.spark, self.params, since, limit)
+
+
+class HttpDatasetSource:
+    """jobs/source HttpDatasetSource (UDA /changes reader). Network access
+    is unavailable in this environment; the codec path (uda.from_uda_json)
+    is fully implemented and tested, the fetch itself is gated."""
+
+    def __init__(self, spark, url: str, token_provider: str | None = None):
+        self.spark, self.url, self.token_provider = spark, url, token_provider
+
+    def read(self, since: int = 0) -> DataFrame:
+        raise NotImplementedError(
+            "offline environment: use uda.from_uda_json on fetched payloads"
+        )
+
+
+# --------------------------------------------------------------------------
+# sinks
+# --------------------------------------------------------------------------
+
+class DatasetSink:
+    def __init__(self, store: EntityStore, name: str):
+        self.store, self.name = store, name
+
+    def write(self, df: DataFrame) -> None:
+        self.store.store_entities(self.name, df.drop("dataset"))
+
+
+class DevNullSink:
+    """jobs/sink.go devNullSink: executes the plan, discards rows (used
+    with transforms whose effect is ExecuteTransaction)."""
+
+    def write(self, df: DataFrame) -> None:
+        df.foreach(lambda _: None)
+
+
+class ConsoleSink:
+    def write(self, df: DataFrame) -> None:
+        df.show(50, truncate=False)
+
+
+class HttpDatasetSink:
+    def __init__(self, url: str, token_provider: str | None = None):
+        self.url = url
+
+    def write(self, df: DataFrame) -> None:
+        raise NotImplementedError("offline environment: serialize with uda.to_uda_json")
+
+
+# --------------------------------------------------------------------------
+# job + error handling + lineage
+# --------------------------------------------------------------------------
+
+@dataclass
+class ErrorHandler:
+    """error_handler.go: 'reRun' (maxRetries/retryDelay) or 'log'."""
+    kind: str = "reRun"
+    max_retries: int = 3
+    retry_delay_s: float = 0.0
+
+
+@dataclass
+class Job:
+    job_id: str
+    source: object
+    sink: object
+    transform: Transform | None = None
+    job_type: str = "incremental"  # or "fullsync"
+    on_error: ErrorHandler = field(default_factory=ErrorHandler)
+    paused: bool = False
+
+    def run(self, state: "JobState") -> dict:
+        """Execute once (the scheduler analogue triggers this)."""
+        since = state.token(self.job_id) if self.job_type == "incremental" else 0
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                df = self.source.read(since=since)
+                if self.transform is not None:
+                    df = self.transform(df)
+                wm = int(df.agg(F.max("recorded")).collect()[0][0] or since) \
+                    if "recorded" in df.columns else since
+                self.sink.write(df)
+                if self.job_type == "incremental":
+                    state.set_token(self.job_id, max(wm, since))
+                return {"id": self.job_id, "attempts": attempts, "token": max(wm, since)}
+            except Exception:
+                if self.on_error.kind == "reRun" and attempts <= self.on_error.max_retries:
+                    if self.on_error.retry_delay_s:
+                        time.sleep(self.on_error.retry_delay_s)
+                    continue
+                raise
+
+
+class JobState:
+    """Continuation tokens per job (runner.go run-state), JSON on disk."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if not os.path.exists(path):
+            self._write({})
+
+    def _read(self) -> dict:
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, d: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, self.path)
+
+    def token(self, job_id: str) -> int:
+        return int(self._read().get(job_id, 0))
+
+    def set_token(self, job_id: str, token: int) -> None:
+        d = self._read()
+        d[job_id] = int(token)
+        self._write(d)
+
+
+def fullsync_tombstones(old_latest: DataFrame, new_snapshot: DataFrame) -> DataFrame:
+    """CompleteFullSync semantics (internal/server/dataset.go:159): after a
+    fullsync, entities present before but absent from the new snapshot are
+    appended as deleted tombstones. One left-anti join."""
+    missing = old_latest.join(new_snapshot.select("id"), "id", "left_anti")
+    return missing.withColumn("deleted", F.lit(True))
+
+
+def lineage(jobs: list[Job]) -> list[dict]:
+    """Lineage edges from job definitions (DOCUMENTATION.md:1857-1892)."""
+    edges = []
+    for j in jobs:
+        sink_name = getattr(j.sink, "name", None)
+        if sink_name is None:
+            continue
+        kind = "transform" if j.transform is not None else "copy"
+        srcs: list[str] = []
+        if isinstance(j.source, DatasetSource):
+            srcs = [j.source.name]
+        elif isinstance(j.source, UnionDatasetSource):
+            srcs = [s.name for s in j.source.sources]
+        elif isinstance(j.source, MultiSource):
+            srcs = [j.source.name]
+            for dep in j.source.dependencies:
+                edges.append({"From": dep.dataset, "To": sink_name, "Type": "transform-hop"})
+        for s in srcs:
+            edges.append({"From": s, "To": sink_name, "Type": kind})
+    return edges

@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+  * Exact dedup: one hash-aggregate on a content digest (map-side
+    partial agg; no sort).
+  * MinHash+LSH: shingle -> k md5-keyed min-hashes -> band keys ->
+    candidate pairs via an equi-join on the band key. Never an O(n^2)
+    cross-join; hot bands can be salted. md5-based hashing keeps the
+    signatures engine-portable (DuckDB oracle computes the identical
+    signatures).
+  * SimHash: 64-bit signature from token hashes; near-dup candidates
+    bucket on 16-bit chunks (any pair within hamming distance<=3 of a
+    64-bit sig shares at least one of 4 chunks — pigeonhole).
+  * n-gram Jaccard: exact set similarity via a shingle-level equi-join
+    (distinct shingles only), intersection counts vs per-doc set sizes.
+  * Embedding near-dup: blocked self-join (caller supplies a blocking
+    key such as a cluster/label or LSH bucket) + vectorized cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datahub_spark.operators.text import normalize
+
+
+def content_digest(col: Column) -> Column:
+    return F.md5(normalize(col))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: digest -> (n_docs, keeper=min id, ids)."""
+    return (
+        df.select(F.col(id_col), content_digest(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text (distinct set)."""
+    w = F.split(normalize(col), " ")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark —
+    # short documents must yield an empty shingle set instead
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(df: DataFrame, k: int = 12, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k md5-keyed minhash values per document.
+
+    hash_i(s) = md5(i || '|' || s); the minimum hex string over the
+    shingle set is a valid minhash (uniform order on hex strings).
+    Portable: DuckDB's md5 produces identical digests."""
+    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and emit candidate pairs (a < b) that collide in
+    at least one band. One explode + one equi-join on the band key."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key")))
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    |A∩B| via shingle equi-join; |A∪B| = |A|+|B|-|A∩B|."""
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("jaccard", 4).cast("decimal(9,4)").cast("string").alias("jaccard"),
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: for each bit j, sum +1/-1 of token
+    hashes' bit j; signature bit j = (sum > 0). Token hash = first 60 bits
+    of md5 (portable)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    tok = tok.select(id_col, h.alias("h"))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(60)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_aggs)
+    sig = sums.select(
+        F.col(id_col),
+        sum(
+            (F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+             for j in range(60)),
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_candidates(sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: bucket the 60-bit signature into 4 chunks of
+    15 bits; hamming<=3 guarantees one identical chunk (pigeonhole)."""
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"))
+        for c in range(4)
+    ])
+    b = sig.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    pairs = (
+        b.alias("l").join(b.alias("r"), ["chunk", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, fully JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
+                       block_col: str | None = "label",
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    ``block_col`` bounds the self-join (cluster label, LSH bucket, shard
+    key...); None falls back to a full self-join — only acceptable for
+    small corpora, and deliberately explicit."""
+    sel = df.select(
+        F.col(id_col), F.col(vec_col), *( [F.col(block_col)] if block_col else [] )
+    )
+    join_keys = [block_col] if block_col else []
+    l, r = sel.alias("l"), sel.alias("r")
+    pairs = (
+        (l.join(r, join_keys) if join_keys else l.crossJoin(r))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"),
+    )

@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns.
+
+Two paths, as a 100 TB design requires:
+  * brute-force top-k — exact; the *query* side must be small (it is
+    broadcast), corpus side streams. Baseline + recall oracle.
+  * LSH-bucketed top-k — random-hyperplane signatures bucket the corpus;
+    each query probes only its bucket(s). Approximate, scales to
+    arbitrary corpus size since the join is an equi-join on bucket key.
+
+Hyperplanes are generated from a seeded RNG on the driver and folded in
+as literal arrays (no data-dependent randomness, resumable/deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datahub_spark.operators.dedup import cosine
+
+
+def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self). The query set is
+    broadcast; ranking ties break on neighbor id for determinism."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for a vector against literal hyperplanes —
+    evaluated fully in codegen (zip_with + aggregate per plane)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6,
+            dim: int = 64, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+    Equi-join on bucket id replaces the cross-join — the scale path."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"))
+    )
