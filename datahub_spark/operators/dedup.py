@@ -103,15 +103,19 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # exact integer arithmetic end-to-end: threshold compare on the cross
+    # product (inter * 1e4 >= union * threshold_e4) and a fixed-point e4
+    # output — float division would tie-break differently across engines
+    threshold_e4 = int(round(threshold * 10000))
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 10000 >= F.col("union_sz") * threshold_e4)
     )
-    return out.select(
+    return out.selectExpr(
         "id_a", "id_b",
-        F.round("jaccard", 4).cast("decimal(9,4)").cast("string").alias("jaccard"),
+        "(20000 * inter + union_sz) div (2 * union_sz) as jaccard_e4",
     )
 
 

@@ -20,6 +20,31 @@ from pyspark.sql import functions as F
 from datahub_spark.operators.dedup import cosine
 
 
+FIXED_POINT_SCALE = 10_000_000  # 1e7: elements to ~1e-7, dots to ~1e-14
+
+
+def dot_fixed(a: Column, b: Column) -> Column:
+    """Exact fixed-point dot product: elements scaled to int64 (x * 1e7,
+    rounded), products and sum in exact long arithmetic. Addition over
+    longs is associative, so the result is bit-identical across engines
+    and shuffle schedules — unlike float accumulation. Bounds: |x| <= 4,
+    64 dims -> |dot| <= 64 * (4e7)^2 ≈ 1e17 < int64 max. The test
+    embeddings are L2-normalized, so this doubles as exact cosine
+    (value = cosine * 1e14)."""
+    fx = lambda v: F.round(v.cast("double") * FIXED_POINT_SCALE).cast("long")
+    prod = F.zip_with(a, b, lambda x, y: fx(x) * fx(y))
+    return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+# DuckDB rendering of the same computation (kept adjacent so the two
+# implementations evolve together):
+DOT_FIXED_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT)"
+    " * CAST(round(CAST(p[2] AS DOUBLE) * 10000000) AS BIGINT))) AS BIGINT)"
+)
+
+
 def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self). The query set is

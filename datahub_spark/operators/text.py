@@ -76,30 +76,50 @@ def lang_id(col: Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-scoring features: token count, mean token length, stopword
-    ratio, punctuation ratio, and a composite score in [0, 100]."""
+    """Quality-scoring features: token count, mean token length (fixed-point
+    e4), stopword ratio, punctuation ratio, and a composite score in
+    centi-points [0, 10000]. All arithmetic is exact integer fixed-point:
+    float rounding at half-ties (e.g. a true score of 64.975) is resolved
+    differently by different engines, so ratios are kept as exact rationals
+    N/D and rounded half-up via integer division — bit-identical everywhere.
+
+    score = min(nt/50,1)*40 + min(5*sh/nt,1)*30 + (1-min(10*np/nc,1))*30
+    over common denominator D = 5*nt*nc:
+    N = 4*min(nt,50)*nt*nc + 5*nc*min(150*sh,30*nt) + 5*nt*max(30*nc-300*np,0)
+    """
     t = F.col(text_col)
     w = words(t)
-    n_tokens = F.size(w)
-    mean_tok_len = (F.length(F.array_join(w, "")) / n_tokens)
-    stop_hits = sum(
-        (_count_marker(t, s) for s in STOPWORDS), F.lit(0).cast("long")
+    nt = F.size(w).cast("long")
+    tc = F.length(F.array_join(w, "")).cast("long")  # total token chars
+    sh = sum((_count_marker(t, s) for s in STOPWORDS), F.lit(0).cast("long"))
+    np_ = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+    nc = F.length(t).cast("long")
+    num = (
+        F.least(nt, F.lit(50)) * 4 * nt * nc
+        + nc * 5 * F.least(sh * 150, nt * 30)
+        + nt * 5 * F.greatest(nc * 30 - np_ * 300, F.lit(0).cast("long"))
     )
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    punct_ratio = n_punct / F.length(t)
-    stop_ratio = stop_hits / n_tokens
-    score = (
-        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 40
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 30
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 30
-    )
+    den = nt * nc * 5
     return df.select(
         F.col("doc_id"),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_tok_len, 4).cast("decimal(18,4)").cast("string").alias("mean_token_len"),
-        stop_hits.alias("stopword_hits"),
-        n_punct.alias("n_punct"),
-        F.round(score, 2).cast("decimal(18,2)").cast("string").alias("quality_score"),
+        nt.alias("n_tokens"),
+        tc.alias("_tc"),
+        sh.alias("stopword_hits"),
+        np_.alias("n_punct"),
+        num.alias("_n"),
+        den.alias("_d"),
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        # round-half-up(1e4 * tc / nt) in pure integer arithmetic
+        "(20000 * _tc + n_tokens) div (2 * n_tokens) as mean_token_len_e4",
+        "stopword_hits",
+        "n_punct",
+        # round-half-up(100 * N / D)
+        "(200 * _n + _d) div (2 * _d) as quality_score_centi",
+    ).select(
+        "doc_id", "n_tokens", "mean_token_len_e4", "stopword_hits",
+        "n_punct", "quality_score_centi",
     )
 
 

@@ -666,3 +666,315 @@ def q_dataset_stats(spark, sf_dir):
     ds = _ds(spark, sf_dir)
     log = ds["customer"].unionByName(ds["supplier"]).unionByName(ds["user"])
     return S.dataset_stats(log)
+
+
+# --------------------------------------------------------------------------
+# §2.4 LLM-training-data pipeline operators
+# --------------------------------------------------------------------------
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _marker_count_sql(marker: str) -> str:
+    needle = f" {marker} "
+    return (
+        f"CAST((length(p) - length(replace(p, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang in sorted(TX.LANG_MARKERS):
+        parts = " + ".join(_marker_count_sql(m) for m in TX.LANG_MARKERS[lang])
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    langs = sorted(TX.LANG_MARKERS)
+    gm = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {gm} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {gm} THEN '{l}' "
+    case += "END"
+    return f"""
+    WITH n AS (SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS p FROM documents),
+    s AS (SELECT doc_id, {', '.join(score_exprs)} FROM n)
+    SELECT doc_id, {case} AS lang_pred FROM s
+    """
+
+
+@register("text_lang_id", _lang_id_oracle())
+def q_text_lang_id(spark, sf_dir):
+    """Language ID via marker-word frequency (first-match-on-max,
+    deterministic ordering)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _quality_oracle() -> str:
+    stop_sum = " + ".join(_marker_count_sql(s) for s in TX.STOPWORDS)
+    return rf"""
+    WITH n AS (
+      SELECT doc_id, text, {_NORM_SQL} AS t, ' ' || {_NORM_SQL} || ' ' AS p
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS nt,
+             CAST(length(replace(t, ' ', '')) AS BIGINT) AS tc,
+             CAST(({stop_sum}) AS BIGINT) AS sh,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS np,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM n),
+    g AS (
+      SELECT doc_id, nt, tc, sh, np, nc,
+             4 * least(nt, 50) * nt * nc
+               + 5 * nc * least(150 * sh, 30 * nt)
+               + 5 * nt * greatest(30 * nc - 300 * np, 0) AS n,
+             5 * nt * nc AS d
+      FROM f)
+    SELECT doc_id, nt AS n_tokens,
+           (20000 * tc + nt) // (2 * nt) AS mean_token_len_e4,
+           sh AS stopword_hits, np AS n_punct,
+           (200 * n + d) // (2 * d) AS quality_score_centi
+    FROM g
+    """
+
+
+@register("text_quality", _quality_oracle())
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token stats + stopword/punctuation ratios."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.quality_features(docs)
+
+
+@register(
+    "token_count",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+    FROM n
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenization."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        TX.token_count_whitespace(F.col("text")).cast("long").alias("n_ws_tokens"),
+        TX.token_count_bpe_ish(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprint (md5 of canonical text)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents)
+    SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper
+    FROM d GROUP BY digest
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-aggregate on the content digest."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return DD.dedup_exact(docs)
+
+
+_SHINGLE_SQL = r"""
+    norm AS (SELECT doc_id, {norm} AS t FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i + 2], ' ') AS sh
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3))
+""".format(norm=_NORM_SQL)
+
+
+def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
+    sig_cols = ", ".join(f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    band AS ({bands_sql})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM band l JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """
+
+
+@register("dedup_minhash", _minhash_oracle())
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (shingle -> md5 minhash -> bands ->
+    bucket equi-join). Engine-portable md5-keyed hashing."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    sig = DD.minhash_signature(docs, k=12, n=3)
+    return DD.lsh_candidates(sig, bands=4, rows_per_band=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2),
+    u AS (
+      SELECT a, b, c, sa.sz + sb.sz - c AS un
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b)
+    SELECT a AS id_a, b AS id_b,
+           (20000 * c + un) // (2 * un) AS jaccard_e4
+    FROM u WHERE c * 10000 >= un * 5000
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs >= 0.5 (shingle equi-join, never n^2)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@register("dedup_simhash")  # bit-arithmetic hex->int is not portable to the oracle: rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (60-bit signature, 15-bit chunk
+    buckets, hamming <= 3)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    sig = DD.simhash64(docs)
+    return DD.simhash_candidates(sig, max_hamming=3)
+
+
+# fixed-point dot threshold: cosine 0.4 at scale 1e14
+_DOT_04 = 40_000_000_000_000
+
+
+@register(
+    "dedup_embedding",
+    f"""
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           {SIM.DOT_FIXED_SQL.format(a='l.embedding', b='r.embedding')} AS dot_fp
+    FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+    WHERE {SIM.DOT_FIXED_SQL.format(a='l.embedding', b='r.embedding')} >= {_DOT_04}
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs: exact fixed-point dot product >= 0.4*1e14
+    (the vectors are L2-normalized, so dot == cosine). Exact-variant
+    self-join; ann_lsh is the bucketed scale path."""
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot_fp", SIM.dot_fixed(F.col("_va"), F.col("_vb")))
+        .filter(F.col("dot_fp") >= _DOT_04)
+        .select("id_a", "id_b", "dot_fp")
+    )
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {SIM.DOT_FIXED_SQL.format(a='q.qv', b='e.embedding')} AS d
+      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, nid, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rnk
+      FROM s)
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, d AS dot_fp
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    """Brute-force exact top-k by fixed-point dot product (normalized
+    vectors => cosine). Query side broadcast; ties break on neighbor id."""
+    from pyspark.sql import Window
+
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", SIM.dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "dot_fp")
+    )
+
+
+@register("ann_lsh")  # approximate + driver-seeded hyperplanes: rows-only
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random-hyperplane buckets; equi-join probe)."""
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_lsh(q, emb, k=5, n_planes=6, dim=64)
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal binary column plumbing: payload + typed metadata."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    media = MM.attach_media(docs)
+    return media.select("doc_id", F.col("meta.mime").alias("mime"),
+                        F.col("meta.n_bytes").alias("n_bytes"))
+
+
+@register("multimodal_features")  # stubbed decode (no media libs): rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (decode step
+    stubbed — libs absent; plumbing real)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    media = MM.attach_media(docs)
+    feats = MM.extract_features(media)
+    return feats.select("doc_id", "mime", "n_bytes", "checksum", F.size("feature").alias("dim"))
+
+
+@register(
+    "stream_onchange",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+    """,
+)
+def q_stream_onchange(spark, sf_dir):
+    """onchange trigger as Structured Streaming: the change-log directory
+    is the stream source; AvailableNow drains it through a windowless
+    aggregation into the sink."""
+    from datahub_spark import streaming as ST
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return ST.run_available_now(agg)
