@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Headliners (SURVEY.md §6) cover the main plan shapes:
+  query_aggregate     scan + wide aggregate (flagship)
+  traverse_incoming   graph inverse-traversal join
+  changes_latest_only versioned-store window/max_by
+  dedup_minhash       shingle explode + LSH band join
+  ann_topk            vector scoring + per-query top-k
+  text_quality        wide per-row expression plan
+Each query is forced with a noop write (full execution, no driver
+collect bottleneck); time is wall-clock per query, value = total.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINERS = [
+    "query_aggregate",
+    "traverse_incoming",
+    "changes_latest_only",
+    "dedup_minhash",
+    "ann_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.removeprefix("sf"))
+    except ValueError:
+        sf = sf_name
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("datahub-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datahub_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        fn = QUERIES[name]
+        # min of 2 runs: run 1 pays one-time JVM/codegen/footer warmup
+        # (~9s on the first query of a session), run 2 is steady state —
+        # the number comparable to a warmed single-node baseline.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

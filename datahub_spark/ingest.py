@@ -28,6 +28,8 @@ Numeric props are canonicalized as DECIMAL(18,2) strings and dates as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,11 +47,33 @@ TABLES = [
 ]
 
 
+# Inputs below this size get an explicit post-scan repartition: the test
+# parquet is one row group per file, so the scan is a single task and all
+# map-side compute (entity construction, md5 digests, text ops) would run
+# on one core. Large inputs (the 100 TB case: many files / many row
+# groups) split naturally at the scan, where a blanket repartition would
+# be a pure extra shuffle — so they are left alone.
+_SPREAD_MAX_BYTES = 1 << 30
+_SPREAD_MIN_BYTES = 100 << 10
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos (the
     # driver may hand us a session without this flag, so set it here too).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    par = spark.sparkContext.defaultParallelism
+    out = {}
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        df = spark.read.parquet(path)
+        try:
+            size = os.path.getsize(path)
+        except OSError:  # non-local path (hdfs/s3): scan splits naturally
+            size = _SPREAD_MAX_BYTES
+        if _SPREAD_MIN_BYTES < size < _SPREAD_MAX_BYTES:
+            df = df.repartition(par)
+        out[t] = df
+    return out
 
 
 def _dec(col, scale: int = 2):

@@ -54,6 +54,14 @@ def _count_marker(col: Column, marker: str) -> Column:
     ).cast("long")
 
 
+def _count_in_padded(padded: Column, marker: str) -> Column:
+    needle = f" {marker} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / (len(needle) - 1)
+    ).cast("long")
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     return {
         lang: sum((_count_marker(col, m) for m in markers), F.lit(0).cast("long"))
@@ -61,18 +69,32 @@ def lang_scores(col: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(col: Column) -> Column:
-    """Marker-frequency language ID. Ties and zero evidence -> 'und'.
-    Deterministic: languages compared in fixed order, strict-greater wins."""
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0).cast("long")
-    for lang in sorted(scores):  # fixed evaluation order
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+def lang_id_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-frequency language ID. Ties and zero evidence -> 'und';
+    deterministic first-match-on-max in sorted language order.
+
+    Staged through projections (normalize once -> score columns -> argmax)
+    rather than one nested expression: a single inlined expression tree
+    here exceeds janino's 64 KB method limit and silently drops the whole
+    stage out of codegen. Catalyst keeps the stages separate because the
+    intermediate columns are referenced more than once (CollapseProject
+    only inlines cheap or single-use expressions)."""
+    langs = sorted(LANG_MARKERS)
+    padded = F.concat(F.lit(" "), normalize(F.col(text_col)), F.lit(" "))
+    st1 = df.select(F.col(id_col), padded.alias("_p"))
+    st2 = st1.select(
+        id_col,
+        *[
+            sum((_count_in_padded(F.col("_p"), m) for m in LANG_MARKERS[lang]),
+                F.lit(0).cast("long")).alias(f"_s_{lang}")
+            for lang in langs
+        ],
+    )
+    gm = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.when(gm == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"_s_{lang}") == gm, F.lit(lang))
+    return st2.select(id_col, pred.alias("lang_pred"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,11 +109,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     over common denominator D = 5*nt*nc:
     N = 4*min(nt,50)*nt*nc + 5*nc*min(150*sh,30*nt) + 5*nt*max(30*nc-300*np,0)
     """
-    t = F.col(text_col)
-    w = words(t)
+    # stage normalization once (see lang_id_table on the 64 KB codegen limit)
+    df = df.select(
+        F.col("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.concat(F.lit(" "), normalize(F.col(text_col)), F.lit(" ")).alias("_p"),
+        F.split(normalize(F.col(text_col)), " ").alias("_w"),
+    )
+    t = F.col("_t")
+    w = F.col("_w")
     nt = F.size(w).cast("long")
     tc = F.length(F.array_join(w, "")).cast("long")  # total token chars
-    sh = sum((_count_marker(t, s) for s in STOPWORDS), F.lit(0).cast("long"))
+    sh = sum((_count_in_padded(F.col("_p"), s) for s in STOPWORDS), F.lit(0).cast("long"))
     np_ = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
     nc = F.length(t).cast("long")
     num = (

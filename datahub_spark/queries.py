@@ -705,7 +705,7 @@ def q_text_lang_id(spark, sf_dir):
     """Language ID via marker-word frequency (first-match-on-max,
     deterministic ordering)."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+    return TX.lang_id_table(docs)
 
 
 def _quality_oracle() -> str:
