@@ -1,0 +1,65 @@
+"""ANN operators: exactness of brute force vs numpy, LSH recall subset."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datahub_spark.operators import similarity as SIM
+
+
+def _emb(spark, n=40, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v[i].astype(float).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, v
+
+
+def test_bruteforce_matches_numpy(spark):
+    df, v = _emb(spark)
+    qs = df.filter("vec_id < 3")
+    got = SIM.ann_bruteforce(qs, df, k=4).collect()
+    # float32 storage: numpy reference must use the same precision
+    v32 = v.astype(np.float32).astype(np.float64)
+    sims = v32 @ v32.T
+    for q in range(3):
+        order = [i for i in np.lexsort((np.arange(len(v)), -sims[q])) if i != q][:4]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == q]
+        assert mine == order, f"query {q}"
+
+
+def test_lsh_results_are_true_neighbors_from_same_bucket(spark):
+    df, v = _emb(spark)
+    qs = df.filter("vec_id < 3")
+    approx = SIM.ann_lsh(qs, df, k=4, n_planes=4, dim=8)
+    exact = SIM.ann_bruteforce(qs, df, k=40)
+    # every approx neighbor must appear in the exact ranking with the
+    # same cosine (LSH only prunes candidates, never alters scores)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_dot_fixed_is_exact_and_symmetric(spark):
+    df, v = _emb(spark, n=6)
+    from pyspark.sql import functions as F
+
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+            SIM.dot_fixed(F.col("a.embedding"), F.col("b.embedding")).alias("d"),
+        )
+        .collect()
+    )
+    d = {(r["ia"], r["ib"]): r["d"] for r in pairs}
+    for i in range(6):
+        for j in range(6):
+            assert d[(i, j)] == d[(j, i)]
+        # self-dot of a unit vector ~ 1e14 within fixed-point quantization
+        assert abs(d[(i, i)] - 10**14) < 10**10

@@ -1,0 +1,62 @@
+"""Dedup operator properties (beyond the oracle hash-compare)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datahub_spark.operators import dedup as DD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    df = _docs(spark, [
+        (1, "Hello   World"), (2, "hello world"), (3, "other text")])
+    out = {r["keeper"]: r["n_docs"] for r in DD.dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc_yields_empty_set(spark):
+    df = _docs(spark, [(1, "one two")])
+    out = df.select(DD.shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert out == []
+
+
+def test_minhash_identical_docs_collide_in_all_bands(spark):
+    df = _docs(spark, [
+        (1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")])
+    sig = DD.minhash_signature(df, k=12, n=3)
+    pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {abc, bcd}; doc2: {abc, bcd, cde} -> J = 2/3
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d e")])
+    rows = DD.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard_e4"] == 6667  # round-half-up(2/3 * 1e4)
+
+
+def test_simhash_near_identical_low_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = _docs(spark, [(1, base), (2, base + " extra"), (3, "completely different words here now")])
+    sig = DD.simhash64(df)
+    cands = DD.simhash_candidates(sig, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_embedding_near_dup_blocked_join(spark):
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [0.999, 0.04], "a"),
+        (3, [0.0, 1.0], "a"), (4, [1.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    pairs = DD.embedding_near_dup(df, threshold=0.9, block_col="label").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # 1-2 near-dup within block a; 1-4 identical but in different blocks
+    assert got == {(1, 2)}

@@ -1,0 +1,118 @@
+"""Jobs engine (reference: pipeline_test.go / scheduler_test.go /
+multisource_test.go / error_handler tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datahub_spark import jobs as J
+from datahub_spark.store import EntityStore, latest
+from tests.entity_fixtures import people_log
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    es = EntityStore(spark, str(tmp_path / "store"))
+    log = people_log(spark)
+    for ds in ["people", "city", "people.extra"]:
+        es.execute_transaction(
+            {ds: log.filter(F.col("dataset") == ds).drop("dataset")},
+            recorded=None,
+        )
+    return es
+
+
+def test_incremental_job_advances_token_and_is_idempotent(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("copy-people", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "people_copy"))
+    r1 = job.run(state)
+    assert r1["token"] > 0
+    n1 = store.log(["people_copy"]).count()
+    assert n1 == 4
+    # second run: no new changes -> nothing appended
+    job.run(state)
+    assert store.log(["people_copy"]).count() == n1
+
+
+def test_union_source_concatenates(spark, store):
+    u = J.UnionDatasetSource([J.DatasetSource(store, "people"),
+                              J.DatasetSource(store, "city")])
+    assert u.read().count() == 5
+
+
+def test_multisource_dependency_tracking(spark, store):
+    # main=people, dependency=city via inverse p:home (city change ->
+    # people entities pointing at it need reprocessing)
+    ms = J.MultiSource(store, "people", [
+        J.Dependency("city", [J.Join("people", "p:home", inverse=True)]),
+    ])
+    affected = sorted(r["id"] for r in ms.affected_ids(since=0).collect())
+    assert affected == ["p:alice", "p:bob"]
+    # nothing changed since the city write -> empty affected set
+    wm = store.changes("city").agg(F.max("recorded")).collect()[0][0]
+    assert ms.affected_ids(since=wm).count() == 0
+
+
+def test_error_handler_rerun_retries_then_succeeds(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    calls = {"n": 0}
+
+    class FlakySink:
+        def write(self, df):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+
+    job = J.Job("flaky", J.DatasetSource(store, "people"), FlakySink(),
+                on_error=J.ErrorHandler(kind="reRun", max_retries=3))
+    res = job.run(state)
+    assert res["attempts"] == 3
+
+
+def test_error_handler_log_does_not_retry(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+
+    class FailSink:
+        def write(self, df):
+            raise RuntimeError("boom")
+
+    job = J.Job("fail", J.DatasetSource(store, "people"), FailSink(),
+                on_error=J.ErrorHandler(kind="log"))
+    with pytest.raises(RuntimeError):
+        job.run(state)
+
+
+def test_fullsync_tombstones(spark, store):
+    old = latest(store.log(["people"]), include_deleted=True)
+    new = spark.createDataFrame([("p:bob",)], "id string")  # alice absent
+    tomb = J.fullsync_tombstones(old, new)
+    got = [(r["id"], r["deleted"]) for r in tomb.collect()]
+    assert got == [("p:alice", True)]
+
+
+def test_virtual_dataset_source(spark):
+    def build(spark_, params, since, limit):
+        n = params["n"] if limit is None else min(params["n"], limit)
+        return spark_.range(n).select(
+            F.concat(F.lit("v:"), F.col("id")).alias("id"),
+            F.lit(1).cast("long").alias("recorded"),
+        )
+
+    v = J.VirtualDatasetSource(spark, build, {"n": 5})
+    assert v.read().count() == 5
+    assert v.read(limit=2).count() == 2
+
+
+def test_lineage_edges(spark, store):
+    jobs = [
+        J.Job("j1", J.DatasetSource(store, "people"), J.DatasetSink(store, "out1")),
+        J.Job("j2", J.MultiSource(store, "people", [
+            J.Dependency("city", [J.Join("people", "p:home", inverse=True)])]),
+              J.DatasetSink(store, "out2"), transform=lambda df: df),
+    ]
+    edges = J.lineage(jobs)
+    assert {"From": "people", "To": "out1", "Type": "copy"} in edges
+    assert {"From": "people", "To": "out2", "Type": "transform"} in edges
+    assert {"From": "city", "To": "out2", "Type": "transform-hop"} in edges

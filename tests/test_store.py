@@ -1,0 +1,100 @@
+"""Versioned store semantics (reference: dataset_test.go / store_test.go)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datahub_spark import store as S
+from datahub_spark.model import ENTITY_SCHEMA
+from tests.entity_fixtures import people_log, row
+
+
+def test_latest_picks_max_version_and_drops_tombstones(spark):
+    log = people_log(spark)
+    out = {r["id"]: r for r in S.latest(log.filter(F.col("dataset") == "people")).collect()}
+    # alice's latest version is a tombstone -> excluded
+    assert set(out) == {"p:bob"}
+    assert out["p:bob"]["props"]["p:name"] == "Bob"
+
+
+def test_latest_include_deleted_keeps_tombstone_version(spark):
+    log = people_log(spark).filter(F.col("dataset") == "people")
+    out = {r["id"]: r for r in S.latest(log, include_deleted=True).collect()}
+    assert out["p:alice"]["deleted"] is True
+    assert out["p:alice"]["recorded"] == 3
+
+
+def test_changes_since_and_latest_only(spark):
+    log = people_log(spark).filter(F.col("dataset") == "people")
+    since2 = S.changes(log, since=1)
+    assert sorted((r["id"], r["recorded"]) for r in since2.collect()) == [
+        ("p:alice", 2), ("p:alice", 3), ("p:bob", 2)]
+    lo = S.changes(log, since=1, latest_only=True)
+    assert sorted((r["id"], r["recorded"]) for r in lo.collect()) == [
+        ("p:alice", 3), ("p:bob", 2)]
+
+
+def test_point_in_time_restores_old_state(spark):
+    log = people_log(spark).filter(F.col("dataset") == "people")
+    asof2 = {r["id"]: r for r in S.point_in_time(log, as_of=2).collect()}
+    assert asof2["p:alice"]["props"]["p:age"] == "31"
+    asof1 = {r["id"]: r for r in S.point_in_time(log, as_of=1).collect()}
+    assert asof1["p:alice"]["props"]["p:age"] == "30"
+    assert "p:bob" not in asof1
+
+
+def test_merge_partials_later_recorded_wins(spark):
+    log = people_log(spark).filter(F.col("dataset") != "city")
+    merged = {r["id"]: r for r in S.merge_partials(log, include_deleted=True).collect()}
+    a = merged["p:alice"]
+    # base (deleted v3) + extra partial (recorded 4): both props present
+    assert a["props"]["p:email"] == "a@x"
+    assert a["props"]["p:name"] == "Alice"
+
+
+def test_compact_deduplicate_drops_successive_identical_versions(spark):
+    rows = [
+        row("x", 1, 0, False, {"a": "1"}),
+        row("x", 2, 0, False, {"a": "1"}),   # dup of v1 -> dropped
+        row("x", 3, 0, False, {"a": "2"}),   # changed -> kept
+        row("x", 4, 0, False, {"a": "1"}),   # changed back -> kept (not adjacent)
+    ]
+    log = spark.createDataFrame(rows, ENTITY_SCHEMA)
+    kept = sorted(r["recorded"] for r in S.compact_deduplicate(log).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_retention_gc_keeps_newest_version_always(spark):
+    log = people_log(spark).filter(F.col("dataset") == "people")
+    kept = S.retention_gc(log, horizon=2)
+    got = sorted((r["id"], r["recorded"]) for r in kept.collect())
+    # alice v1,v2 <= horizon and not newest -> gone; v3 newest survives;
+    # bob v2 <= horizon but is newest -> survives
+    assert got == [("p:alice", 3), ("p:bob", 2)]
+
+
+def test_entity_store_roundtrip_and_transaction(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    df1 = people_log(spark).filter(F.col("dataset") == "people").drop("dataset")
+    rec = es.execute_transaction({"people": df1, "mirror": df1})
+    assert rec == 1
+    assert es.list_datasets() == ["mirror", "people"]
+    # both datasets got the same version tick atomically
+    people = es.log(["people"])
+    mirror = es.log(["mirror"])
+    assert people.count() == mirror.count() == 4
+    # second append gets a later recorded tick
+    rec2 = es.store_entities("people", spark.createDataFrame(
+        [("p:carol", False, {"p:name": "Carol"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    assert rec2 == 2
+    assert es.entities("people").count() == 2  # bob + carol (alice tombstoned)
+
+
+def test_entity_store_partition_pruning(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    df1 = people_log(spark).filter(F.col("dataset") == "people").drop("dataset")
+    es.execute_transaction({"a": df1, "b": df1})
+    plan = es.log(["a"])._jdf.queryExecution().executedPlan().toString()
+    # dataset filter must prune at the partition level, not post-scan
+    assert "PartitionFilters: [" in plan and "dataset" in plan.split("PartitionFilters")[1][:80]

@@ -1,0 +1,67 @@
+"""Text analysis operators: exact known-value checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datahub_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_normalize_and_token_counts(spark):
+    df = _docs(spark, [(1, "  Héllo,   WORLD!  x2 ")])
+    out = df.select(
+        TX.normalize(F.col("text")).alias("n"),
+        TX.token_count_whitespace(F.col("text")).alias("ws"),
+        TX.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert out["n"] == "héllo, world! x2"
+    assert out["ws"] == 3
+    # bpe-ish: h llo , world ! x 2  (é is non-[a-z] -> own token)
+    assert out["bpe"] == 8
+
+
+def test_lang_id_markers(spark):
+    df = _docs(spark, [
+        (1, "the cat and the dog is happy"),
+        (2, "der Hund ist nicht da und der Mann"),
+        (3, "le chat est dans la maison et les chiens"),
+        (4, "xyzzy plugh"),
+    ])
+    out = {r["doc_id"]: r["lang_pred"] for r in TX.lang_id_table(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_features_exact_fixed_point(spark):
+    # 10 tokens ("a" = stopword hit), no punctuation, text len 39
+    text = "a bb cc dd ee ff gg hh ii jj"
+    df = _docs(spark, [(1, text)])
+    r = TX.quality_features(df).collect()[0]
+    assert r["n_tokens"] == 10
+    assert r["stopword_hits"] == 1
+    assert r["n_punct"] == 0
+    # mean token len = 19 chars / 10 tokens = 1.9 -> 19000
+    assert r["mean_token_len_e4"] == 19000
+    # score = min(10/50,1)*40 + min(5*1/10,1)*30 + 30 = 8 + 15 + 30 = 53
+    assert r["quality_score_centi"] == 5300
+
+
+def test_quality_score_half_tie_rounds_up(spark):
+    # engineered 64.975 tie: 32 tokens, 2 stopword hits, 0 punct.
+    # NOTE: the stopwords must be non-adjacent — " a a " counts as ONE
+    # occurrence under non-overlapping replace (identically in DuckDB).
+    toks = ["a"] + [f"w{i}" for i in range(15)] + ["a"] + [f"w{i}" for i in range(15, 30)]
+    df = _docs(spark, [(1, " ".join(toks))])
+    r = TX.quality_features(df).collect()[0]
+    assert r["stopword_hits"] == 2
+    # 25.6 + 150*2/32 (=9.375) + 30 = 64.975 -> half-up 6498
+    assert r["quality_score_centi"] == 6498
+
+
+def test_fingerprint_is_normalization_invariant(spark):
+    df = _docs(spark, [(1, "Some  TEXT here"), (2, "some text HERE")])
+    fps = [r["fp"] for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
