@@ -144,6 +144,25 @@ class VirtualDatasetSource:
         return self.build_entities(self.spark, self.params, since, limit)
 
 
+class SampleSource:
+    """jobs/source SampleSource: emits N generated sample entities (used
+    by the reference for wiring tests). Distributed via spark.range."""
+
+    def __init__(self, spark, n: int = 10):
+        self.spark, self.n = spark, n
+
+    def read(self, since: int = 0) -> DataFrame:
+        return self.spark.range(self.n).select(
+            F.concat(F.lit("sample:"), F.col("id")).alias("id"),
+            F.lit(1).cast("long").alias("recorded"),
+            F.col("id").alias("seq"),
+            F.lit(False).alias("deleted"),
+            F.create_map(F.lit("p:index"), F.col("id").cast("string")).alias("props"),
+            F.lit(None).cast("map<string,array<string>>").alias("refs"),
+            F.lit("sample").alias("dataset"),
+        )
+
+
 class HttpDatasetSource:
     """jobs/source HttpDatasetSource (UDA /changes reader). Network access
     is unavailable in this environment; the codec path (uda.from_uda_json)

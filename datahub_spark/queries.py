@@ -978,3 +978,80 @@ def q_stream_onchange(spark, sf_dir):
     stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return ST.run_available_now(agg)
+
+
+@register(
+    "entity_details",
+    f"""
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS id,
+           epoch_us(ts) AS recorded,
+           CAST(event_id AS BIGINT) AS seq,
+           (event_type = 'error') AS deleted,
+           event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM events WHERE user_id = 42
+    """,
+)
+def q_entity_details(spark, sf_dir):
+    """Entity change history — the `details` flag of /query
+    (store.go GetDetails semantics): every recorded version of one
+    entity, in version order. Id filter prunes before any window."""
+    user = _ds(spark, sf_dir)["user"]
+    return user.filter(F.col("id") == "user:42").select(
+        "id", "recorded", "seq", "deleted",
+        F.col("props")["p:event_type"].alias("event_type"),
+        F.col("props")["p:value"].alias("value"),
+    )
+
+
+@register(
+    "stream_windowed",
+    """
+    SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed(spark, sf_dir):
+    """Event-time tumbling-window streaming aggregation with a watermark
+    (late data handled; window state dropped past the watermark).
+    AvailableNow drain makes the batch result deterministic."""
+    from datahub_spark import streaming as ST
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
+    micros = stream.withColumn("_us", F.expr("ts div 1000"))
+    agg = ST.windowed_counts(micros, "_us", "event_type", window="1 hour")
+    # complete mode: append would hold back windows the watermark has not
+    # passed yet — the newest windows would be missing from a finite drain
+    return ST.run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_stateful",
+    """
+    SELECT user_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator: applyInPandasWithState keeps a
+    per-user (count, cents-total) accumulator in the state store across
+    triggers. The memory sink sees one 'update' row per key per batch;
+    the final state per key is the max (counts are monotonic)."""
+    from datahub_spark import streaming as ST
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
+    out = ST.stateful_user_totals(stream)
+    table = ST.run_available_now(out, output_mode="update")
+    return table.groupBy("id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )

@@ -306,3 +306,21 @@ class EntityStore:
         merged across datasets."""
         df = self.log(datasets).filter(F.col("id") == entity_id)
         return merge_partials(df) if merge else latest(df)
+
+    # -- maintenance -----------------------------------------------------------
+
+    def backup(self, dest: str) -> None:
+        """Backup (internal/server/backup.go analogue): the store is an
+        immutable file log + one registry sidecar, so a consistent backup
+        is a plain copy — files are never rewritten after commit."""
+        os.makedirs(dest, exist_ok=True)
+        shutil.copy2(self.meta_path, os.path.join(dest, "datasets.json"))
+        dst_log = os.path.join(dest, "log")
+        shutil.copytree(self.log_dir, dst_log, dirs_exist_ok=True)
+
+    @classmethod
+    def restore(cls, spark: SparkSession, backup_dir: str, root: str) -> "EntityStore":
+        os.makedirs(root, exist_ok=True)
+        shutil.copy2(os.path.join(backup_dir, "datasets.json"), os.path.join(root, "datasets.json"))
+        shutil.copytree(os.path.join(backup_dir, "log"), os.path.join(root, "log"), dirs_exist_ok=True)
+        return cls(spark, root)

@@ -12,9 +12,13 @@ the same query continuously with a checkpoint location.
 from __future__ import annotations
 
 import uuid
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def onchange_stream(spark: SparkSession, path: str, schema, glob: str | None = None) -> DataFrame:
@@ -40,3 +44,57 @@ def run_available_now(stream_df: DataFrame, query_name: str | None = None,
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def windowed_counts(stream_df: DataFrame, ts_micros_col: str, group_col: str,
+                    window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark — the
+    late-data-tolerant streaming rollup (Structured Streaming's windowed
+    agg; state for a window is dropped once the watermark passes it).
+    Input timestamps are int64 epoch-micros; window bounds surface back
+    as epoch-micros for engine-portable comparison."""
+    with_ts = stream_df.withColumn("_ts", F.timestamp_micros(F.col(ts_micros_col)))
+    agg = (
+        with_ts.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("_w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return agg.select(
+        F.unix_micros(F.col("_w.start")).alias("window_start"),
+        group_col,
+        "n",
+    )
+
+
+# output/state schemas for stateful_user_totals
+_TOTALS_OUT = "id long, n_events long, total_cents long"
+_TOTALS_STATE = "n long, cents long"
+
+
+def _cents(v: float) -> int:
+    """Exact binary double -> half-up cents, matching Spark/DuckDB's
+    double->DECIMAL(18,2) cast semantics (Decimal(float) is exact)."""
+    return int(Decimal(v).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+
+
+def stateful_user_totals(stream_df: DataFrame, key_col: str = "user_id",
+                         value_col: str = "value") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-key (count, sum-of-cents) accumulator — the shape of the
+    reference's incremental-transform state, here kept in Spark's state
+    store. Arrow-batched; state survives across triggers/batches."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += sum(_cents(v) for v in pdf[value_col])
+        state.update((n, cents))
+        yield pd.DataFrame({"id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update, _TOTALS_OUT, _TOTALS_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )

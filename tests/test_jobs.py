@@ -116,3 +116,19 @@ def test_lineage_edges(spark, store):
     assert {"From": "people", "To": "out1", "Type": "copy"} in edges
     assert {"From": "people", "To": "out2", "Type": "transform"} in edges
     assert {"From": "city", "To": "out2", "Type": "transform-hop"} in edges
+
+
+def test_sample_source(spark):
+    s = J.SampleSource(spark, n=7)
+    rows = s.read().collect()
+    assert len(rows) == 7
+    assert rows[0]["dataset"] == "sample"
+
+
+def test_backup_restore_roundtrip(spark, store, tmp_path):
+    store.backup(str(tmp_path / "bk"))
+    restored = EntityStore.restore(spark, str(tmp_path / "bk"), str(tmp_path / "restored"))
+    assert restored.list_datasets() == store.list_datasets()
+    assert restored.log(["people"]).count() == store.log(["people"]).count()
+    # counter survives: next write continues the version sequence
+    assert restored.next_recorded() == store.next_recorded()

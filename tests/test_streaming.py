@@ -29,3 +29,33 @@ def test_onchange_stream_drains_and_sees_appends(spark, tmp_path):
         F.count(F.lit(1)).alias("n"))
     got2 = {r["dataset"]: r["n"] for r in ST.run_available_now(agg2).collect()}
     assert got2 == {"people": 8, "city": 2, "people.extra": 2}
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    rows = [(i, 3_600_000_000 * (i % 3) + i, f"t{i % 2}") for i in range(20)]
+    spark.createDataFrame(rows, "event_id long, us long, event_type string") \
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    agg = ST.windowed_counts(stream, "us", "event_type", window="1 hour")
+    got = ST.run_available_now(agg, output_mode="complete")
+    total = sum(r["n"] for r in got.collect())
+    assert total == 20
+    # window starts align to the hour
+    assert all(r["window_start"] % 3_600_000_000 == 0 for r in got.collect())
+
+
+def test_stateful_user_totals_accumulates_state(spark, tmp_path):
+    path = str(tmp_path / "ev2")
+    rows = [(i, i % 3, float(i)) for i in range(12)]
+    spark.createDataFrame(rows, "event_id long, user_id long, value double") \
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    out = ST.run_available_now(ST.stateful_user_totals(stream), output_mode="update")
+    got = {r["id"]: (r["n_events"], r["total_cents"]) for r in out.collect()}
+    # user 0: events 0,3,6,9 -> 4 events, (0+3+6+9)*100 cents
+    assert got[0] == (4, 1800)
+    assert got[1] == (4, (1 + 4 + 7 + 10) * 100)
+    assert got[2] == (4, (2 + 5 + 8 + 11) * 100)
