@@ -56,14 +56,20 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 def minhash_signature(df: DataFrame, k: int = 12, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """k md5-keyed minhash values per document.
+    """k md5-keyed minhash values per document, as 60-bit LONGS.
 
-    hash_i(s) = md5(i || '|' || s); the minimum hex string over the
-    shingle set is a valid minhash (uniform order on hex strings).
-    Portable: DuckDB's md5 produces identical digests."""
+    hash_i(s) = first 15 hex digits of md5(i || '|' || s) parsed as int64;
+    the minimum over the shingle set is a valid minhash (uniform order).
+    Longs, not hex strings, deliberately: min(string) forces SortAggregate
+    (var-length agg buffers are not hash-aggregable), min(long) runs as a
+    HashAggregate with map-side partial aggregation. Portable: DuckDB
+    ('0x' || substr(md5(..),1,15))::BIGINT yields identical values."""
     ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))), 1, 15), 16, 10)
+            .cast("long")
+        ).alias(f"mh{i}")
         for i in range(k)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -71,23 +77,42 @@ def minhash_signature(df: DataFrame, k: int = 12, n: int = 3,
 
 def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
                    id_col: str = "doc_id") -> DataFrame:
-    """Band the signature and emit candidate pairs (a < b) that collide in
-    at least one band. One explode + one equi-join on the band key."""
+    """Candidate pairs (a < b) colliding in at least one band.
+
+    Bucket-grouped formulation: explode band keys, collect the doc set
+    per (band, key) bucket, emit in-bucket pairs. One aggregation instead
+    of a self-join — the self-join would execute the whole signature
+    pipeline twice (Spark does not reuse unmaterialized subplans), which
+    at 100 TB doubles the dominant cost. Bucket sizes are bounded by LSH
+    design (hot buckets indicate a degenerate band key, not a plan
+    problem); pair explosion within a bucket is the algorithm's intrinsic
+    output size either way."""
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key")))
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(right, ["band", "key"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -147,27 +172,40 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def simhash_candidates(sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates: bucket the 60-bit signature into 4 chunks of
-    15 bits; hamming<=3 guarantees one identical chunk (pigeonhole)."""
+    15 bits; hamming<=3 guarantees one identical chunk (pigeonhole).
+
+    Bucket-grouped like lsh_candidates: collect (id, sig) per chunk
+    bucket, emit in-bucket pairs — one aggregation, signature pipeline
+    executed once (a self-join would run it twice)."""
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"))
         for c in range(4)
     ])
     b = sig.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
-        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias("e"),
+        F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    pairs = (
-        b.alias("l").join(b.alias("r"), ["chunk", "key"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    buckets = (
+        b.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_set("e")).alias("es"))
+        .filter(F.size("es") > 1)
     )
-    return pairs
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("es"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("es"), i + 2, F.size(F.col("es"))),
+                        lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                                           F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -801,10 +801,14 @@ _SHINGLE_SQL = r"""
 
 
 def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
-    sig_cols = ", ".join(f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(k))
+    # 60-bit long minhashes, matching dedup.minhash_signature exactly
+    sig_cols = ", ".join(
+        f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(k)
+    )
     band_selects = []
     for b in range(bands):
-        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        cols = " || '|' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))
         band_selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig")
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
