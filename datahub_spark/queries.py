@@ -181,8 +181,8 @@ def q_traverse_outgoing(spark, sf_dir):
     customers --p:nation--> nations."""
     ds = _ds(spark, sf_dir)
     cust = ds["customer"]
-    starts = S.latest(cust).filter(F.col("props")["p:mktsegment"] == "BUILDING").select("id")
-    rel = Q.related(cust.unionByName(ds["nation"]), starts, "p:nation")
+    starts = S.latest(cust, single_version=True).filter(F.col("props")["p:mktsegment"] == "BUILDING").select("id")
+    rel = Q.related(cust.unionByName(ds["nation"]), starts, "p:nation", single_version=True)
     return rel.select(
         "start_id", "predicate",
         F.col("related.id").alias("related_id"),
@@ -209,8 +209,8 @@ def q_traverse_incoming(spark, sf_dir):
     via p:nation (customers and suppliers)."""
     ds = _ds(spark, sf_dir)
     log = ds["customer"].unionByName(ds["supplier"]).unionByName(ds["nation"])
-    starts = S.latest(ds["nation"]).select("id")
-    rel = Q.related(log, starts, "p:nation", inverse=True)
+    starts = S.latest(ds["nation"], single_version=True).select("id")
+    rel = Q.related(log, starts, "p:nation", inverse=True, single_version=True)
     return rel.select(
         "start_id",
         F.col("related.id").alias("related_id"),
@@ -231,8 +231,8 @@ def q_traverse_star(spark, sf_dir):
     """predicate='*' follows all relations (DOCUMENTATION.md:415)."""
     ds = _ds(spark, sf_dir)
     log = ds["supplier"].unionByName(ds["nation"])
-    starts = S.latest(ds["supplier"]).select("id")
-    rel = Q.related(log, starts, predicate=None)
+    starts = S.latest(ds["supplier"], single_version=True).select("id")
+    rel = Q.related(log, starts, predicate=None, single_version=True)
     return rel.select("start_id", "predicate", F.col("related.id").alias("related_id"))
 
 
@@ -250,9 +250,9 @@ def q_traverse_scoped(spark, sf_dir):
     filter prunes the customer partitions entirely."""
     ds = _ds(spark, sf_dir)
     log = ds["customer"].unionByName(ds["supplier"]).unionByName(ds["nation"])
-    starts = S.latest(ds["nation"]).select("id")
+    starts = S.latest(ds["nation"], single_version=True).select("id")
     rel = Q.related(log, starts, "p:nation", inverse=True, datasets=["supplier"],
-                    target=ds["supplier"])
+                    target=ds["supplier"], single_version=True)
     return rel.select("start_id", F.col("related.id").alias("related_id"))
 
 
@@ -273,9 +273,9 @@ def q_traverse_two_hop(spark, sf_dir):
     DOCUMENTATION.md:691-706): customer -> nation -> region."""
     ds = _ds(spark, sf_dir)
     cust = ds["customer"]
-    starts = S.latest(cust).filter(F.col("props")["p:mktsegment"] == "BUILDING").select("id")
-    hop1 = Q.related(cust.unionByName(ds["nation"]), starts, "p:nation")
-    hop2 = Q.hop(hop1, ds["nation"].unionByName(ds["region"]), "p:region")
+    starts = S.latest(cust, single_version=True).filter(F.col("props")["p:mktsegment"] == "BUILDING").select("id")
+    hop1 = Q.related(cust.unionByName(ds["nation"]), starts, "p:nation", single_version=True)
+    hop2 = Q.hop(hop1, ds["nation"].unionByName(ds["region"]), "p:region", single_version=True)
     return hop2.select(
         "start_id",
         F.col("related.id").alias("region_id"),
@@ -334,7 +334,7 @@ def q_deleted_tombstones(spark, sf_dir):
 def q_namespace_roundtrip(spark, sf_dir):
     """CURIE <-> URI expansion (store.go:213-326) as column expressions."""
     ns = NamespaceManager()
-    cust = S.latest(_ds(spark, sf_dir)["customer"])
+    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     expanded = ns.expand_col(F.col("id"))
     return cust.select(
         "id",
@@ -360,7 +360,7 @@ def q_query_aggregate(spark, sf_dir):
     aggregate compute over a dataset — here a TPC-H-Q1-style pricing
     summary over the lineitem entity dataset. Exact decimal arithmetic
     keeps results engine-portable. Flagship/bench query."""
-    li = S.latest(_ds(spark, sf_dir)["lineitem"])
+    li = S.latest(_ds(spark, sf_dir)["lineitem"], single_version=True)
     qty = F.col("props")["p:quantity"].cast("decimal(18,2)")
     ep = F.col("props")["p:extendedprice"].cast("decimal(18,2)")
     disc = F.col("props")["p:discount"].cast("decimal(18,2)")
@@ -389,7 +389,7 @@ def q_query_aggregate(spark, sf_dir):
 def q_paged_read(spark, sf_dir):
     """limit+continuation paging (DOCUMENTATION.md:419): key-set
     continuation pushes down as a range predicate."""
-    cust = S.latest(_ds(spark, sf_dir)["customer"])
+    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     pg = Q.page(cust, limit=20, continuation="cust:120")
     return pg.select("id", F.col("props")["p:name"].alias("name"))
 
@@ -428,16 +428,16 @@ def q_multi_source_affected(spark, sf_dir):
     DOCUMENTATION.md:647-777): regions 1,2 'changed' -> inverse-join via
     nation -> affected customers that must be reprocessed."""
     ds = _ds(spark, sf_dir)
-    changed_regions = S.latest(ds["region"]).filter(
+    changed_regions = S.latest(ds["region"], single_version=True).filter(
         F.col("id").isin("reg:1", "reg:2")
     ).select("id")
     nations = Q.related(
         ds["nation"].unionByName(ds["region"]), changed_regions, "p:region",
-        inverse=True, target=ds["nation"],
+        inverse=True, target=ds["nation"], single_version=True,
     ).select(F.col("related.id").alias("id")).distinct()
     custs = Q.related(
         ds["customer"].unionByName(ds["nation"]), nations, "p:nation",
-        inverse=True, target=ds["customer"],
+        inverse=True, target=ds["customer"], single_version=True,
     ).select(F.col("related.id").alias("id")).distinct()
     return custs
 
@@ -453,7 +453,7 @@ def q_multi_source_affected(spark, sf_dir):
 def q_transform_props(spark, sf_dir):
     """Transform built-ins RenameProperty / RemoveProperty / SetProperty
     (transform.go) as codegen column ops."""
-    cust = S.latest(_ds(spark, sf_dir)["customer"])
+    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     out = TR.rename_property(cust, "p:name", "p:fullname")
     out = TR.remove_property(out, "p:mktsegment")
     out = TR.set_property(out, "p:source", F.lit("crm"))
@@ -478,8 +478,8 @@ def q_transform_enrich(spark, sf_dir):
     one broadcast join, no per-row query loop."""
     ds = _ds(spark, sf_dir)
     enriched = TR.enrich_via(
-        S.latest(ds["customer"]), "p:nation", "p:name", "p:nation_name",
-        via=ds["nation"],
+        S.latest(ds["customer"], single_version=True), "p:nation", "p:name", "p:nation_name",
+        via=ds["nation"], single_version=True,
     )
     return enriched.select(
         "id",
@@ -498,7 +498,7 @@ def q_transform_enrich(spark, sf_dir):
 def q_custom_transform(spark, sf_dir):
     """Imperative escape hatch (JS transform_entities / HttpTransform):
     Arrow-batched mapInPandas."""
-    cust = S.latest(_ds(spark, sf_dir)["customer"]).select(
+    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True).select(
         "id", F.col("props")["p:name"].alias("name_upper")
     )
 
@@ -563,7 +563,7 @@ def q_virtual_dataset(spark, sf_dir):
 def q_uda_codec(spark, sf_dir):
     """UDA JSON wire-format round-trip (streamparser.go): entity ->
     to_uda_json -> from_uda_json -> entity."""
-    cust = S.latest(_ds(spark, sf_dir)["customer"])
+    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     wire = uda.to_uda_json(cust)
     back = uda.from_uda_json(wire, dataset="customer")
     return back.select(

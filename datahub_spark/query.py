@@ -45,6 +45,7 @@ def related(
     datasets: list[str] | None = None,
     target: DataFrame | None = None,
     as_of: int | None = None,
+    single_version: bool = False,
 ) -> DataFrame:
     """GetManyRelatedEntities (store.go:870) as a declarative plan.
 
@@ -60,7 +61,9 @@ def related(
     if datasets:
         edge_log = edge_log.filter(F.col("dataset").isin(datasets))
     edge_view = (
-        point_in_time(edge_log, as_of) if as_of is not None else latest(edge_log)
+        point_in_time(edge_log, as_of, single_version=single_version)
+        if as_of is not None
+        else latest(edge_log, single_version=single_version)
     )
     edge_src = _edges_of_view(edge_view, predicate)
 
@@ -73,7 +76,9 @@ def related(
 
     tgt_log = target if target is not None else df
     tgt_view = (
-        point_in_time(tgt_log, as_of) if as_of is not None else latest(tgt_log)
+        point_in_time(tgt_log, as_of, single_version=single_version)
+        if as_of is not None
+        else latest(tgt_log, single_version=single_version)
     )
     related_key = "start_id" if inverse else "ref_id"
     tgt = tgt_view.select(
@@ -107,12 +112,13 @@ def _edges_of_view(view: DataFrame, predicate: str | None) -> DataFrame:
 
 
 def hop(related_df: DataFrame, df: DataFrame, predicate: str | None, inverse: bool = False,
-        datasets: list[str] | None = None) -> DataFrame:
+        datasets: list[str] | None = None, single_version: bool = False) -> DataFrame:
     """Chain another traversal from a previous related() result — the
     transform-code pattern Query(Query(...)) (DOCUMENTATION.md:691-706).
     Keeps the original start_id; related becomes the new hop's entity."""
     starts = related_df.select(F.col("related.id").alias("id"), F.col("start_id").alias("origin_id"))
-    nxt = related(df, starts.select("id"), predicate, inverse=inverse, datasets=datasets)
+    nxt = related(df, starts.select("id"), predicate, inverse=inverse, datasets=datasets,
+                  single_version=single_version)
     return (
         nxt.join(starts.withColumnRenamed("id", "start_id").distinct(), "start_id")
         .select(F.col("origin_id").alias("start_id"), "predicate", "related")

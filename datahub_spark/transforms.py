@@ -112,7 +112,8 @@ def new_entity_from(df: DataFrame, add_type: bool = True, copy_props: bool = Fal
 
 
 def enrich_via(df: DataFrame, predicate: str, source_prop: str, target_prop: str,
-               via: DataFrame | None = None, inverse: bool = False) -> DataFrame:
+               via: DataFrame | None = None, inverse: bool = False,
+               single_version: bool = False) -> DataFrame:
     """The canonical transform pattern Query(...) + SetProperty(...)
     (DOCUMENTATION.md:691-706): follow ``predicate`` from each entity,
     read ``source_prop`` off the related entity, write it onto the
@@ -122,7 +123,8 @@ def enrich_via(df: DataFrame, predicate: str, source_prop: str, target_prop: str
     broadcast by AQE. Multiple related entities resolve deterministically
     to the minimum related id (reference takes 'first result row')."""
     hop_src = via if via is not None else df
-    rel = related(df, None, predicate, inverse=inverse, target=hop_src)
+    rel = related(df, None, predicate, inverse=inverse, target=hop_src,
+                  single_version=single_version)
     picked = (
         rel.groupBy("start_id")
         .agg(F.min_by(F.col("related.props")[source_prop], F.col("related.id")).alias("_v"))
