@@ -208,6 +208,48 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters: connected
+    components by iterative min-label propagation (label(v) :=
+    min(label(v), min label over neighbors)), the DataFrame re-expression
+    of map-reduce connected components. PySpark has no GraphX binding;
+    for near-dup graphs the diameter is tiny, so propagation converges in
+    a handful of rounds. Each round is one equi-join + one HashAggregate;
+    localCheckpoint truncates the growing lineage. Convergence is checked
+    with a scalar aggregate (no data collected to the driver).
+
+    Returns (id, component) where component = min id in the cluster;
+    singleton nodes are included with component = their own id."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("component", F.col("id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("component", F.coalesce("_nmin", "component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, fully JVM-side."""
     dot = F.aggregate(

@@ -1059,3 +1059,38 @@ def q_stream_stateful(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max("total_cents").alias("total_cents"),
     )
+
+
+def _cc_oracle() -> str:
+    # same candidate graph as dedup_minhash, resolved to components via a
+    # recursive transitive closure + min-reachable-id per node
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL.lstrip()},
+    sig AS (SELECT doc_id, {', '.join(
+        f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(12))} FROM sh GROUP BY doc_id),
+    band AS ({' UNION ALL '.join(
+        "SELECT doc_id, %d AS band, md5(%s) AS key FROM sig" % (
+            b, " || '|' || ".join(f"mh{b * 3 + r}::VARCHAR" for r in range(3)))
+        for b in range(4))}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM band l JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    edges AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+    """
+
+
+@register("dedup_clusters", _cc_oracle())
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components (iterative
+    DataFrame min-label propagation) over the MinHash+LSH candidate
+    graph — candidate pairs become transitive duplicate groups."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    sig = DD.minhash_signature(docs, k=12, n=3)
+    pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3)
+    return DD.connected_components(pairs)

@@ -60,3 +60,20 @@ def test_embedding_near_dup_blocked_join(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     # 1-2 near-dup within block a; 1-4 identical but in different blocks
     assert got == {(1, 2)}
+
+
+def test_connected_components_merges_transitive_chains(spark):
+    # chain 1-2-3, pair 10-11, singleton-free by construction
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
