@@ -319,6 +319,35 @@ class EntityStore:
         df = self.log(datasets).filter(F.col("id") == entity_id)
         return merge_partials(df) if merge else latest(df)
 
+    # -- snapshot materialization ----------------------------------------------
+
+    def materialize_latest(self, dataset: str, buckets: int = 16) -> str:
+        """Materialize the dataset's latest view as an id-bucketed,
+        id-sorted table, and register it in the session catalog.
+
+        The scale rationale: repeated traversal/enrichment joins key on
+        ``id``; a bucketed snapshot makes every such join shuffle-free on
+        the snapshot side (SortMergeJoin reads co-located buckets, no
+        Exchange). This is the batch analogue of the reference's
+        compaction — pay the shuffle once at write, not per query.
+        Returns the catalog table name."""
+        table = f"snap_{dataset.replace('.', '_').replace('-', '_')}"
+        snap = latest(self.log([dataset]), include_deleted=True)
+        (
+            snap.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "id")
+            .sortBy("id")
+            .option("path", os.path.join(self.root, "snapshots", table))
+            .saveAsTable(table)
+        )
+        return table
+
+    def snapshot(self, dataset: str) -> DataFrame:
+        """Read a previously materialized bucketed snapshot."""
+        table = f"snap_{dataset.replace('.', '_').replace('-', '_')}"
+        return self.spark.table(table)
+
     # -- maintenance -----------------------------------------------------------
 
     def backup(self, dest: str) -> None:

@@ -98,3 +98,19 @@ def test_entity_store_partition_pruning(spark, tmp_path):
     plan = es.log(["a"])._jdf.queryExecution().executedPlan().toString()
     # dataset filter must prune at the partition level, not post-scan
     assert "PartitionFilters: [" in plan and "dataset" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_materialized_snapshot_bucketed_join_has_no_exchange(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    df1 = people_log(spark).filter(F.col("dataset") == "people").drop("dataset")
+    es.execute_transaction({"a": df1, "b": df1})
+    es.materialize_latest("a", buckets=4)
+    es.materialize_latest("b", buckets=4)
+    # force SMJ (tiny tables would broadcast, which is equally shuffle-free);
+    # the point is that bucketed sides sort-merge with NO Exchange
+    joined = es.snapshot("a").alias("l").hint("merge").join(
+        es.snapshot("b").alias("r"), "id").select("id", "l.recorded", "r.deleted")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan  # bucketed co-located join
+    assert joined.count() == 2  # alice(tombstone incl) + bob
