@@ -20,7 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datahub_spark.operators.text import normalize
@@ -118,24 +118,46 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
-    |A∩B| via shingle equi-join; |A∪B| = |A|+|B|-|A∩B|."""
+
+    Single-pipeline formulation: the shingle explode runs ONCE. Per-doc
+    set sizes ride along via a window count (one shuffle on doc), then
+    per-shingle buckets pair (doc, size) structs; a final pair-key
+    aggregation counts |A∩B| while min/max carry the sizes (constant per
+    doc). The naive sizes-join + self-join shape executes the shingle
+    pipeline three times — Spark does not reuse unmaterialized subplans.
+    Hot (high-doc-frequency) shingles make intrinsically quadratic pair
+    output; that is the algorithm, not the plan.
+
+    Exact integer arithmetic end-to-end: threshold compares on the cross
+    product and a fixed-point e4 output — float division would tie-break
+    differently across engines."""
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), "sh")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sized = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    e = F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz"))
+    buckets = sized.groupBy("sh").agg(F.array_sort(F.collect_list(e)).alias("es")) \
+        .filter(F.size("es") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("es"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("es"), i + 2, F.size(F.col("es"))),
+                        lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                                           x["sz"].alias("sz_a"), y["sz"].alias("sz_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
     )
-    # exact integer arithmetic end-to-end: threshold compare on the cross
-    # product (inter * 1e4 >= union * threshold_e4) and a fixed-point e4
-    # output — float division would tie-break differently across engines
     threshold_e4 = int(round(threshold * 10000))
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        inter.withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(F.col("inter") * 10000 >= F.col("union_sz") * threshold_e4)
     )
     return out.selectExpr(
