@@ -216,10 +216,15 @@ class HttpDatasetSink:
 
 @dataclass
 class ErrorHandler:
-    """error_handler.go: 'reRun' (maxRetries/retryDelay) or 'log'."""
+    """error_handler.go: 'reRun' (job-level retry, maxRetries/retryDelay),
+    'log' (tolerate up to max_items failing entities, drop + record), or
+    'reQueue' (divert failing entities to a `<job_id>.errors` dataset for
+    later reprocessing). The entity-level kinds act on the ``_error``
+    column produced by transforms.safe_python_transform."""
     kind: str = "reRun"
     max_retries: int = 3
     retry_delay_s: float = 0.0
+    max_items: int = 10
 
 
 @dataclass
@@ -242,6 +247,8 @@ class Job:
                 df = self.source.read(since=since)
                 if self.transform is not None:
                     df = self.transform(df)
+                if "_error" in df.columns:
+                    df = self._route_failing_entities(df)
                 wm = int(df.agg(F.max("recorded")).collect()[0][0] or since) \
                     if "recorded" in df.columns else since
                 self.sink.write(df)
@@ -254,6 +261,33 @@ class Job:
                         time.sleep(self.on_error.retry_delay_s)
                     continue
                 raise
+
+    def _route_failing_entities(self, df: DataFrame) -> DataFrame:
+        """Split a safe_python_transform output on the _error marker and
+        apply the entity-level error handler (error_handler.go's
+        failingEntityHandler): 'log' drops up to max_items (then fails),
+        'reQueue' appends failures to the `<job_id>.errors` dataset."""
+        errs = df.filter(F.col("_error").isNotNull())
+        ok = df.filter(F.col("_error").isNull()).drop("_error")
+        if self.on_error.kind == "reQueue":
+            store = getattr(self.sink, "store", None)
+            if store is None:
+                raise ValueError("reQueue handler needs a store-backed sink")
+            requeue = errs.withColumn(
+                "props",
+                F.map_concat(
+                    F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+                    F.create_map(F.lit("p:__error"), F.col("_error")),
+                ),
+            ).drop("_error", "dataset")
+            store.store_entities(f"{self.job_id}.errors", requeue)
+            return ok
+        n_failed = errs.limit(self.on_error.max_items + 1).count()
+        if n_failed > self.on_error.max_items:
+            raise RuntimeError(
+                f"job {self.job_id}: more than {self.on_error.max_items} failing entities"
+            )
+        return ok
 
 
 class JobState:

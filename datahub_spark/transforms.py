@@ -141,6 +141,38 @@ def enrich_via(df: DataFrame, predicate: str, source_prop: str, target_prop: str
     return out.withColumn("props", new_props).drop("_v")
 
 
+def safe_python_transform(df: DataFrame, fn: Callable[[pd.DataFrame], pd.DataFrame],
+                          schema=None) -> DataFrame:
+    """python_transform with per-entity failure capture: output carries an
+    extra ``_error`` string column (null on success). Failing rows pass
+    through UNTRANSFORMED with the error recorded, so the jobs engine can
+    route them to a log/reQueue error handler (error_handler.go's
+    failingEntityHandler model) instead of failing the whole batch.
+
+    Row-at-a-time on purpose: this is the per-entity error boundary, the
+    same granularity the reference's sandbox gives; the non-failing hot
+    path should use python_transform (whole-batch) or column ops."""
+    from pyspark.sql import types as T
+
+    base = schema or df.schema
+    out_schema = T.StructType(list(base.fields) + [T.StructField("_error", T.StringType(), True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                one = pdf.iloc[[i]]
+                try:
+                    r = fn(one.copy())
+                    r = r.assign(_error=None)
+                except Exception as e:  # noqa: BLE001 — the whole point
+                    r = one.copy().assign(_error=f"{type(e).__name__}: {e}")
+                out.append(r)
+            yield pd.concat(out) if out else pdf.assign(_error=None)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def python_transform(df: DataFrame, fn: Callable[[pd.DataFrame], pd.DataFrame],
                      schema=None) -> DataFrame:
     """Escape hatch for imperative transforms (the JS `transform_entities`

@@ -132,3 +132,45 @@ def test_backup_restore_roundtrip(spark, store, tmp_path):
     assert restored.log(["people"]).count() == store.log(["people"]).count()
     # counter survives: next write continues the version sequence
     assert restored.next_recorded() == store.next_recorded()
+
+
+def _failing_transform(df):
+    from datahub_spark import transforms as T
+
+    def fn(pdf):
+        if (pdf["id"] == "p:alice").any():
+            raise ValueError("cannot process alice")
+        return pdf
+
+    return T.safe_python_transform(df, fn)
+
+
+def test_log_handler_drops_failing_entities_within_budget(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("tolerant", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "clean"), transform=_failing_transform,
+                on_error=J.ErrorHandler(kind="log", max_items=10))
+    job.run(state)
+    ids = {r["id"] for r in store.log(["clean"]).collect()}
+    assert ids == {"p:bob"}  # alice versions diverted, bob passed through
+
+
+def test_log_handler_fails_over_budget(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("strict", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "clean2"), transform=_failing_transform,
+                on_error=J.ErrorHandler(kind="log", max_items=1))
+    with pytest.raises(RuntimeError, match="failing entities"):
+        job.run(state)  # alice has 3 failing versions > max_items=1
+
+
+def test_requeue_handler_diverts_to_errors_dataset(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("rq", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "clean3"), transform=_failing_transform,
+                on_error=J.ErrorHandler(kind="reQueue"))
+    job.run(state)
+    errs = store.log(["rq.errors"]).collect()
+    assert {r["id"] for r in errs} == {"p:alice"}
+    assert all("cannot process alice" in r["props"]["p:__error"] for r in errs)
+    assert {r["id"] for r in store.log(["clean3"]).collect()} == {"p:bob"}
