@@ -89,6 +89,87 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,
+            n_probe: int = 4, lloyd_rounds: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-style coarse quantizer, then probe
+    only the query's n_probe nearest clusters.
+
+    Deterministic throughout: initial centroids are the first n_clusters
+    corpus vectors by id; Lloyd refinement is a fixed number of rounds of
+    (broadcast centroids -> argmax-cosine assign -> per-cluster mean).
+    All vector math is JVM-side (zip_with/aggregate). The cluster
+    assignment is materialized once (the inverted file — at scale this is
+    the index you persist, bucketed by cluster); probing is an equi-join
+    on cluster id, never a cross-join against the full corpus."""
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+    # deterministic init: lowest-id vectors seed the centroids
+    centroids = (
+        c.orderBy("cid").limit(n_clusters)
+        .select(F.monotonically_increasing_id().alias("cl"), F.col("cv").alias("centroid"))
+    )
+    w_assign = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("cl"))
+    for _ in range(lloyd_rounds):
+        assigned = (
+            c.crossJoin(F.broadcast(centroids))
+            .withColumn("_sim", dot(F.col("cv"), F.col("centroid")) / norm(F.col("centroid")))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+            .select("cid", "cv", "cl")
+        )
+        centroids = (
+            assigned.groupBy("cl")
+            .agg(F.array_agg(F.col("cv")).alias("_vs"))
+            .select(
+                "cl",
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("_vs")[0]) - 1),
+                    lambda i: F.aggregate(F.col("_vs"), F.lit(0.0),
+                                          lambda acc, v: acc + v[i].cast("double"))
+                    / F.size(F.col("_vs")),
+                ).alias("centroid"),
+            )
+        )
+    inverted = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", dot(F.col("cv"), F.col("centroid")) / norm(F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("cid").alias("neighbor_id"), F.col("cv").alias("_cv"), "cl")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cl"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", dot(F.col("_qv"), F.col("centroid")) / norm(F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cl")
+    )
+    scored = (
+        probes.join(inverted, "cl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"))
+    )
+
+
 def ann_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6,
             dim: int = 64, seed: int = 42,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1094,3 +1094,12 @@ def q_dedup_clusters(spark, sf_dir):
     sig = DD.minhash_signature(docs, k=12, n=3)
     pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3)
     return DD.connected_components(pairs)
+
+
+@register("ann_ivf")  # approximate (probes n nearest clusters): rows-only
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: deterministic k-means coarse quantizer; probing
+    is an equi-join on cluster id — the persisted-index scale path."""
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4)

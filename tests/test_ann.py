@@ -63,3 +63,27 @@ def test_dot_fixed_is_exact_and_symmetric(spark):
             assert d[(i, j)] == d[(j, i)]
         # self-dot of a unit vector ~ 1e14 within fixed-point quantization
         assert abs(d[(i, i)] - 10**14) < 10**10
+
+
+def test_ivf_results_are_true_neighbors(spark):
+    df, v = _emb(spark)
+    qs = df.filter("vec_id < 3")
+    approx = SIM.ann_ivf(qs, df, k=4, n_clusters=4, n_probe=2)
+    exact = SIM.ann_bruteforce(qs, df, k=40)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    rows = approx.collect()
+    assert len(rows) > 0
+    # IVF prunes candidates but never alters scores
+    for r in rows:
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ivf_recall_reasonable_with_full_probe(spark):
+    df, v = _emb(spark, n=30)
+    qs = df.filter("vec_id < 3")
+    # probing ALL clusters must recover the exact top-k
+    approx = SIM.ann_ivf(qs, df, k=3, n_clusters=4, n_probe=4)
+    exact = SIM.ann_bruteforce(qs, df, k=3)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert a == e
