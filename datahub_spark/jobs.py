@@ -317,6 +317,62 @@ class JobState:
         self._write(d)
 
 
+class Scheduler:
+    """runner.go/scheduler.go analogue: runs registered jobs in lineage
+    (topological) order, so a job consuming another's sink dataset sees
+    this tick's output. Cron/onchange wall-clock triggering is the
+    hosting system's concern (or Structured Streaming for onchange —
+    see datahub_spark.streaming); the scheduler's job here is ordering
+    and state."""
+
+    def __init__(self, state: "JobState"):
+        self.state = state
+        self.jobs: dict[str, Job] = {}
+
+    def register(self, job: Job) -> None:
+        self.jobs[job.job_id] = job
+
+    def _ordered(self) -> list[Job]:
+        # topo-sort on dataset lineage: producer jobs before consumers
+        produces: dict[str, str] = {}
+        for j in self.jobs.values():
+            sink_name = getattr(j.sink, "name", None)
+            if sink_name:
+                produces[sink_name] = j.job_id
+        deps: dict[str, set[str]] = {jid: set() for jid in self.jobs}
+        for j in self.jobs.values():
+            srcs = []
+            if isinstance(j.source, DatasetSource):
+                srcs = [j.source.name]
+            elif isinstance(j.source, UnionDatasetSource):
+                srcs = [s.name for s in j.source.sources]
+            elif isinstance(j.source, MultiSource):
+                srcs = [j.source.name] + [d.dataset for d in j.source.dependencies]
+            for s in srcs:
+                if s in produces and produces[s] != j.job_id:
+                    deps[j.job_id].add(produces[s])
+        ordered: list[Job] = []
+        seen: set[str] = set()
+
+        def visit(jid: str, path: tuple[str, ...] = ()) -> None:
+            if jid in seen:
+                return
+            if jid in path:
+                raise ValueError(f"job dependency cycle: {' -> '.join(path + (jid,))}")
+            for d in sorted(deps[jid]):
+                visit(d, path + (jid,))
+            seen.add(jid)
+            ordered.append(self.jobs[jid])
+
+        for jid in sorted(self.jobs):
+            visit(jid)
+        return ordered
+
+    def run_all(self) -> list[dict]:
+        """One scheduler tick: every unpaused job once, in lineage order."""
+        return [j.run(self.state) for j in self._ordered() if not j.paused]
+
+
 def fullsync_tombstones(old_latest: DataFrame, new_snapshot: DataFrame) -> DataFrame:
     """CompleteFullSync semantics (internal/server/dataset.go:159): after a
     fullsync, entities present before but absent from the new snapshot are

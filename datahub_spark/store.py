@@ -350,6 +350,33 @@ class EntityStore:
 
     # -- maintenance -----------------------------------------------------------
 
+    def compact(self, dataset: str, strategy: str = "deduplicate",
+                gc_horizon: int | None = None) -> None:
+        """Physical compaction (DOCUMENTATION.md:2349): apply the strategy
+        view to the dataset's log and atomically swap the rewritten files
+        in. 'deduplicate' drops successive identical versions; a
+        gc_horizon additionally drops non-newest versions recorded at or
+        before the horizon. Readers are never exposed to partial state:
+        the new files are staged, then the partition directory is swapped
+        with two renames."""
+        if strategy != "deduplicate":
+            raise ValueError(f"unknown compaction strategy: {strategy}")
+        log = self.log([dataset])
+        compacted = compact_deduplicate(log)
+        if gc_horizon is not None:
+            compacted = retention_gc(compacted, gc_horizon)
+        part = os.path.join(self.log_dir, f"dataset={dataset}")
+        stage = os.path.join(self.root, f"_compact-{uuid.uuid4().hex}")
+        compacted.drop("dataset").write.mode("overwrite").parquet(stage)
+        old = part + f".old-{uuid.uuid4().hex}"
+        os.replace(part, old)
+        try:
+            os.replace(stage, part)
+        except OSError:
+            os.replace(old, part)  # roll back
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
     def backup(self, dest: str) -> None:
         """Backup (internal/server/backup.go analogue): the store is an
         immutable file log + one registry sidecar, so a consistent backup

@@ -174,3 +174,25 @@ def test_requeue_handler_diverts_to_errors_dataset(spark, store, tmp_path):
     assert {r["id"] for r in errs} == {"p:alice"}
     assert all("cannot process alice" in r["props"]["p:__error"] for r in errs)
     assert {r["id"] for r in store.log(["clean3"]).collect()} == {"p:bob"}
+
+
+def test_scheduler_runs_in_lineage_order(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    # j2 consumes j1's sink: must run after it even though registered first
+    sched.register(J.Job("j2-consume", J.DatasetSource(store, "stage1"),
+                         J.DatasetSink(store, "stage2")))
+    sched.register(J.Job("j1-produce", J.DatasetSource(store, "people"),
+                         J.DatasetSink(store, "stage1")))
+    results = sched.run_all()
+    assert [r["id"] for r in results] == ["j1-produce", "j2-consume"]
+    assert store.log(["stage2"]).count() == 4  # saw this tick's stage1 output
+
+
+def test_scheduler_detects_cycles(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    sched.register(J.Job("a", J.DatasetSource(store, "y"), J.DatasetSink(store, "x")))
+    sched.register(J.Job("b", J.DatasetSource(store, "x"), J.DatasetSink(store, "y")))
+    with pytest.raises(ValueError, match="cycle"):
+        sched.run_all()

@@ -114,3 +114,25 @@ def test_materialized_snapshot_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan  # bucketed co-located join
     assert joined.count() == 2  # alice(tombstone incl) + bob
+
+
+def test_physical_compaction_rewrites_partition(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    rows = [
+        row("x", 0, 0, False, {"a": "1"}),
+        row("x", 0, 0, False, {"a": "1"}),   # successive dup
+        row("x", 0, 0, False, {"a": "2"}),
+    ]
+    # three appends -> recorded 1,2,3
+    for r_ in rows:
+        es.store_entities("d", spark.createDataFrame([r_], ENTITY_SCHEMA)
+                          .drop("dataset").drop("recorded"))
+    assert es.log(["d"]).count() == 3
+    es.compact("d")
+    kept = sorted(r["recorded"] for r in es.log(["d"]).collect())
+    assert kept == [1, 3]  # middle dup version physically gone
+    # store still readable and appendable after the swap
+    es.store_entities("d", spark.createDataFrame(
+        [("x", False, {"a": "3"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    assert es.log(["d"]).count() == 3
