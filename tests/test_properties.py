@@ -1,0 +1,92 @@
+"""Property-based invariants (hypothesis) for the versioned store.
+
+One Spark job per example is too slow, so each property generates a
+batch of random logs, runs ONE Spark plan over their union, and checks
+every log's invariant against an independent pure-python model.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datahub_spark import store as S
+from datahub_spark.model import ENTITY_SCHEMA
+
+# a random version log: list of (id, recorded, seq, deleted, prop-value)
+version = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=2),
+    st.booleans(),
+    st.sampled_from(["x", "y", "z"]),
+)
+log_strategy = st.lists(version, min_size=1, max_size=12, unique_by=lambda v: (v[0], v[1], v[2]))
+
+
+def _df(spark, log, dataset):
+    rows = [(i, r, s, d, {"p:v": v}, {}, dataset) for (i, r, s, d, v) in log]
+    return spark.createDataFrame(rows, ENTITY_SCHEMA)
+
+
+def _model_latest(log):
+    best = {}
+    for (i, r, s, d, v) in log:
+        if i not in best or (r, s) > (best[i][0], best[i][1]):
+            best[i] = (r, s, d, v)
+    return {i: t for i, t in best.items() if not t[2]}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(log_strategy, min_size=1, max_size=8))
+def test_latest_matches_reference_model(spark, logs):
+    union = None
+    for n, log in enumerate(logs):
+        df = _df(spark, log, f"d{n}")
+        union = df if union is None else union.unionByName(df)
+    got = S.latest(union).collect()
+    by_ds = {}
+    for r in got:
+        by_ds.setdefault(r["dataset"], {})[r["id"]] = (
+            r["recorded"], r["seq"], r["deleted"], r["props"]["p:v"])
+    for n, log in enumerate(logs):
+        assert by_ds.get(f"d{n}", {}) == _model_latest(log), f"log {n}: {log}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_strategy)
+def test_compaction_preserves_all_observable_states(spark, log):
+    """Compaction must not change the state visible at ANY point in time
+    that differs from the previous state (that's its contract)."""
+    df = _df(spark, log, "d")
+    compacted = S.compact_deduplicate(df)
+    for asof in range(1, 6):
+        before = {(r["id"], r["deleted"], r["props"]["p:v"])
+                  for r in S.point_in_time(df, asof).collect()}
+        after = {(r["id"], r["deleted"], r["props"]["p:v"])
+                 for r in S.point_in_time(compacted, asof).collect()}
+        assert before == after, f"as_of={asof} log={log}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_strategy)
+def test_compaction_is_idempotent(spark, log):
+    df = _df(spark, log, "d")
+    once = S.compact_deduplicate(df)
+    twice = S.compact_deduplicate(once)
+    a = sorted((r["id"], r["recorded"], r["seq"]) for r in once.collect())
+    b = sorted((r["id"], r["recorded"], r["seq"]) for r in twice.collect())
+    assert a == b
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_strategy, st.integers(min_value=0, max_value=6))
+def test_retention_gc_never_changes_latest(spark, log, horizon):
+    df = _df(spark, log, "d")
+    kept = S.retention_gc(df, horizon)
+    before = sorted((r["id"], r["recorded"], r["seq"])
+                    for r in S.latest(df, include_deleted=True).collect())
+    after = sorted((r["id"], r["recorded"], r["seq"])
+                   for r in S.latest(kept, include_deleted=True).collect())
+    assert before == after
