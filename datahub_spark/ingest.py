@@ -57,23 +57,61 @@ _SPREAD_MAX_BYTES = 1 << 30
 _SPREAD_MIN_BYTES = 100 << 10
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+class _LazyFrames:
+    """Build-on-first-access mapping of name -> DataFrame. Plan
+    construction is driver-side py4j work (~0.2s per entity dataset);
+    building all datasets eagerly on every query call costs seconds of
+    pure driver time, so frames materialize lazily and memoize."""
+
+    def __init__(self, builders):
+        self._builders = builders
+        self._built: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._built:
+            self._built[name] = self._builders[name]()
+        return self._built[name]
+
+    def __contains__(self, name) -> bool:
+        return name in self._builders
+
+    def __iter__(self):
+        return iter(self._builders)
+
+    def keys(self):
+        return self._builders.keys()
+
+
+# plan caches keyed by (session identity, sf_dir) — DataFrame plans are
+# immutable, so reuse across query calls is safe and saves the rebuild
+_TABLE_CACHE: dict[tuple[int, str], _LazyFrames] = {}
+_ENTITY_CACHE: dict[tuple[int, str], _LazyFrames] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos (the
     # driver may hand us a session without this flag, so set it here too).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     par = spark.sparkContext.defaultParallelism
-    out = {}
-    for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        df = spark.read.parquet(path)
-        try:
-            size = os.path.getsize(path)
-        except OSError:  # non-local path (hdfs/s3): scan splits naturally
-            size = _SPREAD_MAX_BYTES
-        if _SPREAD_MIN_BYTES < size < _SPREAD_MAX_BYTES:
-            df = df.repartition(par)
-        out[t] = df
-    return out
+
+    def build(t: str):
+        def _b() -> DataFrame:
+            path = f"{sf_dir}/{t}.parquet"
+            df = spark.read.parquet(path)
+            try:
+                size = os.path.getsize(path)
+            except OSError:  # non-local path (hdfs/s3): scan splits naturally
+                size = _SPREAD_MAX_BYTES
+            if _SPREAD_MIN_BYTES < size < _SPREAD_MAX_BYTES:
+                df = df.repartition(par)
+            return df
+        return _b
+
+    _TABLE_CACHE[key] = _LazyFrames({t: build(t) for t in TABLES})
+    return _TABLE_CACHE[key]
 
 
 def _dec(col, scale: int = 2):
@@ -99,37 +137,41 @@ def _entity(df: DataFrame, dataset: str, id_col, props: dict, refs: dict,
     )
 
 
-def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Return {dataset_name: entity change-log DataFrame}."""
+def tpch_entities(spark: SparkSession, sf_dir: str) -> _LazyFrames:
+    """Return lazy {dataset_name: entity change-log DataFrame} (memoized
+    per session+dir; see _LazyFrames)."""
+    key = (id(spark), sf_dir)
+    if key in _ENTITY_CACHE:
+        return _ENTITY_CACHE[key]
     t = load_tables(spark, sf_dir)
     curie = lambda pref, col: F.concat(F.lit(pref + ":"), F.col(col).cast("string"))
     one = lambda c: F.array(c)
 
-    datasets: dict[str, DataFrame] = {}
-    datasets["region"] = _entity(
+    datasets: dict = {}
+    datasets["region"] = lambda: _entity(
         t["region"], "region", curie("reg", "r_regionkey"),
         {"p:name": F.col("r_name")}, {},
     )
-    datasets["nation"] = _entity(
+    datasets["nation"] = lambda: _entity(
         t["nation"], "nation", curie("nat", "n_nationkey"),
         {"p:name": F.col("n_name")},
         {"p:region": one(curie("reg", "n_regionkey"))},
     )
-    datasets["customer"] = _entity(
+    datasets["customer"] = lambda: _entity(
         t["customer"], "customer", curie("cust", "c_custkey"),
         {"p:name": F.col("c_name"), "p:mktsegment": F.col("c_mktsegment")},
         {"p:nation": one(curie("nat", "c_nationkey"))},
     )
-    datasets["customer.balance"] = _entity(
+    datasets["customer.balance"] = lambda: _entity(
         t["customer"], "customer.balance", curie("cust", "c_custkey"),
         {"p:acctbal": _dec("c_acctbal")}, {},
     )
-    datasets["supplier"] = _entity(
+    datasets["supplier"] = lambda: _entity(
         t["supplier"], "supplier", curie("sup", "s_suppkey"),
         {"p:name": F.col("s_name"), "p:acctbal": _dec("s_acctbal")},
         {"p:nation": one(curie("nat", "s_nationkey"))},
     )
-    datasets["part"] = _entity(
+    datasets["part"] = lambda: _entity(
         t["part"], "part", curie("part", "p_partkey"),
         {
             "p:name": F.col("p_name"),
@@ -140,7 +182,7 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         },
         {},
     )
-    datasets["orders"] = _entity(
+    datasets["orders"] = lambda: _entity(
         t["orders"], "orders", curie("ord", "o_orderkey"),
         {
             "p:orderstatus": F.col("o_orderstatus"),
@@ -154,25 +196,29 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # lineitem entity id is a content digest of the full canonical row
     # (full rows are unique). DuckDB equivalent:
     #   'li:' || md5(l_orderkey || '|' || ... || strftime(l_shipdate, '%Y-%m-%d'))
-    li_digest = F.md5(
-        F.concat_ws(
-            "|",
-            F.col("l_orderkey").cast("string"),
-            F.col("l_partkey").cast("string"),
-            F.col("l_suppkey").cast("string"),
-            F.col("l_linenumber").cast("string"),
-            _dec("l_quantity"),
-            _dec("l_extendedprice"),
-            _dec("l_discount"),
-            _dec("l_tax"),
-            F.col("l_returnflag"),
-            F.col("l_linestatus"),
-            F.date_format("l_shipdate", "yyyy-MM-dd"),
+    # Built inside the lambda: this is the most expensive expression tree
+    # to construct driver-side and must stay lazy.
+    def _li_digest():
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_partkey").cast("string"),
+                F.col("l_suppkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                _dec("l_quantity"),
+                _dec("l_extendedprice"),
+                _dec("l_discount"),
+                _dec("l_tax"),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+                F.date_format("l_shipdate", "yyyy-MM-dd"),
+            )
         )
-    )
-    datasets["lineitem"] = _entity(
+
+    datasets["lineitem"] = lambda: _entity(
         t["lineitem"], "lineitem",
-        F.concat(F.lit("li:"), li_digest),
+        F.concat(F.lit("li:"), _li_digest()),
         {
             "p:quantity": _dec("l_quantity"),
             "p:extendedprice": _dec("l_extendedprice"),
@@ -190,7 +236,7 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     # events -> versioned "user" dataset. (user_id, ts) is unique in the
     # generated data, so (recorded, seq) is a total version order per id.
-    datasets["user"] = _entity(
+    datasets["user"] = lambda: _entity(
         t["events"], "user", curie("user", "user_id"),
         {
             "p:event_type": F.col("event_type"),
@@ -205,7 +251,8 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         seq=F.col("event_id"),
         deleted=F.col("event_type") == "error",
     )
-    return datasets
+    _ENTITY_CACHE[key] = _LazyFrames(datasets)
+    return _ENTITY_CACHE[key]
 
 
 def all_entities(spark: SparkSession, sf_dir: str, datasets: list[str] | None = None) -> DataFrame:

@@ -58,20 +58,25 @@ def minhash_signature(df: DataFrame, k: int = 12, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """k md5-keyed minhash values per document, as 60-bit LONGS.
 
-    hash_i(s) = first 15 hex digits of md5(i || '|' || s) parsed as int64;
-    the minimum over the shingle set is a valid minhash (uniform order).
+    Each md5(i || '|' || s) digest yields TWO independent 60-bit hashes
+    (hex digits 1-15 and 16-30) — k hash functions cost only k/2 md5
+    evaluations, the dominant per-shingle work. The minimum over the
+    shingle set is a valid minhash (uniform order on the 60-bit values).
     Longs, not hex strings, deliberately: min(string) forces SortAggregate
     (var-length agg buffers are not hash-aggregable), min(long) runs as a
     HashAggregate with map-side partial aggregation. Portable: DuckDB
-    ('0x' || substr(md5(..),1,15))::BIGINT yields identical values."""
+    ('0x' || substr(md5(..), pos, 15))::BIGINT yields identical values."""
     ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
-    aggs = [
-        F.min(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))), 1, 15), 16, 10)
-            .cast("long")
-        ).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    aggs = []
+    for i in range((k + 1) // 2):
+        digest = F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))
+        for half, pos in ((0, 1), (1, 16)):
+            j = 2 * i + half
+            if j < k:
+                aggs.append(
+                    F.min(F.conv(F.substring(digest, pos, 15), 16, 10).cast("long"))
+                    .alias(f"mh{j}")
+                )
     return ex.groupBy(id_col).agg(*aggs)
 
 

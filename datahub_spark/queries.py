@@ -801,9 +801,10 @@ _SHINGLE_SQL = r"""
 
 
 def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
-    # 60-bit long minhashes, matching dedup.minhash_signature exactly
+    # 60-bit long minhashes, matching dedup.minhash_signature exactly:
+    # one md5 per PAIR of hash functions (hex 1-15 and 16-30)
     sig_cols = ", ".join(
-        f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS mh{i}"
+        f"min(('0x' || substr(md5('{i // 2}|' || sh), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
         for i in range(k)
     )
     band_selects = []
@@ -1067,7 +1068,7 @@ def _cc_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL.lstrip()},
     sig AS (SELECT doc_id, {', '.join(
-        f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS mh{i}"
+        f"min(('0x' || substr(md5('{i // 2}|' || sh), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
         for i in range(12))} FROM sh GROUP BY doc_id),
     band AS ({' UNION ALL '.join(
         "SELECT doc_id, %d AS band, md5(%s) AS key FROM sig" % (
