@@ -401,3 +401,39 @@ def lineage(jobs: list[Job]) -> list[dict]:
         for s in srcs:
             edges.append({"From": s, "To": sink_name, "Type": kind})
     return edges
+
+
+class TabularSource:
+    """Generic external-format connector (the reference's data-layer role):
+    read any Spark-supported format (csv/json/parquet/orc/jdbc...) and map
+    columns into entity datasets. ``id_col`` becomes the entity id via a
+    CURIE prefix; remaining mapped columns become props. Declarative all
+    the way down — format readers keep pushdown/pruning where the source
+    supports it."""
+
+    def __init__(self, spark, fmt: str, path_or_options, id_col: str, id_prefix: str,
+                 prop_cols: list[str] | None = None, dataset: str = "external",
+                 reader_options: dict | None = None):
+        self.spark, self.fmt, self.path = spark, fmt, path_or_options
+        self.id_col, self.id_prefix = id_col, id_prefix
+        self.prop_cols, self.dataset = prop_cols, dataset
+        self.reader_options = reader_options or {}
+
+    def read(self, since: int = 0) -> DataFrame:
+        reader = self.spark.read.format(self.fmt)
+        for k, v in self.reader_options.items():
+            reader = reader.option(k, v)
+        raw = reader.load(self.path)
+        props = self.prop_cols or [c for c in raw.columns if c != self.id_col]
+        prop_items = []
+        for c in props:
+            prop_items.extend([F.lit(f"p:{c}"), F.col(c).cast("string")])
+        return raw.select(
+            F.concat(F.lit(f"{self.id_prefix}:"), F.col(self.id_col).cast("string")).alias("id"),
+            F.lit(1).cast("long").alias("recorded"),
+            F.monotonically_increasing_id().alias("seq"),
+            F.lit(False).alias("deleted"),
+            F.create_map(*prop_items).alias("props"),
+            F.lit(None).cast("map<string,array<string>>").alias("refs"),
+            F.lit(self.dataset).alias("dataset"),
+        )

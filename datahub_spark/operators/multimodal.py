@@ -89,3 +89,44 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to its
+    sampled frames (row explosion INSIDE mapInPandas, so a long video
+    never materializes all frames at once — batches stay Arrow-sized).
+    The frame decode is stubbed (no ffmpeg here): frames are fixed-size
+    byte slices of the payload standing in for decoded frames; the
+    sampling arithmetic, fan-out shape, and schema are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // 16, 1)  # stub: 16 bytes = one "frame"
+                sampled = list(range(0, n_frames, every_n))[:max_frames]
+                for fi in sampled:
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(bytes(payload[fi * 16:(fi + 1) * 16]))
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize plumbing: passes payloads through a pandas batch stage
+    that would call the decoder; gated explicitly (libs absent)."""
+    raise NotImplementedError(
+        "image decode/resize libraries (PIL/opencv) not available in this container; "
+        "plumbing shape mirrors extract_features/frame_sample"
+    )

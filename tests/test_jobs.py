@@ -196,3 +196,15 @@ def test_scheduler_detects_cycles(spark, store, tmp_path):
     sched.register(J.Job("b", J.DatasetSource(store, "x"), J.DatasetSink(store, "y")))
     with pytest.raises(ValueError, match="cycle"):
         sched.run_all()
+
+
+def test_tabular_source_reads_csv_into_entities(spark, store, tmp_path):
+    csv = tmp_path / "ext.csv"
+    csv.write_text("pid,name,score\n7,Ada,99\n8,Lin,87\n")
+    src = J.TabularSource(spark, "csv", str(csv), id_col="pid", id_prefix="ext",
+                          dataset="ext", reader_options={"header": "true"})
+    job = J.Job("ingest-ext", src, J.DatasetSink(store, "ext"))
+    job.run(J.JobState(str(tmp_path / "s.json")))
+    got = {r["id"]: r["props"] for r in store.entities("ext").collect()}
+    assert got == {"ext:7": {"p:name": "Ada", "p:score": "99"},
+                   "ext:8": {"p:name": "Lin", "p:score": "87"}}

@@ -59,3 +59,18 @@ def test_stateful_user_totals_accumulates_state(spark, tmp_path):
     assert got[0] == (4, 1800)
     assert got[1] == (4, (1 + 4 + 7 + 10) * 100)
     assert got[2] == (4, (2 + 5 + 8 + 11) * 100)
+
+
+def test_frame_sample_fans_out_batches(spark):
+    from datahub_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 400), (2, "y" * 40)], "doc_id long, text string")
+    media = MM.attach_media(docs)
+    frames = MM.frame_sample(media, every_n=2, max_frames=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    # doc1: 25 stub-frames -> sampled 0,2,4 (capped at 3); doc2: 2 -> 0
+    assert by_doc == {1: [0, 2, 4], 2: [0]}
+    assert all(len(r["frame"]) == 16 for r in frames if r["frame_index"] == 0)
