@@ -855,13 +855,41 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-@register("dedup_simhash")  # bit-arithmetic hex->int is not portable to the oracle: rows-only
+def _simhash_oracle() -> str:
+    # mirror of dedup.simhash64 + simhash_candidates in DuckDB bit
+    # arithmetic (xor / bit_count / shifts are all available)
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(60)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n),
+    hh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+    bsum AS (SELECT doc_id, {bit_sums} FROM hh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_sum} AS s FROM bsum),
+    ck AS (
+      SELECT doc_id, s, c.c AS chunk, (s >> (c.c * 15)) & 32767 AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) c(c))
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+    FROM ck l JOIN ck r ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.s, r.s)) <= 3
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (60-bit signature, 15-bit chunk
     buckets, hamming <= 3)."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     sig = DD.simhash64(docs)
-    return DD.simhash_candidates(sig, max_hamming=3)
+    return DD.simhash_candidates(sig, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # fixed-point dot threshold: cosine 0.4 at scale 1e14
