@@ -321,7 +321,8 @@ class EntityStore:
 
     # -- snapshot materialization ----------------------------------------------
 
-    def materialize_latest(self, dataset: str, buckets: int = 16) -> str:
+    def materialize_latest(self, dataset: str, buckets: int = 16,
+                           shred_props: list[str] | None = None) -> str:
         """Materialize the dataset's latest view as an id-bucketed,
         id-sorted table, and register it in the session catalog.
 
@@ -330,9 +331,19 @@ class EntityStore:
         the snapshot side (SortMergeJoin reads co-located buckets, no
         Exchange). This is the batch analogue of the reference's
         compaction — pay the shuffle once at write, not per query.
+
+        ``shred_props`` lists hot property keys to SHRED into top-level
+        columns (``p:name`` -> ``prop_name``): a parquet map column is a
+        single physical column, so map-keyed reads always scan every
+        prop of every entity; shredded columns restore per-column
+        pruning, page statistics, and predicate pushdown for the listed
+        keys. The full map stays alongside for schemaless access.
         Returns the catalog table name."""
         table = f"snap_{dataset.replace('.', '_').replace('-', '_')}"
         snap = latest(self.log([dataset]), include_deleted=True)
+        for key in shred_props or []:
+            col_name = "prop_" + key.split(":", 1)[-1].replace(":", "_").replace(".", "_")
+            snap = snap.withColumn(col_name, F.col("props")[key])
         (
             snap.write.mode("overwrite")
             .format("parquet")

@@ -136,3 +136,20 @@ def test_physical_compaction_rewrites_partition(spark, tmp_path):
         [("x", False, {"a": "3"}, {})],
         "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
     assert es.log(["d"]).count() == 3
+
+
+def test_shredded_snapshot_prunes_to_single_column(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    df1 = people_log(spark).filter(F.col("dataset") == "people").drop("dataset")
+    es.execute_transaction({"p": df1})
+    es.materialize_latest("p", buckets=2, shred_props=["p:name"])
+    snap = es.snapshot("p")
+    assert "prop_name" in snap.columns
+    q = snap.select("prop_name").filter(F.col("prop_name") == "Bob")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # scan must read ONLY the shredded column (map column not touched)
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "prop_name" in rs and "props" not in rs, rs
+    # and push the predicate down to the scan
+    assert "PushedFilters: [IsNotNull(prop_name), EqualTo(prop_name,Bob)" in plan, plan
+    assert q.count() == 1
