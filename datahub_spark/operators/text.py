@@ -156,3 +156,32 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of normalized text (portable; the
     reference category uses content hashes for change detection)."""
     return F.md5(normalize(col))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals for quality filtering: duplicate-line ratio and
+    duplicate token-trigram ratio, both exact integer fixed-point e4
+    (round-half-up; 0 when there is nothing to repeat). Array ops only —
+    no shuffle, no Python."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    w = words(t)
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 2),
+                    lambda i: F.array_join(F.slice(w, i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = df.select(
+        F.col("doc_id"),
+        F.size(lines).cast("long").alias("_nl"),
+        F.size(F.array_distinct(lines)).cast("long").alias("_dl"),
+        F.size(tri).cast("long").alias("_nt"),
+        F.size(F.array_distinct(tri)).cast("long").alias("_dt"),
+    )
+    return staged.selectExpr(
+        "doc_id",
+        "_nl as n_lines",
+        "case when _nl = 0 then 0 else (20000 * (_nl - _dl) + _nl) div (2 * _nl) end as dup_line_e4",
+        "_nt as n_trigrams",
+        "case when _nt = 0 then 0 else (20000 * (_nt - _dt) + _nt) div (2 * _nt) end as dup_trigram_e4",
+    )

@@ -1132,3 +1132,38 @@ def q_ann_ivf(spark, sf_dir):
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < 10)
     return SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4)
+
+
+@register(
+    "text_repetition",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             string_split({_NORM_SQL}, ' ') AS ws
+      FROM documents),
+    tri AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+             ELSE [] END AS tg
+      FROM base),
+    c AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(len(list_distinct(lines)) AS BIGINT) AS dl,
+             CAST(len(tg) AS BIGINT) AS nt,
+             CAST(len(list_distinct(tg)) AS BIGINT) AS dt
+      FROM tri)
+    SELECT doc_id, nl AS n_lines,
+           CASE WHEN nl = 0 THEN 0 ELSE (20000 * (nl - dl) + nl) // (2 * nl) END AS dup_line_e4,
+           nt AS n_trigrams,
+           CASE WHEN nt = 0 THEN 0 ELSE (20000 * (nt - dt) + nt) // (2 * nt) END AS dup_trigram_e4
+    FROM c
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition quality signals: duplicate-line and duplicate-trigram
+    ratios (fixed-point e4)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.repetition_features(docs)
