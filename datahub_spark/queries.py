@@ -1167,3 +1167,62 @@ def q_text_repetition(spark, sf_dir):
     ratios (fixed-point e4)."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return TX.repetition_features(docs)
+
+
+@register(
+    "orders_per_customer",
+    """
+    SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS customer_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_orders_per_customer(spark, sf_dir):
+    """Aggregation over an inverse traversal: orders --p:customer-->
+    customer, grouped per customer (the JS-query 'aggregate related
+    entities' pattern). Exact decimal totals."""
+    ds = _ds(spark, sf_dir)
+    orders = S.latest(ds["orders"], single_version=True)
+    edges = orders.select(
+        F.explode(F.col("refs")["p:customer"]).alias("customer_id"),
+        F.col("props")["p:totalprice"].cast("decimal(18,2)").alias("_price"),
+    )
+    return edges.groupBy("customer_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_price").cast("decimal(38,2)").cast("string").alias("total_spend"),
+    )
+
+
+@register(
+    "parts_per_nation",
+    """
+    SELECT 'nat:' || CAST(s_nationkey AS VARCHAR) AS nation_id,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_parts_per_nation(spark, sf_dir):
+    """Two-edge graph aggregate: lineitem --p:part/--p:supplier--> then
+    supplier --p:nation-->, counting distinct parts supplied per nation.
+    The supplier dimension broadcasts; the wide side never shuffles
+    before the aggregate's map-side partial."""
+    ds = _ds(spark, sf_dir)
+    li = S.latest(ds["lineitem"], single_version=True).select(
+        F.explode(F.col("refs")["p:part"]).alias("part_id"),
+        F.col("refs")["p:supplier"][0].alias("supplier_id"),
+    )
+    sup = S.latest(ds["supplier"], single_version=True).select(
+        F.col("id").alias("supplier_id"),
+        F.col("refs")["p:nation"][0].alias("nation_id"),
+    )
+    return (
+        li.join(F.broadcast(sup), "supplier_id")
+        .groupBy("nation_id")
+        .agg(
+            F.countDistinct("part_id").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
