@@ -27,6 +27,7 @@ HEADLINERS = [
     "dedup_minhash",
     "ann_topk",
     "text_quality",
+    "parts_per_nation",
 ]
 
 
