@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Scale smoke: exercises the core read paths on a synthetic 20M-version
+change-log (generated distributed via spark.range — no driver-side data),
+far above the sf0.1 bench volume. Prints one JSON line with timings.
+
+This is evidence for the §4 scale claims at the volume local[32] can
+hold, not a benchmark the driver tracks: latest-view aggregation,
+changes-range filter, and an inverse traversal join against a 1M-entity
+graph, all on data that never touches the driver.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from datahub_spark import store as S
+from datahub_spark.session import get_spark
+
+
+def main() -> None:
+    n_versions = 20_000_000
+    n_entities = 1_000_000
+    spark = get_spark("scale-smoke", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 20M versions over 1M entities, ~20 versions each, deterministic
+    log = (
+        spark.range(n_versions)
+        .select(
+            F.concat(F.lit("e:"), (F.col("id") % n_entities).cast("string")).alias("id"),
+            (F.col("id") / n_entities).cast("long").alias("recorded"),
+            (F.col("id") % 7).alias("seq"),
+            (F.col("id") % 13 == 0).alias("deleted"),
+            F.create_map(
+                F.lit("p:v"), F.col("id").cast("string"),
+                F.lit("p:bucket"), (F.col("id") % 97).cast("string"),
+            ).alias("props"),
+            F.create_map(
+                F.lit("p:parent"),
+                F.array(F.concat(F.lit("e:"), ((F.col("id") * 31) % n_entities).cast("string"))),
+            ).alias("refs"),
+            F.lit("big").alias("dataset"),
+        )
+    )
+
+    timings = {}
+    t0 = time.monotonic()
+    n_latest = S.latest(log).count()
+    timings["latest_20m_versions"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    n_changes = S.changes(log, since=15).count()
+    timings["changes_range_filter"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    from datahub_spark import query as Q
+
+    starts = [f"e:{i}" for i in range(0, 1000)]
+    n_rel = Q.related(log, starts, "p:parent", inverse=True).count()
+    timings["inverse_traversal_1k_starts"] = round(time.monotonic() - t0, 2)
+
+    print(json.dumps({
+        "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel},
+        "sec": timings,
+        "n_versions": n_versions,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,18 @@ def test_shredded_snapshot_prunes_to_single_column(spark, tmp_path):
     # and push the predicate down to the scan
     assert "PushedFilters: [IsNotNull(prop_name), EqualTo(prop_name,Bob)" in plan, plan
     assert q.count() == 1
+
+
+def test_transaction_failure_leaves_no_partial_state(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    good = people_log(spark).filter(F.col("dataset") == "people").drop("dataset")
+    bad = spark.createDataFrame([("x",)], "wrong_col string")  # missing id etc.
+    try:
+        es.execute_transaction({"ok_ds": good, "bad_ds": bad})
+        assert False, "should have raised"
+    except Exception:
+        pass
+    # neither dataset's data is visible: atomic all-or-nothing
+    import os
+    assert not os.path.exists(os.path.join(es.log_dir, "dataset=ok_ds"))
+    assert not os.path.exists(os.path.join(es.log_dir, "dataset=bad_ds"))
