@@ -254,7 +254,9 @@ class Job:
                 self.sink.write(df)
                 if self.job_type == "incremental":
                     state.set_token(self.job_id, max(wm, since))
-                return {"id": self.job_id, "attempts": attempts, "token": max(wm, since)}
+                result = {"id": self.job_id, "attempts": attempts, "token": max(wm, since)}
+                state.record_run(self.job_id, result)
+                return result
             except Exception:
                 if self.on_error.kind == "reRun" and attempts <= self.on_error.max_retries:
                     if self.on_error.retry_delay_s:
@@ -309,12 +311,33 @@ class JobState:
         os.replace(tmp, self.path)
 
     def token(self, job_id: str) -> int:
-        return int(self._read().get(job_id, 0))
+        v = self._read().get(job_id, 0)
+        return int(v["token"] if isinstance(v, dict) else v)
 
     def set_token(self, job_id: str, token: int) -> None:
         d = self._read()
-        d[job_id] = int(token)
+        cur = d.get(job_id)
+        if isinstance(cur, dict):
+            cur["token"] = int(token)
+        else:
+            d[job_id] = {"token": int(token), "history": []}
         self._write(d)
+
+    def record_run(self, job_id: str, result: dict, keep: int = 50) -> None:
+        """Run history (runner.go jobs/_/history analogue), newest first,
+        capped at ``keep`` entries."""
+        d = self._read()
+        cur = d.get(job_id)
+        if not isinstance(cur, dict):
+            cur = {"token": int(cur or 0), "history": []}
+            d[job_id] = cur
+        cur.setdefault("history", []).insert(0, result)
+        del cur["history"][keep:]
+        self._write(d)
+
+    def history(self, job_id: str) -> list[dict]:
+        v = self._read().get(job_id)
+        return list(v.get("history", [])) if isinstance(v, dict) else []
 
 
 class Scheduler:

@@ -208,3 +208,16 @@ def test_tabular_source_reads_csv_into_entities(spark, store, tmp_path):
     got = {r["id"]: r["props"] for r in store.entities("ext").collect()}
     assert got == {"ext:7": {"p:name": "Ada", "p:score": "99"},
                    "ext:8": {"p:name": "Lin", "p:score": "87"}}
+
+
+def test_job_state_records_history(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("hist", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "hist_out"))
+    job.run(state)
+    job.run(state)
+    h = state.history("hist")
+    assert len(h) == 2
+    assert h[0]["id"] == "hist" and h[0]["token"] >= h[1]["token"]
+    # token accessor still works with the richer state shape
+    assert state.token("hist") == h[0]["token"]
