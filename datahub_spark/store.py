@@ -249,6 +249,20 @@ class EntityStore:
     def list_datasets(self) -> list[str]:
         return sorted(self._read_meta()["datasets"])
 
+    def dataset_context(self, name: str, nsmgr=None) -> dict:
+        """The dataset's ``@context`` object (DOCUMENTATION.md:187-245):
+        restricted to the dataset's publicNamespaces when configured,
+        otherwise the full registry."""
+        from datahub_spark.namespaces import NamespaceManager
+
+        nsmgr = nsmgr or NamespaceManager()
+        meta = self._read_meta()["datasets"].get(name, {})
+        public = meta.get("publicNamespaces") or []
+        namespaces = nsmgr.context()
+        if public:
+            namespaces = {p: e for p, e in namespaces.items() if e in public}
+        return {"id": "@context", "namespaces": namespaces}
+
     def next_recorded(self) -> int:
         """Monotonic txn-time analogue. File-based counter: adequate for a
         single writer (the reference is also single-writer per store)."""

@@ -168,3 +168,13 @@ def test_transaction_failure_leaves_no_partial_state(spark, tmp_path):
     import os
     assert not os.path.exists(os.path.join(es.log_dir, "dataset=ok_ds"))
     assert not os.path.exists(os.path.join(es.log_dir, "dataset=bad_ds"))
+
+
+def test_dataset_context_public_namespaces(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    es.create_dataset("open")
+    es.create_dataset("restricted",
+                      public_namespaces=["http://example.io/customer/"])
+    assert len(es.dataset_context("open")["namespaces"]) > 1
+    restricted = es.dataset_context("restricted")["namespaces"]
+    assert restricted == {"cust": "http://example.io/customer/"}
