@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the SURVEY §4 scale claims, pinned.
+
+These assert the SHAPE of the executed plan (broadcasts, aggregate
+strategies, pipeline counts) — the properties that keep operators
+scalable — so a refactor that silently degrades a plan fails here, not
+in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, key: str) -> str:
+    from datahub_spark.queries import QUERIES
+
+    return QUERIES[key](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_traversal_uses_broadcast_joins(spark):
+    plan = _plan(spark, "traverse_incoming")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must broadcast at this size
+
+
+def test_query_aggregate_is_hash_aggregated_with_partials(spark):
+    plan = _plan(spark, "query_aggregate")
+    assert "SortAggregate" not in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # single-version fast path: no max_by latest aggregation at all
+    assert "max_by" not in plan
+
+
+def test_minhash_single_pipeline_hash_aggregated(spark):
+    plan = _plan(spark, "dedup_minhash")
+    assert "SortAggregate" not in plan
+    # exactly one shingle explode (bucket-grouped pairing, no self-join
+    # recompute); the second Generate is the in-bucket pair fan-out
+    assert plan.count("Generate explode(CASE WHEN") == 1
+
+
+def test_ngram_jaccard_single_shingle_pipeline(spark):
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("Generate explode(CASE WHEN") == 1
+
+
+def test_changes_since_filter_reaches_scan(spark):
+    plan = _plan(spark, "changes_since")
+    # the recorded>token range filter must at least be a data filter at
+    # the scan (events maps recorded from ts, so it lands as DataFilters)
+    assert "DataFilters: [isnotnull(ts" in plan or "PushedFilters: [IsNotNull(ts" in plan
+
+
+def test_entities_latest_uses_max_by_not_window_sort(spark):
+    plan = _plan(spark, "entities_latest")
+    assert "max_by" in plan
+    assert "Window" not in plan  # no global sort-window for latest
+
+
+def test_ann_topk_broadcasts_query_side(spark):
+    plan = _plan(spark, "ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("key", ["text_lang_id", "text_quality"])
+def test_text_ops_have_no_python_and_no_sort_agg(spark, key):
+    plan = _plan(spark, key)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortAggregate" not in plan
