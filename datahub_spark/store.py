@@ -11,9 +11,12 @@ Reference parity:
   - statistics endpoint               internal/server/statistics.go
 
 Scale notes:
-  * latest/point-in-time views are a single hash aggregation using
-    ``max_by(struct(...), (recorded, seq))`` — map-side partial agg, one
-    shuffle on the entity key, no global sort-window.
+  * latest/point-in-time views are ONE aggregation using
+    ``max_by(struct(...), (recorded, seq))`` — map-side partial agg
+    collapses to one row per key per partition before the single shuffle
+    on the entity key; no global sort-window. (Physically a SortAggregate:
+    struct-valued buffers are not hash-aggregable — the partial-agg
+    reduction is what bounds shuffle volume.)
   * changes-since is a plain pushed-down range filter on ``recorded``.
   * the persistent store is parquet partitioned by ``dataset`` so
     dataset-scoped reads prune partitions; appends are new files inside
