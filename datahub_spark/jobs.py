@@ -251,7 +251,14 @@ class Job:
                     df = self._route_failing_entities(df)
                 wm = int(df.agg(F.max("recorded")).collect()[0][0] or since) \
                     if "recorded" in df.columns else since
-                self.sink.write(df)
+                if self.job_type == "fullsync" and isinstance(self.sink, DatasetSink):
+                    # CompleteFullSync contract: the source snapshot replaces
+                    # the dataset's live set; missing entities tombstone
+                    fs = FullSyncSession(self.sink.store, self.sink.name)
+                    fs.append(df)
+                    fs.complete()
+                else:
+                    self.sink.write(df)
                 if self.job_type == "incremental":
                     state.set_token(self.job_id, max(wm, since))
                 result = {"id": self.job_id, "attempts": attempts, "token": max(wm, since)}
@@ -338,6 +345,45 @@ class JobState:
     def history(self, job_id: str) -> list[dict]:
         v = self._read().get(job_id)
         return list(v.get("history", [])) if isinstance(v, dict) else []
+
+
+class FullSyncSession:
+    """Full-sync protocol (internal/server/dataset.go:81-207): batches
+    accumulate under a session lease; ``complete`` atomically writes the
+    snapshot plus tombstones for entities that existed before but are
+    absent from it. One left-anti join — no per-entity diffing."""
+
+    def __init__(self, store: EntityStore, dataset: str):
+        self.store, self.dataset = store, dataset
+        self._batches: list[DataFrame] = []
+        self.open = True
+
+    def append(self, df: DataFrame) -> None:
+        if not self.open:
+            raise RuntimeError("full-sync session already closed")
+        self._batches.append(df)
+
+    def abandon(self) -> None:
+        self._batches, self.open = [], False
+
+    def complete(self) -> int:
+        if not self.open:
+            raise RuntimeError("full-sync session already closed")
+        if not self._batches:
+            raise RuntimeError("full-sync session has no batches")
+        snapshot = self._batches[0]
+        for b in self._batches[1:]:
+            snapshot = snapshot.unionByName(b)
+        tombstones = None
+        if self.dataset in self.store.list_datasets():
+            old = latest(self.store.log([self.dataset]), include_deleted=False)
+            tombstones = fullsync_tombstones(old, snapshot).drop("dataset")
+        combined = snapshot if tombstones is None else (
+            snapshot.select(*[c for c in snapshot.columns if c != "dataset"])
+            .unionByName(tombstones, allowMissingColumns=True)
+        )
+        self.open = False
+        return self.store.store_entities(self.dataset, combined)
 
 
 class Scheduler:

@@ -221,3 +221,40 @@ def test_job_state_records_history(spark, store, tmp_path):
     assert h[0]["id"] == "hist" and h[0]["token"] >= h[1]["token"]
     # token accessor still works with the richer state shape
     assert state.token("hist") == h[0]["token"]
+
+
+def test_fullsync_session_tombstones_missing(spark, store, tmp_path):
+    # seed the target with bob + alice-partial alive
+    src = latest(store.log(["people"]), include_deleted=True)
+    store.store_entities("target", src.drop("dataset"))
+    alive_before = {r["id"] for r in store.entities("target").collect()}
+    assert "p:bob" in alive_before
+    # full sync in two batches, bob absent -> tombstoned
+    fs = J.FullSyncSession(store, "target")
+    fs.append(spark.createDataFrame(
+        [("p:carol", False, {"p:name": "Carol"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    fs.append(spark.createDataFrame(
+        [("p:dave", False, {"p:name": "Dave"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    fs.complete()
+    alive = {r["id"] for r in store.entities("target").collect()}
+    assert alive == {"p:carol", "p:dave"}
+    # the tombstone is a recorded change, not an erasure
+    hist = store.changes("target").filter(F.col("id") == "p:bob").collect()
+    assert any(r["deleted"] for r in hist)
+    # closed session refuses further use
+    with pytest.raises(RuntimeError):
+        fs.complete()
+
+
+def test_fullsync_job_mode_applies_tombstones(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    store.store_entities("mirror2",
+                         latest(store.log(["people"]), include_deleted=True).drop("dataset"))
+    # fullsync from 'city' into mirror2: people entities vanish -> tombstones
+    job = J.Job("fs", J.DatasetSource(store, "city"),
+                J.DatasetSink(store, "mirror2"), job_type="fullsync")
+    job.run(state)
+    alive = {r["id"] for r in store.entities("mirror2").collect()}
+    assert alive == {"c:oslo"}
