@@ -185,3 +185,24 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "_nt as n_trigrams",
         "case when _nt = 0 then 0 else (20000 * (_nt - _dt) + _nt) div (2 * _nt) end as dup_trigram_e4",
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+[0-9][0-9() -]{7,}[0-9]",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / URLs / phone numbers, reporting per-kind counts.
+    Pure regexp_replace / regexp_count chains — JVM codegen, and the
+    patterns are portable so the oracle verifies the exact redaction."""
+    out = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.select(F.col("doc_id"), *counts, out.alias("scrubbed"))

@@ -1226,3 +1226,26 @@ def q_parts_per_nation(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(text, '\+[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\+[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction: emails / URLs / phone numbers replaced with typed
+    placeholders; per-kind counts reported. Patterns restricted to the
+    Java-regex ∩ RE2 common subset so both engines redact identically."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.pii_scrub(docs)

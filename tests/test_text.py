@@ -65,3 +65,10 @@ def test_fingerprint_is_normalization_invariant(spark):
     df = _docs(spark, [(1, "Some  TEXT here"), (2, "some text HERE")])
     fps = [r["fp"] for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_pii_scrub_redacts_all_kinds(spark):
+    df = _docs(spark, [(1, "mail a@b.io or visit https://x.y/z or call +1 (555) 123-4567 now")])
+    r = TX.pii_scrub(df).collect()[0]
+    assert (r["n_email"], r["n_url"], r["n_phone"]) == (1, 1, 1)
+    assert r["scrubbed"] == "mail <EMAIL> or visit <URL> or call <PHONE> now"
