@@ -98,3 +98,25 @@ def stateful_user_totals(stream_df: DataFrame, key_col: str = "user_id",
             update, _TOTALS_OUT, _TOTALS_STATE, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_to_store(stream_df: DataFrame, store, dataset: str,
+                    checkpoint_dir: str | None = None,
+                    transform=None) -> None:
+    """The complete onchange job loop: a change-log stream drains into the
+    versioned store via foreachBatch — each micro-batch becomes one
+    atomic store transaction (one `recorded` tick), giving exactly-once
+    appends on top of the file-source's offset tracking. AvailableNow
+    processes the backlog then stops; a production trigger would run
+    continuously on the same checkpoint."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        drop = [c for c in ("dataset",) if c in out.columns]
+        store.store_entities(dataset, out.drop(*drop) if drop else out)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

@@ -74,3 +74,25 @@ def test_frame_sample_fans_out_batches(spark):
     # doc1: 25 stub-frames -> sampled 0,2,4 (capped at 3); doc2: 2 -> 0
     assert by_doc == {1: [0, 2, 4], 2: [0]}
     assert all(len(r["frame"]) == 16 for r in frames if r["frame_index"] == 0)
+
+
+def test_stream_to_store_appends_batches_transactionally(spark, tmp_path):
+    from datahub_spark.store import EntityStore
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    people_log(spark).write.mode("append").parquet(src)
+    es = EntityStore(spark, str(tmp_path / "store"))
+
+    stream = ST.onchange_stream(spark, src, ENTITY_SCHEMA)
+    ST.stream_to_store(stream, es, "ingested",
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    n1 = es.log(["ingested"]).count()
+    assert n1 == 6
+
+    # new files arrive; the same checkpoint processes ONLY the delta
+    people_log(spark).write.mode("append").parquet(src)
+    stream2 = ST.onchange_stream(spark, src, ENTITY_SCHEMA)
+    ST.stream_to_store(stream2, es, "ingested",
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    assert es.log(["ingested"]).count() == 12  # 6 old + 6 new, no reprocessing
