@@ -82,14 +82,16 @@ class _LazyFrames:
         return self._builders.keys()
 
 
-# plan caches keyed by (session identity, sf_dir) — DataFrame plans are
-# immutable, so reuse across query calls is safe and saves the rebuild
-_TABLE_CACHE: dict[tuple[int, str], _LazyFrames] = {}
-_ENTITY_CACHE: dict[tuple[int, str], _LazyFrames] = {}
+# plan caches keyed by (session applicationId, sf_dir) — DataFrame plans
+# are immutable, so reuse across query calls is safe and saves the
+# rebuild. applicationId (not id(spark)) so a recycled python object
+# address can never resurrect plans bound to a stopped JVM session.
+_TABLE_CACHE: dict[tuple[str, str], _LazyFrames] = {}
+_ENTITY_CACHE: dict[tuple[str, str], _LazyFrames] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos (the
@@ -140,7 +142,7 @@ def _entity(df: DataFrame, dataset: str, id_col, props: dict, refs: dict,
 def tpch_entities(spark: SparkSession, sf_dir: str) -> _LazyFrames:
     """Return lazy {dataset_name: entity change-log DataFrame} (memoized
     per session+dir; see _LazyFrames)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ENTITY_CACHE:
         return _ENTITY_CACHE[key]
     t = load_tables(spark, sf_dir)
