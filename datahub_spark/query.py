@@ -79,22 +79,64 @@ def related(
         edge_src = edge_src.filter(F.col(anchor).isin(list(starting_entities)))
 
     tgt_log = target if target is not None else df
-    tgt_view = (
-        point_in_time(tgt_log, as_of, single_version=single_version)
-        if as_of is not None
-        else latest(tgt_log, single_version=single_version)
-    )
+    # Open-world target resolution (get_related_test.go:1177; store.go:695
+    # GetEntityAtPointInTimeWithInternalID): the relation exists iff the
+    # ref-holder's latest version carries it — the TARGET's state never
+    # gates the edge. Resolution rules: deleted partials contribute
+    # nothing; one alive partial keeps its dataset; several merge; all
+    # deleted -> bare tombstone; missing -> stub with only the id.
     related_key = "start_id" if inverse else "ref_id"
-    tgt = tgt_view.select(
-        F.col("id").alias(related_key),
-        F.struct("id", "recorded", "seq", "deleted", "props", "refs", "dataset").alias("related"),
+    if as_of is not None:
+        tgt_log = tgt_log.filter(F.col("recorded") <= F.lit(int(as_of)))
+    if single_version:
+        # snapshot fast path: ids unique, no tombstone interplay — the
+        # per-row view IS the resolution
+        tgt = latest(tgt_log, include_deleted=True, single_version=True).select(
+            F.col("id").alias(related_key),
+            F.struct("id", "recorded", "seq", "deleted", "props", "refs", "dataset").alias("_found"),
+        )
+    else:
+        from datahub_spark.store import collect_partials, fold_props, fold_refs
+
+        agg = collect_partials(tgt_log, key=related_key)
+        alive = F.filter(F.col("_ps"), lambda p: ~p["deleted"])
+        n_alive = F.size(alive)
+        one = F.element_at(alive, 1)
+        last = F.element_at(alive, -1)
+        resolved = (
+            F.when(n_alive == 1, F.struct(
+                F.col(related_key).alias("id"), one["recorded"].alias("recorded"),
+                one["seq"].alias("seq"), F.lit(False).alias("deleted"),
+                one["props"].alias("props"), one["refs"].alias("refs"),
+                one["dataset"].alias("dataset")))
+            .when(n_alive > 1, F.struct(
+                F.col(related_key).alias("id"), last["recorded"].alias("recorded"),
+                last["seq"].alias("seq"), F.lit(False).alias("deleted"),
+                fold_props(alive).alias("props"), fold_refs(alive).alias("refs"),
+                F.lit("*merged*").alias("dataset")))
+            .otherwise(F.struct(  # exists only as tombstones
+                F.col(related_key).alias("id"), F.lit(0).cast("long").alias("recorded"),
+                F.lit(0).cast("long").alias("seq"), F.lit(True).alias("deleted"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+                F.lit(None).cast("map<string,array<string>>").alias("refs"),
+                F.lit(None).cast("string").alias("dataset")))
+        )
+        tgt = agg.select(F.col(related_key), resolved.alias("_found"))
+    out = edge_src.join(tgt, related_key, "left")
+    stub = F.struct(
+        F.col(related_key).alias("id"),
+        F.lit(0).cast("long").alias("recorded"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(False).alias("deleted"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+        F.lit(None).cast("map<string,array<string>>").alias("refs"),
+        F.lit(None).cast("string").alias("dataset"),
     )
-    out = edge_src.join(tgt, related_key)
     start_col = F.col("ref_id") if inverse else F.col("start_id")
     return out.select(
         start_col.alias("start_id"),
         "predicate",
-        "related",
+        F.coalesce(F.col("_found"), stub).alias("related"),
     )
 
 

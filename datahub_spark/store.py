@@ -80,57 +80,78 @@ def point_in_time(df: DataFrame, as_of: int, include_deleted: bool = False,
                   include_deleted=include_deleted, single_version=single_version)
 
 
-def merge_partials(df: DataFrame, include_deleted: bool = False) -> DataFrame:
-    """Merge an entity's partials across datasets into one entity
-    (store.go:634 mergePartials). Later-recorded partials win on prop/ref
-    key conflicts; datasets are folded in deterministic (recorded, seq,
-    dataset) order. Output key: id."""
+_EMPTY_PROPS = lambda: F.map_from_arrays(
+    F.array().cast("array<string>"), F.array().cast("array<string>")
+)
+_EMPTY_REFS = lambda: F.map_from_arrays(
+    F.array().cast("array<string>"), F.array().cast("array<array<string>>")
+)
+
+# array_sort with an explicit comparator: structs holding maps are not
+# natively orderable, but we only order by (recorded, seq, dataset).
+_partial_cmp = lambda l, r: (
+    F.when(l["recorded"] != r["recorded"], F.when(l["recorded"] < r["recorded"], F.lit(-1)).otherwise(F.lit(1)))
+    .when(l["seq"] != r["seq"], F.when(l["seq"] < r["seq"], F.lit(-1)).otherwise(F.lit(1)))
+    .when(l["dataset"] < r["dataset"], F.lit(-1))
+    .when(l["dataset"] > r["dataset"], F.lit(1))
+    .otherwise(F.lit(0))
+)
+
+
+def fold_props(ps):
+    """Fold partials' props maps in list order; later entries win on key
+    conflicts. (The reference concatenates conflicting values into lists,
+    mergeInto store.go:567; with canonical-string props we take the
+    later-recorded value — deterministic, and identical whenever partials
+    carry disjoint keys, which is the documented partial-entity pattern.)"""
+    return F.aggregate(
+        ps, _EMPTY_PROPS(),
+        lambda acc, p: F.map_zip_with(
+            acc, F.coalesce(p["props"], _EMPTY_PROPS()),
+            lambda k, v1, v2: F.coalesce(v2, v1),
+        ),
+    )
+
+
+def fold_refs(ps):
+    return F.aggregate(
+        ps, _EMPTY_REFS(),
+        lambda acc, p: F.map_zip_with(
+            acc, F.coalesce(p["refs"], _EMPTY_REFS()),
+            lambda k, v1, v2: F.coalesce(v2, v1),
+        ),
+    )
+
+
+def collect_partials(df: DataFrame, key: str = "id") -> DataFrame:
+    """Latest version per (dataset, id) collected into one sorted partial
+    list per id — the input shape for reference-style entity resolution
+    (GetEntityAtPointInTimeWithInternalID, store.go:695)."""
     lat = latest(df, include_deleted=True)
     parts = lat.select(
-        "id",
+        F.col("id").alias(key),
         F.struct("recorded", "seq", "dataset", "deleted", "props", "refs").alias("_p"),
     )
-    # array_sort with an explicit comparator: structs holding maps are not
-    # natively orderable, but we only order by (recorded, seq, dataset).
-    cmp = lambda l, r: (
-        F.when(l["recorded"] != r["recorded"], F.when(l["recorded"] < r["recorded"], F.lit(-1)).otherwise(F.lit(1)))
-        .when(l["seq"] != r["seq"], F.when(l["seq"] < r["seq"], F.lit(-1)).otherwise(F.lit(1)))
-        .when(l["dataset"] < r["dataset"], F.lit(-1))
-        .when(l["dataset"] > r["dataset"], F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    agg = parts.groupBy("id").agg(F.array_sort(F.collect_list("_p"), cmp).alias("_ps"))
-    empty_props = F.map_from_arrays(
-        F.array().cast("array<string>"), F.array().cast("array<string>")
-    )
-    empty_refs = F.map_from_arrays(
-        F.array().cast("array<string>"), F.array().cast("array<array<string>>")
-    )
-    merged_props = F.aggregate(
-        "_ps",
-        empty_props,
-        lambda acc, p: F.map_zip_with(
-            acc,
-            F.coalesce(p["props"], empty_props),
-            lambda k, v1, v2: F.coalesce(v2, v1),
-        ),
-    )
-    merged_refs = F.aggregate(
-        "_ps",
-        empty_refs,
-        lambda acc, p: F.map_zip_with(
-            acc,
-            F.coalesce(p["refs"], empty_refs),
-            lambda k, v1, v2: F.coalesce(v2, v1),
-        ),
-    )
+    return parts.groupBy(key).agg(F.array_sort(F.collect_list("_p"), _partial_cmp).alias("_ps"))
+
+
+def merge_partials(df: DataFrame, include_deleted: bool = False) -> DataFrame:
+    """Merge an entity's partials across datasets into one entity
+    (store.go:634 mergePartials + store.go:695 resolution rules):
+    DELETED partials contribute nothing; an entity whose every partial is
+    tombstoned resolves to a bare tombstone row. Partials fold in
+    deterministic (recorded, seq, dataset) order. Output key: id."""
+    agg = collect_partials(df)
+    alive = F.filter(F.col("_ps"), lambda p: ~p["deleted"])
+    n_alive = F.size(alive)
+    last = F.element_at(alive, -1)
     out = agg.select(
         "id",
-        F.element_at("_ps", -1)["recorded"].alias("recorded"),
-        F.element_at("_ps", -1)["seq"].alias("seq"),
-        F.element_at("_ps", -1)["deleted"].alias("deleted"),
-        merged_props.alias("props"),
-        merged_refs.alias("refs"),
+        F.when(n_alive > 0, last["recorded"]).otherwise(F.lit(0)).cast("long").alias("recorded"),
+        F.when(n_alive > 0, last["seq"]).otherwise(F.lit(0)).cast("long").alias("seq"),
+        (n_alive == 0).alias("deleted"),
+        F.when(n_alive > 0, fold_props(alive)).otherwise(F.lit(None).cast("map<string,string>")).alias("props"),
+        F.when(n_alive > 0, fold_refs(alive)).otherwise(F.lit(None).cast("map<string,array<string>>")).alias("refs"),
         F.lit("*merged*").alias("dataset"),
     )
     if not include_deleted:

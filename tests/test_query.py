@@ -23,20 +23,40 @@ def test_related_inverse(spark):
 
 
 def test_related_star_follows_all_predicates(spark):
-    # restrict to people+city: alice is tombstoned in 'people' but has a
-    # live partial in 'people.extra', which would (correctly) resolve her
+    # open-world targets (get_related_test.go:1177): the relation exists
+    # because BOB's latest version carries it; alice (tombstoned in
+    # 'people') resolves to a bare tombstone, not a dropped edge
     core = people_log(spark).filter(F.col("dataset").isin("people", "city"))
-    out = Q.related(core, ["p:bob"], None).collect()
-    assert sorted((r["predicate"], r["related"]["id"]) for r in out) == [
-        ("p:home", "c:oslo")]  # alice deleted -> only oslo
-    # with as_of=2 (before the tombstone) both targets resolve
-    out2 = Q.related(core, ["p:bob"], None, as_of=2).collect()
-    assert sorted((r["predicate"], r["related"]["id"]) for r in out2) == [
-        ("p:friend", "p:alice"), ("p:home", "c:oslo")]
-    # full log: the people.extra partial resolves alice even at latest
-    out3 = Q.related(people_log(spark), ["p:bob"], None).collect()
-    assert sorted((r["predicate"], r["related"]["id"]) for r in out3) == [
-        ("p:friend", "p:alice"), ("p:home", "c:oslo")]
+    out = {r["related"]["id"]: r["related"] for r in Q.related(core, ["p:bob"], None).collect()}
+    assert sorted(out) == ["c:oslo", "p:alice"]
+    assert out["p:alice"]["deleted"] is True and out["p:alice"]["props"] is None
+    assert out["c:oslo"]["deleted"] is False
+    # with as_of=2 (before the tombstone) alice resolves with her state
+    out2 = {r["related"]["id"]: r["related"]
+            for r in Q.related(core, ["p:bob"], None, as_of=2).collect()}
+    assert out2["p:alice"]["deleted"] is False
+    assert out2["p:alice"]["props"]["p:age"] == "31"
+    # full log: the live people.extra partial resolves alice (single alive
+    # partial keeps its origin dataset)
+    out3 = {r["related"]["id"]: r["related"]
+            for r in Q.related(people_log(spark), ["p:bob"], None).collect()}
+    assert out3["p:alice"]["deleted"] is False
+    assert out3["p:alice"]["props"]["p:email"] == "a@x"
+    assert out3["p:alice"]["dataset"] == "people.extra"
+
+
+def test_related_ref_to_missing_entity_yields_stub(spark):
+    # get_related_test.go:1177: a ref to an entity that was never stored
+    # still produces a relation, with a stub carrying only the id
+    from datahub_spark.model import ENTITY_SCHEMA
+    from tests.entity_fixtures import row
+
+    log = spark.createDataFrame(
+        [row("p:eve", 1, 0, False, {}, {"p:likes": ["p:ghost"]})], ENTITY_SCHEMA)
+    out = Q.related(log, ["p:eve"], "p:likes").collect()
+    assert len(out) == 1
+    rel = out[0]["related"]
+    assert rel["id"] == "p:ghost" and rel["deleted"] is False and rel["props"] is None
 
 
 def test_related_dataset_scoping(spark):

@@ -43,13 +43,26 @@ def test_point_in_time_restores_old_state(spark):
     assert "p:bob" not in asof1
 
 
-def test_merge_partials_later_recorded_wins(spark):
+def test_merge_partials_deleted_partials_contribute_nothing(spark):
     log = people_log(spark).filter(F.col("dataset") != "city")
     merged = {r["id"]: r for r in S.merge_partials(log, include_deleted=True).collect()}
     a = merged["p:alice"]
-    # base (deleted v3) + extra partial (recorded 4): both props present
-    assert a["props"]["p:email"] == "a@x"
-    assert a["props"]["p:name"] == "Alice"
+    # people-latest is a tombstone -> contributes nothing (store.go:695);
+    # only the live people.extra partial resolves
+    assert a["props"] == {"p:email": "a@x"}
+    assert a["deleted"] is False
+    # bob merges from his single live partial
+    assert merged["p:bob"]["props"]["p:name"] == "Bob"
+
+
+def test_merge_partials_all_deleted_resolves_tombstone(spark):
+    log = people_log(spark).filter(F.col("dataset") == "people")
+    merged = {r["id"]: r for r in S.merge_partials(log, include_deleted=True).collect()}
+    assert merged["p:alice"]["deleted"] is True
+    assert merged["p:alice"]["props"] is None
+    # and the default view hides fully-tombstoned entities
+    visible = {r["id"] for r in S.merge_partials(log).collect()}
+    assert visible == {"p:bob"}
 
 
 def test_compact_deduplicate_drops_successive_identical_versions(spark):
