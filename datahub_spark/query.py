@@ -79,6 +79,12 @@ def related(
         edge_src = edge_src.filter(F.col(anchor).isin(list(starting_entities)))
 
     tgt_log = target if target is not None else df
+    if datasets and target is None:
+        # dataset scope also restricts RESOLUTION (store_test.go:1561
+        # "Should omit disallowed datasets when resolving found
+        # entities"): partials outside the scope contribute nothing; a
+        # target only stored outside the scope resolves to a bare stub
+        tgt_log = tgt_log.filter(F.col("dataset").isin(datasets))
     # Open-world target resolution (get_related_test.go:1177; store.go:695
     # GetEntityAtPointInTimeWithInternalID): the relation exists iff the
     # ref-holder's latest version carries it — the TARGET's state never

@@ -297,8 +297,27 @@ class EntityStore:
 
     # -- writes ----------------------------------------------------------------
 
-    def store_entities(self, dataset: str, df: DataFrame, recorded: int | None = None) -> int:
-        """Append a batch as one new version tick (dataset.go:216)."""
+    def store_entities(self, dataset: str, df: DataFrame, recorded: int | None = None,
+                       skip_unchanged: bool = True) -> int:
+        """Append a batch as one new version tick (dataset.go:216).
+
+        ``skip_unchanged`` mirrors StoreEntities' write-time dedup
+        (store_test.go:627 'Should only update entities if they are
+        different'): rows whose (deleted, props, refs) payload equals the
+        entity's current version are dropped before the append — one
+        left-join against the latest view's digests, so repeated
+        idempotent syncs don't grow the version log."""
+        if skip_unchanged and dataset in self.list_datasets():
+            current = latest(self.log([dataset]), include_deleted=True).select(
+                "id", payload_digest().alias("_cur")
+            )
+            norm = df if "deleted" in df.columns else df.withColumn("deleted", F.lit(False))
+            df = (
+                norm.withColumn("_new", payload_digest())
+                .join(current, "id", "left")
+                .filter(F.col("_cur").isNull() | (F.col("_cur") != F.col("_new")))
+                .drop("_cur", "_new")
+            )
         return self.execute_transaction({dataset: df}, recorded)
 
     def execute_transaction(self, dataset_entities: dict[str, DataFrame], recorded: int | None = None) -> int:

@@ -98,3 +98,16 @@ def test_namespace_roundtrip():
     assert ns.compress_uri("http://example.com/people/alice") == f"{pref}:alice"
     # idempotent assert
     assert ns.assert_prefix("http://example.com/people/") == pref
+
+
+def test_dataset_scope_restricts_resolution_to_stub(spark):
+    # store_test.go:1561: a target stored only OUTSIDE the scope still
+    # yields the relation, but resolves as a bare stub (link only)
+    log = people_log(spark)
+    out = Q.related(log, ["p:bob"], "p:home", datasets=["people"]).collect()
+    assert len(out) == 1
+    rel = out[0]["related"]
+    assert rel["id"] == "c:oslo" and rel["props"] is None  # city excluded
+    # with city in scope the entity resolves fully
+    out2 = Q.related(log, ["p:bob"], "p:home", datasets=["people", "city"]).collect()
+    assert out2[0]["related"]["props"]["p:name"] == "Oslo"

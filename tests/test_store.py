@@ -136,10 +136,11 @@ def test_physical_compaction_rewrites_partition(spark, tmp_path):
         row("x", 0, 0, False, {"a": "1"}),   # successive dup
         row("x", 0, 0, False, {"a": "2"}),
     ]
-    # three appends -> recorded 1,2,3
+    # three appends -> recorded 1,2,3 (write-time dedup bypassed: the
+    # successive duplicate is the thing compaction exists to remove)
     for r_ in rows:
         es.store_entities("d", spark.createDataFrame([r_], ENTITY_SCHEMA)
-                          .drop("dataset").drop("recorded"))
+                          .drop("dataset").drop("recorded"), skip_unchanged=False)
     assert es.log(["d"]).count() == 3
     es.compact("d")
     kept = sorted(r["recorded"] for r in es.log(["d"]).collect())
@@ -191,3 +192,22 @@ def test_dataset_context_public_namespaces(spark, tmp_path):
     assert len(es.dataset_context("open")["namespaces"]) > 1
     restricted = es.dataset_context("restricted")["namespaces"]
     assert restricted == {"cust": "http://example.io/customer/"}
+
+
+def test_store_entities_skips_unchanged(spark, tmp_path):
+    es = S.EntityStore(spark, str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [("x", False, {"a": "1"}, {}), ("y", False, {"b": "2"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>")
+    es.store_entities("d", batch)
+    assert es.log(["d"]).count() == 2
+    # identical re-store: nothing appended (store_test.go:627)
+    es.store_entities("d", batch)
+    assert es.log(["d"]).count() == 2
+    # changed x + unchanged y: only x gets a new version
+    batch2 = spark.createDataFrame(
+        [("x", False, {"a": "9"}, {}), ("y", False, {"b": "2"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>")
+    es.store_entities("d", batch2)
+    assert es.log(["d"]).count() == 3
+    assert es.log(["d"]).filter(F.col("id") == "x").count() == 2

@@ -90,9 +90,14 @@ def test_stream_to_store_appends_batches_transactionally(spark, tmp_path):
     n1 = es.log(["ingested"]).count()
     assert n1 == 6
 
-    # new files arrive; the same checkpoint processes ONLY the delta
-    people_log(spark).write.mode("append").parquet(src)
+    # new files with CHANGED payloads arrive; the same checkpoint
+    # processes only the delta (identical payloads would be skipped by
+    # the store's write-time dedup, which is itself reference behavior)
+    changed = people_log(spark).withColumn(
+        "recorded", F.col("recorded") + 100).withColumn(
+        "props", F.map_concat("props", F.create_map(F.lit("p:rev"), F.lit("2"))))
+    changed.write.mode("append").parquet(src)
     stream2 = ST.onchange_stream(spark, src, ENTITY_SCHEMA)
     ST.stream_to_store(stream2, es, "ingested",
                        checkpoint_dir=str(tmp_path / "ckpt"))
-    assert es.log(["ingested"]).count() == 12  # 6 old + 6 new, no reprocessing
+    assert es.log(["ingested"]).count() == 12  # 6 old + 6 changed, no reprocessing
