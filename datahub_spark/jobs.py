@@ -98,11 +98,15 @@ class MultiSource:
 
     def affected_ids(self, since: int = 0) -> DataFrame:
         """Ids of main-dataset entities needing reprocessing due to
-        dependency changes."""
+        dependency changes (single shared token form)."""
+        return self.affected_ids_with_tokens(
+            {dep.dataset: since for dep in self.dependencies})
+
+    def affected_ids_with_tokens(self, tokens: dict[str, int]) -> DataFrame:
         out = None
         for dep in self.dependencies:
             ids = (
-                self.store.changes(dep.dataset, since=since)
+                self.store.changes(dep.dataset, since=tokens.get(dep.dataset, 0))
                 .select("id").distinct()
             )
             for j in dep.joins:
@@ -125,11 +129,28 @@ class MultiSource:
         return out
 
     def read(self, since: int = 0) -> DataFrame:
-        main = self.store.changes(self.name, since=since, latest_only=self.latest_only)
-        affected = self.affected_ids(since)
+        return self.read_with_tokens({self.name: since})
+
+    def read_with_tokens(self, tokens: dict[str, int]) -> DataFrame:
+        """Per-dependency continuation (pipeline_test.go 'Should store
+        dependency watermarks...'): each dataset advances its own
+        watermark — essential when datasets use different `recorded`
+        scales (a shared token silently skips or re-reads changes)."""
+        main = self.store.changes(self.name, since=tokens.get(self.name, 0),
+                                  latest_only=self.latest_only)
+        affected = self.affected_ids_with_tokens(tokens)
         main_all = latest(self.store.log([self.name]), include_deleted=True)
         reprocess = main_all.join(affected, "id")
         return main.unionByName(reprocess).dropDuplicates(["id", "recorded", "seq"])
+
+    def current_watermarks(self) -> dict[str, int]:
+        """Max recorded per involved dataset (read after a successful
+        sink write; one tiny agg per dataset on a pruned partition)."""
+        out = {}
+        for ds in [self.name] + [d.dataset for d in self.dependencies]:
+            row = self.store.log([ds]).agg(F.max("recorded")).collect()[0]
+            out[ds] = int(row[0] or 0)
+        return out
 
 
 class VirtualDatasetSource:
@@ -244,7 +265,10 @@ class Job:
         while True:
             attempts += 1
             try:
-                df = self.source.read(since=since)
+                if isinstance(self.source, MultiSource) and self.job_type == "incremental":
+                    df = self.source.read_with_tokens(state.dep_tokens(self.job_id))
+                else:
+                    df = self.source.read(since=since)
                 if self.transform is not None:
                     df = self.transform(df)
                 if "_error" in df.columns:
@@ -261,6 +285,8 @@ class Job:
                     self.sink.write(df)
                 if self.job_type == "incremental":
                     state.set_token(self.job_id, max(wm, since))
+                    if isinstance(self.source, MultiSource):
+                        state.set_dep_tokens(self.job_id, self.source.current_watermarks())
                 result = {"id": self.job_id, "attempts": attempts, "token": max(wm, since)}
                 state.record_run(self.job_id, result)
                 return result
@@ -328,6 +354,19 @@ class JobState:
             cur["token"] = int(token)
         else:
             d[job_id] = {"token": int(token), "history": []}
+        self._write(d)
+
+    def dep_tokens(self, job_id: str) -> dict[str, int]:
+        v = self._read().get(job_id)
+        return dict(v.get("deps", {})) if isinstance(v, dict) else {}
+
+    def set_dep_tokens(self, job_id: str, tokens: dict[str, int]) -> None:
+        d = self._read()
+        cur = d.get(job_id)
+        if not isinstance(cur, dict):
+            cur = {"token": int(cur or 0), "history": []}
+            d[job_id] = cur
+        cur["deps"] = {k: int(v) for k, v in tokens.items()}
         self._write(d)
 
     def record_run(self, job_id: str, result: dict, keep: int = 50) -> None:

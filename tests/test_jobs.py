@@ -258,3 +258,39 @@ def test_fullsync_job_mode_applies_tombstones(spark, store, tmp_path):
     job.run(state)
     alive = {r["id"] for r in store.entities("mirror2").collect()}
     assert alive == {"c:oslo"}
+
+
+def test_multisource_job_advances_per_dependency_watermarks(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    from datahub_spark import transforms as T
+
+    ms = J.MultiSource(store, "people", [
+        J.Dependency("city", [J.Join("people", "p:home", inverse=True)])])
+
+    def enrich(df):
+        # the canonical MultiSource use: output depends on the dependency
+        return T.enrich_via(df, "p:home", "p:name", "p:cityname",
+                            via=store.log(["city"]))
+
+    job = J.Job("ms", ms, J.DatasetSink(store, "ms_out"), transform=enrich)
+    job.run(state)
+    toks = state.dep_tokens("ms")
+    assert set(toks) == {"people", "city"} and all(v > 0 for v in toks.values())
+    n1 = store.log(["ms_out"]).count()
+
+    # a CITY change alone re-processes the pointing people entities,
+    # whose enriched output now differs -> re-emitted + stored
+    store.store_entities("city", spark.createDataFrame(
+        [("c:oslo", False, {"p:name": "Oslo2"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    job.run(state)
+    n2 = store.log(["ms_out"]).count()
+    assert n2 > n1
+    enriched = {r["id"]: r["props"].get("p:cityname")
+                for r in store.entities("ms_out").collect()}
+    assert enriched["p:bob"] == "Oslo2"
+    assert state.dep_tokens("ms")["city"] > toks["city"]
+
+    # a third run with no changes anywhere emits nothing new
+    job.run(state)
+    assert store.log(["ms_out"]).count() == n2
