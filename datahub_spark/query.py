@@ -46,6 +46,8 @@ def related(
     target: DataFrame | None = None,
     as_of: int | None = None,
     single_version: bool = False,
+    limit: int | None = None,
+    continuation: str | None = None,
 ) -> DataFrame:
     """GetManyRelatedEntities (store.go:870) as a declarative plan.
 
@@ -139,11 +141,21 @@ def related(
         F.lit(None).cast("string").alias("dataset"),
     )
     start_col = F.col("ref_id") if inverse else F.col("start_id")
-    return out.select(
+    res = out.select(
         start_col.alias("start_id"),
         "predicate",
         F.coalesce(F.col("_found"), stub).alias("related"),
     )
+    if limit is not None:
+        # reference limit semantics (get_related_test.go:56-180): a GLOBAL
+        # cap filled in deterministic start/predicate/target order; the
+        # continuation token is the last (start_id, predicate, related.id)
+        # triple, re-entering as a keyset range predicate — no offset scan
+        key = F.concat_ws("|", F.col("start_id"), F.col("predicate"), F.col("related.id"))
+        if continuation:
+            res = res.filter(key > F.lit(continuation))
+        res = res.orderBy("start_id", "predicate", F.col("related.id")).limit(int(limit))
+    return res
 
 
 def _edges_of_view(view: DataFrame, predicate: str | None) -> DataFrame:

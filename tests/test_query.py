@@ -111,3 +111,21 @@ def test_dataset_scope_restricts_resolution_to_stub(spark):
     # with city in scope the entity resolves fully
     out2 = Q.related(log, ["p:bob"], "p:home", datasets=["people", "city"]).collect()
     assert out2[0]["related"]["props"]["p:name"] == "Oslo"
+
+
+def test_related_limit_and_continuation(spark):
+    from datahub_spark.model import ENTITY_SCHEMA
+    from tests.entity_fixtures import row
+
+    # one entity pointing at 7 targets
+    log = spark.createDataFrame(
+        [row("p:hub", 1, 0, False, {}, {"p:n": [f"t:{i}" for i in range(7)]})],
+        ENTITY_SCHEMA)
+    p1 = Q.related(log, ["p:hub"], "p:n", limit=3).collect()
+    assert [r["related"]["id"] for r in p1] == ["t:0", "t:1", "t:2"]
+    cont = f"{p1[-1]['start_id']}|{p1[-1]['predicate']}|{p1[-1]['related']['id']}"
+    p2 = Q.related(log, ["p:hub"], "p:n", limit=3, continuation=cont).collect()
+    assert [r["related"]["id"] for r in p2] == ["t:3", "t:4", "t:5"]
+    p3 = Q.related(log, ["p:hub"], "p:n", limit=3,
+                   continuation=f"p:hub|p:n|t:5").collect()
+    assert [r["related"]["id"] for r in p3] == ["t:6"]
