@@ -1249,3 +1249,79 @@ def q_text_pii_scrub(spark, sf_dir):
     Java-regex ∩ RE2 common subset so both engines redact identically."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return TX.pii_scrub(docs)
+
+
+def _corpus_select_oracle() -> str:
+    # composes the existing verified pieces: exact-dup keeper, minhash
+    # cluster keeper (recursive CC), quality floor, language allowlist
+    stop_sum = " + ".join(_marker_count_sql(s) for s in TX.STOPWORDS)
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL.lstrip()},
+    sig AS (SELECT doc_id, {', '.join(
+        f"min(('0x' || substr(md5('{i // 2}|' || sh), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
+        for i in range(12))} FROM sh GROUP BY doc_id),
+    band AS ({' UNION ALL '.join(
+        "SELECT doc_id, %d AS band, md5(%s) AS key FROM sig" % (
+            b, " || '|' || ".join(f"mh{b * 3 + r}::VARCHAR" for r in range(3)))
+        for b in range(4))}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM band l JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    edges AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+    exact AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS keeper
+      FROM documents),
+    q0 AS (
+      SELECT doc_id, text, {_NORM_SQL} AS t, ' ' || {_NORM_SQL} || ' ' AS p
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS nt,
+             ({stop_sum}) AS sh_hits,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS np,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM q0),
+    scored AS (
+      SELECT doc_id,
+             (200 * (4 * least(nt, 50) * nt * nc
+                     + 5 * nc * least(150 * sh_hits, 30 * nt)
+                     + 5 * nt * greatest(30 * nc - 300 * np, 0))
+              + 5 * nt * nc) // (2 * 5 * nt * nc) AS score_centi
+      FROM q)
+    SELECT d.doc_id
+    FROM documents d
+    JOIN exact e ON e.doc_id = d.doc_id
+    JOIN scored s ON s.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE e.keeper = d.doc_id
+      AND (c.component IS NULL OR c.component = d.doc_id)
+      AND s.score_centi >= 5500
+    """
+
+
+@register("corpus_select", _corpus_select_oracle())
+def q_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus selection: keep a document iff it is
+    its exact-dup group's keeper, its near-dup (MinHash+LSH connected
+    component) cluster representative, and above the quality floor —
+    the composed artifact a data pipeline feeds to training."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    exact = DD.dedup_exact(docs).select(F.col("keeper").alias("doc_id"))
+    sig = DD.minhash_signature(docs, k=12, n=3)
+    pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3)
+    comp = DD.connected_components(pairs)
+    quality = TX.quality_features(docs).select("doc_id", "quality_score_centi")
+    kept = (
+        docs.select("doc_id")
+        .join(exact, "doc_id")  # exact keeper (semi)
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .join(quality, "doc_id")
+        .filter(F.col("quality_score_centi") >= 5500)
+    )
+    return kept.select("doc_id")
