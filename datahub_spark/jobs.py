@@ -545,3 +545,17 @@ class TabularSource:
             F.lit(None).cast("map<string,array<string>>").alias("refs"),
             F.lit(self.dataset).alias("dataset"),
         )
+
+
+def wire_onchange(scheduler: Scheduler, store: EntityStore,
+                  watched: dict[str, list[str]]) -> None:
+    """events_test.go analogue: register onchange triggering — a committed
+    write to a watched dataset immediately runs the listening jobs (in
+    registration order). ``watched`` maps dataset -> [job_id,...]."""
+    def on_write(dataset: str, recorded: int) -> None:
+        for job_id in watched.get(dataset, []):
+            job = scheduler.jobs.get(job_id)
+            if job is not None and not job.paused:
+                job.run(scheduler.state)
+
+    store.add_listener(on_write)

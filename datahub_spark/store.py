@@ -246,6 +246,19 @@ class EntityStore:
         os.makedirs(self.log_dir, exist_ok=True)
         if not os.path.exists(self.meta_path):
             self._write_meta({"datasets": {}, "counter": 0})
+        # event bus (internal/server/events_test.go): listeners fire after
+        # a committed write, with (dataset, recorded); the scheduler wires
+        # onchange jobs here. In-process analogue of the dataset topics.
+        self._listeners: list = []
+
+    def add_listener(self, fn) -> None:
+        """Register fn(dataset: str, recorded: int), called after commit."""
+        self._listeners.append(fn)
+
+    def _emit(self, datasets: list[str], recorded: int) -> None:
+        for fn in list(self._listeners):
+            for ds in datasets:
+                fn(ds, recorded)
 
     # -- registry ------------------------------------------------------------
 
@@ -350,6 +363,7 @@ class EntityStore:
                         os.replace(os.path.join(stage, fn), os.path.join(dest, f"{rec}-{fn}"))
         finally:
             shutil.rmtree(stage_root, ignore_errors=True)
+        self._emit(list(dataset_entities), rec)
         return rec
 
     # -- reads -----------------------------------------------------------------

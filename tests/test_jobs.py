@@ -294,3 +294,21 @@ def test_multisource_job_advances_per_dependency_watermarks(spark, store, tmp_pa
     # a third run with no changes anywhere emits nothing new
     job.run(state)
     assert store.log(["ms_out"]).count() == n2
+
+
+def test_onchange_listener_triggers_job_on_write(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    sched.register(J.Job("watcher", J.DatasetSource(store, "inbox"),
+                         J.DatasetSink(store, "outbox")))
+    J.wire_onchange(sched, store, {"inbox": ["watcher"]})
+    # a committed write to 'inbox' runs the watcher immediately
+    store.store_entities("inbox", spark.createDataFrame(
+        [("i:1", False, {"p:v": "1"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    assert store.log(["outbox"]).count() == 1
+    # writes to unwatched datasets do not trigger it
+    store.store_entities("other", spark.createDataFrame(
+        [("o:1", False, {"p:v": "2"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    assert store.log(["outbox"]).count() == 1
