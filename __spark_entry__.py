@@ -2,11 +2,11 @@
 
 entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
-queries()     — every implemented operator from SURVEY.md §2,
-                (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for
-                genuinely non-SQL-expressible ops; those get the weaker
-                rows-only check).
+queries()     — every implemented operator from SURVEY.md §2 (51 as of
+                round 1), (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query (48 of 51; omitted only
+                for approximate ANN variants and the stubbed multimodal
+                decode, which get the weaker rows-only check).
 """
 
 from __future__ import annotations
