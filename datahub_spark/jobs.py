@@ -484,9 +484,14 @@ class Scheduler:
 def fullsync_tombstones(old_latest: DataFrame, new_snapshot: DataFrame) -> DataFrame:
     """CompleteFullSync semantics (internal/server/dataset.go:159): after a
     fullsync, entities present before but absent from the new snapshot are
-    appended as deleted tombstones. One left-anti join."""
+    appended as deleted tombstones. One left-anti join.
+
+    The copied (recorded, seq) version key is DROPPED: the reference records
+    tombstones as new changes at fullsync time, and keeping the old key would
+    tie exactly with the live row, making latest()'s max_by resolve deletion
+    nondeterministically. execute_transaction stamps the new tick instead."""
     missing = old_latest.join(new_snapshot.select("id"), "id", "left_anti")
-    return missing.withColumn("deleted", F.lit(True))
+    return missing.drop("recorded", "seq").withColumn("deleted", F.lit(True))
 
 
 def lineage(jobs: list[Job]) -> list[dict]:

@@ -150,10 +150,20 @@ def related(
         # reference limit semantics (get_related_test.go:56-180): a GLOBAL
         # cap filled in deterministic start/predicate/target order; the
         # continuation token is the last (start_id, predicate, related.id)
-        # triple, re-entering as a keyset range predicate — no offset scan
-        key = F.concat_ws("|", F.col("start_id"), F.col("predicate"), F.col("related.id"))
+        # triple, re-entering as a keyset range predicate — no offset scan.
+        # The predicate compares a STRUCT (lexicographic field-by-field,
+        # matching the orderBy), never a concatenated string: "p:1|x" >
+        # "p:10|x" under string order even though ("p:1","x") < ("p:10","x"),
+        # so a concat key re-emits/drops rows for prefix-related ids.
         if continuation:
-            res = res.filter(key > F.lit(continuation))
+            parts = continuation.split("|") if isinstance(continuation, str) else list(continuation)
+            if len(parts) != 3:
+                raise ValueError(
+                    "continuation must be (start_id, predicate, related_id) or 'a|b|c'"
+                )
+            key = F.struct(F.col("start_id"), F.col("predicate"), F.col("related.id"))
+            tok = F.struct(*[F.lit(p) for p in parts])
+            res = res.filter(key > tok)
         res = res.orderBy("start_id", "predicate", F.col("related.id")).limit(int(limit))
     return res
 

@@ -334,22 +334,41 @@ class EntityStore:
         return self.execute_transaction({dataset: df}, recorded)
 
     def execute_transaction(self, dataset_entities: dict[str, DataFrame], recorded: int | None = None) -> int:
-        """Atomic multi-dataset write (store.go:1707 ExecuteTransaction):
-        stage every dataset's files, then move them into place; a failure
-        before the final registry write leaves no visible partial state
-        (parquet readers ignore the staging dir)."""
+        """Multi-dataset write (store.go:1707 ExecuteTransaction): stage
+        every dataset's files (all Spark work happens here), then commit
+        with fast per-file atomic renames in one tight loop, and only then
+        update the registry. A failure during staging leaves no visible
+        state; the commit window itself is metadata-only renames — a crash
+        inside it can expose a subset of datasets' new files (the reference
+        holds a store-wide lock for true cross-dataset atomicity; a
+        distributed analogue would use a table format's commit protocol).
+
+        Rows with NULL recorded/seq/deleted (e.g. from
+        ``unionByName(allowMissingColumns=True)``) are coalesced to the
+        transaction tick / a fresh seq / False — a null version key would
+        make the row invisible to changes(since) and watermark aggregates."""
         rec = recorded if recorded is not None else self.next_recorded()
         staged: list[tuple[str, str]] = []
         stage_root = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         try:
             for ds_name, df in dataset_entities.items():
-                self.create_dataset(ds_name)
                 out = df
-                if "recorded" not in df.columns:
+                if "recorded" in out.columns:
+                    out = out.withColumn(
+                        "recorded",
+                        F.coalesce(F.col("recorded").cast("long"), F.lit(rec).cast("long")),
+                    )
+                else:
                     out = out.withColumn("recorded", F.lit(rec).cast("long"))
-                if "seq" not in out.columns:
+                if "seq" in out.columns:
+                    out = out.withColumn(
+                        "seq", F.coalesce(F.col("seq").cast("long"), F.monotonically_increasing_id())
+                    )
+                else:
                     out = out.withColumn("seq", F.monotonically_increasing_id())
-                if "deleted" not in out.columns:
+                if "deleted" in out.columns:
+                    out = out.withColumn("deleted", F.coalesce(F.col("deleted"), F.lit(False)))
+                else:
                     out = out.withColumn("deleted", F.lit(False))
                 out = out.withColumn("dataset", F.lit(ds_name)).select(*ENTITY_COLUMNS)
                 stage = os.path.join(stage_root, ds_name)
@@ -361,6 +380,8 @@ class EntityStore:
                 for fn in os.listdir(stage):
                     if fn.endswith(".parquet"):
                         os.replace(os.path.join(stage, fn), os.path.join(dest, f"{rec}-{fn}"))
+            for ds_name in dataset_entities:
+                self.create_dataset(ds_name)
         finally:
             shutil.rmtree(stage_root, ignore_errors=True)
         self._emit(list(dataset_entities), rec)

@@ -92,6 +92,46 @@ def test_fullsync_tombstones(spark, store):
     assert got == [("p:alice", True)]
 
 
+def test_fullsync_tombstone_gets_fresh_version_tick(spark, store, tmp_path):
+    """ADVICE r1: tombstones copying the old (recorded, seq) tie exactly
+    with the live row, so latest() resolved deletion by row order. The
+    tombstone must be stamped with the NEW transaction tick."""
+    src = latest(store.log(["people"]), include_deleted=True)
+    store.store_entities("t2", src.drop("dataset"))
+    alive_before = {r["id"] for r in store.entities("t2").collect()}
+    before = int(store.log(["t2"]).agg(F.max("recorded")).collect()[0][0])
+    assert alive_before == {"p:bob"}
+    fs = J.FullSyncSession(store, "t2")
+    fs.append(spark.createDataFrame(
+        [("p:carol", False, {"p:name": "Carol"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    fs.complete()
+    # bob (alive before, absent from the snapshot) got a tombstone stamped
+    # STRICTLY AFTER the pre-fullsync watermark — no version-key tie
+    new_tombs = store.log(["t2"]).filter(F.col("deleted") & (F.col("recorded") > before))
+    assert {r["id"] for r in new_tombs.collect()} == {"p:bob"}
+    # deletion resolves deterministically
+    assert {r["id"] for r in store.entities("t2").collect()} == {"p:carol"}
+    # and the tombstone is visible as an incremental change after `before`
+    inc = {r["id"] for r in store.changes("t2", since=before).collect()}
+    assert "p:bob" in inc
+
+
+def test_fullsync_added_entities_have_non_null_recorded(spark, store):
+    """ADVICE r1: unionByName(allowMissingColumns=True) added recorded/seq
+    as NULL and execute_transaction persisted them — fullsync-added
+    entities were invisible to changes(since>0) and watermarks."""
+    before = int(store.log(["people"]).agg(F.max("recorded")).collect()[0][0] or 0)
+    fs = J.FullSyncSession(store, "fsnew")
+    fs.append(spark.createDataFrame(
+        [("p:new", False, {"p:name": "New"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    fs.complete()
+    rows = store.log(["fsnew"]).collect()
+    assert rows and all(r["recorded"] is not None and r["seq"] is not None for r in rows)
+    assert {r["id"] for r in store.changes("fsnew", since=before).collect()} == {"p:new"}
+
+
 def test_virtual_dataset_source(spark):
     def build(spark_, params, since, limit):
         n = params["n"] if limit is None else min(params["n"], limit)

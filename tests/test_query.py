@@ -129,3 +129,28 @@ def test_related_limit_and_continuation(spark):
     p3 = Q.related(log, ["p:hub"], "p:n", limit=3,
                    continuation=f"p:hub|p:n|t:5").collect()
     assert [r["related"]["id"] for r in p3] == ["t:6"]
+
+
+def test_related_continuation_with_prefix_ids(spark):
+    """ADVICE r1 repro: ids where one is a string-prefix of another
+    (p:1 vs p:10) broke the concat-string keyset — page 2 re-emitted
+    page-1 rows. The struct keyset must page each row exactly once."""
+    from datahub_spark.model import ENTITY_SCHEMA
+    from tests.entity_fixtures import row
+
+    targets = [f"t:{i}" for i in range(1, 13)]  # t:1..t:12 — t:1 prefixes t:10..12
+    log = spark.createDataFrame(
+        [row("p:1", 1, 0, False, {}, {"p:n": targets}),
+         row("p:10", 1, 1, False, {}, {"p:n": ["t:1", "t:2"]})],
+        ENTITY_SCHEMA)
+    seen, cont = [], None
+    while True:
+        page = Q.related(log, ["p:1", "p:10"], "p:n", limit=3, continuation=cont).collect()
+        if not page:
+            break
+        seen.extend((r["start_id"], r["related"]["id"]) for r in page)
+        last = page[-1]
+        cont = (last["start_id"], last["predicate"], last["related"]["id"])
+    assert len(seen) == 14 and len(set(seen)) == 14  # no dup, no drop
+    # ordering is tuple-wise: all of p:1's rows precede p:10's
+    assert seen[:12] == [("p:1", t) for t in sorted(targets)]
