@@ -11,6 +11,7 @@ batching, partitioning, UDF signatures) is real and tested; swap
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,7 +84,10 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "mime": [m["mime"] for m in pdf["meta"]],
                 "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
-                "checksum": [sum(p) % 1_000_000_007 for p in pdf["payload"]],
+                # md5-based digest (first 60 bits): the one payload hash
+                # both Spark and DuckDB can reproduce bit-identically
+                "checksum": [int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+                             for p in pdf["payload"]],
                 "feature": [_fake_decode(p) for p in pdf["payload"]],
             })
             yield out
