@@ -289,6 +289,71 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_near_dup_lsh(df: DataFrame, threshold_fp: int,
+                           bands: int = 4, rows_per_band: int = 3,
+                           dim: int = 64, seed: int = 42,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH blocking — the
+    100 TB path. Each vector lands in ``bands`` buckets (one signature of
+    ``rows_per_band`` hyperplane sign bits per band); candidate pairs are
+    an EQUI-join on (band, key) — never a cross-join — then verified with
+    the exact fixed-point dot (>= ``threshold_fp``, cosine*1e14 scale for
+    L2-normalized vectors). Missed pairs are those colliding in no band
+    (probability (1-p^r)^b, vanishing for high-similarity pairs).
+
+    Vectors ride through the join (no bucket-collected vector lists — row
+    width stays bounded); duplicate pair emissions across bands collapse
+    in the final distinct. At scale, materialize the banded frame once
+    (it is scanned for both join sides) as the persisted LSH index."""
+    from datahub_spark.operators import similarity as SIM
+
+    planes = SIM.planes_fixed(dim, bands * rows_per_band, seed)
+    band_structs = []
+    for b in range(bands):
+        sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            SIM.hyperplane_bucket(F.col(vec_col), sub).alias("key"),
+        ))
+    banded = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            SIM.dot_fixed(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("dot_fp"),
+        )
+        .filter(F.col("dot_fp") >= threshold_fp)
+        .distinct()
+    )
+
+
+def embedding_near_dup_lsh_oracle(threshold_fp: int, bands: int = 4, rows_per_band: int = 3,
+                                  dim: int = 64, seed: int = 42) -> str:
+    """DuckDB SQL computing exactly embedding_near_dup_lsh() over the
+    ``embeddings`` table (same seeded plane literals)."""
+    from datahub_spark.operators import similarity as SIM
+
+    planes = SIM.planes_fixed(dim, bands * rows_per_band, seed)
+    selects = []
+    for b in range(bands):
+        sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
+        key = SIM._bucket_sql("embedding", sub)
+        selects.append(f"SELECT vec_id, embedding, {b} AS band, {key} AS key FROM embeddings")
+    banded = " UNION ALL ".join(selects)
+    dot = SIM.DOT_FIXED_SQL.format(a="l.embedding", b="r.embedding")
+    return f"""
+    WITH b AS ({banded})
+    SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, {dot} AS dot_fp
+    FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+    WHERE {dot} >= {threshold_fp}
+    """
+
+
 def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
                        block_col: str | None = "label",
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1,14 +1,22 @@
 """Similarity search over embedding columns.
 
-Two paths, as a 100 TB design requires:
+Three paths, as a 100 TB design requires:
   * brute-force top-k — exact; the *query* side must be small (it is
     broadcast), corpus side streams. Baseline + recall oracle.
   * LSH-bucketed top-k — random-hyperplane signatures bucket the corpus;
     each query probes only its bucket(s). Approximate, scales to
     arbitrary corpus size since the join is an equi-join on bucket key.
+  * IVF top-k — k-means coarse quantizer; each query probes only its
+    n_probe nearest clusters. The cluster assignment is the persisted
+    inverted-file index at scale.
 
-Hyperplanes are generated from a seeded RNG on the driver and folded in
-as literal arrays (no data-dependent randomness, resumable/deterministic).
+Everything is EXACT fixed-point integer arithmetic (scale 1e7): float
+sums are order-sensitive, so a float formulation can flip a hyperplane
+sign or a rank between engines/shuffle schedules. With int64 math the
+Spark plan and the DuckDB oracle produce bit-identical buckets, cluster
+assignments, and scores — both ANN variants are value-hash verifiable,
+not just rows-only. Hyperplanes are generated from a seeded RNG on the
+driver and folded into BOTH plans as the same integer literals.
 """
 
 from __future__ import annotations
@@ -17,10 +25,19 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datahub_spark.operators.dedup import cosine
-
 
 FIXED_POINT_SCALE = 10_000_000  # 1e7: elements to ~1e-7, dots to ~1e-14
+
+
+def _fx(v: Column) -> Column:
+    """float element -> fixed-point long (round half away from zero,
+    identical to DuckDB round())."""
+    return F.round(v.cast("double") * FIXED_POINT_SCALE).cast("long")
+
+
+def fixed_vec(vec: Column) -> Column:
+    """array<float> -> array<long> fixed-point vector."""
+    return F.transform(vec, _fx)
 
 
 def dot_fixed(a: Column, b: Column) -> Column:
@@ -31,24 +48,37 @@ def dot_fixed(a: Column, b: Column) -> Column:
     64 dims -> |dot| <= 64 * (4e7)^2 ≈ 1e17 < int64 max. The test
     embeddings are L2-normalized, so this doubles as exact cosine
     (value = cosine * 1e14)."""
-    fx = lambda v: F.round(v.cast("double") * FIXED_POINT_SCALE).cast("long")
-    prod = F.zip_with(a, b, lambda x, y: fx(x) * fx(y))
+    prod = F.zip_with(a, b, lambda x, y: _fx(x) * _fx(y))
     return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-# DuckDB rendering of the same computation (kept adjacent so the two
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact dot of two already-fixed array<long> vectors."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def normsq_long(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+
+
+# DuckDB renderings of the same computations (kept adjacent so the two
 # implementations evolve together):
 DOT_FIXED_SQL = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}), "
     "p -> CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT)"
     " * CAST(round(CAST(p[2] AS DOUBLE) * 10000000) AS BIGINT))) AS BIGINT)"
 )
+FX_SQL = "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+DOT_LONG_SQL = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
+NORMSQ_LONG_SQL = "CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
 
 
 def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k neighbors per query (excluding self). The query set is
-    broadcast; ranking ties break on neighbor id for determinism."""
+    """Exact top-k neighbors per query (excluding self), ranked by exact
+    fixed-point dot product (for L2-normalized vectors: cosine * 1e14).
+    The query set is broadcast; ties break on neighbor id."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
@@ -57,125 +87,58 @@ def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+            dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id",
-                F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", "dot_fp")
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+def planes_fixed(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Seeded random hyperplanes as fixed-point integer literals. Rounded
+    ONCE on the driver, then embedded verbatim into both the Spark plan
+    and the oracle SQL — no cross-engine rounding involved."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    pl = rng.standard_normal((n_planes, dim))
+    return [[int(round(x * FIXED_POINT_SCALE)) for x in row] for row in pl]
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for a vector against literal hyperplanes —
-    evaluated fully in codegen (zip_with + aggregate per plane)."""
+def hyperplane_bucket(vec: Column, planes_fp: list[list[int]]) -> Column:
+    """Sign-bit bucket id for a vector against fixed-point hyperplane
+    literals — exact int64 math, evaluated fully in codegen."""
     bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+    for i, plane in enumerate(planes_fp):
+        lit_plane = F.array(*[F.lit(int(p)).cast("long") for p in plane])
         dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
+            F.zip_with(vec, lit_plane, lambda x, y: _fx(x) * y),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
-def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,
-            n_probe: int = 4, lloyd_rounds: int = 2,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) ANN: k-means-style coarse quantizer, then probe
-    only the query's n_probe nearest clusters.
-
-    Deterministic throughout: initial centroids are the first n_clusters
-    corpus vectors by id; Lloyd refinement is a fixed number of rounds of
-    (broadcast centroids -> argmax-cosine assign -> per-cluster mean).
-    All vector math is JVM-side (zip_with/aggregate). The cluster
-    assignment is materialized once (the inverted file — at scale this is
-    the index you persist, bucketed by cluster); probing is an equi-join
-    on cluster id, never a cross-join against the full corpus."""
-    from pyspark.sql import Window
-
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                           F.lit(0.0), lambda acc, v: acc + v)
-
-    def norm(a):
-        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-
-    # deterministic init: lowest-id vectors seed the centroids
-    centroids = (
-        c.orderBy("cid").limit(n_clusters)
-        .select(F.monotonically_increasing_id().alias("cl"), F.col("cv").alias("centroid"))
-    )
-    w_assign = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("cl"))
-    for _ in range(lloyd_rounds):
-        assigned = (
-            c.crossJoin(F.broadcast(centroids))
-            .withColumn("_sim", dot(F.col("cv"), F.col("centroid")) / norm(F.col("centroid")))
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .filter(F.col("_rn") == 1)
-            .select("cid", "cv", "cl")
-        )
-        centroids = (
-            assigned.groupBy("cl")
-            .agg(F.array_agg(F.col("cv")).alias("_vs"))
-            .select(
-                "cl",
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.col("_vs")[0]) - 1),
-                    lambda i: F.aggregate(F.col("_vs"), F.lit(0.0),
-                                          lambda acc, v: acc + v[i].cast("double"))
-                    / F.size(F.col("_vs")),
-                ).alias("centroid"),
-            )
-        )
-    inverted = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", dot(F.col("cv"), F.col("centroid")) / norm(F.col("centroid")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("cid").alias("neighbor_id"), F.col("cv").alias("_cv"), "cl")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cl"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", dot(F.col("_qv"), F.col("centroid")) / norm(F.col("centroid")))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "_qv", "cl")
-    )
-    scored = (
-        probes.join(inverted, "cl")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id",
-                F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"))
-    )
+def _bucket_sql(vec_expr: str, planes_fp: list[list[int]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes_fp):
+        lits = "[" + ", ".join(str(p) for p in plane) + "]"
+        dot = (f"list_sum(list_transform(list_zip({vec_expr}, {lits}), "
+               f"p -> CAST(round(CAST(p[1] AS DOUBLE) * 10000000) AS BIGINT) * p[2]))")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def ann_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6,
             dim: int = 64, seed: int = 42,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: probe only the query's hyperplane bucket.
-    Equi-join on bucket id replaces the cross-join — the scale path."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    Equi-join on bucket id replaces the cross-join — the scale path.
+    Buckets and scores are exact fixed-point ints (oracle-verifiable)."""
+    planes = planes_fixed(dim, n_planes, seed)
     qb = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -187,12 +150,183 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
+        .select("query_id", "neighbor_id", dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id",
-                F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", "dot_fp")
     )
+
+
+def ann_lsh_oracle(k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42,
+                   query_pred: str = "vec_id < 10") -> str:
+    """DuckDB SQL computing exactly ann_lsh() (same plane literals)."""
+    planes = planes_fixed(dim, n_planes, seed)
+    bucket = _bucket_sql("embedding", planes)
+    dot = DOT_FIXED_SQL.format(a="q.qv", b="c.embedding")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE {query_pred}),
+    s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {dot} AS dot_fp
+      FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot_fp,
+             row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id) AS rnk
+      FROM s)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot_fp
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+def _int_mean_exprs(dim: int) -> list[str]:
+    """Per-dimension exact integer mean, rounded half away from zero.
+    Both engines truncate integer division toward zero ((-7) div 2 = -3
+    in Spark, (-7) // 2 = -3 in DuckDB), so the sign is factored out and
+    the division runs on non-negative operands only — portable."""
+    return [
+        f"(CASE WHEN s{i} < 0 THEN -1 ELSE 1 END) * ((2 * abs(s{i}) + n) div (2 * n))"
+        for i in range(dim)
+    ]
+
+
+def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,
+            n_probe: int = 4, lloyd_rounds: int = 2, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-style coarse quantizer, then probe
+    only the query's n_probe nearest clusters.
+
+    Deterministic and exact throughout: vectors are fixed-point int64;
+    initial centroids are the first n_clusters corpus vectors by id;
+    Lloyd refinement is a fixed number of rounds of (broadcast centroids
+    -> best-cluster assign -> per-DIMENSION integer-mean recompute).
+
+    Scale shape per Lloyd round:
+      * assignment: broadcast join against n_clusters rows, then ONE
+        hash aggregate (max_by) keyed on the vector id — map-side
+        partials collapse to one row per vector before the shuffle, and
+        no window sort is involved.
+      * centroid update: groupBy(cluster) with dim scalar F.sum columns
+        — bounded row width (dim longs), hash-aggregable, map-side
+        partials. Never collects whole clusters into single rows.
+    The final assignment is the inverted file (at scale: persist it,
+    bucketed by cluster); probing is an equi-join on cluster id, never a
+    cross-join against the corpus. Cluster argmax compares
+    double(dot_int)/sqrt(double(normsq_int)) — one IEEE division and
+    sqrt of exact ints, bit-identical across engines."""
+    c = corpus.select(F.col(id_col).alias("cid"), fixed_vec(F.col(vec_col)).alias("cv"))
+
+    w_init = Window.orderBy("cid")
+    centroids = (
+        c.orderBy("cid").limit(n_clusters)
+        .withColumn("cl", (F.row_number().over(w_init) - 1).cast("long"))
+        .select("cl", F.col("cv").alias("m"))
+    )
+
+    def score(v: Column, m: Column) -> Column:
+        return dot_long(v, m).cast("double") / F.sqrt(normsq_long(m).cast("double"))
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
+            "_s", score(F.col("cv"), F.col("m"))
+        )
+        best = F.max_by(F.struct("cv", "cl"), F.struct(F.col("_s"), -F.col("cl")))
+        return scored.groupBy("cid").agg(best.alias("_r")).select(
+            "cid", F.col("_r.cv").alias("cv"), F.col("_r.cl").alias("cl")
+        )
+
+    for _ in range(lloyd_rounds):
+        assigned = assign(c, centroids)
+        sums = assigned.groupBy("cl").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("cv")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        centroids = sums.selectExpr("cl", f"array({', '.join(_int_mean_exprs(dim))}) AS m")
+
+    inverted = assign(c, centroids).select(
+        F.col("cid").alias("neighbor_id"), F.col("cv").alias("_cv"), "cl"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), fixed_vec(F.col(vec_col)).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("cl"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_s", score(F.col("qv"), F.col("m")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cl")
+    )
+    scored = (
+        probes.join(inverted, "cl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot_long(F.col("qv"), F.col("_cv")).alias("dot_fp"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_fp")
+    )
+
+
+def ann_ivf_oracle(k: int = 5, n_clusters: int = 16, n_probe: int = 4,
+                   lloyd_rounds: int = 2, dim: int = 64,
+                   query_pred: str = "cid < 10") -> str:
+    """DuckDB SQL computing exactly ann_ivf(): same fixed-point vectors,
+    init, assignment tie-breaks, and integer-mean centroid updates, with
+    the Lloyd rounds unrolled as chained CTEs."""
+    fxl = FX_SQL.format(v="embedding")
+    dot = lambda a, b: DOT_LONG_SQL.format(a=a, b=b)
+    score = lambda a, b: (
+        f"CAST({dot(a, b)} AS DOUBLE) / sqrt(CAST({NORMSQ_LONG_SQL.format(a=b)} AS DOUBLE))"
+    )
+
+    def assign_cte(name: str, cent: str, rn_pred: str, keep: str) -> str:
+        return (
+            f"{name} AS (SELECT {keep} FROM ("
+            f"SELECT f.cid, f.cv, c.cl, row_number() OVER (PARTITION BY f.cid "
+            f"ORDER BY {score('f.cv', 'c.m')} DESC, c.cl) AS rn "
+            f"FROM fx f, {cent} c) WHERE {rn_pred})"
+        )
+
+    parts = [
+        f"fx AS (SELECT vec_id AS cid, {fxl} AS cv FROM embeddings)",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cl, "
+        f"cv AS m FROM (SELECT cid, cv FROM fx ORDER BY cid LIMIT {n_clusters}))",
+    ]
+    cur = "cent0"
+    mean = "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((2 * abs(s) + n) // (2 * n)) AS BIGINT)"
+    for r in range(lloyd_rounds):
+        parts.append(assign_cte(f"asg{r}", cur, "rn = 1", "cid, cv, cl"))
+        parts.append(
+            f"upd{r} AS (SELECT cl, dim, SUM(v) AS s, COUNT(*) AS n FROM ("
+            f"SELECT cl, unnest(cv) AS v, unnest(range(1, {dim + 1})) AS dim FROM asg{r}"
+            f") GROUP BY cl, dim)"
+        )
+        parts.append(
+            f"cent{r + 1} AS (SELECT cl, list({mean} ORDER BY dim) AS m "
+            f"FROM upd{r} GROUP BY cl)"
+        )
+        cur = f"cent{r + 1}"
+    parts.append(assign_cte("inv", cur, "rn = 1", "cid, cv, cl"))
+    parts.append(f"q AS (SELECT cid AS query_id, cv AS qv FROM fx WHERE {query_pred})")
+    parts.append(
+        f"pr AS (SELECT query_id, qv, cl FROM ("
+        f"SELECT q.query_id, q.qv, c.cl, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {score('q.qv', 'c.m')} DESC, c.cl) AS rn FROM q, {cur} c) "
+        f"WHERE rn <= {n_probe})"
+    )
+    parts.append(
+        f"sc AS (SELECT pr.query_id, i.cid AS neighbor_id, {dot('pr.qv', 'i.cv')} AS dot_fp "
+        f"FROM pr JOIN inv i USING (cl) WHERE i.cid <> pr.query_id)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot_fp
+    FROM (SELECT query_id, neighbor_id, dot_fp,
+                 row_number() OVER (PARTITION BY query_id ORDER BY dot_fp DESC, neighbor_id) AS rnk
+          FROM sc)
+    WHERE rnk <= {k}
+    """

@@ -898,27 +898,16 @@ _DOT_04 = 40_000_000_000_000
 
 @register(
     "dedup_embedding",
-    f"""
-    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           {SIM.DOT_FIXED_SQL.format(a='l.embedding', b='r.embedding')} AS dot_fp
-    FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
-    WHERE {SIM.DOT_FIXED_SQL.format(a='l.embedding', b='r.embedding')} >= {_DOT_04}
-    """,
+    DD.embedding_near_dup_lsh_oracle(_DOT_04, bands=4, rows_per_band=3, dim=64),
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding near-dup pairs: exact fixed-point dot product >= 0.4*1e14
-    (the vectors are L2-normalized, so dot == cosine). Exact-variant
-    self-join; ann_lsh is the bucketed scale path."""
+    """Embedding near-dup pairs via banded-LSH blocking + exact
+    fixed-point dot >= 0.4*1e14 (L2-normalized vectors: dot == cosine).
+    The candidate join is an equi-join on (band, bucket) — the plan
+    carries no CartesianProduct (pinned in test_plans.py); the exact
+    all-pairs variant survives only as a small-sf recall unit test."""
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
-    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    return (
-        l.crossJoin(r)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot_fp", SIM.dot_fixed(F.col("_va"), F.col("_vb")))
-        .filter(F.col("dot_fp") >= _DOT_04)
-        .select("id_a", "id_b", "dot_fp")
-    )
+    return DD.embedding_near_dup_lsh(emb, _DOT_04, bands=4, rows_per_band=3, dim=64)
 
 
 @register(
@@ -960,9 +949,11 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
-@register("ann_lsh")  # approximate + driver-seeded hyperplanes: rows-only
+@register("ann_lsh", SIM.ann_lsh_oracle(k=5, n_planes=6, dim=64, query_pred="vec_id < 10"))
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (random-hyperplane buckets; equi-join probe)."""
+    """LSH-bucketed ANN (random-hyperplane buckets; equi-join probe).
+    Buckets and scores are exact fixed-point ints; the oracle embeds the
+    same seeded hyperplane literals, so results hash-match exactly."""
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < 10)
     return SIM.ann_lsh(q, emb, k=5, n_planes=6, dim=64)
@@ -1124,13 +1115,16 @@ def q_dedup_clusters(spark, sf_dir):
     return DD.connected_components(pairs)
 
 
-@register("ann_ivf")  # approximate (probes n nearest clusters): rows-only
+@register("ann_ivf", SIM.ann_ivf_oracle(k=5, n_clusters=16, n_probe=4,
+                                        lloyd_rounds=2, dim=64, query_pred="cid < 10"))
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN: deterministic k-means coarse quantizer; probing
-    is an equi-join on cluster id — the persisted-index scale path."""
+    """IVF-bucketed ANN: deterministic fixed-point k-means coarse
+    quantizer; probing is an equi-join on cluster id — the
+    persisted-index scale path. Exact integer assignment/means make the
+    whole index construction oracle-verifiable bit-for-bit."""
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < 10)
-    return SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4)
+    return SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4, lloyd_rounds=2, dim=64)
 
 
 @register(

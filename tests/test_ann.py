@@ -22,9 +22,10 @@ def test_bruteforce_matches_numpy(spark):
     df, v = _emb(spark)
     qs = df.filter("vec_id < 3")
     got = SIM.ann_bruteforce(qs, df, k=4).collect()
-    # float32 storage: numpy reference must use the same precision
-    v32 = v.astype(np.float32).astype(np.float64)
-    sims = v32 @ v32.T
+    # mirror the fixed-point pipeline exactly: float32 storage -> double
+    # -> round(x * 1e7) int64 -> exact integer dot products
+    vfx = np.round(v.astype(np.float32).astype(np.float64) * 1e7).astype(np.int64)
+    sims = vfx @ vfx.T
     for q in range(3):
         order = [i for i in np.lexsort((np.arange(len(v)), -sims[q])) if i != q][:4]
         mine = [r["neighbor_id"] for r in got if r["query_id"] == q]
@@ -37,10 +38,10 @@ def test_lsh_results_are_true_neighbors_from_same_bucket(spark):
     approx = SIM.ann_lsh(qs, df, k=4, n_planes=4, dim=8)
     exact = SIM.ann_bruteforce(qs, df, k=40)
     # every approx neighbor must appear in the exact ranking with the
-    # same cosine (LSH only prunes candidates, never alters scores)
-    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    # same score (LSH only prunes candidates, never alters scores)
+    ex = {(r["query_id"], r["neighbor_id"]): r["dot_fp"] for r in exact.collect()}
     for r in approx.collect():
-        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["dot_fp"]
 
 
 def test_dot_fixed_is_exact_and_symmetric(spark):
@@ -68,21 +69,21 @@ def test_dot_fixed_is_exact_and_symmetric(spark):
 def test_ivf_results_are_true_neighbors(spark):
     df, v = _emb(spark)
     qs = df.filter("vec_id < 3")
-    approx = SIM.ann_ivf(qs, df, k=4, n_clusters=4, n_probe=2)
+    approx = SIM.ann_ivf(qs, df, k=4, n_clusters=4, n_probe=2, dim=8)
     exact = SIM.ann_bruteforce(qs, df, k=40)
-    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    ex = {(r["query_id"], r["neighbor_id"]): r["dot_fp"] for r in exact.collect()}
     rows = approx.collect()
     assert len(rows) > 0
     # IVF prunes candidates but never alters scores
     for r in rows:
-        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["dot_fp"]
 
 
 def test_ivf_recall_reasonable_with_full_probe(spark):
     df, v = _emb(spark, n=30)
     qs = df.filter("vec_id < 3")
     # probing ALL clusters must recover the exact top-k
-    approx = SIM.ann_ivf(qs, df, k=3, n_clusters=4, n_probe=4)
+    approx = SIM.ann_ivf(qs, df, k=3, n_clusters=4, n_probe=4, dim=8)
     exact = SIM.ann_bruteforce(qs, df, k=3)
     a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
     e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}

@@ -62,6 +62,45 @@ def test_embedding_near_dup_blocked_join(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_near_dup_lsh_is_subset_of_exact_with_same_scores(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((30, 8))
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    # plant two true near-dup pairs
+    v[1] = v[0] + rng.standard_normal(8) * 0.01
+    v[1] /= np.linalg.norm(v[1])
+    v[11] = v[10] + rng.standard_normal(8) * 0.01
+    v[11] /= np.linalg.norm(v[11])
+    df = spark.createDataFrame(
+        [(i, v[i].astype(float).tolist()) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    thr = 90 * 10**12  # cosine 0.9 at 1e14 scale
+    from pyspark.sql import functions as F
+    from datahub_spark.operators import similarity as SIM
+
+    l = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    r = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    exact = {
+        (x["id_a"], x["id_b"]): x["d"]
+        for x in l.crossJoin(r).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", SIM.dot_fixed(F.col("_va"), F.col("_vb")).alias("d"))
+        .filter(F.col("d") >= thr).collect()
+    }
+    got = {
+        (x["id_a"], x["id_b"]): x["dot_fp"]
+        for x in DD.embedding_near_dup_lsh(df, thr, bands=4, rows_per_band=2, dim=8).collect()
+    }
+    # LSH blocking only prunes: every emitted pair is a true pair with
+    # the exact score, and the planted high-sim pairs are recovered
+    assert set(got) <= set(exact)
+    for p, d in got.items():
+        assert exact[p] == d
+    assert (0, 1) in got and (10, 11) in got
+
+
 def test_connected_components_merges_transitive_chains(spark):
     # chain 1-2-3, pair 10-11, singleton-free by construction
     pairs = spark.createDataFrame(

@@ -63,6 +63,20 @@ def test_ann_topk_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ann_ivf_quantizer_never_collects_vectors(spark):
+    # the Lloyd centroid update must be per-dimension scalar sums
+    # (bounded row width), never whole clusters gathered into one row
+    plan = _plan(spark, "ann_ivf")
+    assert "array_agg" not in plan and "collect_list" not in plan
+    assert "partial_sum" in plan  # map-side combine in the update agg
+
+
+def test_dedup_embedding_is_blocked_not_cartesian(spark):
+    plan = _plan(spark, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("key", ["text_lang_id", "text_quality"])
 def test_text_ops_have_no_python_and_no_sort_agg(spark, key):
     plan = _plan(spark, key)
