@@ -49,6 +49,14 @@ class DatasetSource:
     def read(self, since: int = 0) -> DataFrame:
         return self.store.changes(self.name, since=since, latest_only=self.latest_only)
 
+    def current_watermark(self) -> int:
+        """Max recorded in the source's committed log — a pruned
+        single-partition agg answered from parquet column stats, NOT a
+        re-execution of the job pipeline (Job.run reads this after the
+        sink write so the source plan runs exactly once)."""
+        row = self.store.log([self.name]).agg(F.max("recorded").alias("m")).collect()[0]
+        return int(row["m"] or 0)
+
     def watermark_of(self, df: DataFrame) -> int:
         row = df.agg(F.max("recorded").alias("m")).collect()[0]
         return int(row["m"] or 0)
@@ -66,6 +74,9 @@ class UnionDatasetSource:
             df = s.read(since)
             out = df if out is None else out.unionByName(df)
         return out
+
+    def current_watermark(self) -> int:
+        return max(s.current_watermark() for s in self.sources)
 
 
 @dataclass
@@ -135,13 +146,27 @@ class MultiSource:
         """Per-dependency continuation (pipeline_test.go 'Should store
         dependency watermarks...'): each dataset advances its own
         watermark — essential when datasets use different `recorded`
-        scales (a shared token silently skips or re-reads changes)."""
+        scales (a shared token silently skips or re-reads changes).
+
+        Reprocessed rows (emitted because a DEPENDENCY changed, not the
+        entity itself) carry a NULL version key: the sink's transaction
+        stamps them at commit time, like the reference's StoreEntities
+        stamps store time (dataset.go:216). Re-emitting them under their
+        original (recorded, seq) would tie exactly with the previously
+        sinked version and make latest()'s max_by pick the winner by row
+        order — nondeterministic."""
         main = self.store.changes(self.name, since=tokens.get(self.name, 0),
                                   latest_only=self.latest_only)
         affected = self.affected_ids_with_tokens(tokens)
         main_all = latest(self.store.log([self.name]), include_deleted=True)
-        reprocess = main_all.join(affected, "id")
-        return main.unionByName(reprocess).dropDuplicates(["id", "recorded", "seq"])
+        reprocess = (
+            main_all.join(affected, "id")
+            # already flowing through this run as a direct change: skip
+            .join(main.select("id").distinct(), "id", "left_anti")
+            .withColumn("recorded", F.lit(None).cast("long"))
+            .withColumn("seq", F.lit(None).cast("long"))
+        )
+        return main.unionByName(reprocess)
 
     def current_watermarks(self) -> dict[str, int]:
         """Max recorded per involved dataset (read after a successful
@@ -212,10 +237,12 @@ class DatasetSink:
 
 class DevNullSink:
     """jobs/sink.go devNullSink: executes the plan, discards rows (used
-    with transforms whose effect is ExecuteTransaction)."""
+    with transforms whose effect is ExecuteTransaction). The built-in
+    noop writer materializes every partition JVM-side — no per-row
+    Python eval in the sink stage."""
 
     def write(self, df: DataFrame) -> None:
-        df.foreach(lambda _: None)
+        df.write.format("noop").mode("overwrite").save()
 
 
 class ConsoleSink:
@@ -273,21 +300,45 @@ class Job:
                     df = self.transform(df)
                 if "_error" in df.columns:
                     df = self._route_failing_entities(df)
-                wm = int(df.agg(F.max("recorded")).collect()[0][0] or since) \
-                    if "recorded" in df.columns else since
-                if self.job_type == "fullsync" and isinstance(self.sink, DatasetSink):
-                    # CompleteFullSync contract: the source snapshot replaces
-                    # the dataset's live set; missing entities tombstone
-                    fs = FullSyncSession(self.sink.store, self.sink.name)
-                    fs.append(df)
-                    fs.complete()
-                else:
-                    self.sink.write(df)
-                if self.job_type == "incremental":
-                    state.set_token(self.job_id, max(wm, since))
-                    if isinstance(self.source, MultiSource):
-                        state.set_dep_tokens(self.job_id, self.source.current_watermarks())
-                result = {"id": self.job_id, "attempts": attempts, "token": max(wm, since)}
+                # Run the source+transform plan EXACTLY ONCE: the sink
+                # write is the single execution. The continuation token
+                # comes from the source's committed log afterwards (a
+                # pruned stats-only agg); sources without a backing log
+                # persist the frame so the write populates the cache and
+                # the watermark agg reads it back instead of re-running
+                # the pipeline.
+                store_wm = hasattr(self.source, "current_watermark") and not (
+                    isinstance(self.source, MultiSource)
+                )
+                cached = None
+                if self.job_type == "incremental" and not store_wm \
+                        and "recorded" in df.columns:
+                    cached = df.persist()
+                    df = cached
+                try:
+                    if self.job_type == "fullsync" and isinstance(self.sink, DatasetSink):
+                        # CompleteFullSync contract: the source snapshot
+                        # replaces the dataset's live set; missing
+                        # entities tombstone
+                        fs = FullSyncSession(self.sink.store, self.sink.name)
+                        fs.append(df)
+                        fs.complete()
+                    else:
+                        self.sink.write(df)
+                    wm = since
+                    if self.job_type == "incremental":
+                        if store_wm:
+                            wm = max(self.source.current_watermark(), since)
+                        elif cached is not None:
+                            row = cached.agg(F.max("recorded")).collect()[0]
+                            wm = max(int(row[0] or since), since)
+                        state.set_token(self.job_id, wm)
+                        if isinstance(self.source, MultiSource):
+                            state.set_dep_tokens(self.job_id, self.source.current_watermarks())
+                finally:
+                    if cached is not None:
+                        cached.unpersist()
+                result = {"id": self.job_id, "attempts": attempts, "token": wm}
                 state.record_run(self.job_id, result)
                 return result
             except Exception:

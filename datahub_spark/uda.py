@@ -36,23 +36,22 @@ _WIRE_SCHEMA = T.StructType(
 
 def to_uda_json(df: DataFrame) -> DataFrame:
     """Entity rows -> one UDA JSON object string per row (column ``json``).
-    Refs with a single target serialize as a scalar, like the reference."""
+
+    Refs are typed ``map<string,array<string>>`` in the struct handed to
+    ``to_json``, so the wire carries REAL JSON arrays —
+    ``"refs":{"p:n":["a","b"]}`` — the list form the reference's UDA
+    parser reads (streamparser.go; DOCUMENTATION.md @context examples).
+    An earlier revision stringified each value (``"refs":{"p:n":
+    "[\\"a\\"]"}``), which only this repo's own parser could read."""
     empty = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<array<string>>")
-    )
-    refs_wire = F.map_zip_with(
-        F.coalesce(F.col("refs"), empty),
-        F.coalesce(F.col("refs"), empty),
-        # always emit the list form (valid UDA; the parser also accepts the
-        # scalar form from external producers)
-        lambda k, v, _: F.to_json(v),
     )
     obj = F.struct(
         F.col("id"),
         F.col("recorded"),
         F.col("deleted"),
         F.col("props"),
-        refs_wire.alias("refs"),
+        F.coalesce(F.col("refs"), empty).alias("refs"),
     )
     return df.select(F.to_json(obj).alias("json"))
 
