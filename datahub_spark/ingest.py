@@ -238,8 +238,17 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> _LazyFrames:
     )
     # events -> versioned "user" dataset. (user_id, ts) is unique in the
     # generated data, so (recorded, seq) is a total version order per id.
-    datasets["user"] = lambda: _entity(
-        t["events"], "user", curie("user", "user_id"),
+    datasets["user"] = lambda: _user_entity(t["events"])
+    _ENTITY_CACHE[key] = _LazyFrames(datasets)
+    return _ENTITY_CACHE[key]
+
+
+def _user_entity(events: DataFrame) -> DataFrame:
+    """events rows -> `user` entity change-log (shared by tpch_entities
+    and the pushdown-aware user_log)."""
+    return _entity(
+        events, "user",
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")),
         {
             "p:event_type": F.col("event_type"),
             "p:value": _dec("value"),
@@ -253,8 +262,37 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> _LazyFrames:
         seq=F.col("event_id"),
         deleted=F.col("event_type") == "error",
     )
-    _ENTITY_CACHE[key] = _LazyFrames(datasets)
-    return _ENTITY_CACHE[key]
+
+
+# memoized (appid, sf_dir, since, until) -> user entity frame with the
+# range predicate applied to the PHYSICAL ts column
+_USER_LOG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def user_log(spark: SparkSession, sf_dir: str,
+             since_us: int | None = None, until_us: int | None = None) -> DataFrame:
+    """The `user` entity change-log with a recorded-range restriction
+    REWRITTEN onto the physical ``ts`` column so it pushes to the parquet
+    scan as a row-group-stats predicate.
+
+    `recorded` is derived (``ts div 1000``: micros, the engine-portable
+    resolution — DuckDB truncates ns->us at scan), so a filter on
+    `recorded` can only ever be a post-scan data filter. The monotone
+    mapping makes the range conditions exactly rewritable on raw nanos:
+      recorded >  S  <=>  ts >  S*1000 + 999
+      recorded <= U  <=>  ts <= U*1000 + 999
+    (integer ts may carry sub-microsecond bits; the +999 absorbs them).
+    At 100 TB of time-partitioned event history, this is the difference
+    between scanning everything and skipping whole row groups/files."""
+    key = (spark.sparkContext.applicationId, sf_dir, since_us, until_us)
+    if key not in _USER_LOG_CACHE:
+        t = load_tables(spark, sf_dir)["events"]
+        if since_us is not None:
+            t = t.filter(F.col("ts") > int(since_us) * 1000 + 999)
+        if until_us is not None:
+            t = t.filter(F.col("ts") <= int(until_us) * 1000 + 999)
+        _USER_LOG_CACHE[key] = _user_entity(t)
+    return _USER_LOG_CACHE[key]
 
 
 def all_entities(spark: SparkSession, sf_dir: str, datasets: list[str] | None = None) -> DataFrame:

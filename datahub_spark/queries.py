@@ -88,9 +88,11 @@ def q_entities_latest(spark, sf_dir):
     """,
 )
 def q_changes_since(spark, sf_dir):
-    """/changes since continuation token (dataset.go:1005): pushed-down
-    range filter on recorded."""
-    user = _ds(spark, sf_dir)["user"]
+    """/changes since continuation token (dataset.go:1005). The token
+    range is rewritten onto the physical ts column (ingest.user_log) so
+    it lands as a PUSHED parquet predicate (row-group skipping), not a
+    post-scan filter on the derived `recorded` — pinned in test_plans."""
+    user = ingest.user_log(spark, sf_dir, since_us=T_MID)
     return S.changes(user, since=T_MID).select(
         "id", "recorded", "seq", "deleted",
         F.col("props")["p:event_type"].alias("event_type"),
@@ -114,8 +116,8 @@ def q_changes_since(spark, sf_dir):
 def q_changes_latest_only(spark, sf_dir):
     """/changes with latestOnly (dataset.go:1100): only the newest change
     per entity among the filtered set (tombstones included — they are
-    changes)."""
-    user = _ds(spark, sf_dir)["user"]
+    changes). Token range pushed via the physical ts column."""
+    user = ingest.user_log(spark, sf_dir, since_us=T_MID)
     return S.changes(user, since=T_MID, latest_only=True).select(
         "id", "recorded", "deleted",
         F.col("props")["p:event_type"].alias("event_type"),
@@ -296,8 +298,9 @@ def q_traverse_two_hop(spark, sf_dir):
     """,
 )
 def q_point_in_time(spark, sf_dir):
-    """Entity state at a moment (store.go:695): time-travel on the log."""
-    user = _ds(spark, sf_dir)["user"]
+    """Entity state at a moment (store.go:695): time-travel on the log.
+    The as-of bound pushes to the scan via the physical ts column."""
+    user = ingest.user_log(spark, sf_dir, until_us=T_MID)
     return S.point_in_time(user, T_MID).select(
         "id",
         F.col("props")["p:event_type"].alias("event_type"),

@@ -47,9 +47,10 @@ def test_ngram_jaccard_single_shingle_pipeline(spark):
 
 def test_changes_since_filter_reaches_scan(spark):
     plan = _plan(spark, "changes_since")
-    # the recorded>token range filter must at least be a data filter at
-    # the scan (events maps recorded from ts, so it lands as DataFilters)
-    assert "DataFilters: [isnotnull(ts" in plan or "PushedFilters: [IsNotNull(ts" in plan
+    # recorded IS the raw ts column (int64 nanos), so the recorded>token
+    # range predicate must be PUSHED to the parquet scan (row-group
+    # stats skip), not merely evaluated post-scan
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan, plan[:2000]
 
 
 def test_entities_latest_uses_max_by_not_window_sort(spark):

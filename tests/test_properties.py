@@ -80,6 +80,20 @@ def test_compaction_is_idempotent(spark, log):
     assert a == b
 
 
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=2**62), st.integers(min_value=0, max_value=2**52))
+def test_user_log_pushdown_rewrite_is_exact(ts, bound_us):
+    """ingest.user_log rewrites recorded-range predicates onto the raw
+    nanos ts column so they push to the parquet scan. The rewrite must be
+    EXACT for every int64 ts, including sub-microsecond components:
+      recorded >  S  <=>  ts >  S*1000 + 999
+      recorded <= U  <=>  ts <= U*1000 + 999
+    where recorded = ts div 1000 (truncating division, ts >= 0)."""
+    recorded = ts // 1000
+    assert (recorded > bound_us) == (ts > bound_us * 1000 + 999)
+    assert (recorded <= bound_us) == (ts <= bound_us * 1000 + 999)
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(log_strategy, st.integers(min_value=0, max_value=6))
 def test_retention_gc_never_changes_latest(spark, log, horizon):
