@@ -1,0 +1,105 @@
+"""Wall-clock cron triggering for the jobs scheduler.
+
+Reference parity: internal/jobs/scheduler.go (775 lines) parses cron
+specs and fires registered jobs. Semantics follow standard 5-field cron
+(minute hour day-of-month month day-of-week) with the classic rule that
+when BOTH day-of-month and day-of-week are restricted, a time matches if
+EITHER matches (vixie-cron / robfig-cron behavior the reference uses).
+
+Fields support: ``*``, ``*/step``, ``a``, ``a-b``, ``a-b/step``, and
+comma lists of any of those. Day-of-week 0 and 7 both mean Sunday.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+_BOUNDS = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]
+_NAMES = ["minute", "hour", "day-of-month", "month", "day-of-week"]
+
+
+def _parse_field(text: str, lo: int, hi: int, name: str) -> tuple[set[int], bool]:
+    """-> (allowed values, is_wildcard). dow 7 normalizes to 0 (Sunday)."""
+    allowed: set[int] = set()
+    wildcard = text == "*"
+    for part in text.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step <= 0:
+                raise ValueError(f"cron {name}: step must be positive")
+        if part == "*":
+            start, end = lo, hi
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            start, end = int(a), int(b)
+        else:
+            start = end = int(part)
+        if not (lo <= start <= hi and lo <= end <= hi and start <= end):
+            raise ValueError(f"cron {name}: '{part}' outside {lo}-{hi}")
+        allowed.update(range(start, end + 1, step))
+    if name == "day-of-week" and 7 in allowed:
+        allowed.discard(7)
+        allowed.add(0)
+    return allowed, wildcard
+
+
+@dataclass(frozen=True)
+class CronSpec:
+    minutes: frozenset
+    hours: frozenset
+    doms: frozenset
+    months: frozenset
+    dows: frozenset
+    dom_any: bool
+    dow_any: bool
+    spec: str
+
+    @classmethod
+    def parse(cls, spec: str) -> "CronSpec":
+        fields = spec.split()
+        if len(fields) != 5:
+            raise ValueError(f"cron spec needs 5 fields, got {len(fields)}: {spec!r}")
+        vals, wilds = [], []
+        for text, (lo, hi), name in zip(fields, _BOUNDS, _NAMES):
+            v, w = _parse_field(text, lo, hi, name)
+            vals.append(frozenset(v))
+            wilds.append(w)
+        return cls(vals[0], vals[1], vals[2], vals[3], vals[4],
+                   dom_any=wilds[2], dow_any=wilds[4], spec=spec)
+
+    def matches(self, t: datetime) -> bool:
+        # day rule: python isoweekday Mon=1..Sun=7 -> cron Sun=0; when
+        # both dom and dow are restricted, vixie OR rule applies
+        return (t.minute in self.minutes and t.hour in self.hours
+                and t.month in self.months and self._day_matches(t))
+
+    def _day_matches(self, t: datetime) -> bool:
+        dom_ok = t.day in self.doms
+        dow_ok = (t.isoweekday() % 7) in self.dows
+        if self.dom_any and self.dow_any:
+            return True
+        if self.dom_any:
+            return dow_ok
+        if self.dow_any:
+            return dom_ok
+        return dom_ok or dow_ok
+
+    def next_after(self, t: datetime) -> datetime:
+        """First matching minute strictly after t. Steps by day, then
+        picks the next allowed (hour, minute) slot directly — the 4-year
+        search bound covers leap-day-only specs like '0 0 29 2 *'."""
+        cur = t.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        for _ in range(4 * 366 + 1):
+            if cur.month in self.months and self._day_matches(cur):
+                for h in sorted(self.hours):
+                    if h < cur.hour:
+                        continue
+                    for m in sorted(self.minutes):
+                        if h == cur.hour and m < cur.minute:
+                            continue
+                        return cur.replace(hour=h, minute=m)
+            cur = (cur + timedelta(days=1)).replace(hour=0, minute=0)
+        raise ValueError(f"no firing time within 4 years for {self.spec!r}")

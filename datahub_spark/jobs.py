@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datahub_spark import uda
 from datahub_spark.store import EntityStore, changes, latest
 
 Transform = Callable[[DataFrame], DataFrame]
@@ -210,17 +211,59 @@ class SampleSource:
 
 
 class HttpDatasetSource:
-    """jobs/source HttpDatasetSource (UDA /changes reader). Network access
-    is unavailable in this environment; the codec path (uda.from_uda_json)
-    is fully implemented and tested, the fetch itself is gated."""
+    """jobs/source HttpDatasetSource: reads a remote dataset's UDA
+    /changes feed (internal/jobs/source/http_dataset_source.go:1-182).
 
-    def __init__(self, spark, url: str, token_provider: str | None = None):
-        self.spark, self.url, self.token_provider = spark, url, token_provider
+    The wire is the UDA JSON array: an ``@context`` head, entity objects,
+    and an optional ``@continuation`` tail whose token drives paging —
+    pages are fetched until the server stops advancing the token (the
+    reference's readChanges loop). Parsing is the tested uda codec
+    (uda.from_uda_json), JVM-side; only the fetch is driver-side urllib,
+    mirroring the reference's single-reader pull. Gated behind
+    ``allow_network`` (this sandbox has loopback only); at scale, shard
+    the feed by page-range and fetch inside mapInPandas workers instead.
+    """
+
+    def __init__(self, spark, url: str, dataset: str = "remote",
+                 token_provider=None, allow_network: bool = False,
+                 max_pages: int = 10_000):
+        self.spark, self.url, self.dataset = spark, url, dataset
+        self.token_provider = token_provider
+        self.allow_network = allow_network
+        self.max_pages = max_pages
+
+    def _fetch(self, url: str) -> list:
+        import urllib.request
+
+        req = urllib.request.Request(url)
+        if self.token_provider is not None:
+            req.add_header("Authorization", f"Bearer {self.token_provider()}")
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode("utf-8"))
 
     def read(self, since: int = 0) -> DataFrame:
-        raise NotImplementedError(
-            "offline environment: use uda.from_uda_json on fetched payloads"
-        )
+        if not self.allow_network:
+            raise NotImplementedError(
+                "network fetch disabled: pass allow_network=True, or feed "
+                "fetched payloads through uda.from_uda_json directly"
+            )
+        token, objs = since, []
+        for _ in range(self.max_pages):
+            page = self._fetch(f"{self.url}/changes?since={token}")
+            next_token = token
+            for obj in page:
+                oid = obj.get("id")
+                if oid == "@context":
+                    continue
+                if oid == "@continuation":
+                    next_token = obj.get("token", token)
+                    continue
+                objs.append(json.dumps(obj))
+            if next_token == token:
+                break  # no continuation advancement: feed drained
+            token = next_token
+        json_df = self.spark.createDataFrame([(o,) for o in objs] or [("",)], "json string")
+        return uda.from_uda_json(json_df.filter(F.col("json") != ""), self.dataset)
 
 
 # --------------------------------------------------------------------------
@@ -251,11 +294,81 @@ class ConsoleSink:
 
 
 class HttpDatasetSink:
-    def __init__(self, url: str, token_provider: str | None = None):
+    """jobs/sink.go httpDatasetSink: POSTs UDA batches to a remote
+    dataset's /entities endpoint.
+
+    Serialization is the tested JVM-side uda codec; the POST runs INSIDE
+    ``foreachPartition`` so each executor ships its own partition in
+    ``batch_size`` chunks — the distributed shape (no driver collect; at
+    1000 executors each posts its slice concurrently, which is exactly
+    how the reference's sink scales out when jobs shard). Each payload is
+    a full UDA array: ``@context`` head + entity objects. Gated behind
+    ``allow_network`` (loopback-only sandbox)."""
+
+    def __init__(self, url: str, token_provider=None, allow_network: bool = False,
+                 batch_size: int = 1000, context: dict | None = None):
         self.url = url
+        self.token_provider = token_provider
+        self.allow_network = allow_network
+        self.batch_size = batch_size
+        self.context = context or {"id": "@context", "namespaces": {}}
 
     def write(self, df: DataFrame) -> None:
-        raise NotImplementedError("offline environment: serialize with uda.to_uda_json")
+        if not self.allow_network:
+            raise NotImplementedError(
+                "network post disabled: pass allow_network=True, or "
+                "serialize with uda.to_uda_json"
+            )
+        url, batch_size, ctx = self.url, self.batch_size, self.context
+        token = self.token_provider() if self.token_provider is not None else None
+        wire = uda.to_uda_json(df)
+
+        def post_partition(rows):
+            import urllib.request
+
+            def post(batch):
+                payload = "[" + ",".join([json.dumps(ctx)] + batch) + "]"
+                req = urllib.request.Request(
+                    f"{url}/entities", data=payload.encode("utf-8"), method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                if token is not None:
+                    req.add_header("Authorization", f"Bearer {token}")
+                urllib.request.urlopen(req).read()
+
+            batch = []
+            for row in rows:
+                batch.append(row["json"])
+                if len(batch) >= batch_size:
+                    post(batch)
+                    batch = []
+            if batch:
+                post(batch)
+
+        wire.foreachPartition(post_partition)
+
+
+class ProxyDataset:
+    """internal/server/proxydataset.go:1-358: a dataset whose reads
+    delegate to a remote datahub — entities/changes surface locally but
+    the data never lands in the local store. Reads come back through the
+    UDA codec as ordinary entity DataFrames, so traversal/merge/latest
+    compose over them unchanged."""
+
+    def __init__(self, spark, remote_url: str, name: str,
+                 token_provider=None, allow_network: bool = False):
+        self.name = name
+        self._source = HttpDatasetSource(
+            spark, remote_url, dataset=name,
+            token_provider=token_provider, allow_network=allow_network,
+        )
+
+    def changes(self, since: int = 0) -> DataFrame:
+        return self._source.read(since=since)
+
+    def entities(self) -> DataFrame:
+        return latest(self.changes(), include_deleted=False,
+                      key=("dataset", "id"))
 
 
 # --------------------------------------------------------------------------
@@ -477,19 +590,49 @@ class FullSyncSession:
 
 
 class Scheduler:
-    """runner.go/scheduler.go analogue: runs registered jobs in lineage
-    (topological) order, so a job consuming another's sink dataset sees
-    this tick's output. Cron/onchange wall-clock triggering is the
-    hosting system's concern (or Structured Streaming for onchange —
-    see datahub_spark.streaming); the scheduler's job here is ordering
-    and state."""
+    """runner.go/scheduler.go analogue: lineage (topological) ordering,
+    state, and wall-clock cron triggering. A job registered with a
+    5-field cron ``schedule`` fires on matching minutes via
+    ``run_due(now)`` (the hosting system supplies the clock tick —
+    deterministic and testable, like scheduler.go's injected clock);
+    onchange triggering is wire_onchange / Structured Streaming
+    (datahub_spark.streaming)."""
 
     def __init__(self, state: "JobState"):
         self.state = state
         self.jobs: dict[str, Job] = {}
+        self.schedules: dict[str, "CronSpec"] = {}
+        self._last_fired: dict[str, object] = {}
 
-    def register(self, job: Job) -> None:
+    def register(self, job: Job, schedule: str | None = None) -> None:
+        from datahub_spark.cron import CronSpec
+
         self.jobs[job.job_id] = job
+        if schedule is not None:
+            self.schedules[job.job_id] = CronSpec.parse(schedule)
+
+    def due_jobs(self, now) -> list[Job]:
+        """Unpaused jobs whose cron spec matches ``now``'s minute and
+        that have not already fired this minute, in lineage order."""
+        minute = now.replace(second=0, microsecond=0)
+        due = []
+        for j in self._ordered():
+            spec = self.schedules.get(j.job_id)
+            if j.paused or spec is None or not spec.matches(now):
+                continue
+            if self._last_fired.get(j.job_id) == minute:
+                continue
+            due.append(j)
+        return due
+
+    def run_due(self, now) -> list[dict]:
+        """One clock tick: run every due scheduled job once."""
+        minute = now.replace(second=0, microsecond=0)
+        results = []
+        for j in self.due_jobs(now):
+            self._last_fired[j.job_id] = minute
+            results.append(j.run(self.state))
+        return results
 
     def _ordered(self) -> list[Job]:
         # topo-sort on dataset lineage: producer jobs before consumers

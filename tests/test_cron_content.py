@@ -1,0 +1,127 @@
+"""Cron-spec triggering (scheduler.go parity) + content service
+(content.go / content_test.go parity)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datahub_spark import jobs as J
+from datahub_spark.content import ContentService
+from datahub_spark.cron import CronSpec
+
+
+def t(*a):
+    return datetime(*a)
+
+
+class TestCronSpec:
+    def test_every_minute(self):
+        assert CronSpec.parse("* * * * *").matches(t(2026, 8, 13, 9, 41))
+
+    def test_fixed_minute_hour(self):
+        spec = CronSpec.parse("30 2 * * *")
+        assert spec.matches(t(2026, 1, 5, 2, 30))
+        assert not spec.matches(t(2026, 1, 5, 2, 31))
+        assert not spec.matches(t(2026, 1, 5, 3, 30))
+
+    def test_step_and_range(self):
+        spec = CronSpec.parse("*/15 9-17 * * *")
+        assert spec.matches(t(2026, 3, 1, 9, 0))
+        assert spec.matches(t(2026, 3, 1, 17, 45))
+        assert not spec.matches(t(2026, 3, 1, 8, 45))
+        assert not spec.matches(t(2026, 3, 1, 9, 7))
+
+    def test_comma_list(self):
+        spec = CronSpec.parse("5,35 0,12 * * *")
+        assert spec.matches(t(2026, 6, 1, 12, 35))
+        assert not spec.matches(t(2026, 6, 1, 6, 35))
+
+    def test_dow_sunday_both_forms(self):
+        for d in ("0", "7"):
+            spec = CronSpec.parse(f"0 0 * * {d}")
+            assert spec.matches(t(2026, 8, 16, 0, 0))  # a Sunday
+            assert not spec.matches(t(2026, 8, 17, 0, 0))  # Monday
+
+    def test_dom_dow_or_rule(self):
+        # both restricted: fires on the 13th OR on Fridays (vixie rule)
+        spec = CronSpec.parse("0 0 13 * 5")
+        assert spec.matches(t(2026, 8, 13, 0, 0))  # 13th (a Thursday)
+        assert spec.matches(t(2026, 8, 14, 0, 0))  # a Friday, not the 13th
+        assert not spec.matches(t(2026, 8, 15, 0, 0))  # Saturday the 15th
+
+    def test_next_after(self):
+        spec = CronSpec.parse("30 2 * * *")
+        assert spec.next_after(t(2026, 8, 13, 1, 0)) == t(2026, 8, 13, 2, 30)
+        assert spec.next_after(t(2026, 8, 13, 2, 30)) == t(2026, 8, 14, 2, 30)
+        leap = CronSpec.parse("0 0 29 2 *")
+        assert leap.next_after(t(2026, 1, 1, 0, 0)) == t(2028, 2, 29, 0, 0)
+
+    def test_invalid_specs_raise(self):
+        for bad in ("* * * *", "60 * * * *", "* 24 * * *", "x * * * *",
+                    "*/0 * * * *", "5-2 * * * *"):
+            with pytest.raises(ValueError):
+                CronSpec.parse(bad)
+
+
+def test_scheduler_runs_due_jobs_once_per_minute(spark, tmp_path):
+    from datahub_spark.store import EntityStore
+
+    store = EntityStore(spark, str(tmp_path / "store"))
+    store.store_entities("src", spark.createDataFrame(
+        [("a:1", False, {"p:v": "1"}, {})],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    sched.register(J.Job("nightly", J.DatasetSource(store, "src"),
+                         J.DatasetSink(store, "nightly_out")), schedule="30 2 * * *")
+    sched.register(J.Job("never", J.DatasetSource(store, "src"),
+                         J.DatasetSink(store, "never_out")), schedule="0 5 * * *")
+
+    assert [j.job_id for j in sched.due_jobs(t(2026, 8, 13, 2, 30))] == ["nightly"]
+    assert sched.due_jobs(t(2026, 8, 13, 2, 31)) == []
+
+    ran = sched.run_due(t(2026, 8, 13, 2, 30, 5))
+    assert [r["id"] for r in ran] == ["nightly"]
+    # same minute again: already fired, nothing due
+    assert sched.run_due(t(2026, 8, 13, 2, 30, 40)) == []
+    # next day: due again
+    assert [j.job_id for j in sched.due_jobs(t(2026, 8, 14, 2, 30))] == ["nightly"]
+    assert store.log(["nightly_out"]).count() == 1
+    assert "never_out" not in store.list_datasets()
+
+
+def test_scheduler_rejects_bad_schedule(spark, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    with pytest.raises(ValueError):
+        sched.register(J.Job("x", None, None), schedule="not a cron")
+
+
+class TestContentService:
+    def test_add_get_list_update_delete(self, tmp_path):
+        cs = ContentService(str(tmp_path / "content"))
+        cs.upsert("mappings", {"fields": ["a", "b"]})
+        cs.upsert("style", {"theme": "dark"})
+        assert cs.get("mappings")["data"]["fields"] == ["a", "b"]
+        assert [c["id"] for c in cs.list()] == ["mappings", "style"]
+        cs.upsert("style", {"theme": "light"})  # update overwrites
+        assert cs.get("style")["data"]["theme"] == "light"
+        assert cs.delete("style") is True
+        assert cs.get("style") is None
+        assert cs.delete("style") is False
+        assert [c["id"] for c in cs.list()] == ["mappings"]
+
+    def test_ids_with_path_characters_are_safe(self, tmp_path):
+        import os
+
+        root = str(tmp_path / "content")
+        cs = ContentService(root)
+        cs.upsert("../evil/slash", {"v": 1})
+        assert cs.get("../evil/slash")["data"]["v"] == 1
+        # nothing escaped the root directory
+        assert not os.path.exists(str(tmp_path / "evil"))
+        assert all(os.path.dirname(os.path.join(root, f)) == root
+                   for f in os.listdir(root))
