@@ -156,10 +156,18 @@ def related(
         # "p:10|x" under string order even though ("p:1","x") < ("p:10","x"),
         # so a concat key re-emits/drops rows for prefix-related ids.
         if continuation:
+            # the CANONICAL token is the (start_id, predicate, related_id)
+            # TUPLE — round-trip the last row's fields directly. The
+            # pipe-joined string form is a convenience strictly for
+            # tokens whose fields contain no '|'; with ids that may
+            # contain pipes it is ambiguous by construction, so it is
+            # rejected rather than mis-split (ADVICE r2).
             parts = continuation.split("|") if isinstance(continuation, str) else list(continuation)
             if len(parts) != 3:
                 raise ValueError(
-                    "continuation must be (start_id, predicate, related_id) or 'a|b|c'"
+                    "continuation must be the (start_id, predicate, related_id) tuple "
+                    "(canonical; required when ids contain '|') or an unambiguous "
+                    "'start|predicate|related' string"
                 )
             key = F.struct(F.col("start_id"), F.col("predicate"), F.col("related.id"))
             tok = F.struct(*[F.lit(p) for p in parts])

@@ -37,6 +37,10 @@ from datahub_spark.model import ENTITY_COLUMNS, ENTITY_SCHEMA
 
 _VERSION_ORDER = ("recorded", "seq")
 
+# NULL-seq rows backfill above this base (callers are expected to use
+# small explicit seqs; the driver data's event ids are far below it)
+_SEQ_NULL_BASE = 1 << 33
+
 
 def _order_key(df: DataFrame):
     return F.struct(*[F.col(c) for c in _VERSION_ORDER])
@@ -286,6 +290,20 @@ class EntityStore:
     def list_datasets(self) -> list[str]:
         return sorted(self._read_meta()["datasets"])
 
+    def has_data(self, dataset: str) -> bool:
+        """True iff committed log files exist for the dataset — robust to
+        the crash window between the commit renames and the registry
+        write (execute_transaction): data can be readable while the
+        dataset is briefly absent from list_datasets(). Consumers that
+        gate on prior state (fullsync tombstones, write-time dedup) must
+        use this, not registry membership, or a crash in that window
+        silently skips their diff against the existing data."""
+        part = os.path.join(self.log_dir, f"dataset={dataset}")
+        try:
+            return any(fn.endswith(".parquet") for fn in os.listdir(part))
+        except FileNotFoundError:
+            return False
+
     def dataset_context(self, name: str, nsmgr=None) -> dict:
         """The dataset's ``@context`` object (DOCUMENTATION.md:187-245):
         restricted to the dataset's publicNamespaces when configured,
@@ -320,7 +338,7 @@ class EntityStore:
         entity's current version are dropped before the append — one
         left-join against the latest view's digests, so repeated
         idempotent syncs don't grow the version log."""
-        if skip_unchanged and dataset in self.list_datasets():
+        if skip_unchanged and self.has_data(dataset):
             current = latest(self.log([dataset]), include_deleted=True).select(
                 "id", payload_digest().alias("_cur")
             )
@@ -360,16 +378,28 @@ class EntityStore:
                     )
                 else:
                     out = out.withColumn("recorded", F.lit(rec).cast("long"))
-                if "seq" in out.columns:
-                    out = out.withColumn(
-                        "seq", F.coalesce(F.col("seq").cast("long"), F.monotonically_increasing_id())
-                    )
-                else:
-                    out = out.withColumn("seq", F.monotonically_increasing_id())
                 if "deleted" in out.columns:
                     out = out.withColumn("deleted", F.coalesce(F.col("deleted"), F.lit(False)))
                 else:
                     out = out.withColumn("deleted", F.lit(False))
+                # NULL seq backfill: deterministic (content-hashed, fixed
+                # xxhash64 seed — identical across runs and shuffle
+                # schedules, unlike monotonically_increasing_id) and
+                # ABOVE _SEQ_NULL_BASE, so backfilled rows order after
+                # every caller-provided seq in the batch instead of
+                # winning latest()'s tie-break by accident. Fully
+                # map-side: no window/agg pass over the batch.
+                backfill = (
+                    F.lit(_SEQ_NULL_BASE)
+                    + F.pmod(F.xxhash64(F.col("id"), F.col("recorded"), payload_digest()),
+                             F.lit(1 << 31))
+                ).cast("long")
+                if "seq" in out.columns:
+                    out = out.withColumn(
+                        "seq", F.coalesce(F.col("seq").cast("long"), backfill)
+                    )
+                else:
+                    out = out.withColumn("seq", backfill)
                 out = out.withColumn("dataset", F.lit(ds_name)).select(*ENTITY_COLUMNS)
                 stage = os.path.join(stage_root, ds_name)
                 out.write.mode("overwrite").parquet(stage)

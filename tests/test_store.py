@@ -211,3 +211,54 @@ def test_store_entities_skips_unchanged(spark, tmp_path):
     es.store_entities("d", batch2)
     assert es.log(["d"]).count() == 3
     assert es.log(["d"]).filter(F.col("id") == "x").count() == 2
+
+
+def test_null_seq_backfill_deterministic_and_above_explicit(spark, tmp_path):
+    """ADVICE r2: monotonically_increasing_id backfill was nondeterministic
+    across runs and its ~2^33-scale values beat every explicit seq in the
+    same tick by accident. Backfill must be content-deterministic and
+    order ABOVE explicit seqs by design, not luck."""
+    es = S.EntityStore(spark, str(tmp_path / "s"))
+    batch = spark.createDataFrame(
+        [("a", 7, 5, False, {"p:v": "x"}, None),
+         ("b", 7, None, False, {"p:v": "y"}, None),
+         ("c", 7, None, True, None, None)],
+        "id string, recorded long, seq long, deleted boolean, "
+        "props map<string,string>, refs map<string,array<string>>",
+    )
+    es.store_entities("d1", batch, recorded=7)
+    es.store_entities("d2", batch, recorded=7)
+    s1 = {r["id"]: r["seq"] for r in es.log(["d1"]).collect()}
+    s2 = {r["id"]: r["seq"] for r in es.log(["d2"]).collect()}
+    assert s1 == s2, "backfilled seqs must be identical across runs"
+    assert s1["a"] == 5  # explicit seq preserved
+    assert s1["b"] >= (1 << 33) and s1["c"] >= (1 << 33)
+    assert s1["b"] != s1["c"]
+
+
+def test_has_data_survives_registry_crash_window(spark, tmp_path):
+    """ADVICE r2: a crash between commit renames and the registry write
+    leaves files readable while list_datasets() omits the dataset; prior-
+    state gates (fullsync tombstones, write-time dedup) must see them."""
+    es = S.EntityStore(spark, str(tmp_path / "s"))
+    batch = spark.createDataFrame(
+        [("a", False, {"p:v": "x"}, None)],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>",
+    )
+    es.store_entities("d", batch)
+    # simulate the crash window: files committed, registry entry lost
+    meta = es._read_meta()
+    meta["datasets"].pop("d")
+    es._write_meta(meta)
+    assert "d" not in es.list_datasets()
+    assert es.has_data("d")
+    # fullsync against the crashed dataset still tombstones the survivor
+    from datahub_spark.jobs import FullSyncSession
+
+    fs = FullSyncSession(es, "d")
+    fs.append(spark.createDataFrame(
+        [("b", False, {"p:v": "y"}, None)],
+        "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
+    fs.complete()
+    rows = {r["id"]: r for r in S.latest(es.log(["d"]), include_deleted=True).collect()}
+    assert rows["a"]["deleted"] is True and rows["b"]["deleted"] is False
