@@ -499,18 +499,22 @@ def q_transform_enrich(spark, sf_dir):
     """,
 )
 def q_custom_transform(spark, sf_dir):
-    """Imperative escape hatch (JS transform_entities / HttpTransform):
-    Arrow-batched mapInPandas."""
-    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True).select(
-        "id", F.col("props")["p:name"].alias("name_upper")
-    )
+    """Imperative escape hatch, exercised through the SCRIPT-STRING
+    surface (reference JavascriptTransform, transform.go): user source
+    code with the reference's built-in vocabulary, executed batch-wise
+    in mapInPandas (datahub_spark.script)."""
+    import datahub_spark.script as SC
 
-    def upper(pdf):
-        pdf = pdf.copy()
-        pdf["name_upper"] = pdf["name_upper"].str.upper()
-        return pdf
-
-    return TR.python_transform(cust, upper)
+    code = """
+def transform_entities(entities):
+    for e in entities:
+        SetProperty(e, "p", "name_upper",
+                    ToString(GetProperty(e, "p", "name", "")).upper())
+    return entities
+"""
+    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
+    out = SC.script_transform(cust, code)
+    return out.select("id", F.col("props")["p:name_upper"].alias("name_upper"))
 
 
 @register(
