@@ -97,6 +97,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
     # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos (the
     # driver may hand us a session without this flag, so set it here too).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Entity frames are `select(create_map(...) as props)` plans; consumers
+    # re-extract keys (`props[k]`) in their own select. Default
+    # CollapseProject refuses to merge those adjacent Projects once props
+    # is referenced more than twice, so the full map (every prop, every
+    # source column) gets physically built per row and the parquet scan
+    # can't prune. Always-inline lets SimplifyExtractValueOps rewrite
+    # map(k1,v1,...)[k1] -> v1, which deletes the map construction AND
+    # shrinks ReadSchema to the touched columns. Duplication risk is
+    # bounded: Catalyst never inlines nondeterministic exprs, and
+    # whole-stage codegen CSEs repeated deterministic subtrees.
+    spark.conf.set("spark.sql.optimizer.collapseProjectAlwaysInline", "true")
     par = spark.sparkContext.defaultParallelism
 
     def build(t: str):

@@ -364,14 +364,21 @@ def q_query_aggregate(spark, sf_dir):
     summary over the lineitem entity dataset. Exact decimal arithmetic
     keeps results engine-portable. Flagship/bench query."""
     li = S.latest(_ds(spark, sf_dir)["lineitem"], single_version=True)
-    qty = F.col("props")["p:quantity"].cast("decimal(18,2)")
-    ep = F.col("props")["p:extendedprice"].cast("decimal(18,2)")
-    disc = F.col("props")["p:discount"].cast("decimal(18,2)")
+    # Pre-extract into a SELECT (not inline in groupBy/agg): adjacent
+    # Projects collapse (collapseProjectAlwaysInline, set by load_tables)
+    # and the props-map construction vanishes — the scan reads exactly
+    # the 5 touched columns instead of materializing a 7-key string map
+    # (incl. an unused date_format) per row. Plan pinned in test_plans.
+    li = li.select(
+        F.col("props")["p:returnflag"].alias("l_returnflag"),
+        F.col("props")["p:linestatus"].alias("l_linestatus"),
+        F.col("props")["p:quantity"].cast("decimal(18,2)").alias("qty"),
+        F.col("props")["p:extendedprice"].cast("decimal(18,2)").alias("ep"),
+        F.col("props")["p:discount"].cast("decimal(18,2)").alias("disc"),
+    )
+    qty, ep, disc = F.col("qty"), F.col("ep"), F.col("disc")
     return (
-        li.groupBy(
-            F.col("props")["p:returnflag"].alias("l_returnflag"),
-            F.col("props")["p:linestatus"].alias("l_linestatus"),
-        )
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty"),
             F.sum(ep).cast("decimal(38,2)").cast("string").alias("sum_base_price"),

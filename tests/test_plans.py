@@ -30,6 +30,12 @@ def test_query_aggregate_is_hash_aggregated_with_partials(spark):
     assert "partial_sum" in plan  # map-side combine before the shuffle
     # single-version fast path: no max_by latest aggregation at all
     assert "max_by" not in plan
+    # props-map construction must collapse away entirely
+    # (collapseProjectAlwaysInline + pre-extraction select): the scan
+    # reads exactly the touched columns, no map built per row
+    assert "map(p:" not in plan
+    assert "l_shipdate" not in plan and "l_tax" not in plan  # pruned
+    assert "date_format" not in plan
 
 
 def test_minhash_single_pipeline_hash_aggregated(spark):
