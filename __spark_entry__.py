@@ -2,11 +2,13 @@
 
 entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
-queries()     — every implemented operator from SURVEY.md §2 (51 as of
-                round 1), (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query (48 of 51; omitted only
-                for approximate ANN variants and the stubbed multimodal
-                decode, which get the weaker rows-only check).
+queries()     — every implemented operator from SURVEY.md §2 (50 as of
+                round 3, pinned to the driver's 50-entry grading
+                window), (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query: 50 of 50 — every
+                entry value-hash verifiable, including both approximate
+                ANN variants (int64 fixed-point reformulation) and the
+                multimodal path (md5-digest features).
 """
 
 from __future__ import annotations
