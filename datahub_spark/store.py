@@ -28,12 +28,31 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
+
+try:  # POSIX cross-process lock; absent on some platforms
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datahub_spark.model import ENTITY_COLUMNS, ENTITY_SCHEMA
+
+# per-store-root in-process locks (threads sharing a driver); see
+# EntityStore._mutate_meta
+_ROOT_LOCKS: dict[str, threading.Lock] = {}
+_ROOT_LOCKS_GUARD = threading.Lock()
+
+
+def _root_lock(root: str) -> threading.Lock:
+    key = os.path.abspath(root)
+    with _ROOT_LOCKS_GUARD:
+        if key not in _ROOT_LOCKS:
+            _ROOT_LOCKS[key] = threading.Lock()
+        return _ROOT_LOCKS[key]
 
 _VERSION_ORDER = ("recorded", "seq")
 
@@ -276,15 +295,37 @@ class EntityStore:
             json.dump(meta, f)
         os.replace(tmp, self.meta_path)
 
+    def _mutate_meta(self, fn):
+        """Serialized read-modify-write of the registry sidecar. The
+        reference holds a store-wide lock for registry/tick mutations
+        (concurrent_contextual_store_test.go is its pin); here the
+        critical section is guarded by a per-root process lock (all
+        EntityStore instances over the same root share it) plus flock on
+        a sidecar lockfile, so concurrent jobs in one driver — or two
+        driver processes on a shared filesystem that honors flock —
+        can't lose a dataset registration or share a transaction tick.
+        Returns fn's result."""
+        with _root_lock(self.root):
+            lockfile = os.path.join(self.root, ".meta.lock")
+            fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+            try:
+                if fcntl is not None:
+                    fcntl.flock(fd, fcntl.LOCK_EX)
+                meta = self._read_meta()
+                result = fn(meta)
+                self._write_meta(meta)
+                return result
+            finally:
+                os.close(fd)  # releases the flock
+
     def create_dataset(self, name: str, public_namespaces: list[str] | None = None) -> None:
-        meta = self._read_meta()
-        meta["datasets"].setdefault(name, {"publicNamespaces": public_namespaces or []})
-        self._write_meta(meta)
+        self._mutate_meta(
+            lambda meta: meta["datasets"].setdefault(
+                name, {"publicNamespaces": public_namespaces or []})
+        )
 
     def delete_dataset(self, name: str) -> None:
-        meta = self._read_meta()
-        meta["datasets"].pop(name, None)
-        self._write_meta(meta)
+        self._mutate_meta(lambda meta: meta["datasets"].pop(name, None))
         shutil.rmtree(os.path.join(self.log_dir, f"dataset={name}"), ignore_errors=True)
 
     def list_datasets(self) -> list[str]:
@@ -319,12 +360,12 @@ class EntityStore:
         return {"id": "@context", "namespaces": namespaces}
 
     def next_recorded(self) -> int:
-        """Monotonic txn-time analogue. File-based counter: adequate for a
-        single writer (the reference is also single-writer per store)."""
-        meta = self._read_meta()
-        meta["counter"] += 1
-        self._write_meta(meta)
-        return meta["counter"]
+        """Monotonic txn-time analogue. Allocation is serialized
+        (_mutate_meta), so concurrent transactions get distinct ticks."""
+        def bump(meta):
+            meta["counter"] += 1
+            return meta["counter"]
+        return self._mutate_meta(bump)
 
     # -- writes ----------------------------------------------------------------
 

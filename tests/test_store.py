@@ -262,3 +262,38 @@ def test_has_data_survives_registry_crash_window(spark, tmp_path):
     fs.complete()
     rows = {r["id"]: r for r in S.latest(es.log(["d"]), include_deleted=True).collect()}
     assert rows["a"]["deleted"] is True and rows["b"]["deleted"] is False
+
+
+def test_concurrent_transactions_lose_nothing(spark, tmp_path):
+    """Reference pin: concurrent_contextual_store_test.go — concurrent
+    store access must not lose registry entries or share version ticks.
+    8 threads x (register + write) to distinct datasets, all against the
+    same root; every dataset must end up registered with its rows, and
+    every transaction must get a unique recorded tick."""
+    import threading
+
+    es = S.EntityStore(spark, str(tmp_path / "s"))
+    ticks, errors = [], []
+
+    def writer(i):
+        try:
+            batch = spark.createDataFrame(
+                [(f"e:{i}:{j}", False, {"p:v": str(j)}, None) for j in range(5)],
+                "id string, deleted boolean, props map<string,string>, "
+                "refs map<string,array<string>>",
+            )
+            ticks.append(es.store_entities(f"d{i}", batch, skip_unchanged=False))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert len(set(ticks)) == 8, f"ticks collided: {sorted(ticks)}"
+    assert sorted(es.list_datasets()) == [f"d{i}" for i in range(8)]
+    counts = {r["dataset"]: r["n"] for r in
+              es.log(None).groupBy("dataset").agg(F.count("*").alias("n")).collect()}
+    assert counts == {f"d{i}": 5 for i in range(8)}
