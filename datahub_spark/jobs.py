@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -677,6 +678,102 @@ class Scheduler:
     def run_all(self) -> list[dict]:
         """One scheduler tick: every unpaused job once, in lineage order."""
         return [j.run(self.state) for j in self._ordered() if not j.paused]
+
+
+class Raffle:
+    """Job-run ticketing (raffle.go:65-131): caps concurrently running
+    fullsync vs incremental jobs and refuses a second ticket for a job
+    that is already running. Ticket counts are config in the reference;
+    defaults here follow its test/deployment shape (few expensive
+    fullsyncs, more incrementals)."""
+
+    def __init__(self, tickets_full: int = 2, tickets_incr: int = 5):
+        self._tickets_full = tickets_full
+        self._tickets_incr = tickets_incr
+        self._running: dict[str, dict] = {}
+        self._mu = threading.Lock()
+
+    def borrow(self, job: "Job") -> bool:
+        """True = ticket granted and the job is marked running. False =
+        already running, or no tickets left in its class (the caller
+        skips this run; the next scheduler tick retries — reference
+        runner behavior)."""
+        with self._mu:
+            if job.job_id in self._running:
+                return False
+            is_full = job.job_type == "fullsync"
+            if is_full:
+                if self._tickets_full <= 0:
+                    return False
+                self._tickets_full -= 1
+            else:
+                if self._tickets_incr <= 0:
+                    return False
+                self._tickets_incr -= 1
+            self._running[job.job_id] = {
+                "id": job.job_id, "started": time.time(), "isFull": is_full,
+            }
+            return True
+
+    def give_back(self, job: "Job") -> None:
+        """returnTicket (raffle.go:115): frees the slot."""
+        with self._mu:
+            state = self._running.pop(job.job_id, None)
+            if state is None:
+                return
+            if state["isFull"]:
+                self._tickets_full += 1
+            else:
+                self._tickets_incr += 1
+
+    def running_jobs(self) -> dict[str, dict]:
+        with self._mu:
+            return {k: dict(v) for k, v in self._running.items()}
+
+
+class JobRunner:
+    """Concurrent job execution (runner.go + raffle.go): ``submit`` runs
+    a job on a worker thread iff the raffle grants a ticket. Concurrent
+    Spark actions from multiple Python threads are the supported
+    multi-job model — stages interleave on the shared executor pool
+    (pair with spark.scheduler.mode=FAIR so a long fullsync can't starve
+    incrementals). ``join`` waits for everything submitted and returns
+    per-job results/errors."""
+
+    def __init__(self, state: "JobState", raffle: Raffle | None = None):
+        self.state = state
+        self.raffle = raffle or Raffle()
+        self._threads: list[threading.Thread] = []
+        self._results: list[dict] = []
+        self._mu = threading.Lock()
+
+    def submit(self, job: "Job") -> bool:
+        if job.paused or not self.raffle.borrow(job):
+            return False
+
+        def work():
+            try:
+                res = job.run(self.state)
+                with self._mu:
+                    self._results.append(res)
+            except Exception as e:  # noqa: BLE001 — reported via join()
+                with self._mu:
+                    self._results.append({"id": job.job_id, "error": f"{type(e).__name__}: {e}"})
+            finally:
+                self.raffle.give_back(job)
+
+        t = threading.Thread(target=work, name=f"job-{job.job_id}", daemon=True)
+        self._threads.append(t)
+        t.start()
+        return True
+
+    def join(self) -> list[dict]:
+        for t in self._threads:
+            t.join()
+        self._threads.clear()
+        with self._mu:
+            out, self._results = self._results, []
+        return out
 
 
 def fullsync_tombstones(old_latest: DataFrame, new_snapshot: DataFrame) -> DataFrame:

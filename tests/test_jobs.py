@@ -405,3 +405,51 @@ def test_onchange_listener_triggers_job_on_write(spark, store, tmp_path):
         [("o:1", False, {"p:v": "2"}, {})],
         "id string, deleted boolean, props map<string,string>, refs map<string,array<string>>"))
     assert store.log(["outbox"]).count() == 1
+
+
+def test_raffle_tickets_cap_and_dedupe(spark, store):
+    # raffle_test.go: deny when class exhausted; deny already-running;
+    # give_back restores the slot
+    incr = J.Job("i1", J.DatasetSource(store, "people"), J.DevNullSink())
+    incr2 = J.Job("i2", J.DatasetSource(store, "people"), J.DevNullSink())
+    full = J.Job("f1", J.DatasetSource(store, "people"), J.DevNullSink(),
+                 job_type="fullsync")
+    r = J.Raffle(tickets_full=0, tickets_incr=1)
+    assert r.borrow(incr) is True
+    assert r.borrow(incr) is False        # already running
+    assert r.borrow(incr2) is False       # class exhausted
+    assert r.borrow(full) is False        # zero fullsync tickets
+    r.give_back(incr)
+    assert r.borrow(incr2) is True        # slot restored
+    assert list(r.running_jobs()) == ["i2"]
+
+
+def test_job_runner_runs_concurrently_and_collects_results(spark, store, tmp_path):
+    state = J.JobState(str(tmp_path / "state.json"))
+    runner = J.JobRunner(state, J.Raffle(tickets_full=1, tickets_incr=4))
+    jobs = [J.Job(f"copy{i}", J.DatasetSource(store, "people"),
+                  J.DatasetSink(store, f"out{i}")) for i in range(3)]
+    assert all(runner.submit(j) for j in jobs)
+    results = runner.join()
+    assert sorted(r["id"] for r in results) == ["copy0", "copy1", "copy2"]
+    assert all("error" not in r for r in results)
+    for i in range(3):
+        assert store.log([f"out{i}"]).count() == 4
+    assert runner.raffle.running_jobs() == {}  # all tickets returned
+
+
+def test_job_runner_reports_errors_and_frees_ticket(spark, store, tmp_path):
+    class BoomSink:
+        def write(self, df):
+            raise RuntimeError("boom")
+
+    state = J.JobState(str(tmp_path / "state.json"))
+    runner = J.JobRunner(state, J.Raffle(tickets_full=0, tickets_incr=1))
+    bad = J.Job("bad", J.DatasetSource(store, "people"), BoomSink())
+    assert runner.submit(bad) is True
+    (res,) = runner.join()
+    assert res["id"] == "bad" and "RuntimeError: boom" in res["error"]
+    # ticket returned despite the failure
+    ok = J.Job("ok", J.DatasetSource(store, "people"), J.DevNullSink())
+    assert runner.submit(ok) is True
+    assert runner.join()[0]["id"] == "ok"
