@@ -32,7 +32,9 @@ def onchange_stream(spark: SparkSession, path: str, schema, glob: str | None = N
 def run_available_now(stream_df: DataFrame, query_name: str | None = None,
                       output_mode: str = "complete") -> DataFrame:
     """Drain the stream into an in-memory sink and return the result table
-    (the onchange-job unit-of-work for tests)."""
+    (the onchange-job unit-of-work for tests). The memory sink cannot
+    recover a checkpoint; for multi-trigger runs that must keep offsets +
+    window state, use run_available_now_to_files."""
     name = query_name or f"onchange_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -44,6 +46,27 @@ def run_available_now(stream_df: DataFrame, query_name: str | None = None,
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def run_available_now_to_files(stream_df: DataFrame, out_dir: str,
+                               checkpoint_dir: str) -> DataFrame:
+    """Drain the stream into an append-mode parquet sink sharing
+    ``checkpoint_dir`` across calls: each drain processes only NEW source
+    files, window state survives between drains, and finalized windows
+    append to ``out_dir`` exactly once. This is the restartable
+    production shape of the onchange loop (file sink supports checkpoint
+    recovery; the memory sink does not). Returns a batch DataFrame over
+    everything emitted so far."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(out_dir)
 
 
 def windowed_counts(stream_df: DataFrame, ts_micros_col: str, group_col: str,

@@ -101,3 +101,50 @@ def test_stream_to_store_appends_batches_transactionally(spark, tmp_path):
     ST.stream_to_store(stream2, es, "ingested",
                        checkpoint_dir=str(tmp_path / "ckpt"))
     assert es.log(["ingested"]).count() == 12  # 6 old + 6 changed, no reprocessing
+
+
+def test_watermark_discards_late_data_across_triggers(spark, tmp_path):
+    """Late-data semantics pinned end-to-end: append-mode windows finalize
+    once the watermark passes them, and an event arriving BELOW the
+    watermark in a later trigger is discarded — it never lands in any
+    emitted window (Structured Streaming's state-cleanup contract, the
+    property that bounds state at 100 TB of stream history)."""
+    HOUR = 3_600_000_000
+    path = str(tmp_path / "late_ev")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(path)
+
+    def write(rows):
+        spark.createDataFrame(rows, "event_id long, us long, event_type string") \
+            .coalesce(1).write.mode("append").parquet(path)
+
+    def drain():
+        schema = spark.read.parquet(path).schema
+        stream = ST.onchange_stream(spark, path, schema)
+        agg = ST.windowed_counts(stream, "us", "event_type",
+                                 window="1 hour", watermark="1 hour")
+        emitted = ST.run_available_now_to_files(agg, out, ckpt).collect()
+        got = {}
+        for r in emitted:  # every (window, type) must emit exactly once
+            key = (r["window_start"] // HOUR, r["event_type"])
+            assert key not in got, f"window re-emitted: {key}"
+            got[key] = r["n"]
+        return got
+
+    # trigger 1: events in hours 0, 1, 2 -> watermark ends at 1.5h;
+    # only window [0,1) is final and emitted
+    write([(1, HOUR // 2, "a"), (2, HOUR + HOUR // 2, "a"),
+           (3, 2 * HOUR + HOUR // 2, "a")])
+    assert drain() == {(0, "a"): 1}
+
+    # trigger 2: one LATE event in hour 0 (below the 1.5h watermark ->
+    # discarded) plus an on-time event in hour 3 -> watermark 2.5h;
+    # window [1,2) finalizes with its original count, the late row gone
+    write([(4, HOUR // 2 + 1, "a"), (5, 3 * HOUR + HOUR // 2, "a")])
+    assert drain() == {(0, "a"): 1, (1, "a"): 1}
+
+    # trigger 3: advance far enough to flush the rest; hour-0 stays at 1
+    # across ALL emissions — the late event never appeared anywhere
+    write([(6, 6 * HOUR, "a")])
+    assert drain() == {(0, "a"): 1, (1, "a"): 1, (2, "a"): 1, (3, "a"): 1}
