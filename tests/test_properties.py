@@ -104,3 +104,41 @@ def test_retention_gc_never_changes_latest(spark, log, horizon):
     after = sorted((r["id"], r["recorded"], r["seq"])
                    for r in S.latest(kept, include_deleted=True).collect())
     assert before == after
+
+
+# -- script-surface Arrow roundtrip ----------------------------------------
+# entities with adversarial content: empty/None maps, unicode, pipes,
+# colons-in-ids, empty strings, multi-value refs
+
+_txt = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    min_size=0, max_size=12)
+_entity_row = st.tuples(
+    st.text(alphabet="abc:|0", min_size=1, max_size=8),   # id (pipes + colons)
+    st.integers(min_value=0, max_value=2**40),            # recorded
+    st.integers(min_value=0, max_value=2**40),            # seq
+    st.booleans(),                                        # deleted
+    st.one_of(st.none(), st.dictionaries(_txt.filter(bool), _txt, max_size=3)),
+    st.one_of(st.none(), st.dictionaries(
+        _txt.filter(bool), st.lists(_txt, min_size=0, max_size=3), max_size=2)),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_entity_row, min_size=1, max_size=10, unique_by=lambda e: e[0]))
+def test_script_identity_roundtrips_arbitrary_entities(spark, rows):
+    """The script surface's row->entity-dict->row conversion (Arrow map
+    handling, ref list normalization) must be lossless under the identity
+    transform for ANY entity content."""
+    import datahub_spark.script as SC
+
+    df = spark.createDataFrame(
+        [(i, r, s, d, p, f, "ds") for (i, r, s, d, p, f) in rows], ENTITY_SCHEMA)
+    out = SC.script_transform(df, "def transform_entities(e):\n    return e\n")
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    for (i, r, s, d, p, f) in rows:
+        row = got[i]
+        assert (row["recorded"], row["seq"], row["deleted"]) == (r, s, d)
+        assert (row["props"] or {}) == (p or {})
+        assert (row["refs"] or {}) == ({k: list(v) for k, v in f.items()} if f else {})
