@@ -44,7 +44,7 @@ import uuid as _uuid
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
@@ -367,3 +367,61 @@ def make_script_transform(code: str, *, lookup: list[DataFrame] | None = None,
     def transform(df: DataFrame) -> DataFrame:
         return script_transform(df, code, lookup=lookup, namespaces=namespaces)
     return transform
+
+
+# --------------------------------------------------------------------------
+# script-built virtual datasets (BuildEntities + Emit host contract,
+# transform.go:578-600)
+# --------------------------------------------------------------------------
+
+class ScriptVirtualSource:
+    """A virtual dataset whose pages are produced by a user script
+    defining ``build_entities(params, since, limit)`` that calls
+    ``Emit(entity)`` and returns the next continuation token — the
+    reference's script-backed proxy dataset contract (transform.go
+    BuildEntities / Runtime.Set("Emit", ...)).
+
+    The script runs DRIVER-side per read: this surface exists for
+    API-backed incremental feeds (the reference's use), which are
+    small-per-page by construction — paging is the scale mechanism, via
+    the since/limit/token loop the jobs engine already drives.
+    Generating a LARGE dataset belongs in VirtualDatasetSource with a
+    distributed (spark.range-based) builder, not a per-entity Emit loop.
+    """
+
+    def __init__(self, spark: SparkSession, code: str, params: dict | None = None,
+                 namespaces: dict[str, str] | None = None, dataset: str = "virtual"):
+        self.spark = spark
+        self.code = code
+        self.params = params or {}
+        self.dataset = dataset
+        env: dict = dict(make_builtins(namespaces or DEFAULT_NAMESPACES))
+        self._emitted: list[dict] = []
+        env["Emit"] = self._emitted.append
+        exec(compile(code, "<build_entities>", "exec"), env)
+        fn = env.get("build_entities")
+        if not callable(fn):
+            raise ValueError("script must define build_entities(params, since, limit)")
+        self._fn = fn
+        self.last_token: object = None
+
+    def read(self, since: int = 0, limit: int | None = None) -> DataFrame:
+        self._emitted.clear()
+        self.last_token = self._fn(self.params, since, limit)
+        rows = [_entity_to_row(e) for e in self._emitted]
+        for r in rows:
+            if r["dataset"] is None:
+                r["dataset"] = self.dataset
+        df = self.spark.createDataFrame(
+            [tuple(r[c] for c in ENTITY_COLUMNS) for r in rows],
+            SCRIPT_OUTPUT_SCHEMA)
+        return df
+
+    def current_watermark(self) -> int:
+        """Integer continuation for the jobs engine (JobState tokens are
+        ints); scripts returning non-numeric tokens keep their own state
+        in params."""
+        try:
+            return int(self.last_token)
+        except (TypeError, ValueError):
+            return 0

@@ -171,3 +171,51 @@ def transform_entities(entities):
 def test_make_script_transform_validates_eagerly(spark):
     with pytest.raises(ValueError, match="transform_entities"):
         SC.make_script_transform("y = 2")
+
+
+def test_script_virtual_source_pages_with_emit_and_token(spark, tmp_path):
+    # BuildEntities/Emit host contract (transform.go:578-600): the script
+    # emits a page after `since` and returns the next continuation token
+    code = """
+def build_entities(params, since, limit):
+    n = params["n"]
+    emitted = 0
+    last = since
+    for i in range(since, n):
+        if limit is not None and emitted >= limit:
+            break
+        e = NewEntity()
+        SetId(e, PrefixField("v", i))
+        SetProperty(e, "p", "i", ToString(i))
+        e["Recorded"] = i + 1
+        e["Seq"] = 0
+        Emit(e)
+        emitted += 1
+        last = i + 1
+    return last
+"""
+    src = SC.ScriptVirtualSource(spark, code, params={"n": 7}, dataset="virt")
+    page1 = src.read(since=0, limit=3).collect()
+    assert [r["id"] for r in page1] == ["v:0", "v:1", "v:2"]
+    assert src.current_watermark() == 3
+    page2 = src.read(since=src.current_watermark()).collect()
+    assert [r["id"] for r in page2] == ["v:3", "v:4", "v:5", "v:6"]
+    assert all(r["dataset"] == "virt" for r in page2)
+
+    # plugs into the jobs engine as an incremental source: second run
+    # starts from the committed token and appends nothing new
+    from datahub_spark import jobs as J
+    from datahub_spark.store import EntityStore
+
+    es = EntityStore(spark, str(tmp_path / "store"))
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("virt-sync", SC.ScriptVirtualSource(spark, code, params={"n": 7}),
+                J.DatasetSink(es, "virt"))
+    job.run(state)
+    assert es.log(["virt"]).count() == 7
+    assert state.token("virt-sync") == 7
+    job.run(state)
+    assert es.log(["virt"]).count() == 7  # no re-emission
+
+    with pytest.raises(ValueError, match="build_entities"):
+        SC.ScriptVirtualSource(spark, "x=1")
