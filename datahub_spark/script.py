@@ -117,6 +117,7 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
     ns = dict(namespaces)
     by_id = (index or {}).get("by_id", {})
     inverse = (index or {}).get("inverse", {})
+    changes = (index or {}).get("changes", {})
 
     def _key(prefix, name):
         return f"{prefix}:{name}"
@@ -242,6 +243,20 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
                     ])
         return out
 
+    def GetDatasetChanges(dataset, since=0, limit=None):
+        """DatasetChanges host fn: the declared lookup dataset's change
+        rows with recorded > since, in version order. NOT carried over:
+        NewTransaction/ExecuteTransaction/WriteQueryResult — per-row
+        store writes from inside a distributed transform are the classic
+        scale anti-pattern; this engine's equivalent is returning the
+        entities (the sink commits one transaction per batch) or
+        driver-side store.execute_transaction."""
+        rows = [
+            _copy(e) for e in changes.get(dataset, [])
+            if (e.get("Recorded") or 0) > since
+        ]
+        return rows[:limit] if limit is not None else rows
+
     def PagedQuery(params, callback=None):
         """Batched variant: params = {"StartingEntities": [...],
         "Predicate": p, "Inverse": bool}. Returns the full triple list
@@ -270,6 +285,7 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
         "GetNamespacePrefix": GetNamespacePrefix,
         "AssertNamespacePrefix": AssertNamespacePrefix,
         "FindById": FindById, "Query": Query, "PagedQuery": PagedQuery,
+        "GetDatasetChanges": GetDatasetChanges,
     }
 
 
@@ -307,17 +323,25 @@ def build_lookup_index(*frames: DataFrame) -> dict:
     transforms.enrich_via, which shuffles properly."""
     by_id: dict = {}
     inverse: dict = {}
+    changes: dict = {}
     for df in frames:
         cols = [c for c in ENTITY_COLUMNS if c in df.columns]
         for row in df.select(*cols).collect():
             ent = _row_to_entity(row.asDict())
-            by_id[ent["ID"]] = ent
-            for pred, targets in ent["References"].items():
-                for t in targets:
-                    inverse.setdefault((pred, t), []).append(ent["ID"])
+            changes.setdefault(ent["Dataset"], []).append(ent)
+            prev = by_id.get(ent["ID"])
+            if prev is None or (ent["Recorded"] or 0, ent["Seq"] or 0) >= (
+                    (prev["Recorded"] or 0), (prev["Seq"] or 0)):
+                by_id[ent["ID"]] = ent
+    for ent in by_id.values():
+        for pred, targets in ent["References"].items():
+            for t in targets:
+                inverse.setdefault((pred, t), []).append(ent["ID"])
     for k in inverse:
         inverse[k].sort()  # deterministic result order
-    return {"by_id": by_id, "inverse": inverse}
+    for ds in changes:
+        changes[ds].sort(key=lambda e: (e["Recorded"] or 0, e["Seq"] or 0, e["ID"] or ""))
+    return {"by_id": by_id, "inverse": inverse, "changes": changes}
 
 
 # per-process cache: tasks in the same Python worker reuse the compiled

@@ -219,3 +219,27 @@ def build_entities(params, since, limit):
 
     with pytest.raises(ValueError, match="build_entities"):
         SC.ScriptVirtualSource(spark, "x=1")
+
+
+def test_get_dataset_changes_and_latest_wins_lookup(spark):
+    # multi-version lookup frame: FindById resolves the LATEST version,
+    # GetDatasetChanges returns version-ordered rows after `since`
+    log = _entities(spark, [
+        ("x:1", 1, 0, False, {"p:v": "old"}, None, "dim"),
+        ("x:1", 5, 0, False, {"p:v": "new"}, None, "dim"),
+        ("x:2", 3, 0, False, {"p:v": "two"}, None, "dim"),
+    ])
+    probe = _entities(spark, [("q:1", 1, 0, False, None, None, "probe")])
+    code = """
+def transform_entities(entities):
+    for e in entities:
+        SetProperty(e, "p", "latest", GetProperty(FindById("x:1"), "p", "v"))
+        ch = GetDatasetChanges("dim", since=1)
+        SetProperty(e, "p", "n_changes", ToString(len(ch)))
+        SetProperty(e, "p", "first_change", GetId(ch[0]))
+        SetProperty(e, "p", "limited", ToString(len(GetDatasetChanges("dim", 0, 2))))
+    return entities
+"""
+    (row,) = SC.script_transform(probe, code, lookup=[log]).collect()
+    assert row["props"] == {"p:latest": "new", "p:n_changes": "2",
+                            "p:first_change": "x:2", "p:limited": "2"}
