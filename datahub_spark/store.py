@@ -380,7 +380,17 @@ class EntityStore:
         left-join against the latest view's digests, so repeated
         idempotent syncs don't grow the version log."""
         if skip_unchanged and self.has_data(dataset):
-            current = latest(self.log([dataset]), include_deleted=True).select(
+            # Digest only the log rows whose ids appear in the incoming
+            # batch (semi-join BEFORE latest/digest): an append of K
+            # entities against an N-entity log reads/aggregates O(K)
+            # rather than O(N). No broadcast hint on purpose — AQE
+            # converts the semi-join to broadcast when the batch id set
+            # is small (the common incremental case) and keeps a shuffle
+            # join for bulk loads where broadcasting the batch would be
+            # the mistake.
+            batch_ids = df.select("id").distinct()
+            scoped = self.log([dataset]).join(batch_ids, "id", "left_semi")
+            current = latest(scoped, include_deleted=True).select(
                 "id", payload_digest().alias("_cur")
             )
             norm = df if "deleted" in df.columns else df.withColumn("deleted", F.lit(False))
