@@ -252,6 +252,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: edges join every iteration, and `pairs` is
+        # usually an unmaterialized candidate pipeline (shingle explode →
+        # minhash agg → band join) that would otherwise re-execute per
+        # round — the dominant cost of the loop, not the tiny label join
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("component", F.col("id"))
