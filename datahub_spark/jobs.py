@@ -630,14 +630,23 @@ class Scheduler:
             due.append(j)
         return due
 
-    def run_due(self, now) -> list[dict]:
-        """One clock tick: run every due scheduled job once."""
+    def run_due(self, now, runner: "JobRunner | None" = None) -> list[dict]:
+        """One clock tick: run every due scheduled job once. Sequential
+        in lineage order by default; with a ``runner``, due jobs are
+        dispatched through its raffle instead (the reference runner's
+        shape — a job denied a ticket simply isn't marked fired and
+        retries on the next matching tick)."""
         minute = now.replace(second=0, microsecond=0)
-        results = []
+        if runner is None:
+            results = []
+            for j in self.due_jobs(now):
+                self._last_fired[j.job_id] = minute
+                results.append(j.run(self.state))
+            return results
         for j in self.due_jobs(now):
-            self._last_fired[j.job_id] = minute
-            results.append(j.run(self.state))
-        return results
+            if runner.submit(j):
+                self._last_fired[j.job_id] = minute
+        return runner.join()
 
     def _ordered(self) -> list[Job]:
         # topo-sort on dataset lineage: producer jobs before consumers
