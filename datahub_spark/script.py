@@ -363,11 +363,15 @@ def script_transform(df: DataFrame, code: str, *,
     ns = dict(namespaces or DEFAULT_NAMESPACES)
     index = build_lookup_index(*lookup) if lookup else None
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast({"ns": ns, "index": index, "code": code})
+    # cache key must be globally unique for THIS (code, ns, index)
+    # binding — id(bc) would be reusable after GC and could serve a
+    # stale compiled fn for different code
+    token = _uuid.uuid4().hex
+    bc = sc.broadcast({"ns": ns, "index": index, "code": code, "token": token})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
-        key = id(bc)
+        key = payload["token"]
         if key not in _FN_CACHE:
             _FN_CACHE[key] = compile_script(
                 payload["code"], payload["ns"], payload["index"])
