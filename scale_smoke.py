@@ -62,10 +62,41 @@ def main() -> None:
     n_rel = Q.related(log, starts, "p:parent", inverse=True).count()
     timings["inverse_traversal_1k_starts"] = round(time.monotonic() - t0, 2)
 
+    # the LLM-pipeline hot path at volume: 1M synthetic docs (5 near-dup
+    # variants per 200k templates) through shingle -> minhash -> LSH
+    # banding -> connected components -> cluster keepers. Generated
+    # distributed; no driver-side data
+    from datahub_spark.operators import dedup as DD
+
+    # Every token carries the template id, so shingles are
+    # template-SPECIFIC: the 5 variants of a template near-dup each
+    # other, different templates share nothing. (A shared prefix across
+    # all docs would make every minhash collide -> one bucket of 1M docs
+    # -> quadratic pair fan-out: the degenerate case LSH must avoid.)
+    n_docs = 1_000_000
+    tid = (F.col("id") % 200_000).cast("string")
+    tok = lambda s: F.concat(F.lit(s), tid)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", tok("alpha"), tok("bravo"), tok("charlie"), tok("delta"),
+            tok("echo"), tok("foxtrot"), tok("golf"),
+            F.concat(F.lit("variant"), (F.col("id") % 5).cast("string")),
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    sig = DD.minhash_signature(docs, k=12, n=3)
+    pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3)
+    comp = DD.connected_components(pairs)
+    n_keepers = comp.filter(F.col("component") == F.col("id")).count()
+    timings["minhash_lsh_cc_1m_docs"] = round(time.monotonic() - t0, 2)
+
     print(json.dumps({
-        "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel},
+        "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
+                 "dup_cluster_keepers": n_keepers},
         "sec": timings,
         "n_versions": n_versions,
+        "n_docs": n_docs,
     }))
 
 
