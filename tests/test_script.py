@@ -243,3 +243,24 @@ def transform_entities(entities):
     (row,) = SC.script_transform(probe, code, lookup=[log]).collect()
     assert row["props"] == {"p:latest": "new", "p:n_changes": "2",
                             "p:first_change": "x:2", "p:limited": "2"}
+
+
+def test_paged_query_callback_contract(spark, people, nations):
+    # transform_paged_query_test.go shape: batched params dict, callback
+    # receives the triples, return value is the full triple list
+    code = """
+def transform_entities(entities):
+    seen = []
+    for e in entities:
+        triples = PagedQuery({"StartingEntities": [GetId(e)],
+                              "Predicate": "p:nation",
+                              "Inverse": False},
+                             lambda ts: seen.append(len(ts)))
+        SetProperty(e, "p", "via_paged", GetProperty(triples[0][2], "p", "name"))
+        SetProperty(e, "p", "cb_count", ToString(seen[-1]))
+    return entities
+"""
+    out = {r["id"]: r["props"] for r in
+           SC.script_transform(people, code, lookup=[people, nations]).collect()}
+    assert out["p:1"]["p:via_paged"] == "NORWAY"
+    assert out["p:1"]["p:cb_count"] == "1"
