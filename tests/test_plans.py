@@ -89,3 +89,13 @@ def test_text_ops_have_no_python_and_no_sort_agg(spark, key):
     plan = _plan(spark, key)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_corpus_select_is_bucketed_not_cartesian(spark):
+    # the end-to-end flagship pipeline composes exact dedup + LSH-blocked
+    # near-dup + CC + quality floor; none of those may degrade to an
+    # all-pairs join or a sort aggregate
+    plan = _plan(spark, "corpus_select")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortAggregate" not in plan
