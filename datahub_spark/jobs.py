@@ -26,6 +26,7 @@ import json
 import os
 import threading
 import time
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -410,6 +411,38 @@ class Job:
                     df = self.source.read_with_tokens(state.dep_tokens(self.job_id))
                 else:
                     df = self.source.read(since=since)
+                # reQueue drain (reQueue.go reQueuePrependingSource): every
+                # `<job>.errors.*` dataset written by a previous run is
+                # PREPENDED to the source stream so failed entities retry
+                # through the full transform; drained datasets are deleted
+                # after a successful sink write. Failures during THIS run
+                # land in a fresh uuid-suffixed dataset (the reference's
+                # timestamped `_requeue_` names), so they are never
+                # deleted by the drain that is in flight.
+                drained: list[str] = []
+                rq_store = getattr(self.sink, "store", None)
+                if self.on_error.kind == "reQueue" and rq_store is not None:
+                    prefix = f"{self.job_id}.errors"
+                    drained = [d for d in rq_store.list_datasets()
+                               if d == prefix or d.startswith(prefix + ".")]
+                if drained:
+                    # replay EVERY requeued row as-is (the reference wraps
+                    # each failed entity individually): version multiplicity
+                    # and tombstones are part of the failed payload, and the
+                    # ORIGINAL (recorded, seq) keeps replayed versions
+                    # ordered before anything sinked since — identical
+                    # re-deliveries die in write-time dedup
+                    rq = rq_store.log(drained).select(
+                        "id", "recorded", "seq", "deleted",
+                        F.map_filter(
+                            F.coalesce(F.col("props"),
+                                       F.create_map().cast("map<string,string>")),
+                            lambda k, v: k != F.lit("p:__error"),
+                        ).alias("props"),
+                        "refs",
+                        F.lit("__requeue__").alias("dataset"),
+                    )
+                    df = rq.unionByName(df, allowMissingColumns=True)
                 if self.transform is not None:
                     df = self.transform(df)
                 if "_error" in df.columns:
@@ -452,6 +485,8 @@ class Job:
                 finally:
                     if cached is not None:
                         cached.unpersist()
+                for d in drained:  # requeue datasets processed: retire them
+                    rq_store.delete_dataset(d)
                 result = {"id": self.job_id, "attempts": attempts, "token": wm}
                 state.record_run(self.job_id, result)
                 return result
@@ -480,7 +515,14 @@ class Job:
                     F.create_map(F.lit("p:__error"), F.col("_error")),
                 ),
             ).drop("_error", "dataset")
-            store.store_entities(f"{self.job_id}.errors", requeue)
+            # fresh generation per run (reference: `_requeue_<unixnano>`):
+            # the in-flight drain never deletes this run's failures. An
+            # all-rows-succeeded run leaves an empty dataset — retire it
+            # from COMMITTED state (no re-execution of the transform)
+            gen = f"{self.job_id}.errors.{uuid.uuid4().hex[:12]}"
+            store.store_entities(gen, requeue)
+            if store.log([gen]).isEmpty():  # committed files, not a re-run
+                store.delete_dataset(gen)
             return ok
         n_failed = errs.limit(self.on_error.max_items + 1).count()
         if n_failed > self.on_error.max_items:

@@ -30,6 +30,12 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         # the driver's synthetic events.parquet uses TIMESTAMP(NANOS) which
         # Spark 4 only reads as int64 nanos via this legacy flag
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # entity frames build props/refs via create_map and consumers
+        # re-extract keys; always-inline lets SimplifyExtractValueOps
+        # delete the map construction and prune the scan (see
+        # ingest.load_tables, which also sets this for driver-supplied
+        # sessions)
+        .config("spark.sql.optimizer.collapseProjectAlwaysInline", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -210,10 +210,52 @@ def test_requeue_handler_diverts_to_errors_dataset(spark, store, tmp_path):
                 J.DatasetSink(store, "clean3"), transform=_failing_transform,
                 on_error=J.ErrorHandler(kind="reQueue"))
     job.run(state)
-    errs = store.log(["rq.errors"]).collect()
+    (errds,) = [d for d in store.list_datasets() if d.startswith("rq.errors.")]
+    errs = store.log([errds]).collect()
     assert {r["id"] for r in errs} == {"p:alice"}
     assert all("cannot process alice" in r["props"]["p:__error"] for r in errs)
     assert {r["id"] for r in store.log(["clean3"]).collect()} == {"p:bob"}
+
+
+def test_requeue_drains_and_retries_on_next_run(spark, store, tmp_path):
+    """reQueue.go reQueuePrependingSource: failed entities are PREPENDED
+    to the next run's source stream and retried through the full
+    transform; drained requeue datasets are deleted after the successful
+    run. A transform that starts succeeding lets the entity through with
+    the error marker stripped."""
+    import pandas as pd
+    from datahub_spark import transforms as TR
+
+    flag = str(tmp_path / "fixed.marker")
+
+    def flaky(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        if (pdf["id"] == "p:alice").any() and not _os.path.exists(flag):
+            raise RuntimeError("alice still broken")
+        return pdf
+
+    state = J.JobState(str(tmp_path / "state.json"))
+    job = J.Job("rt", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "fixed_out"),
+                transform=lambda df: TR.safe_python_transform(df, flaky),
+                on_error=J.ErrorHandler(kind="reQueue"))
+    job.run(state)
+    assert any(d.startswith("rt.errors.") for d in store.list_datasets())
+    assert "p:alice" not in {r["id"] for r in store.log(["fixed_out"]).collect()}
+
+    open(flag, "w").close()  # "fix" the transform
+    job.run(state)
+    # alice's FULL failed history (3 versions incl. her tombstone) was
+    # replayed verbatim; her latest state is the tombstone, as in the
+    # source dataset — requeue must not resurrect or reorder versions
+    full = latest(store.log(["fixed_out"]), include_deleted=True).collect()
+    by_id = {r["id"]: r for r in full}
+    assert set(by_id) == {"p:alice", "p:bob"}
+    assert by_id["p:alice"]["deleted"] is True  # faithful replay
+    assert store.log(["fixed_out"]).filter(F.col("id") == "p:alice").count() == 3
+    assert "p:__error" not in (by_id["p:alice"]["props"] or {})
+    # drained requeue generations are retired; the clean run left none
+    assert not any(d.startswith("rt.errors") for d in store.list_datasets())
 
 
 def test_scheduler_runs_in_lineage_order(spark, store, tmp_path):
