@@ -24,7 +24,13 @@ class ContentService:
     def _path(self, content_id: str) -> str:
         if not content_id:
             raise ValueError("content id must be non-empty")
-        fname = _SAFE.sub(lambda m: f"%{ord(m.group(0)):02x}", content_id)
+        # percent-encode per UTF-8 BYTE (always two hex digits) — a
+        # codepoint-width escape is not injective: ' ac' (0x20,'a','c')
+        # and '€' (0x20AC) would share a file
+        fname = _SAFE.sub(
+            lambda m: "".join(f"%{b:02x}" for b in m.group(0).encode("utf-8")),
+            content_id,
+        )
         return os.path.join(self.root, fname + ".json")
 
     def upsert(self, content_id: str, data: dict) -> dict:

@@ -228,11 +228,12 @@ class HttpDatasetSource:
 
     def __init__(self, spark, url: str, dataset: str = "remote",
                  token_provider=None, allow_network: bool = False,
-                 max_pages: int = 10_000):
+                 max_pages: int = 10_000, timeout_s: float = 30.0):
         self.spark, self.url, self.dataset = spark, url, dataset
         self.token_provider = token_provider
         self.allow_network = allow_network
         self.max_pages = max_pages
+        self.timeout_s = timeout_s
 
     def _fetch(self, url: str) -> list:
         import urllib.request
@@ -240,7 +241,7 @@ class HttpDatasetSource:
         req = urllib.request.Request(url)
         if self.token_provider is not None:
             req.add_header("Authorization", f"Bearer {self.token_provider()}")
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             return json.loads(resp.read().decode("utf-8"))
 
     def read(self, since: int = 0) -> DataFrame:
@@ -305,15 +306,23 @@ class HttpDatasetSink:
     1000 executors each posts its slice concurrently, which is exactly
     how the reference's sink scales out when jobs shard). Each payload is
     a full UDA array: ``@context`` head + entity objects. Gated behind
-    ``allow_network`` (loopback-only sandbox)."""
+    ``allow_network`` (loopback-only sandbox).
+
+    Delivery is AT-LEAST-ONCE: a task that fails mid-partition is retried
+    by Spark and reposts that partition's earlier batches. A UDA server
+    with write-time payload dedup (this repo's EntityStore, the
+    reference's StoreEntities) makes the re-delivery idempotent; servers
+    without it will record duplicate versions."""
 
     def __init__(self, url: str, token_provider=None, allow_network: bool = False,
-                 batch_size: int = 1000, context: dict | None = None):
+                 batch_size: int = 1000, context: dict | None = None,
+                 timeout_s: float = 30.0):
         self.url = url
         self.token_provider = token_provider
         self.allow_network = allow_network
         self.batch_size = batch_size
         self.context = context or {"id": "@context", "namespaces": {}}
+        self.timeout_s = timeout_s
 
     def write(self, df: DataFrame) -> None:
         if not self.allow_network:
@@ -322,6 +331,7 @@ class HttpDatasetSink:
                 "serialize with uda.to_uda_json"
             )
         url, batch_size, ctx = self.url, self.batch_size, self.context
+        timeout_s = self.timeout_s
         token = self.token_provider() if self.token_provider is not None else None
         wire = uda.to_uda_json(df)
 
@@ -336,7 +346,7 @@ class HttpDatasetSink:
                 )
                 if token is not None:
                     req.add_header("Authorization", f"Bearer {token}")
-                urllib.request.urlopen(req).read()
+                urllib.request.urlopen(req, timeout=timeout_s).read()
 
             batch = []
             for row in rows:
@@ -407,6 +417,25 @@ class Job:
         while True:
             attempts += 1
             try:
+                # Snapshot the continuation watermark BEFORE the source scan
+                # (the scan itself is lazy and runs at the sink write). A
+                # concurrent producer can commit to the source dataset at any
+                # point between here and the write; taking the token first
+                # means such rows are at worst REPROCESSED next run (they die
+                # in the sink's write-time dedup), never silently skipped —
+                # the post-write read had the opposite, unsafe direction.
+                # (Sources whose token IS the read's continuation value —
+                # watermark_from_read — are exempt: their watermark derives
+                # from the rows the read actually produced, so the post-read
+                # value is race-free by construction.)
+                wm_from_read = getattr(self.source, "watermark_from_read", False)
+                pre_wm: int | None = None
+                pre_dep_tokens: dict[str, int] | None = None
+                if self.job_type == "incremental" and not wm_from_read:
+                    if isinstance(self.source, MultiSource):
+                        pre_dep_tokens = self.source.current_watermarks()
+                    elif hasattr(self.source, "current_watermark"):
+                        pre_wm = self.source.current_watermark()
                 if isinstance(self.source, MultiSource) and self.job_type == "incremental":
                     df = self.source.read_with_tokens(state.dep_tokens(self.job_id))
                 else:
@@ -448,18 +477,15 @@ class Job:
                 if "_error" in df.columns:
                     df = self._route_failing_entities(df)
                 # Run the source+transform plan EXACTLY ONCE: the sink
-                # write is the single execution. The continuation token
-                # comes from the source's committed log afterwards (a
-                # pruned stats-only agg); sources without a backing log
-                # persist the frame so the write populates the cache and
-                # the watermark agg reads it back instead of re-running
-                # the pipeline.
-                store_wm = hasattr(self.source, "current_watermark") and not (
-                    isinstance(self.source, MultiSource)
-                )
+                # write is the single execution. The continuation token is
+                # the PRE-scan log watermark (a pruned stats-only agg taken
+                # above); sources without a backing log persist the frame so
+                # the write populates the cache and the watermark agg reads
+                # it back instead of re-running the pipeline.
+                store_wm = pre_wm is not None
                 cached = None
                 if self.job_type == "incremental" and not store_wm \
-                        and "recorded" in df.columns:
+                        and not wm_from_read and "recorded" in df.columns:
                     cached = df.persist()
                     df = cached
                 try:
@@ -475,13 +501,15 @@ class Job:
                     wm = since
                     if self.job_type == "incremental":
                         if store_wm:
+                            wm = max(pre_wm, since)
+                        elif wm_from_read and hasattr(self.source, "current_watermark"):
                             wm = max(self.source.current_watermark(), since)
                         elif cached is not None:
                             row = cached.agg(F.max("recorded")).collect()[0]
                             wm = max(int(row[0] or since), since)
                         state.set_token(self.job_id, wm)
-                        if isinstance(self.source, MultiSource):
-                            state.set_dep_tokens(self.job_id, self.source.current_watermarks())
+                        if pre_dep_tokens is not None:
+                            state.set_dep_tokens(self.job_id, pre_dep_tokens)
                 finally:
                     if cached is not None:
                         cached.unpersist()
@@ -533,10 +561,18 @@ class Job:
 
 
 class JobState:
-    """Continuation tokens per job (runner.go run-state), JSON on disk."""
+    """Continuation tokens per job (runner.go run-state), JSON on disk.
+
+    Mutations are read-modify-write on one file; the JobRunner executes
+    jobs from several threads against ONE shared JobState, so every RMW
+    holds ``_mu`` — without it two concurrent set_token calls lose one
+    update, and colliding writes to the shared ``.tmp`` staging file can
+    raise mid-commit (which the reRun handler then turns into a full —
+    double-writing — job retry)."""
 
     def __init__(self, path: str):
         self.path = path
+        self._mu = threading.Lock()
         if not os.path.exists(path):
             self._write({})
 
@@ -545,7 +581,7 @@ class JobState:
             return json.load(f)
 
     def _write(self, d: dict) -> None:
-        tmp = self.path + ".tmp"
+        tmp = f"{self.path}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(d, f)
         os.replace(tmp, self.path)
@@ -555,38 +591,41 @@ class JobState:
         return int(v["token"] if isinstance(v, dict) else v)
 
     def set_token(self, job_id: str, token: int) -> None:
-        d = self._read()
-        cur = d.get(job_id)
-        if isinstance(cur, dict):
-            cur["token"] = int(token)
-        else:
-            d[job_id] = {"token": int(token), "history": []}
-        self._write(d)
+        with self._mu:
+            d = self._read()
+            cur = d.get(job_id)
+            if isinstance(cur, dict):
+                cur["token"] = int(token)
+            else:
+                d[job_id] = {"token": int(token), "history": []}
+            self._write(d)
 
     def dep_tokens(self, job_id: str) -> dict[str, int]:
         v = self._read().get(job_id)
         return dict(v.get("deps", {})) if isinstance(v, dict) else {}
 
     def set_dep_tokens(self, job_id: str, tokens: dict[str, int]) -> None:
-        d = self._read()
-        cur = d.get(job_id)
-        if not isinstance(cur, dict):
-            cur = {"token": int(cur or 0), "history": []}
-            d[job_id] = cur
-        cur["deps"] = {k: int(v) for k, v in tokens.items()}
-        self._write(d)
+        with self._mu:
+            d = self._read()
+            cur = d.get(job_id)
+            if not isinstance(cur, dict):
+                cur = {"token": int(cur or 0), "history": []}
+                d[job_id] = cur
+            cur["deps"] = {k: int(v) for k, v in tokens.items()}
+            self._write(d)
 
     def record_run(self, job_id: str, result: dict, keep: int = 50) -> None:
         """Run history (runner.go jobs/_/history analogue), newest first,
         capped at ``keep`` entries."""
-        d = self._read()
-        cur = d.get(job_id)
-        if not isinstance(cur, dict):
-            cur = {"token": int(cur or 0), "history": []}
-            d[job_id] = cur
-        cur.setdefault("history", []).insert(0, result)
-        del cur["history"][keep:]
-        self._write(d)
+        with self._mu:
+            d = self._read()
+            cur = d.get(job_id)
+            if not isinstance(cur, dict):
+                cur = {"token": int(cur or 0), "history": []}
+                d[job_id] = cur
+            cur.setdefault("history", []).insert(0, result)
+            del cur["history"][keep:]
+            self._write(d)
 
     def history(self, job_id: str) -> list[dict]:
         v = self._read().get(job_id)
@@ -677,7 +716,16 @@ class Scheduler:
         in lineage order by default; with a ``runner``, due jobs are
         dispatched through its raffle instead (the reference runner's
         shape — a job denied a ticket simply isn't marked fired and
-        retries on the next matching tick)."""
+        retries on the next matching tick).
+
+        Concurrent dispatch honors lineage: due jobs are submitted in
+        topological LEVELS with a join barrier between levels, so a
+        consumer never scans its source dataset while this tick's
+        producer is still writing it. Jobs within a level have no
+        producer/consumer edge and run fully concurrent. (Token safety
+        does not depend on this — Job.run snapshots its watermark before
+        the scan — the barrier is what makes "consumers see this tick's
+        producer output" true.)"""
         minute = now.replace(second=0, microsecond=0)
         if runner is None:
             results = []
@@ -685,13 +733,28 @@ class Scheduler:
                 self._last_fired[j.job_id] = minute
                 results.append(j.run(self.state))
             return results
-        for j in self.due_jobs(now):
-            if runner.submit(j):
-                self._last_fired[j.job_id] = minute
-        return runner.join()
+        due = self.due_jobs(now)
+        due_ids = {j.job_id for j in due}
+        deps = self._dep_graph()
+        depth: dict[str, int] = {}
 
-    def _ordered(self) -> list[Job]:
-        # topo-sort on dataset lineage: producer jobs before consumers
+        def d_of(jid: str) -> int:
+            if jid not in depth:
+                depth[jid] = 1 + max(
+                    (d_of(p) for p in deps[jid] if p in due_ids), default=-1
+                )
+            return depth[jid]
+
+        results: list[dict] = []
+        for level in sorted({d_of(j.job_id) for j in due}):
+            for j in due:
+                if d_of(j.job_id) == level and runner.submit(j):
+                    self._last_fired[j.job_id] = minute
+            results.extend(runner.join())
+        return results
+
+    def _dep_graph(self) -> dict[str, set[str]]:
+        """job_id -> producer job_ids it consumes from (dataset lineage)."""
         produces: dict[str, str] = {}
         for j in self.jobs.values():
             sink_name = getattr(j.sink, "name", None)
@@ -709,6 +772,11 @@ class Scheduler:
             for s in srcs:
                 if s in produces and produces[s] != j.job_id:
                     deps[j.job_id].add(produces[s])
+        return deps
+
+    def _ordered(self) -> list[Job]:
+        # topo-sort on dataset lineage: producer jobs before consumers
+        deps = self._dep_graph()
         ordered: list[Job] = []
         seen: set[str] = set()
 

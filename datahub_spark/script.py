@@ -315,18 +315,37 @@ def compile_script(code: str, namespaces: dict[str, str] | None = None,
     return fn
 
 
-def build_lookup_index(*frames: DataFrame) -> dict:
+# Hard cap on the lookup index: Query/FindById indexes are collected to
+# the driver and broadcast — past this size the job belongs on the
+# shuffle-join path (transforms.enrich_via), not in driver memory.
+LOOKUP_INDEX_MAX_ROWS = 200_000
+
+
+def build_lookup_index(*frames: DataFrame,
+                       max_rows: int = LOOKUP_INDEX_MAX_ROWS) -> dict:
     """Collect dimension-sized entity frames into the Query/FindById
     index. DIMENSION-SIZED ONLY: this is a driver collect + broadcast,
     the batch analogue of the reference resolving queries against its
     local store. Enriching against a large dataset is a join — use
-    transforms.enrich_via, which shuffles properly."""
+    transforms.enrich_via, which shuffles properly. Enforced: more than
+    ``max_rows`` total rows raises instead of silently OOMing the driver
+    (the limit+1 probe never materializes the oversized frame)."""
     by_id: dict = {}
     inverse: dict = {}
     changes: dict = {}
+    remaining = max_rows
     for df in frames:
         cols = [c for c in ENTITY_COLUMNS if c in df.columns]
-        for row in df.select(*cols).collect():
+        collected = df.select(*cols).limit(remaining + 1).collect()
+        if len(collected) > remaining:
+            raise ValueError(
+                f"lookup index exceeds {max_rows} rows: Query/FindById "
+                "lookups are for dimension-sized datasets only — join "
+                "large datasets with transforms.enrich_via (a distributed "
+                "shuffle join) instead, or raise max_rows explicitly"
+            )
+        remaining -= len(collected)
+        for row in collected:
             ent = _row_to_entity(row.asDict())
             changes.setdefault(ent["Dataset"], []).append(ent)
             prev = by_id.get(ent["ID"])
@@ -344,9 +363,39 @@ def build_lookup_index(*frames: DataFrame) -> dict:
     return {"by_id": by_id, "inverse": inverse, "changes": changes}
 
 
-# per-process cache: tasks in the same Python worker reuse the compiled
-# entry point instead of re-exec'ing the source per batch-iterator
-_FN_CACHE: dict = {}
+# Per-worker-process compiled-script cache: tasks in the same Python
+# worker reuse the compiled entry point instead of re-exec'ing the
+# source per batch-iterator. Keyed by a CONTENT hash of
+# (code, namespaces, index) — repeat script_transform calls with the
+# same binding hit the same entry (a uuid-per-call key grew one
+# permanently-retained env, broadcast index included, per invocation in
+# every long-lived worker) — and bounded LRU so distinct scripts can't
+# accumulate without limit either.
+_FN_CACHE: "dict[str, object]" = {}
+_FN_CACHE_MAX = 16
+
+
+def _cache_get(key: str, build):
+    fn = _FN_CACHE.pop(key, None)
+    if fn is None:
+        fn = build()
+    _FN_CACHE[key] = fn  # (re)insert at LRU tail
+    while len(_FN_CACHE) > _FN_CACHE_MAX:
+        _FN_CACHE.pop(next(iter(_FN_CACHE)))
+    return fn
+
+
+def _index_digest(code: str, ns: dict, index: dict | None) -> str:
+    """Content key for the worker fn-cache. Deterministic over equal
+    content; an equal-content index that happens to repr differently
+    only costs a recompile (false-sharing is impossible)."""
+    h = hashlib.md5()
+    h.update(code.encode())
+    h.update(repr(sorted(ns.items())).encode())
+    if index is not None:
+        h.update(repr(sorted(index["by_id"].items())).encode())
+        h.update(repr(sorted(index["inverse"].items())).encode())
+    return h.hexdigest()
 
 
 def script_transform(df: DataFrame, code: str, *,
@@ -363,19 +412,13 @@ def script_transform(df: DataFrame, code: str, *,
     ns = dict(namespaces or DEFAULT_NAMESPACES)
     index = build_lookup_index(*lookup) if lookup else None
     sc = df.sparkSession.sparkContext
-    # cache key must be globally unique for THIS (code, ns, index)
-    # binding — id(bc) would be reusable after GC and could serve a
-    # stale compiled fn for different code
-    token = _uuid.uuid4().hex
+    token = _index_digest(code, ns, index)
     bc = sc.broadcast({"ns": ns, "index": index, "code": code, "token": token})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
-        key = payload["token"]
-        if key not in _FN_CACHE:
-            _FN_CACHE[key] = compile_script(
-                payload["code"], payload["ns"], payload["index"])
-        fn = _FN_CACHE[key]
+        fn = _cache_get(payload["token"], lambda: compile_script(
+            payload["code"], payload["ns"], payload["index"]))
         for pdf in batches:
             ents = [_row_to_entity(r) for r in pdf.to_dict("records")]
             out = fn(ents)
@@ -415,7 +458,14 @@ class ScriptVirtualSource:
     the since/limit/token loop the jobs engine already drives.
     Generating a LARGE dataset belongs in VirtualDatasetSource with a
     distributed (spark.range-based) builder, not a per-entity Emit loop.
+
+    ``watermark_from_read``: the continuation token is the READ's return
+    value (not a log watermark), so the jobs engine reads it after the
+    sink write — race-free because it derives from the emitted page
+    itself.
     """
+
+    watermark_from_read = True
 
     def __init__(self, spark: SparkSession, code: str, params: dict | None = None,
                  namespaces: dict[str, str] | None = None, dataset: str = "virtual"):

@@ -153,3 +153,15 @@ def test_scheduler_dispatches_through_raffled_runner(spark, tmp_path):
     assert sched.run_due(t(2026, 8, 13, 2, 30, 55), runner=runner) == []
     for i in range(3):
         assert store.log([f"out{i}"]).count() == 1
+
+
+def test_content_filename_escaping_is_injective(tmp_path):
+    """Round-4 advice: ' ac' (0x20,'a','c') and '€' (U+20AC) collided
+    under codepoint-width escapes. Per-UTF-8-byte escaping keeps every
+    id on its own file."""
+    cs = ContentService(str(tmp_path / "content"))
+    cs.upsert(" ac", {"v": "space-ac"})
+    cs.upsert("€", {"v": "euro"})
+    assert cs.get(" ac")["data"]["v"] == "space-ac"
+    assert cs.get("€")["data"]["v"] == "euro"
+    assert len(cs.list()) == 2

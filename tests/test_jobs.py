@@ -495,3 +495,56 @@ def test_job_runner_reports_errors_and_frees_ticket(spark, store, tmp_path):
     ok = J.Job("ok", J.DatasetSource(store, "people"), J.DevNullSink())
     assert runner.submit(ok) is True
     assert runner.join()[0]["id"] == "ok"
+
+
+def test_token_snapshot_never_skips_concurrent_producer_writes(spark, store, tmp_path):
+    """Race regression (round-4 advice): a producer committing to the
+    source dataset between the consumer's scan and its sink write must
+    NOT be jumped over by the continuation token. Job.run snapshots the
+    watermark BEFORE the scan, so mid-run commits stay above the token
+    and flow through the next run (re-delivery of already-seen rows dies
+    in write-time dedup)."""
+    state = J.JobState(str(tmp_path / "state.json"))
+    inner = J.DatasetSink(store, "race_out")
+
+    class MidWriteProducerSink:
+        """Commits a fresh row to the SOURCE dataset during write —
+        the worst-case interleaving of a concurrent producer."""
+        store = store
+
+        def write(self, df):
+            from datahub_spark.model import ENTITY_SCHEMA
+            inner.write(df)
+            # recorded dropped -> stamped with the store's next tick
+            store.store_entities("people", spark.createDataFrame(
+                [("p:late", 1, 0, False, {"p:name": "Late"}, {}, "people")],
+                ENTITY_SCHEMA).drop("dataset", "recorded"))
+
+    job = J.Job("race", J.DatasetSource(store, "people"), MidWriteProducerSink())
+    job.run(state)
+    # the mid-run commit is strictly above the stored token...
+    late_rec = store.log(["people"]).filter(F.col("id") == "p:late") \
+        .agg(F.max("recorded")).collect()[0][0]
+    assert state.token("race") < late_rec
+    # ...so the next run delivers it
+    job.sink = inner
+    job.run(state)
+    assert store.log(["race_out"]).filter(F.col("id") == "p:late").count() == 1
+
+
+def test_run_due_with_runner_barriers_producer_before_consumer(spark, store, tmp_path):
+    """Concurrent dispatch keeps the lineage promise: with a runner, due
+    jobs are submitted in topo levels with a join between levels, so the
+    consumer sees THIS tick's producer output (scheduler docstring)."""
+    import datetime
+
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    sched.register(J.Job("consume", J.DatasetSource(store, "lvl1"),
+                         J.DatasetSink(store, "lvl2")), schedule="* * * * *")
+    sched.register(J.Job("produce", J.DatasetSource(store, "people"),
+                         J.DatasetSink(store, "lvl1")), schedule="* * * * *")
+    runner = J.JobRunner(state, J.Raffle(tickets_full=1, tickets_incr=4))
+    results = sched.run_due(datetime.datetime(2026, 1, 1, 12, 0), runner=runner)
+    assert sorted(r["id"] for r in results) == ["consume", "produce"]
+    assert store.log(["lvl2"]).count() == 4  # saw this tick's lvl1 rows

@@ -264,3 +264,37 @@ def transform_entities(entities):
            SC.script_transform(people, code, lookup=[people, nations]).collect()}
     assert out["p:1"]["p:via_paged"] == "NORWAY"
     assert out["p:1"]["p:cb_count"] == "1"
+
+
+def test_lookup_index_row_cap_raises_with_pointer(spark, people):
+    # the guard never materializes the oversized frame driver-side
+    big = spark.range(50).select(
+        F.concat(F.lit("x:"), F.col("id")).alias("id"),
+        F.lit(1).cast("long").alias("recorded"),
+        F.col("id").alias("seq"),
+        F.lit(False).alias("deleted"),
+        F.create_map(F.lit("p:n"), F.col("id").cast("string")).alias("props"),
+        F.lit(None).cast("map<string,array<string>>").alias("refs"),
+        F.lit("big").alias("dataset"),
+    )
+    with pytest.raises(ValueError, match="enrich_via"):
+        SC.build_lookup_index(big, max_rows=10)
+    # under the cap: builds fine
+    assert len(SC.build_lookup_index(big, max_rows=100)["by_id"]) == 50
+
+
+def test_fn_cache_is_content_keyed_and_bounded(spark, people):
+    # same (code, ns, index) binding -> same cache key (repeat calls
+    # reuse the worker-side compiled env instead of growing the cache)
+    code = "def transform_entities(es):\n    return es\n"
+    k1 = SC._index_digest(code, {"p": "http://a/"}, None)
+    k2 = SC._index_digest(code, {"p": "http://a/"}, None)
+    k3 = SC._index_digest(code + " ", {"p": "http://a/"}, None)
+    assert k1 == k2 and k1 != k3
+    # LRU bound: inserting past the cap evicts the oldest entry
+    SC._FN_CACHE.clear()
+    for i in range(SC._FN_CACHE_MAX + 4):
+        SC._cache_get(f"key{i}", lambda: i)
+    assert len(SC._FN_CACHE) == SC._FN_CACHE_MAX
+    assert "key0" not in SC._FN_CACHE
+    SC._FN_CACHE.clear()
