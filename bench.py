@@ -1,7 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+"""Benchmark harness. Prints ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+The driver ships testdata up to sf0.1, where every headliner sits in a
+0.4-2s JVM-fixed-cost noise band and run-to-run variance swamps real
+regressions (the r3/r4 verdicts' standing complaint). So the bench
+derives a 10x key-offset replication of $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1 -> effective sf1, ~6M lineitem rows; see
+datahub_spark/derive.py for how referential integrity and near-dup /
+embedding structure are preserved under replication), caches it under
+.derived/, and times each headliner there:
+  * n timed runs per query (default 5, SPARK_GRAFT_BENCH_RUNS) after one
+    untimed warmup run that pays JVM/codegen/parquet-footer costs;
+  * per-query value = MEDIAN of the timed runs (robust to a single GC
+    or compaction hiccup, unlike min which hides steady-state cost);
+  * each query has a pinned BUDGET (sec). "budget_ok" is the regression
+    gate: medians are expected to stay under budget on this container
+    (local[32], 128 GiB). Budgets are ~2x the r5 medians — wide enough
+    for machine noise, tight enough that a superlinear regression
+    (lost spread, new shuffle, plan fallback) trips them.
 
 Headliners (SURVEY.md §6) cover the main plan shapes:
   query_aggregate     scan + wide aggregate (flagship)
@@ -10,31 +27,41 @@ Headliners (SURVEY.md §6) cover the main plan shapes:
   dedup_minhash       shingle explode + LSH band join
   ann_topk            vector scoring + per-query top-k
   text_quality        wide per-row expression plan
+  parts_per_nation    multi-edge broadcast join + aggregate
 Each query is forced with a noop write (full execution, no driver
 collect bottleneck); time is wall-clock per query, value = total.
+
+Env knobs: SPARK_GRAFT_BENCH_REPL (default 10; 1 = bench the base dir
+directly, old behavior), SPARK_GRAFT_BENCH_RUNS (default 5).
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
-HEADLINERS = [
-    "query_aggregate",
-    "traverse_incoming",
-    "changes_latest_only",
-    "dedup_minhash",
-    "ann_topk",
-    "text_quality",
-    "parts_per_nation",
-]
+# pinned per-query regression budgets (sec) at repl=10 of sf0.1 on
+# local[32]; see module docstring for how they were set
+BUDGETS = {
+    "query_aggregate": 3.5,
+    "traverse_incoming": 2.5,
+    "changes_latest_only": 3.0,
+    "dedup_minhash": 10.0,
+    "ann_topk": 3.0,
+    "text_quality": 1.5,
+    "parts_per_nation": 4.5,
+}
+HEADLINERS = list(BUDGETS)
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "10"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    sf_name = os.path.basename(base_dir.rstrip("/"))
     try:
         sf = float(sf_name.removeprefix("sf"))
     except ValueError:
@@ -54,31 +81,49 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    sf_dir = base_dir
+    if repl > 1:
+        from datahub_spark.derive import ensure_derived
+
+        t0 = time.monotonic()
+        sf_dir = ensure_derived(spark, base_dir, repl)
+        derive_s = round(time.monotonic() - t0, 1)
+        print(f"  derived {sf_dir} ({derive_s}s)", file=sys.stderr)
+        if isinstance(sf, float):
+            sf = round(sf * repl, 6)
+
     from datahub_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINERS:
         fn = QUERIES[name]
-        # min of 2 runs: run 1 pays one-time JVM/codegen/footer warmup
-        # (~9s on the first query of a session), run 2 is steady state —
-        # the number comparable to a warmed single-node baseline.
-        best = float("inf")
-        for _ in range(2):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
+        samples = []
+        for _ in range(runs):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+            samples.append(round(time.monotonic() - t0, 3))
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = [min(samples), max(samples)]
+        print(f"  {name}: {timings[name]}s (n={runs}, min={min(samples)}, "
+              f"max={max(samples)}, budget={BUDGETS[name]})", file=sys.stderr)
 
     store_write = bench_store_write(spark)
 
     total = round(sum(timings.values()), 3)
+    over = {k: v for k, v in timings.items() if v > BUDGETS[k]}
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
+        "min_max": spreads,
+        "budgets": BUDGETS,
+        "budget_ok": not over,
+        "over_budget": over,
         "store_write": store_write,
     }))
 

@@ -57,6 +57,22 @@ _SPREAD_MAX_BYTES = 1 << 30
 _SPREAD_MIN_BYTES = 100 << 10
 
 
+def _local_input_bytes(path: str) -> int:
+    """Total bytes behind a local parquet path — a single file OR a
+    directory of part files (a directory's own inode size is ~4 KB and
+    must not be mistaken for a tiny input, or a multi-file table gets no
+    spread and whole pipelines run on <= len(files) cores)."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:  # non-local path (hdfs/s3): scan splits naturally
+        return _SPREAD_MAX_BYTES
+
+
 class _LazyFrames:
     """Build-on-first-access mapping of name -> DataFrame. Plan
     construction is driver-side py4j work (~0.2s per entity dataset);
@@ -114,10 +130,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
         def _b() -> DataFrame:
             path = f"{sf_dir}/{t}.parquet"
             df = spark.read.parquet(path)
-            try:
-                size = os.path.getsize(path)
-            except OSError:  # non-local path (hdfs/s3): scan splits naturally
-                size = _SPREAD_MAX_BYTES
+            size = _local_input_bytes(path)
             if _SPREAD_MIN_BYTES < size < _SPREAD_MAX_BYTES:
                 df = df.repartition(par)
             return df
