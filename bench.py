@@ -16,9 +16,10 @@ embedding structure are preserved under replication), caches it under
     or compaction hiccup, unlike min which hides steady-state cost);
   * each query has a pinned BUDGET (sec). "budget_ok" is the regression
     gate: medians are expected to stay under budget on this container
-    (local[32], 128 GiB). Budgets are ~2x the r5 medians — wide enough
-    for machine noise, tight enough that a superlinear regression
-    (lost spread, new shuffle, plan fallback) trips them.
+    (local[32], 128 GiB). Budgets are ~2x PINNED_MEDIANS, which are the
+    actual committed r6 medians of a green end-to-end run (emitted in
+    the output as "budget_basis" so the evidence travels with every
+    result).
 
 Headliners (SURVEY.md §6) cover the main plan shapes:
   query_aggregate     scan + wide aggregate (flagship)
@@ -42,17 +43,23 @@ import statistics
 import sys
 import time
 
-# pinned per-query regression budgets (sec) at repl=10 of sf0.1 on
-# local[32]; see module docstring for how they were set
-BUDGETS = {
-    "query_aggregate": 3.5,
-    "traverse_incoming": 2.5,
-    "changes_latest_only": 3.0,
-    "dedup_minhash": 10.0,
-    "ann_topk": 3.0,
-    "text_quality": 1.5,
-    "parts_per_nation": 4.5,
+# Measured n=5 medians at repl=10 of sf0.1 (effective sf1) on local[32],
+# round 6 — the committed evidence behind the budgets (the r5 budgets
+# were provisional; these are from a green end-to-end run, total 11.878s).
+PINNED_MEDIANS = {
+    "query_aggregate": 2.622,
+    "traverse_incoming": 0.926,
+    "changes_latest_only": 1.292,
+    "dedup_minhash": 3.496,
+    "ann_topk": 0.779,
+    "text_quality": 0.633,
+    "parts_per_nation": 2.130,
 }
+# regression budgets = ~2x the pinned medians: wide enough for machine
+# noise (observed min-max spread is ~1.5x), tight enough that a
+# superlinear regression (lost spread, new shuffle, plan fallback)
+# trips them.
+BUDGETS = {k: round(2 * v, 1) for k, v in PINNED_MEDIANS.items()}
 HEADLINERS = list(BUDGETS)
 
 
@@ -67,18 +74,15 @@ def main() -> None:
     except ValueError:
         sf = sf_name
 
-    from pyspark.sql import SparkSession
+    # the tuned session (AQE, broadcast threshold, collapseProject
+    # always-inline for props-map pruning, UTC, legacy-nanos flag) — the
+    # ONE place those confs are set; read helpers never mutate session
+    # state (round-5 lesson: a helper-side conf.set masked an encoding
+    # drift until the driver regenerated testdata)
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    from datahub_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("datahub-spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .getOrCreate()
-    )
+    spark = get_spark("datahub-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dir = base_dir
@@ -122,6 +126,8 @@ def main() -> None:
         "runs_per_query": runs,
         "min_max": spreads,
         "budgets": BUDGETS,
+        "budget_basis": {"pinned_medians": PINNED_MEDIANS,
+                         "pinned_at": "r6 sf0.1x10 local[32] n=5"},
         "budget_ok": not over,
         "over_budget": over,
         "store_write": store_write,

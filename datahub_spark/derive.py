@@ -94,11 +94,9 @@ def ensure_derived(spark: SparkSession, base_dir: str, repl: int,
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    # events.parquet carries TIMESTAMP(NANOS): read as int64 nanos, the
-    # same convention ingest.load_tables uses, so derived output is
-    # read-compatible.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
+    # events.ts is copied through untouched, so whatever physical
+    # encoding the base uses (timestamp[us] today, TIMESTAMP(NANOS)
+    # historically — see ingest._ts_micros) round-trips read-compatible.
     base: dict[str, DataFrame] = {
         t: spark.read.parquet(f"{base_dir}/{t}.parquet") for t in TABLES
     }

@@ -110,20 +110,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    # events.parquet carries TIMESTAMP(NANOS); read as int64 nanos (the
-    # driver may hand us a session without this flag, so set it here too).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Entity frames are `select(create_map(...) as props)` plans; consumers
-    # re-extract keys (`props[k]`) in their own select. Default
-    # CollapseProject refuses to merge those adjacent Projects once props
-    # is referenced more than twice, so the full map (every prop, every
-    # source column) gets physically built per row and the parquet scan
-    # can't prune. Always-inline lets SimplifyExtractValueOps rewrite
-    # map(k1,v1,...)[k1] -> v1, which deletes the map construction AND
-    # shrinks ReadSchema to the touched columns. Duplication risk is
-    # bounded: Catalyst never inlines nondeterministic exprs, and
-    # whole-stage codegen CSEs repeated deterministic subtrees.
-    spark.conf.set("spark.sql.optimizer.collapseProjectAlwaysInline", "true")
+    # NOTE: all session SQL confs (nanosAsLong for legacy TIMESTAMP(NANOS)
+    # files, collapseProjectAlwaysInline for props-map pruning) live in
+    # session.get_spark — a read helper must not mutate session state, or
+    # environment drift gets silently papered over instead of failing at
+    # one visible site. Physical-encoding differences are handled by
+    # DTYPE DISPATCH (_ts_micros/_ts_bound below), not by conf.
     par = spark.sparkContext.defaultParallelism
 
     def build(t: str):
@@ -267,6 +259,44 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> _LazyFrames:
     return _ENTITY_CACHE[key]
 
 
+def _ts_micros(dtype: str):
+    """int64 epoch-micros from the raw ``events.ts`` column, dispatched on
+    its Spark dtype. The driver's testdata has shipped two physical
+    encodings over time — parquet TIMESTAMP(NANOS) (reads as int64 nanos
+    under the legacy nanosAsLong flag, set in session.get_spark) and
+    parquet timestamp[us] (reads as TIMESTAMP_NTZ) — so the load path
+    must accept both without anyone touching session conf.
+
+    TIMESTAMP_NTZ carries a wall-clock with no zone; it is interpreted as
+    UTC via timestampdiff against the NTZ epoch (no session-timezone
+    dependence), matching DuckDB's epoch_us(ts) oracle semantics."""
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    if dtype == "timestamp":
+        return F.unix_micros(F.col("ts"))
+    # int64 nanos: integer division (ts exceeds double's exact range)
+    return F.expr("ts div 1000")
+
+
+def _ts_bound(us: int, dtype: str):
+    """Literal for range-filtering the RAW ts column at a micros bound,
+    per physical encoding. All-literal expressions constant-fold, so the
+    comparison lands in the parquet scan's PushedFilters (row-group /
+    file skipping) — pinned in tests/test_plans.py.
+
+    timestamp encodings are exact at micro resolution:
+      recorded > S   <=>  ts > timestamp_of(S)
+    int64-nanos may carry sub-microsecond bits; the +999 absorbs them:
+      recorded > S   <=>  ts > S*1000 + 999   (recorded = ts div 1000)"""
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampadd(MICROSECOND, {int(us)}, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+    if dtype == "timestamp":
+        return F.expr(f"timestamp_micros({int(us)})")
+    return F.lit(int(us) * 1000 + 999)
+
+
 def _user_entity(events: DataFrame) -> DataFrame:
     """events rows -> `user` entity change-log (shared by tpch_entities
     and the pushdown-aware user_log)."""
@@ -279,10 +309,9 @@ def _user_entity(events: DataFrame) -> DataFrame:
             "p:k": F.get_json_object("props", "$.k").cast("string"),
         },
         {},
-        # int64 epoch-MICROS: parquet stores nanos (read as long, see
-        # load_tables) but DuckDB truncates ns->us at scan, so micros is the
-        # engine-portable resolution. (user_id, micros) is still unique.
-        recorded=F.expr("ts div 1000"),  # integer division: ts exceeds double's exact range
+        # int64 epoch-MICROS: the engine-portable resolution (DuckDB
+        # truncates ns->us at scan). (user_id, micros) is unique.
+        recorded=_ts_micros(dict(events.dtypes)["ts"]),
         seq=F.col("event_id"),
         deleted=F.col("event_type") == "error",
     )
@@ -299,22 +328,20 @@ def user_log(spark: SparkSession, sf_dir: str,
     REWRITTEN onto the physical ``ts`` column so it pushes to the parquet
     scan as a row-group-stats predicate.
 
-    `recorded` is derived (``ts div 1000``: micros, the engine-portable
-    resolution — DuckDB truncates ns->us at scan), so a filter on
-    `recorded` can only ever be a post-scan data filter. The monotone
-    mapping makes the range conditions exactly rewritable on raw nanos:
-      recorded >  S  <=>  ts >  S*1000 + 999
-      recorded <= U  <=>  ts <= U*1000 + 999
-    (integer ts may carry sub-microsecond bits; the +999 absorbs them).
-    At 100 TB of time-partitioned event history, this is the difference
-    between scanning everything and skipping whole row groups/files."""
+    `recorded` is derived from ts (_ts_micros), so a filter on `recorded`
+    can only ever be a post-scan data filter. The mapping is monotone, so
+    the range conditions rewrite exactly onto the raw column against a
+    constant-foldable literal of the same dtype (_ts_bound). At 100 TB of
+    time-partitioned event history, this is the difference between
+    scanning everything and skipping whole row groups/files."""
     key = (spark.sparkContext.applicationId, sf_dir, since_us, until_us)
     if key not in _USER_LOG_CACHE:
         t = load_tables(spark, sf_dir)["events"]
+        dtype = dict(t.dtypes)["ts"]
         if since_us is not None:
-            t = t.filter(F.col("ts") > int(since_us) * 1000 + 999)
+            t = t.filter(F.col("ts") > _ts_bound(since_us, dtype))
         if until_us is not None:
-            t = t.filter(F.col("ts") <= int(until_us) * 1000 + 999)
+            t = t.filter(F.col("ts") <= _ts_bound(until_us, dtype))
         _USER_LOG_CACHE[key] = _user_entity(t)
     return _USER_LOG_CACHE[key]
 

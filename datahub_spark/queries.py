@@ -6,7 +6,8 @@ Portability rules (so the driver's value-hash compare is exact):
   * every fractional output is CAST(... AS DECIMAL(p,s)) -> VARCHAR with
     identical (p,s), computed from exact decimal arithmetic where sums
     are involved (no float accumulation-order divergence)
-  * timestamps surface as int64 epoch-nanos (events.ts is TIMESTAMP_NS)
+  * timestamps surface as int64 epoch-MICROS (events.ts dtype-dispatched
+    at load — see ingest._ts_micros — matching DuckDB epoch_us)
   * hashes are md5 hex strings (identical in Spark and DuckDB)
   * map/array columns never surface directly — always projected/exploded
     to scalar columns
@@ -1010,7 +1011,6 @@ def q_stream_onchange(spark, sf_dir):
     aggregation into the sink."""
     from datahub_spark import streaming as ST
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -1056,10 +1056,10 @@ def q_stream_windowed(spark, sf_dir):
     AvailableNow drain makes the batch result deterministic."""
     from datahub_spark import streaming as ST
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
-    micros = stream.withColumn("_us", F.expr("ts div 1000"))
+    micros = stream.withColumn(
+        "_us", ingest._ts_micros(dict(stream.dtypes)["ts"]))
     agg = ST.windowed_counts(micros, "_us", "event_type", window="1 hour")
     # complete mode: append would hold back windows the watermark has not
     # passed yet — the newest windows would be missing from a finite drain
@@ -1083,7 +1083,6 @@ def q_stream_stateful(spark, sf_dir):
     the final state per key is the max (counts are monotonic)."""
     from datahub_spark import streaming as ST
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
     out = ST.stateful_user_totals(stream)

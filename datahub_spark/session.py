@@ -27,8 +27,12 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # the driver's synthetic events.parquet uses TIMESTAMP(NANOS) which
-        # Spark 4 only reads as int64 nanos via this legacy flag
+        # legacy TIMESTAMP(NANOS) parquet (older driver testdata layouts)
+        # only reads — as int64 nanos — under this flag; current layouts
+        # are timestamp[us] and ignore it. This is the ONLY place session
+        # SQL confs are set: read helpers dtype-dispatch instead
+        # (ingest._ts_micros), so encoding drift fails loudly, not via a
+        # conf silently flipped mid-session.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # entity frames build props/refs via create_map and consumers
         # re-extract keys; always-inline lets SimplifyExtractValueOps

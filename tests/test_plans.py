@@ -53,9 +53,10 @@ def test_ngram_jaccard_single_shingle_pipeline(spark):
 
 def test_changes_since_filter_reaches_scan(spark):
     plan = _plan(spark, "changes_since")
-    # recorded IS the raw ts column (int64 nanos), so the recorded>token
-    # range predicate must be PUSHED to the parquet scan (row-group
-    # stats skip), not merely evaluated post-scan
+    # recorded derives from the raw ts column, so the recorded>token
+    # range predicate must be rewritten onto ts (ingest._ts_bound, a
+    # constant-folded same-dtype literal) and PUSHED to the parquet scan
+    # (row-group stats skip), not merely evaluated post-scan
     assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan, plan[:2000]
 
 

@@ -83,9 +83,11 @@ def test_compaction_is_idempotent(spark, log):
 @settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.integers(min_value=0, max_value=2**62), st.integers(min_value=0, max_value=2**52))
 def test_user_log_pushdown_rewrite_is_exact(ts, bound_us):
-    """ingest.user_log rewrites recorded-range predicates onto the raw
-    nanos ts column so they push to the parquet scan. The rewrite must be
-    EXACT for every int64 ts, including sub-microsecond components:
+    """ingest.user_log rewrites recorded-range predicates onto the raw ts
+    column so they push to the parquet scan. For the LEGACY int64-nanos
+    encoding (ingest._ts_bound bigint branch; timestamp encodings are
+    exact at micro resolution by construction) the rewrite must be EXACT
+    for every int64 ts, including sub-microsecond components:
       recorded >  S  <=>  ts >  S*1000 + 999
       recorded <= U  <=>  ts <= U*1000 + 999
     where recorded = ts div 1000 (truncating division, ts >= 0)."""
