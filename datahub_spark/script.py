@@ -5,14 +5,19 @@ point for the jobs engine.
 
 The reference accepts base64 ES6 defining ``transform_entities(entities)``
 and executes it per batch in a goja sandbox with a fixed built-in
-vocabulary (GetId/SetProperty/Query/...). This engine's idiomatic script
-language is Python (no JS runtime exists JVM-side or in this container,
-and shipping one per executor would be the slow path anyway); the
-*surface* is the same: a string of user code, the same entity JSON shape
-(``{ID, Recorded, IsDeleted, Properties, References}``,
-entity.go/DOCUMENTATION.md:47-107), and the same built-in names with the
-same signatures, so a reference transform ports line-for-line modulo
-syntax.
+vocabulary (GetId/SetProperty/Query/...). This engine accepts BOTH
+languages through one entry point (``compile_script``):
+
+- **JavaScript** — the reference's native transform language, so
+  existing job configs run verbatim (base64 or raw source). Scripts run
+  on a bundled interpreter for the transform dialect
+  (datahub_spark.js; no JS engine exists in this container or JVM-side)
+  over the same dict entities the Python path uses — host vocabulary
+  shared, zero conversion.
+- **Python** — the engine-idiomatic language, same entity JSON shape
+  (``{ID, Recorded, IsDeleted, Properties, References}``,
+  entity.go/DOCUMENTATION.md:47-107) and the same built-in names with
+  the same signatures.
 
 Execution model (the 100 TB design):
 - The script runs ONCE per Arrow batch inside ``mapInPandas`` — batch
@@ -39,6 +44,8 @@ callable or the reference's sandbox-with-host-functions.
 
 from __future__ import annotations
 
+import base64
+import binascii
 import hashlib
 import uuid as _uuid
 from typing import Iterator
@@ -88,20 +95,35 @@ def _row_to_entity(row: dict) -> dict:
 
 
 def _entity_to_row(e: dict) -> dict:
+    from datahub_spark.js import UNDEFINED, js_to_string
+
     props = e.get("Properties") or {}
     refs = e.get("References") or {}
+
+    def canon(v):
+        # JS-sourced values: undefined -> NULL, numbers JS-stringified
+        # (integral floats print bare — goja's int64 behavior)
+        if v is None or v is UNDEFINED:
+            return None
+        return js_to_string(v) if isinstance(v, (bool, int, float)) else str(v)
+
+    def _get(key):
+        v = e.get(key)
+        return None if v is UNDEFINED else v
+
     return {
-        "id": e.get("ID"),
-        "recorded": e.get("Recorded"),
-        "seq": e.get("Seq"),
-        "deleted": bool(e.get("IsDeleted", False)),
+        "id": _get("ID"),
+        "recorded": _get("Recorded"),
+        "seq": _get("Seq"),
+        "deleted": bool(_get("IsDeleted") or False),
         # canonicalize: props values to strings, ref values to lists
-        "props": {str(k): (None if v is None else str(v)) for k, v in props.items()},
+        "props": {str(k): canon(v) for k, v in props.items()},
         "refs": {
-            str(k): ([str(x) for x in v] if isinstance(v, (list, tuple)) else [str(v)])
+            str(k): ([canon(x) for x in v] if isinstance(v, (list, tuple))
+                     else [canon(v)])
             for k, v in refs.items()
         },
-        "dataset": e.get("Dataset"),
+        "dataset": _get("Dataset"),
     }
 
 
@@ -110,10 +132,23 @@ def _entity_to_row(e: dict) -> dict:
 # --------------------------------------------------------------------------
 
 def make_builtins(namespaces: dict[str, str], index: dict | None = None,
-                  log_sink: list | None = None) -> dict:
+                  log_sink: list | None = None,
+                  txn_sink: list | None = None,
+                  query_result_sink: list | None = None) -> dict:
     """The reference's transform built-ins over dict entities. ``index``
     is the broadcast lookup payload: {"by_id": {id: entity},
-    "inverse": {(predicate, target_id): [source_id, ...]}}."""
+    "inverse": {(predicate, target_id): [source_id, ...]}}.
+
+    ``txn_sink``: batch-buffered transaction shim. The reference's
+    NewTransaction/ExecuteTransaction (transform.go:359-372,
+    store.go:1687-1705) write to OTHER datasets mid-transform against the
+    local store; distributed executors have no store, and a per-row write
+    RPC is the classic scale killer — so ExecuteTransaction BUFFERS
+    (dataset, entity) pairs into txn_sink and script_transform emits them
+    with the batch output (the `dataset` column routes them; one sink
+    commit per batch keeps the reference's transaction granularity).
+    ``query_result_sink``: same shape for WriteQueryResult
+    (transform.go:322) — objects buffer and surface as rows."""
     ns = dict(namespaces)
     by_id = (index or {}).get("by_id", {})
     inverse = (index or {}).get("inverse", {})
@@ -177,6 +212,66 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
     def NewEntity():
         return {"ID": None, "Recorded": None, "Seq": None, "IsDeleted": False,
                 "Properties": {}, "References": {}, "Dataset": None}
+
+    def NewEntityFrom(entity, add_type=False, copy_props=False,
+                      copy_refs=False):
+        """Helper-JS NewEntityFrom (transform.go:138-166): new entity
+        carrying the source's ID and IsDeleted; optionally the rdf:type
+        reference and/or copies of all props/refs."""
+        out = NewEntity()
+        if entity is None:
+            return out
+        out["ID"] = entity.get("ID")
+        out["IsDeleted"] = entity.get("IsDeleted", False)
+        if add_type:
+            try:
+                rdf = GetNamespacePrefix(
+                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#")
+            except KeyError:
+                rdf = None
+            if rdf is not None:
+                t = GetReference(entity, rdf, "type")
+                if t is not None:
+                    AddReference(out, rdf, "type", t)
+        if copy_props:
+            out["Properties"].update(entity.get("Properties") or {})
+        if copy_refs:
+            for k, v in (entity.get("References") or {}).items():
+                out["References"][k] = list(v) if isinstance(v, (list, tuple)) else v
+        return out
+
+    def NewTransaction():
+        """Reference Transaction (store.go:1687): user code fills
+        txn["DatasetEntities"][dataset] = [entities] and may call
+        txn.AssertDataset(name). AssertDataset records the name for
+        parity but needs no action here — this engine's store creates
+        datasets on first write (store.store_entities), so assertion is
+        implicit."""
+        txn = {"DatasetEntities": {}, "_asserted": []}
+        txn["AssertDataset"] = txn["_asserted"].append
+        return txn
+
+    def ExecuteTransaction(txn):
+        """Batch-buffered (see make_builtins docstring): stages every
+        (dataset, entity) pair for emission with the batch output."""
+        if txn_sink is None:
+            raise RuntimeError(
+                "ExecuteTransaction is only available inside a "
+                "script_transform batch (entities staged there commit "
+                "with the batch); driver-side code should use "
+                "store.execute_transaction")
+        for ds, ents in (txn.get("DatasetEntities") or {}).items():
+            for e in ents or []:
+                txn_sink.append((ds, e))
+        return None
+
+    def WriteQueryResult(obj):
+        if query_result_sink is None:
+            raise RuntimeError(
+                "WriteQueryResult is only available under "
+                "run_query_script, which collects the written objects")
+        query_result_sink.append(obj)
+        return None
 
     def AsEntity(obj):
         # rows are dict entities already; pass through dict-shaped input
@@ -280,6 +375,10 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
         "GetReference": GetReference, "AddReference": AddReference,
         "GetDeleted": GetDeleted, "SetDeleted": SetDeleted,
         "PrefixField": PrefixField, "NewEntity": NewEntity,
+        "NewEntityFrom": NewEntityFrom,
+        "NewTransaction": NewTransaction,
+        "ExecuteTransaction": ExecuteTransaction,
+        "WriteQueryResult": WriteQueryResult,
         "AsEntity": AsEntity, "ToString": ToString, "Log": Log,
         "UUID": UUID, "Timing": Timing,
         "GetNamespacePrefix": GetNamespacePrefix,
@@ -302,12 +401,49 @@ def _copy(ent):
 # compilation + execution
 # --------------------------------------------------------------------------
 
+def maybe_b64_decode(code: str) -> str:
+    """The reference's job configs carry the transform source base64-
+    encoded (``{"Type": "JavascriptTransform", "Code": <b64>}``,
+    transform.go:parseTransform/NewJavascriptTransform). Decode if the
+    string is valid base64 of utf-8 text; raw source passes through
+    (source always contains characters outside the base64 alphabet)."""
+    stripped = "".join(code.split())
+    try:
+        return base64.b64decode(stripped, validate=True).decode("utf-8")
+    except (binascii.Error, ValueError, UnicodeDecodeError):
+        return code
+
+
 def compile_script(code: str, namespaces: dict[str, str] | None = None,
-                   index: dict | None = None, log_sink: list | None = None):
-    """Exec ``code`` with the built-in vocabulary injected and return its
-    ``transform_entities`` callable. Raises on syntax errors or a missing
-    entry point — validation happens driver-side, before any task runs."""
-    env: dict = dict(make_builtins(namespaces or DEFAULT_NAMESPACES, index, log_sink))
+                   index: dict | None = None, log_sink: list | None = None,
+                   txn_sink: list | None = None,
+                   query_result_sink: list | None = None,
+                   language: str = "auto"):
+    """Compile ``code`` with the built-in vocabulary injected and return
+    its ``transform_entities`` callable. Raises on syntax errors or a
+    missing entry point — validation happens driver-side, before any
+    task runs.
+
+    ``language``: "python", "js", or "auto" (sniff). JS sources — the
+    reference's native transform language — run on the bundled
+    interpreter (datahub_spark.js) against the SAME dict entities and
+    the SAME host vocabulary, so reference transforms run verbatim;
+    base64-encoded sources (the job-config wire format) are decoded
+    first in either language."""
+    from datahub_spark import js as _js
+
+    code = maybe_b64_decode(code)
+    env: dict = dict(make_builtins(namespaces or DEFAULT_NAMESPACES, index,
+                                   log_sink, txn_sink, query_result_sink))
+    if language == "auto":
+        language = "js" if _js.looks_like_js(code) else "python"
+    if language in ("js", "javascript"):
+        fns = _js.run_program(code, host=env)
+        fn = fns.get("transform_entities")
+        if fn is None:
+            raise ValueError(
+                "script must define transform_entities(entities)")
+        return fn
     exec(compile(code, "<transform_entities>", "exec"), env)
     fn = env.get("transform_entities")
     if not callable(fn):
@@ -417,12 +553,25 @@ def script_transform(df: DataFrame, code: str, *,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payload = bc.value
-        fn = _cache_get(payload["token"], lambda: compile_script(
-            payload["code"], payload["ns"], payload["index"]))
+
+        def build():
+            sink: list = []
+            return (compile_script(payload["code"], payload["ns"],
+                                   payload["index"], txn_sink=sink), sink)
+
+        fn, txn_sink = _cache_get(payload["token"], build)
         for pdf in batches:
             ents = [_row_to_entity(r) for r in pdf.to_dict("records")]
+            txn_sink.clear()
             out = fn(ents)
             rows = [_entity_to_row(e) for e in (out or [])]
+            # transaction-staged entities ride along, routed by their
+            # dataset column (see make_builtins ExecuteTransaction)
+            for ds, ent in txn_sink:
+                row = _entity_to_row(ent)
+                row["dataset"] = ds
+                rows.append(row)
+            txn_sink.clear()
             yield pd.DataFrame(rows, columns=ENTITY_COLUMNS)
 
     return df.mapInPandas(run, schema=SCRIPT_OUTPUT_SCHEMA)
@@ -431,13 +580,46 @@ def script_transform(df: DataFrame, code: str, *,
 def make_script_transform(code: str, *, lookup: list[DataFrame] | None = None,
                           namespaces: dict[str, str] | None = None):
     """A jobs-engine Transform (DataFrame -> DataFrame callable) from a
-    script string — the analogue of a job config's
-    ``{"Type": "JavascriptTransform", "Code": ...}`` block. Validates the
-    script immediately (driver-side), not at first job run."""
+    script string (JavaScript — raw or base64, the reference job-config
+    wire format — or Python; see compile_script) — the analogue of a job
+    config's ``{"Type": "JavascriptTransform", "Code": ...}`` block.
+    Validates the script immediately (driver-side), not at first job
+    run."""
     compile_script(code, namespaces)
     def transform(df: DataFrame) -> DataFrame:
         return script_transform(df, code, lookup=lookup, namespaces=namespaces)
     return transform
+
+
+def run_query_script(spark: SparkSession, code: str, *,
+                     lookup: list[DataFrame] | None = None,
+                     namespaces: dict[str, str] | None = None,
+                     entry: str = "do_query") -> list:
+    """Driver-side script-query runner — the reference's javascript
+    query endpoint (transform.go:322 WriteQueryResult writes objects to
+    the response stream). The script defines ``do_query()`` (any
+    JS/Python body) and calls WriteQueryResult(obj) per result; returns
+    the written objects in order. Runs DRIVER-side against the broadcast
+    lookup index (query scripts are interactive, bounded-output by
+    construction); set-oriented querying over big data belongs in
+    datahub_spark.query / queries."""
+    from datahub_spark import js as _js
+
+    code = maybe_b64_decode(code)
+    results: list = []
+    index = build_lookup_index(*lookup) if lookup else None
+    env: dict = dict(make_builtins(namespaces or DEFAULT_NAMESPACES, index,
+                                   query_result_sink=results))
+    if _js.looks_like_js(code):
+        fns = _js.run_program(code, host=env)
+        fn = fns.get(entry)
+    else:
+        exec(compile(code, f"<{entry}>", "exec"), env)
+        fn = env.get(entry)
+    if not callable(fn):
+        raise ValueError(f"script must define {entry}()")
+    fn()
+    return results
 
 
 # --------------------------------------------------------------------------
