@@ -226,6 +226,12 @@ class HttpDatasetSource:
     the feed by page-range and fetch inside mapInPandas workers instead.
     """
 
+    # continuation tokens are an opaque SERVER contract; across job runs
+    # the durable watermark is max(recorded) of the synced page (the
+    # engine-wide int convention JobState persists), announced via
+    # current_watermark after each read
+    watermark_from_read = True
+
     def __init__(self, spark, url: str, dataset: str = "remote",
                  token_provider=None, allow_network: bool = False,
                  max_pages: int = 10_000, timeout_s: float = 30.0):
@@ -234,6 +240,7 @@ class HttpDatasetSource:
         self.allow_network = allow_network
         self.max_pages = max_pages
         self.timeout_s = timeout_s
+        self._watermark = 0
 
     def _fetch(self, url: str) -> list:
         import urllib.request
@@ -251,6 +258,7 @@ class HttpDatasetSource:
                 "fetched payloads through uda.from_uda_json directly"
             )
         token, objs = since, []
+        max_recorded = int(since or 0)
         for _ in range(self.max_pages):
             page = self._fetch(f"{self.url}/changes?since={token}")
             next_token = token
@@ -261,12 +269,19 @@ class HttpDatasetSource:
                 if oid == "@continuation":
                     next_token = obj.get("token", token)
                     continue
+                rec = obj.get("recorded")
+                if isinstance(rec, (int, float)):
+                    max_recorded = max(max_recorded, int(rec))
                 objs.append(json.dumps(obj))
             if next_token == token:
                 break  # no continuation advancement: feed drained
             token = next_token
+        self._watermark = max_recorded
         json_df = self.spark.createDataFrame([(o,) for o in objs] or [("",)], "json string")
         return uda.from_uda_json(json_df.filter(F.col("json") != ""), self.dataset)
+
+    def current_watermark(self) -> int:
+        return self._watermark
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,352 @@
+"""Serve the UDA protocol from an EntityStore — the reference's dataset
+HTTP surface (internal/web/datasethandler.go; fullsync lease:
+internal/server/dataset.go:81-207), so a peer datahub (or this repo's
+own jobs.HttpDatasetSource) can sync datasets OUT of this engine.
+
+Endpoints (wire format: JSON array ``[@context, entity...,
+{"id":"@continuation","token":...}]``):
+
+  GET  /datasets                                   dataset list
+  GET  /datasets/{ds}/entities?from=&limit=        latest view, paged
+  GET  /datasets/{ds}/changes?since=&limit=&latestOnly=
+                                                   change log, paged
+  POST /datasets/{ds}/entities                     store batch; honors the
+       fullsync lease headers (universal-data-api-full-sync-start /
+       -id / -end, datasethandler.go:778-780) with 409/410 semantics
+
+Execution model / scale: each page is ONE bounded Spark job — key-set
+pagination (order-by + strictly-after filter + limit, never a global
+offset), serialized to the wire by the uda codec (to_json, JVM-side).
+The HTTP pipe itself is the reference's own egress model (single-reader
+pull with continuation tokens); bulk 100 TB egress belongs on shared
+storage (parquet handoff), which peers on the same platform get for
+free — this server exists for protocol interop with peers that speak
+only UDA.
+
+Tokens are opaque to clients (the UDA contract): /entities tokens are
+base64url of the last id served; /changes tokens are base64url of the
+(recorded, seq, id) position triple. ``since`` also accepts a bare
+integer (recorded watermark) — the format this repo's own incremental
+jobs persist in JobState.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+from datahub_spark import store as S
+from datahub_spark import uda
+from datahub_spark.namespaces import NamespaceManager
+from datahub_spark.script import SCRIPT_OUTPUT_SCHEMA
+
+
+def _tok_encode(payload) -> str:
+    raw = json.dumps(payload, separators=(",", ":")).encode()
+    return base64.urlsafe_b64encode(raw).decode().rstrip("=")
+
+
+def _tok_decode(token: str):
+    pad = "=" * (-len(token) % 4)
+    return json.loads(base64.urlsafe_b64decode(token + pad).decode())
+
+
+class FullSyncLease:
+    """The reference's fullsync lease (dataset.go:81-207):
+    StartFullSyncWithLease / RefreshFullSyncLease / ReleaseFullSyncLease
+    with a wall-clock expiry. One active sync per dataset; batches with
+    a mismatched id conflict (409); refreshing an expired lease is Gone
+    (410)."""
+
+    def __init__(self, lease_seconds: float = 3600.0):
+        self.lease_seconds = lease_seconds
+        self._sessions: dict[str, dict] = {}  # dataset -> {id, session, t}
+        self._lock = threading.Lock()
+
+    def start(self, dataset: str, sync_id: str, session) -> None:
+        with self._lock:
+            cur = self._sessions.get(dataset)
+            if cur is not None and not self._expired(cur):
+                raise ConflictError("fullsync is ongoing")
+            if cur is not None:  # expired: abandon the stale session
+                cur["session"].abandon()
+            self._sessions[dataset] = {
+                "id": sync_id, "session": session, "t": time.monotonic()}
+
+    def refresh(self, dataset: str, sync_id: str):
+        with self._lock:
+            cur = self._sessions.get(dataset)
+            if cur is None:
+                raise ConflictError("no fullsync in progress")
+            if cur["id"] != sync_id:
+                raise ConflictError("fullsync is ongoing")
+            if self._expired(cur):
+                raise GoneError("fullsync lease expired")
+            cur["t"] = time.monotonic()
+            return cur["session"]
+
+    def release(self, dataset: str, sync_id: str):
+        with self._lock:
+            cur = self._sessions.get(dataset)
+            if cur is None or cur["id"] != sync_id:
+                raise GoneError("no such fullsync lease")
+            del self._sessions[dataset]
+            return cur["session"]
+
+    def active(self, dataset: str) -> bool:
+        with self._lock:
+            cur = self._sessions.get(dataset)
+            return cur is not None and not self._expired(cur)
+
+    def _expired(self, cur: dict) -> bool:
+        return time.monotonic() - cur["t"] > self.lease_seconds
+
+
+class ConflictError(Exception):
+    pass
+
+
+class GoneError(Exception):
+    pass
+
+
+class UdaServer:
+    """Loopback ThreadingHTTPServer over an EntityStore. ``start()``
+    returns the base URL; requests run Spark jobs on the server's
+    (driver) thread pool — the SparkSession is thread-safe for job
+    submission."""
+
+    def __init__(self, store: S.EntityStore,
+                 nsmgr: NamespaceManager | None = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 default_limit: int = 1000,
+                 lease_seconds: float = 3600.0):
+        self.store = store
+        self.nsmgr = nsmgr or NamespaceManager()
+        self.default_limit = default_limit
+        self.leases = FullSyncLease(lease_seconds)
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self._host, self._port = host, port
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> str:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test logs
+                pass
+
+            def do_GET(self):
+                outer._route_get(self)
+
+            def do_POST(self):
+                outer._route_post(self)
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return f"http://{self._host}:{self._httpd.server_address[1]}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # -- helpers ----------------------------------------------------------
+
+    def _reply(self, rq, code: int, payload) -> None:
+        data = json.dumps(payload).encode()
+        rq.send_response(code)
+        rq.send_header("Content-Type", "application/json")
+        rq.send_header("Content-Length", str(len(data)))
+        rq.end_headers()
+        rq.wfile.write(data)
+
+    def _error(self, rq, code: int, message: str) -> None:
+        self._reply(rq, code, {"message": message})
+
+    def _collect_json(self, df) -> list[str]:
+        return [r["json"] for r in uda.to_uda_json(df).collect()]
+
+    # -- GET --------------------------------------------------------------
+
+    def _route_get(self, rq) -> None:
+        try:
+            u = urlparse(rq.path)
+            parts = [p for p in u.path.split("/") if p]
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if parts == ["datasets"]:
+                names = sorted(self.store.list_datasets())
+                return self._reply(rq, 200, [{"Name": n} for n in names])
+            if len(parts) == 3 and parts[0] == "datasets":
+                ds, verb = parts[1], parts[2]
+                if ds not in self.store.list_datasets():
+                    return self._error(rq, 404, f"dataset {ds} not found")
+                if verb == "entities":
+                    if "since" in q:
+                        # datasethandler.go:283
+                        return self._error(
+                            rq, 400,
+                            "since parameter only supported for changes")
+                    return self._get_entities(rq, ds, q)
+                if verb == "changes":
+                    return self._get_changes(rq, ds, q)
+            self._error(rq, 404, "not found")
+        except Exception as exc:  # a handler bug must not kill the server
+            self._error(rq, 500, str(exc))
+
+    def _context(self, ds: str) -> dict:
+        return self.store.dataset_context(ds, self.nsmgr)
+
+    def _get_entities(self, rq, ds: str, q: dict) -> None:
+        limit = int(q.get("limit", self.default_limit))
+        from_tok = q.get("from", "")
+        view = S.latest(self.store.log([ds]), include_deleted=False)
+        if from_tok:
+            try:
+                last_id = _tok_decode(from_tok)
+            except (ValueError, json.JSONDecodeError):
+                return self._error(rq, 400, "bad from token")
+            view = view.filter(F.col("id") > F.lit(last_id))
+        rows = view.orderBy("id").limit(limit)
+        objs = self._collect_json(rows)
+        # continuation: position after the last served entity; an empty
+        # page echoes the request token (no advancement = drained)
+        if objs:
+            last = json.loads(objs[-1])["id"]
+            token = _tok_encode(last)
+        else:
+            token = from_tok
+        self._write_page(rq, ds, objs, token)
+
+    def _get_changes(self, rq, ds: str, q: dict) -> None:
+        limit = int(q.get("limit", self.default_limit))
+        latest_only = q.get("latestOnly", "") == "true"
+        since = q.get("since", "")
+        log = self.store.log([ds])
+        if latest_only:
+            log = S.latest(log, include_deleted=True)
+        pos = None
+        if since:
+            try:
+                pos = int(since)  # bare recorded watermark
+            except ValueError:
+                try:
+                    pos = _tok_decode(since)
+                except (ValueError, json.JSONDecodeError):
+                    return self._error(rq, 400, "bad since token")
+        if pos is not None:
+            if isinstance(pos, int):
+                log = log.filter(F.col("recorded") > pos)
+            else:
+                r, s, i = pos
+                log = log.filter(
+                    (F.col("recorded") > r)
+                    | ((F.col("recorded") == r) & (F.col("seq") > s))
+                    | ((F.col("recorded") == r) & (F.col("seq") == s)
+                       & (F.col("id") > i)))
+        page_df = log.orderBy("recorded", "seq", "id").limit(limit)
+        # one job yields both the wire rows and the position columns
+        wire = uda.to_uda_json(page_df, ["recorded", "seq", "id"]).collect()
+        objs = [r["json"] for r in wire]
+        if wire:
+            last = wire[-1]
+            token = _tok_encode([last["recorded"], last["seq"], last["id"]])
+        else:
+            token = since
+        self._write_page(rq, ds, objs, token)
+
+    def _write_page(self, rq, ds: str, objs: list[str], token) -> None:
+        body = "[" + ",".join(
+            [json.dumps(self._context(ds))] + objs
+            + [json.dumps({"id": "@continuation", "token": token})]
+        ) + "]"
+        data = body.encode()
+        rq.send_response(200)
+        rq.send_header("Content-Type", "application/json")
+        rq.send_header("Content-Length", str(len(data)))
+        rq.end_headers()
+        rq.wfile.write(data)
+
+    # -- POST (store + fullsync lease) ------------------------------------
+
+    def _route_post(self, rq) -> None:
+        try:
+            u = urlparse(rq.path)
+            parts = [p for p in u.path.split("/") if p]
+            if len(parts) == 3 and parts[0] == "datasets" \
+                    and parts[2] == "entities":
+                return self._post_entities(rq, parts[1])
+            self._error(rq, 404, "not found")
+        except Exception as exc:
+            self._error(rq, 500, str(exc))
+
+    def _parse_body(self, rq):
+        n = int(rq.headers.get("Content-Length", "0"))
+        payload = json.loads(rq.rfile.read(n).decode()) if n else []
+        rows = []
+        for obj in payload:
+            oid = obj.get("id")
+            if oid in ("@context", "@continuation") or oid is None:
+                continue
+            refs = {
+                k: (v if isinstance(v, list) else [v])
+                for k, v in (obj.get("refs") or {}).items()
+            }
+            props = {k: (None if v is None else str(v))
+                     for k, v in (obj.get("props") or {}).items()}
+            rows.append((oid, obj.get("recorded"), obj.get("seq", 0),
+                         bool(obj.get("deleted", False)), props, refs, None))
+        spark = self.store.spark
+        # nullable schema: recorded left NULL by the wire is stamped at
+        # commit (store_entities), like the script-sink contract
+        return spark.createDataFrame(rows, SCRIPT_OUTPUT_SCHEMA) \
+            if rows else None
+
+    def _post_entities(self, rq, ds: str) -> None:
+        from datahub_spark.jobs import FullSyncSession
+
+        fs_id = rq.headers.get("universal-data-api-full-sync-id", "")
+        fs_start = rq.headers.get(
+            "universal-data-api-full-sync-start", "") == "true"
+        fs_end = rq.headers.get(
+            "universal-data-api-full-sync-end", "") == "true"
+
+        try:
+            batch = self._parse_body(rq)
+            # mirror processEntities (datasethandler.go:785-860): start a
+            # lease on fsStart; while a sync is started, every write must
+            # present the lease id (plain writes 409); with no sync
+            # started, writes store directly — and fsEnd then fails the
+            # release with 410 Gone.
+            session = None
+            if fs_start:
+                session = FullSyncSession(self.store, ds)
+                self.leases.start(ds, fs_id, session)
+            elif self.leases.active(ds):
+                if fs_id == "" and not fs_end:
+                    return self._error(rq, 409, "fullsync is ongoing")
+                session = self.leases.refresh(ds, fs_id)
+            if batch is not None:
+                if session is not None:
+                    session.append(batch.drop("dataset"))
+                else:
+                    self.store.store_entities(ds, batch.drop("dataset"))
+            if fs_end:
+                session = self.leases.release(ds, fs_id)
+                session.complete()
+            self._reply(rq, 200, {})
+        except ConflictError as exc:
+            self._error(rq, 409, str(exc))
+        except GoneError as exc:
+            self._error(rq, 410, str(exc))

@@ -34,7 +34,7 @@ _WIRE_SCHEMA = T.StructType(
 )
 
 
-def to_uda_json(df: DataFrame) -> DataFrame:
+def to_uda_json(df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """Entity rows -> one UDA JSON object string per row (column ``json``).
 
     Refs are typed ``map<string,array<string>>`` in the struct handed to
@@ -42,7 +42,11 @@ def to_uda_json(df: DataFrame) -> DataFrame:
     ``"refs":{"p:n":["a","b"]}`` — the list form the reference's UDA
     parser reads (streamparser.go; DOCUMENTATION.md @context examples).
     An earlier revision stringified each value (``"refs":{"p:n":
-    "[\\"a\\"]"}``), which only this repo's own parser could read."""
+    "[\\"a\\"]"}``), which only this repo's own parser could read.
+
+    ``extra_cols`` ride along unserialized (e.g. the order columns a
+    paging server needs for its continuation token, so one job yields
+    both the wire rows and the position)."""
     empty = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<array<string>>")
     )
@@ -53,7 +57,7 @@ def to_uda_json(df: DataFrame) -> DataFrame:
         F.col("props"),
         F.coalesce(F.col("refs"), empty).alias("refs"),
     )
-    return df.select(F.to_json(obj).alias("json"))
+    return df.select(F.to_json(obj).alias("json"), *(extra_cols or []))
 
 
 def context_object(nsmgr: NamespaceManager) -> str:

@@ -1,0 +1,242 @@
+"""UDA server (datahub_spark.server): serving /entities, /changes and
+the fullsync lease out of an EntityStore, e2e against this repo's own
+HTTP source/sink — i.e. a peer syncing a dataset OUT of this engine
+(reference surface: internal/web/datasethandler.go,
+internal/server/dataset.go:81-207)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from datahub_spark import jobs as J
+from datahub_spark import store as S
+from datahub_spark.script import SCRIPT_OUTPUT_SCHEMA
+from datahub_spark.server import UdaServer
+
+
+def _entities(spark, rows):
+    # nullable schema: recorded=None means "stamp at commit"
+    return spark.createDataFrame(rows, SCRIPT_OUTPUT_SCHEMA)
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read().decode())
+
+
+def _post(url: str, payload, headers=None):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST",
+        headers={"Content-Type": "application/json", **(headers or {})})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read().decode() or "{}")
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read().decode() or "{}")
+
+
+def _split(page):
+    """UDA array -> (context, entities, token)."""
+    assert page[0]["id"] == "@context"
+    assert page[-1]["id"] == "@continuation"
+    return page[0], page[1:-1], page[-1]["token"]
+
+
+@pytest.fixture
+def served(spark, tmp_path):
+    store = S.EntityStore(spark, str(tmp_path / "store"))
+    df = _entities(spark, [
+        ("e:1", None, 0, False, {"p:name": "one"}, {"p:link": ["e:2"]}, None),
+        ("e:2", None, 1, False, {"p:name": "two"}, None, None),
+        ("e:3", None, 2, False, {"p:name": "three"}, None, None),
+        ("e:4", None, 3, True, {}, None, None),
+        ("e:5", None, 4, False, {"p:name": "five"}, None, None),
+    ]).drop("dataset")
+    store.store_entities("d", df)
+    srv = UdaServer(store, default_limit=1000)
+    base = srv.start()
+    yield store, base
+    srv.stop()
+
+
+def test_dataset_list(served):
+    _, base = served
+    assert _get(f"{base}/datasets") == [{"Name": "d"}]
+
+
+def test_entities_paged_to_exhaustion(served):
+    _, base = served
+    got, token, pages = [], "", 0
+    while True:
+        url = f"{base}/datasets/d/entities?limit=2" + (
+            f"&from={token}" if token else "")
+        _, ents, next_token = _split(_get(url))
+        pages += 1
+        got.extend(e["id"] for e in ents)
+        if next_token == token or not ents:
+            break
+        token = next_token
+    # latest view excludes the e:4 tombstone; key-set pages of 2
+    assert got == ["e:1", "e:2", "e:3", "e:5"]
+    assert pages == 3  # 2 + 2 + empty drain page
+
+
+def test_entities_rejects_since(served):
+    _, base = served
+    code, _ = _req_status(f"{base}/datasets/d/entities?since=5")
+    assert code == 400
+
+
+def test_unknown_dataset_404(served):
+    _, base = served
+    assert _req_status(f"{base}/datasets/nope/changes")[0] == 404
+
+
+def _req_status(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as exc:
+        return exc.code, None
+
+
+def test_changes_latest_only_and_watermark(served, spark):
+    store, base = served
+    # second version for e:2
+    store.store_entities("d", _entities(spark, [
+        ("e:2", None, 0, False, {"p:name": "two-v2"}, None, None),
+    ]).drop("dataset"))
+    _, all_changes, _ = _split(_get(f"{base}/datasets/d/changes"))
+    assert len(all_changes) == 6  # 5 v1 rows + 1 new version
+    _, latest_only, _ = _split(
+        _get(f"{base}/datasets/d/changes?latestOnly=true"))
+    ids = sorted(e["id"] for e in latest_only)
+    assert ids == ["e:1", "e:2", "e:3", "e:4", "e:5"]  # tombstone included
+    two = next(e for e in latest_only if e["id"] == "e:2")
+    assert two["props"]["p:name"] == "two-v2"
+    # bare-int watermark: only the second commit tick comes back
+    wm = max(e["recorded"] for e in all_changes if e["id"] != "e:2")
+    _, newer, _ = _split(_get(f"{base}/datasets/d/changes?since={wm}"))
+    assert [e["id"] for e in newer] == ["e:2"]
+
+
+def test_changes_pagination_is_stable_mid_tick(served):
+    _, base = served
+    # all 5 v1 rows share one recorded tick — the triple token must
+    # still advance deterministically through them
+    got, token = [], ""
+    for _ in range(10):
+        url = f"{base}/datasets/d/changes?limit=2" + (
+            f"&since={token}" if token else "")
+        _, ents, next_token = _split(_get(url))
+        got.extend(e["id"] for e in ents)
+        if next_token == token:
+            break
+        token = next_token
+    assert got == ["e:1", "e:2", "e:3", "e:4", "e:5"]
+
+
+def test_bad_since_token_is_400(served):
+    _, base = served
+    assert _req_status(f"{base}/datasets/d/changes?since=%21%21")[0] == 400
+
+
+def test_http_source_syncs_out_incrementally(served, spark, tmp_path):
+    """The advice-item e2e: this repo's own HttpDatasetSource pulls a
+    dataset OUT of the served endpoint, incrementally."""
+    store, base = served
+    mirror = S.EntityStore(spark, str(tmp_path / "mirror"))
+    src = J.HttpDatasetSource(
+        spark, f"{base}/datasets/d", dataset="d", allow_network=True)
+
+    first = src.read(since=0)
+    mirror.store_entities("d", first.drop("dataset"))
+    wm = src.current_watermark()
+    assert wm > 0
+    a = {r["id"]: r["props"] for r in
+         S.latest(store.log(["d"])).collect()}
+    b = {r["id"]: r["props"] for r in
+         S.latest(mirror.log(["d"])).collect()}
+    assert a == b
+
+    # upstream advances: new entity + tombstone for e:5
+    store.store_entities("d", _entities(spark, [
+        ("e:6", None, 0, False, {"p:name": "six"}, None, None),
+        ("e:5", None, 1, True, {}, None, None),
+    ]).drop("dataset"))
+
+    delta = src.read(since=wm)
+    rows = delta.collect()
+    assert sorted(r["id"] for r in rows) == ["e:5", "e:6"]  # only the delta
+    mirror.store_entities("d", delta.drop("dataset"))
+    a = {r["id"]: dict(r["props"]) for r in
+         S.latest(store.log(["d"])).collect()}
+    b = {r["id"]: dict(r["props"]) for r in
+         S.latest(mirror.log(["d"])).collect()}
+    assert a == b and "e:5" not in a and "e:6" in a
+    assert src.current_watermark() > wm
+
+
+def test_http_sink_posts_into_served_store(served, spark):
+    store, base = served
+    sink = J.HttpDatasetSink(f"{base}/datasets/d", allow_network=True)
+    sink.write(_entities(spark, [
+        ("e:9", None, 0, False, {"p:name": "nine"}, None, None),
+    ]).drop("dataset"))
+    out = {r["id"] for r in S.latest(store.log(["d"])).collect()}
+    assert "e:9" in out
+
+
+def _fs_headers(sync_id, start=False, end=False):
+    h = {"universal-data-api-full-sync-id": sync_id}
+    if start:
+        h["universal-data-api-full-sync-start"] = "true"
+    if end:
+        h["universal-data-api-full-sync-end"] = "true"
+    return h
+
+
+def _uda_batch(*objs):
+    return [{"id": "@context", "namespaces": {}}] + list(objs)
+
+
+def test_fullsync_lease_protocol(served, spark):
+    store, base = served
+    url = f"{base}/datasets/d/entities"
+    # start a sync carrying e:1 only
+    code, _ = _post(url, _uda_batch(
+        {"id": "e:1", "deleted": False, "props": {"p:name": "one-v2"},
+         "refs": {}}), _fs_headers("sync1", start=True))
+    assert code == 200
+    # a competing fullsync start conflicts
+    code, _ = _post(url, _uda_batch(), _fs_headers("sync2", start=True))
+    assert code == 409
+    # a plain write during the sync conflicts (datasethandler.go:819)
+    code, _ = _post(url, _uda_batch(
+        {"id": "e:7", "deleted": False, "props": {}, "refs": {}}))
+    assert code == 409
+    # an unknown lease id cannot refresh
+    code, _ = _post(url, _uda_batch(), _fs_headers("sync2"))
+    assert code == 409
+    # second batch under the lease, then end
+    code, _ = _post(url, _uda_batch(
+        {"id": "e:2", "deleted": False, "props": {"p:name": "two"},
+         "refs": {}}), _fs_headers("sync1"))
+    assert code == 200
+    code, _ = _post(url, _uda_batch(), _fs_headers("sync1", end=True))
+    assert code == 200
+    # fullsync complete: snapshot = {e:1, e:2}; everything else
+    # tombstoned (FullSyncSession.complete left-anti diff)
+    out = {r["id"] for r in S.latest(store.log(["d"])).collect()}
+    assert out == {"e:1", "e:2"}
+    # lease is gone: ending again is 410
+    code, _ = _post(url, _uda_batch(), _fs_headers("sync1", end=True))
+    assert code == 410
+    # and plain writes work again
+    code, _ = _post(url, _uda_batch(
+        {"id": "e:8", "deleted": False, "props": {}, "refs": {}}))
+    assert code == 200
