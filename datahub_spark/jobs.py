@@ -180,6 +180,131 @@ class MultiSource:
             out[ds] = int(row[0] or 0)
         return out
 
+    @classmethod
+    def from_config(cls, store: EntityStore, name: str,
+                    dependencies_config=None, transform_code: str | None = None,
+                    latest_only: bool = True) -> "MultiSource":
+        """Build a MultiSource from a job config: explicit dependency
+        JSON and/or a transform whose ``track_queries`` registrations
+        declare the query hops (multi_source_dep_builder.go
+        ParseDependencies)."""
+        deps = parse_multi_source_dependencies(
+            name, dependencies_config, transform_code)
+        return cls(store, name, deps, latest_only=latest_only)
+
+
+class DependencyRegistry:
+    """The object a transform's ``track_queries(reg)`` receives
+    (multi_source_dep_builder.go:23-26, scheduler.go:744
+    MultiSourceCodeRegistration): each ``hop``/``iHop`` call appends one
+    query step; a call on the ROOT registry starts a new chain, calls on
+    the returned registry extend that chain — mirroring the reference's
+    DependencyRegistryJoin linked list. Method names are lowercase like
+    the reference's goja field mapping (``reg.hop(...)``,
+    ``reg.iHop(...)``)."""
+
+    def __init__(self, chains: list | None = None, _chain: list | None = None):
+        self.chains = chains if chains is not None else []
+        self._chain = _chain
+
+    def hop(self, dataset: str, predicate: str) -> "DependencyRegistry":
+        return self._add(dataset, predicate, False)
+
+    def iHop(self, dataset: str, predicate: str) -> "DependencyRegistry":
+        return self._add(dataset, predicate, True)
+
+    def _add(self, dataset, predicate, inverse):
+        link = (str(dataset), str(predicate), inverse)
+        if self._chain is None:
+            chain = [link]
+            self.chains.append(chain)
+        else:
+            chain = self._chain
+            chain.append(link)
+        return DependencyRegistry(self.chains, chain)
+
+
+def parse_multi_source_dependencies(
+        main_dataset: str, dependencies_config=None,
+        transform_code: str | None = None) -> list[Dependency]:
+    """MultiSource dependency derivation — explicit JSON config plus
+    ``track_queries`` hop/iHop registrations extracted from the
+    transform source (multi_source_dep_builder.go:29-191: reverse-walk
+    each chain into joins, then add implicit dependencies for every
+    intermediate hop dataset, then dedup).
+
+    ``transform_code`` is a script string in either supported language
+    (base64 accepted); a script without a ``track_queries`` function
+    contributes nothing, like the reference (scheduler.go:755-757)."""
+    import json as _json
+
+    deps: list[Dependency] = []
+
+    # 1. explicit config (JSON string or already-parsed list)
+    cfg = dependencies_config
+    if isinstance(cfg, str):
+        cfg = _json.loads(cfg)
+    for dep in cfg or []:
+        deps.append(Dependency(
+            dataset=dep["dataset"],
+            joins=[Join(j["dataset"], j["predicate"], bool(j["inverse"]))
+                   for j in dep.get("joins", [])]))
+
+    # 2. track_queries registrations from the transform source
+    if transform_code is not None:
+        chains = _track_queries_chains(transform_code)
+        for chain in chains:
+            joins: list[Join] = []
+            prev = main_dataset
+            for ds, pred, inv in chain:
+                # dependency tracking is the REVERSE of the query chain
+                joins.insert(0, Join(prev, pred, not inv))
+                prev = ds
+            deps.append(Dependency(dataset=chain[-1][0], joins=joins))
+
+    # 3. implicit dependencies: every intermediate hop dataset must also
+    # trigger reprocessing, with the remaining suffix of the chain
+    for dep in list(deps):
+        for i, join in enumerate(dep.joins):
+            if join.dataset == main_dataset:
+                continue
+            deps.append(Dependency(dataset=join.dataset,
+                                   joins=dep.joins[i + 1:]))
+
+    # 4. dedup, preserving first-seen order
+    seen, out = set(), []
+    for dep in deps:
+        key = dep.dataset + ">" + "".join(
+            f"{j.dataset}|{j.predicate}|{j.inverse}" for j in dep.joins)
+        if key not in seen:
+            seen.add(key)
+            out.append(dep)
+    return out
+
+
+def _track_queries_chains(transform_code: str) -> list:
+    """Run the transform source far enough to call its ``track_queries``
+    function with a DependencyRegistry; returns the registered chains.
+    Driver-side, compile-time — no Spark work."""
+    from datahub_spark import js as _js
+    from datahub_spark import script as _script
+
+    code = _script.maybe_b64_decode(transform_code)
+    env = dict(_script.make_builtins(
+        __import__("datahub_spark.namespaces", fromlist=["DEFAULT_NAMESPACES"]
+                   ).DEFAULT_NAMESPACES))
+    if _js.looks_like_js(code):
+        fns = _js.run_program(code, host=env)
+        fn = fns.get("track_queries")
+    else:
+        exec(compile(code, "<track_queries>", "exec"), env)
+        fn = env.get("track_queries")
+    if not callable(fn):
+        return []
+    reg = DependencyRegistry()
+    fn(reg)
+    return reg.chains
+
 
 class VirtualDatasetSource:
     """internal/server/virtualdataset.go: a read-only dataset whose

@@ -1620,6 +1620,14 @@ class Interpreter:
             if key == "name":
                 return getattr(obj, "name", getattr(obj, "__name__", ""))
             return UNDEFINED
+        # opaque host objects (e.g. the track_queries dependency
+        # registry): expose public attributes/methods so JS method-call
+        # syntax works on them — goja does the same for Go host values
+        k = str(key)
+        if not k.startswith("_"):
+            attr = getattr(obj, k, None)
+            if attr is not None:
+                return attr
         return UNDEFINED
 
     def _call(self, e, env):

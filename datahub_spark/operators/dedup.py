@@ -238,13 +238,24 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 50) -> DataFrame:
     """Resolve candidate pairs into duplicate clusters: connected
-    components by iterative min-label propagation (label(v) :=
-    min(label(v), min label over neighbors)), the DataFrame re-expression
-    of map-reduce connected components. PySpark has no GraphX binding;
-    for near-dup graphs the diameter is tiny, so propagation converges in
-    a handful of rounds. Each round is one equi-join + one HashAggregate;
-    localCheckpoint truncates the growing lineage. Convergence is checked
-    with a scalar aggregate (no data collected to the driver).
+    components by min-label propagation PLUS pointer jumping, the
+    DataFrame re-expression of map-reduce connected components (PySpark
+    has no GraphX binding). Each round does
+      1. label(v) := min(label(v), min label over neighbors)  — one
+         equi-join + HashAggregate, and
+      2. label(v) := label(label(v))                          — one
+         self-join (pointer jump / path halving).
+    Propagation alone needs O(diameter) rounds — a pathological chain
+    (each doc near-dup of the next) would exhaust any fixed budget and,
+    worse, SILENTLY return split components. The jump step halves the
+    remaining pointer depth each round, so convergence is O(log
+    diameter): a 10k-long chain closes in ~15 rounds (pinned in
+    tests/test_dedup.py), and max_iterations=50 bounds graphs beyond
+    any physical size. Running out of rounds raises instead of
+    returning a wrong answer.
+
+    localCheckpoint truncates the growing lineage per round; convergence
+    is checked with a limit(1) probe (no data collected to the driver).
 
     Returns (id, component) where component = min id in the cluster;
     singleton nodes are included with component = their own id."""
@@ -266,9 +277,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("_nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("component", F.coalesce("_nmin", "component")).alias("component"))
+        )
+        # pointer jump: every component value is itself a node id, so
+        # rebind it to THAT node's current label — path halving
+        parent = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("_cc"))
+        new_labels = (
+            propagated.join(parent, "component", "left")
+            .select("id", F.coalesce("_cc", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -278,8 +297,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "rounds — with pointer jumping this means a component of depth "
+        f"> 2^{max_iterations}, i.e. a bug, not a big graph")
 
 
 def cosine(a: Column, b: Column) -> Column:

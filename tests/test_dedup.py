@@ -116,3 +116,23 @@ def test_connected_components_long_path_converges(spark):
     got = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
+
+
+def test_connected_components_adversarial_10k_chain(spark):
+    """The adversarial case for label propagation: a 10k-diameter path
+    graph (every doc near-dup of the next). Plain propagation needs
+    10k rounds; the pointer-jump step bounds it at O(log diameter) —
+    max_iterations=20 RAISES on overrun, so passing proves the round
+    bound, not just the answer."""
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.format_string("n%05d", F.col("id")).alias("id_a"),
+        F.format_string("n%05d", F.col("id") + 1).alias("id_b"))
+    out = DD.connected_components(edges, max_iterations=20)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("ncomp"),
+        F.min("component").alias("root")).collect()[0]
+    assert agg["n"] == n
+    assert agg["ncomp"] == 1
+    assert agg["root"] == "n00000"
