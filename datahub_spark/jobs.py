@@ -727,7 +727,12 @@ class JobState:
         os.replace(tmp, self.path)
 
     def token(self, job_id: str) -> int:
-        v = self._read().get(job_id, 0)
+        # reads hold the same lock as RMW writes: os.replace makes the
+        # file swap atomic on POSIX, but a lock-free read interleaved
+        # with set_token on another runner thread could still observe
+        # the pre-RMW value and base a job run on a stale continuation
+        with self._mu:
+            v = self._read().get(job_id, 0)
         return int(v["token"] if isinstance(v, dict) else v)
 
     def set_token(self, job_id: str, token: int) -> None:
@@ -741,7 +746,8 @@ class JobState:
             self._write(d)
 
     def dep_tokens(self, job_id: str) -> dict[str, int]:
-        v = self._read().get(job_id)
+        with self._mu:
+            v = self._read().get(job_id)
         return dict(v.get("deps", {})) if isinstance(v, dict) else {}
 
     def set_dep_tokens(self, job_id: str, tokens: dict[str, int]) -> None:
@@ -768,7 +774,8 @@ class JobState:
             self._write(d)
 
     def history(self, job_id: str) -> list[dict]:
-        v = self._read().get(job_id)
+        with self._mu:
+            v = self._read().get(job_id)
         return list(v.get("history", [])) if isinstance(v, dict) else []
 
 
@@ -886,10 +893,22 @@ class Scheduler:
             return depth[jid]
 
         results: list[dict] = []
+        starved: set[str] = set()
         for level in sorted({d_of(j.job_id) for j in due}):
             for j in due:
-                if d_of(j.job_id) == level and runner.submit(j):
+                if d_of(j.job_id) != level:
+                    continue
+                if any(p in starved for p in deps[j.job_id] if p in due_ids):
+                    # the producer was denied a ticket this tick: running
+                    # the consumer now would scan a STALE source and mark
+                    # the run consumed. Leave it unfired so producer and
+                    # consumer retry together on the next matching tick.
+                    starved.add(j.job_id)
+                    continue
+                if runner.submit(j):
                     self._last_fired[j.job_id] = minute
+                else:
+                    starved.add(j.job_id)
             results.extend(runner.join())
         return results
 

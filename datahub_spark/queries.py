@@ -366,7 +366,7 @@ def q_query_aggregate(spark, sf_dir):
     keeps results engine-portable. Flagship/bench query."""
     li = S.latest(_ds(spark, sf_dir)["lineitem"], single_version=True)
     # Pre-extract into a SELECT (not inline in groupBy/agg): adjacent
-    # Projects collapse (collapseProjectAlwaysInline, set by load_tables)
+    # Projects collapse (collapseProjectAlwaysInline, session.get_spark)
     # and the props-map construction vanishes — the scan reads exactly
     # the 5 touched columns instead of materializing a 7-key string map
     # (incl. an unused date_format) per row. Plan pinned in test_plans.
@@ -500,29 +500,90 @@ def q_transform_enrich(spark, sf_dir):
 
 
 @register(
-    "custom_transform",
+    "js_transform",
     """
-    SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS id, upper(c_name) AS name_upper
+    SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS id,
+           upper(c_name) AS shout,
+           CAST(length(c_name) AS BIGINT) AS name_len
     FROM customer
     """,
 )
-def q_custom_transform(spark, sf_dir):
-    """Imperative escape hatch, exercised through the SCRIPT-STRING
-    surface (reference JavascriptTransform, transform.go): user source
-    code with the reference's built-in vocabulary, executed batch-wise
-    in mapInPandas (datahub_spark.script)."""
+def q_js_transform(spark, sf_dir):
+    """Imperative escape hatch through the SCRIPT-STRING surface, in the
+    reference's NATIVE transform language: goja-dialect JavaScript
+    (transform.go:236-263) executed by the bundled interpreter
+    (datahub_spark.js) against the shared host vocabulary, batch-at-a-
+    time inside mapInPandas — a reference job's JavascriptTransform Code
+    block runs verbatim (script.compile_script sniffs the language and
+    decodes the base64 wire format). The Python dialect of the same
+    surface is covered by tests/test_script.py."""
     import datahub_spark.script as SC
 
     code = """
-def transform_entities(entities):
-    for e in entities:
-        SetProperty(e, "p", "name_upper",
-                    ToString(GetProperty(e, "p", "name", "")).upper())
-    return entities
+function transform_entities(entities) {
+    for (e of entities) {
+        var name = GetProperty(e, "p", "name", "");
+        SetProperty(e, "p", "shout", name.toUpperCase());
+        SetProperty(e, "p", "name_len", name.length);
+    }
+    return entities;
+}
 """
     cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     out = SC.script_transform(cust, code)
-    return out.select("id", F.col("props")["p:name_upper"].alias("name_upper"))
+    return out.select(
+        "id",
+        F.col("props")["p:shout"].alias("shout"),
+        F.col("props")["p:name_len"].cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "uda_served_sync",
+    """
+    SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS id, n_name AS name,
+           'reg:' || CAST(n_regionkey AS VARCHAR) AS region_ref
+    FROM nation
+    """,
+)
+def q_uda_served_sync(spark, sf_dir):
+    """Peer sync OUT of this engine, end-to-end over the wire: entities
+    stored (EntityStore), served over the UDA HTTP protocol
+    (server.UdaServer — /changes with continuation paging,
+    datasethandler.go:547), pulled back by this repo's own
+    HttpDatasetSource (http_dataset_source.go shape) through multiple
+    pages, and the synced mirror's latest view returned. Subsumes the
+    former uda_codec entry: to_uda_json serializes on the serving side,
+    from_uda_json parses on the client side (refs surface as real JSON
+    arrays — checked via region_ref). The fetch loop is eager and
+    driver-side (pages land as local JSON before the server stops);
+    parsing is the JVM-side uda codec."""
+    import shutil
+    import tempfile
+
+    from datahub_spark import jobs as J
+    from datahub_spark.server import UdaServer
+
+    nation = _ds(spark, sf_dir)["nation"]
+    root = tempfile.mkdtemp(prefix="uda_served_sync_")
+    try:
+        served_store = S.EntityStore(spark, f"{root}/store")
+        served_store.store_entities(
+            "nation", nation.drop("dataset"), skip_unchanged=False)
+        srv = UdaServer(served_store, default_limit=7)  # force paging
+        base = srv.start()
+        try:
+            src = J.HttpDatasetSource(
+                spark, f"{base}/datasets/nation", dataset="nation",
+                allow_network=True)
+            synced = src.read(since=0)  # eager fetch, lazy parse
+        finally:
+            srv.stop()
+        return S.latest(synced).select(
+            "id", F.col("props")["p:name"].alias("name"),
+            F.col("refs")["p:region"][0].alias("region_ref"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -564,28 +625,6 @@ def q_virtual_dataset(spark, sf_dir):
         )
 
     return VirtualDatasetSource(spark, build_entities, {"n": 100}).read()
-
-
-@register(
-    "uda_codec",
-    """
-    SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS id,
-           c_name AS name,
-           'nat:' || CAST(c_nationkey AS VARCHAR) AS nation_ref
-    FROM customer
-    """,
-)
-def q_uda_codec(spark, sf_dir):
-    """UDA JSON wire-format round-trip (streamparser.go): entity ->
-    to_uda_json -> from_uda_json -> entity."""
-    cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
-    wire = uda.to_uda_json(cust)
-    back = uda.from_uda_json(wire, dataset="customer")
-    return back.select(
-        "id",
-        F.col("props")["p:name"].alias("name"),
-        F.col("refs")["p:nation"][0].alias("nation_ref"),
-    )
 
 
 @register(

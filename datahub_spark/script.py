@@ -318,24 +318,38 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
         Outgoing: follow refs[predicate] of each start (target entity from
         the lookup index; bare {ID} stub if the target isn't indexed —
         the reference returns open-world URIs the same way). Inverse:
-        entities whose refs[predicate] contains the start id."""
+        entities whose refs[predicate] contains the start id. A predicate
+        of ``"*"`` (or None) traverses EVERY predicate, like the
+        reference's Via ``*`` (store.go ToRelatedFrom)."""
+        wildcard = predicate in (None, "*")
         out = []
         for start in starting_entities:
             if inverse_flag:
-                for src in inverse.get((predicate, start), []):
-                    out.append([start, predicate, _copy(by_id.get(src))])
+                if wildcard:
+                    hits = sorted(
+                        (p, src) for (p, tgt), srcs in inverse.items()
+                        if tgt == start for src in srcs)
+                else:
+                    hits = [(predicate, src)
+                            for src in inverse.get((predicate, start), [])]
+                for p, src in hits:
+                    out.append([start, p, _copy(by_id.get(src))])
             else:
                 ent = by_id.get(start)
-                for target in (ent or {}).get("References", {}).get(predicate, []):
-                    hit = by_id.get(target)
-                    out.append([
-                        start, predicate,
-                        _copy(hit) if hit is not None else {
-                            "ID": target, "Recorded": None, "Seq": None,
-                            "IsDeleted": False, "Properties": {},
-                            "References": {}, "Dataset": None,
-                        },
-                    ])
+                for p, targets in sorted(
+                        (ent or {}).get("References", {}).items()):
+                    if not wildcard and p != predicate:
+                        continue
+                    for target in targets:
+                        hit = by_id.get(target)
+                        out.append([
+                            start, p,
+                            _copy(hit) if hit is not None else {
+                                "ID": target, "Recorded": None, "Seq": None,
+                                "IsDeleted": False, "Properties": {},
+                                "References": {}, "Dataset": None,
+                            },
+                        ])
         return out
 
     def GetDatasetChanges(dataset, since=0, limit=None):
@@ -352,21 +366,38 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
         ]
         return rows[:limit] if limit is not None else rows
 
-    def PagedQuery(params, callback=None):
-        """Batched variant: params = {"StartingEntities": [...],
-        "Predicate": p, "Inverse": bool}. Returns the full triple list
-        (no paging needed against an in-memory broadcast index); if a
-        callback is given it receives the triples and its falsy return
-        ends iteration, mirroring transform.go:462-534."""
-        triples = Query(
-            params.get("StartingEntities", []),
-            params.get("Predicate"),
-            params.get("Inverse", False),
-            params.get("Datasets"),
-        )
-        if callback is not None:
-            callback(triples)
-        return triples
+    def PagedQuery(params, page_size=None, callback=None):
+        """transform.go:462-534 PagedQuery(query, pageSize, forEach).
+        params: StartURIs (reference name; StartingEntities accepted),
+        Via (or Predicate; ``"*"`` = any), Inverse, Datasets, and
+        Continuations to RESUME an earlier stopped query. Pages of
+        ``page_size`` go to the callback; a falsy callback return stops
+        iteration and the un-delivered remainder comes back as the
+        continuation value (pass it as params.Continuations to resume).
+        Fully drained returns [] — which stringifies to "" like the
+        reference's nil cursor slice does in JS ("cont:"+r fixtures).
+        Called with only params, returns the full triple list (legacy
+        two-arg shim shape)."""
+        conts = params.get("Continuations")
+        if conts:
+            pending = list(conts)
+        else:
+            pending = Query(
+                params.get("StartURIs",
+                           params.get("StartingEntities", [])),
+                params.get("Via", params.get("Predicate")),
+                params.get("Inverse", False),
+                params.get("Datasets"),
+            )
+        if callback is None:
+            return pending
+        size = int(page_size) if page_size else max(len(pending), 1)
+        while pending:
+            page, pending = pending[:size], pending[size:]
+            keep_going = callback(page)
+            if not keep_going:  # falsy (false/undefined/None) stops
+                return pending
+        return []
 
     return {
         "GetId": GetId, "SetId": SetId,

@@ -548,3 +548,27 @@ def test_run_due_with_runner_barriers_producer_before_consumer(spark, store, tmp
     results = sched.run_due(datetime.datetime(2026, 1, 1, 12, 0), runner=runner)
     assert sorted(r["id"] for r in results) == ["consume", "produce"]
     assert store.log(["lvl2"]).count() == 4  # saw this tick's lvl1 rows
+
+
+def test_run_due_starved_producer_defers_consumer(spark, store, tmp_path):
+    """r4 residual nit, closed: when the PRODUCER is denied a raffle
+    ticket, its consumer must not run this tick against the stale
+    source — both stay unfired and retry together on a later tick."""
+    import datetime
+
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    sched.register(J.Job("produce", J.DatasetSource(store, "people"),
+                         J.DatasetSink(store, "lvl1")), schedule="* * * * *")
+    sched.register(J.Job("consume", J.DatasetSource(store, "lvl1"),
+                         J.DatasetSink(store, "lvl2")), schedule="* * * * *")
+    # zero incremental tickets: everything starves
+    runner = J.JobRunner(state, J.Raffle(tickets_full=1, tickets_incr=0))
+    t0 = datetime.datetime(2026, 1, 1, 12, 0)
+    assert sched.run_due(t0, runner=runner) == []
+    assert not store.has_data("lvl2")  # consumer did NOT scan stale lvl1
+    # tickets restored: the SAME minute retries both, in order
+    runner2 = J.JobRunner(state, J.Raffle(tickets_full=1, tickets_incr=4))
+    results = sched.run_due(t0, runner=runner2)
+    assert sorted(r["id"] for r in results) == ["consume", "produce"]
+    assert store.log(["lvl2"]).count() == 4

@@ -226,6 +226,113 @@ def test_run_query_script_write_query_result():
                    {"n": 2, "label": "row2"}]
 
 
+def _friends_fixture(spark):
+    """transform_paged_query_test.go:57-68 data: person-1 with 19
+    friends, person-21 with 4, persons 200-205 each pointing at
+    person-1."""
+    pid = "people:person-{}"
+    rows = []
+
+    def person(n, friends=()):
+        refs = {"people:friends": [pid.format(f) for f in friends]} \
+            if friends else None
+        rows.append((pid.format(n), 1, 0, False,
+                     {"people:name": f"p{n}"}, refs, "friends"))
+
+    person(1, range(2, 21))
+    person(21, range(22, 26))
+    for n in range(200, 206):
+        person(n, [1])
+    for n in list(range(2, 21)) + list(range(22, 26)):
+        person(n)
+    return _entities(spark, rows)
+
+
+def test_paged_query_reference_fixture(spark):
+    # transform_paged_query_test.go:71-113 VERBATIM: page through all
+    # query pages in QueryForEach — 19+0 results page as 7/7/5, the
+    # second transform entity's 4 as one page; drained continuation
+    # stringifies to "" ("cont:"+r fixtures)
+    js = """ function transform_entities(entities) {
+                    const p = GetNamespacePrefix("http://data.mimiro.io/people/")
+                    let res = NewEntity()
+                    SetId(res, "people:result")
+                    let pageCnt=0
+                    let entityCnt = 0
+                    let cnt=0
+                    for (e of entities) {
+                        cnt++
+                        let cb = function(batch) {
+                            pageCnt += 1
+                            for (item of batch) {
+                                entityCnt += 1
+                                SetProperty(res, p, "i-"+pageCnt+"-"+entityCnt, item)
+                            }
+                            return true
+                        }
+                        let r = PagedQuery({
+                            StartURIs:[GetId(e), p+":person-2"],
+                            Via:"*",
+                            Inverse: false,
+                            Datasets: []
+                        }, 7, cb)
+                        SetProperty(res, p, "r-"+cnt, "cont:"+r)
+                    }
+                    SetProperty(res, p,"pageCnt", pageCnt)
+                    SetProperty(res, p, "entityCnt", entityCnt)
+                    return [res];
+                }"""
+    lookup = _friends_fixture(spark)
+    probe = _entities(spark, [
+        ("people:person-1", 1, 0, False, {}, None, "probe"),
+        ("people:person-21", 1, 0, False, {}, None, "probe"),
+    ])
+    ns = {"people": "http://data.mimiro.io/people/"}
+    out = SC.script_transform(probe.coalesce(1), js, lookup=[lookup],
+                              namespaces=ns).collect()
+    assert len(out) == 1
+    props = out[0]["props"]
+    # 23 item props + r-1 + r-2 + pageCnt + entityCnt
+    assert len(props) == 27
+    assert props["people:pageCnt"] == "4"
+    assert props["people:entityCnt"] == "23"
+    assert props["people:r-1"] == "cont:"
+    assert props["people:r-2"] == "cont:"
+
+
+def test_paged_query_stop_and_resume(spark):
+    # transform_paged_query_test.go:119-156 shape: callback returning
+    # false stops paging; the returned continuation resumes exactly
+    # where it left off
+    js = """function transform_entities(entities) {
+        const p = GetNamespacePrefix("http://data.mimiro.io/people/")
+        let res = NewEntity()
+        SetId(res, "people:result")
+        let firstSeen = 0
+        let resumedSeen = 0
+        let r = PagedQuery({StartURIs: [p + ":person-1"], Via: "*"}, 7,
+                           function(batch) { firstSeen += batch.length; return false });
+        let r2 = PagedQuery({Continuations: r}, 100,
+                            function(batch) { resumedSeen += batch.length; return true });
+        SetProperty(res, p, "firstSeen", firstSeen)
+        SetProperty(res, p, "resumedSeen", resumedSeen)
+        SetProperty(res, p, "contAfterStop", r.length)
+        SetProperty(res, p, "contAfterDrain", "cont:" + r2)
+        return [res];
+    }"""
+    lookup = _friends_fixture(spark)
+    probe = _entities(spark, [
+        ("people:person-1", 1, 0, False, {}, None, "probe")])
+    ns = {"people": "http://data.mimiro.io/people/"}
+    (row,) = SC.script_transform(probe, js, lookup=[lookup],
+                                 namespaces=ns).collect()
+    props = row["props"]
+    assert props["people:firstSeen"] == "7"      # one page, then stop
+    assert props["people:contAfterStop"] == "12"  # 19 - 7 remain
+    assert props["people:resumedSeen"] == "12"    # resume covers the rest
+    assert props["people:contAfterDrain"] == "cont:"
+
+
 def test_python_scripts_still_work(spark, people):
     # the Python dialect keeps working through the same auto entry
     code = """

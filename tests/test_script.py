@@ -246,24 +246,25 @@ def transform_entities(entities):
 
 
 def test_paged_query_callback_contract(spark, people, nations):
-    # transform_paged_query_test.go shape: batched params dict, callback
-    # receives the triples, return value is the full triple list
+    # transform.go:462-534 PagedQuery(query, pageSize, forEach): pages go
+    # to the callback; truthy return continues; fully drained returns []
     code = """
 def transform_entities(entities):
-    seen = []
     for e in entities:
-        triples = PagedQuery({"StartingEntities": [GetId(e)],
-                              "Predicate": "p:nation",
-                              "Inverse": False},
-                             lambda ts: seen.append(len(ts)))
-        SetProperty(e, "p", "via_paged", GetProperty(triples[0][2], "p", "name"))
-        SetProperty(e, "p", "cb_count", ToString(seen[-1]))
+        pages = []
+        r = PagedQuery({"StartURIs": [GetId(e)], "Via": "p:nation",
+                        "Inverse": False}, 5,
+                       lambda ts: pages.append(ts) or True)
+        SetProperty(e, "p", "via_paged", GetProperty(pages[0][0][2], "p", "name"))
+        SetProperty(e, "p", "n_pages", ToString(len(pages)))
+        SetProperty(e, "p", "cont_len", ToString(len(r)))
     return entities
 """
     out = {r["id"]: r["props"] for r in
            SC.script_transform(people, code, lookup=[people, nations]).collect()}
     assert out["p:1"]["p:via_paged"] == "NORWAY"
-    assert out["p:1"]["p:cb_count"] == "1"
+    assert out["p:1"]["p:n_pages"] == "1"
+    assert out["p:1"]["p:cont_len"] == "0"  # drained
 
 
 def test_lookup_index_row_cap_raises_with_pointer(spark, people):

@@ -181,6 +181,20 @@ def test_http_source_syncs_out_incrementally(served, spark, tmp_path):
     assert src.current_watermark() > wm
 
 
+def test_proxy_dataset_reads_through_served_endpoint(served, spark):
+    """proxydataset.go e2e: a local ProxyDataset whose reads delegate —
+    over the wire — to the served UDA endpoint; latest/traversal compose
+    over the returned frames with nothing landing in a local store."""
+    _, base = served
+    proxy = J.ProxyDataset(
+        spark, f"{base}/datasets/d", name="d", allow_network=True)
+    ents = {r["id"]: r for r in proxy.entities().collect()}
+    assert set(ents) == {"e:1", "e:2", "e:3", "e:5"}  # tombstone dropped
+    assert ents["e:1"]["refs"]["p:link"] == ["e:2"]
+    changes = proxy.changes(since=0).collect()
+    assert len(changes) == 5  # tombstone included in the change feed
+
+
 def test_http_sink_posts_into_served_store(served, spark):
     store, base = served
     sink = J.HttpDatasetSink(f"{base}/datasets/d", allow_network=True)
