@@ -46,6 +46,39 @@ def _parse_field(text: str, lo: int, hi: int, name: str) -> tuple[set[int], bool
     return allowed, wildcard
 
 
+_DESCRIPTORS = {
+    "@hourly": "0 * * * *",
+    "@daily": "0 0 * * *",
+    "@midnight": "0 0 * * *",
+    "@weekly": "0 0 * * 0",
+    "@monthly": "0 0 1 * *",
+    "@yearly": "0 0 1 1 *",
+    "@annually": "0 0 1 1 *",
+}
+
+
+def _descriptor_to_fields(spec: str) -> str:
+    """robfig/cron ``@`` descriptors -> 5-field cron at this scheduler's
+    minute-tick resolution."""
+    import re as _re
+
+    if spec in _DESCRIPTORS:
+        return _DESCRIPTORS[spec]
+    m = _re.fullmatch(r"@every\s+((?:\d+[hms])+)", spec)
+    if not m:
+        raise ValueError(f"unsupported cron descriptor: {spec!r}")
+    secs = 0
+    for n, unit in _re.findall(r"(\d+)([hms])", m.group(1)):
+        secs += int(n) * {"h": 3600, "m": 60, "s": 1}[unit]
+    minutes = max(1, secs // 60)
+    if minutes < 60:
+        return f"*/{minutes} * * * *"
+    hours = max(1, minutes // 60)
+    if hours < 24:
+        return f"0 */{hours} * * *"
+    return "0 0 * * *"
+
+
 @dataclass(frozen=True)
 class CronSpec:
     minutes: frozenset
@@ -59,6 +92,13 @@ class CronSpec:
 
     @classmethod
     def parse(cls, spec: str) -> "CronSpec":
+        spec = spec.strip()
+        if spec.startswith("@"):
+            # robfig/cron descriptors, the syntax reference job configs
+            # carry ("@every 2s", "@daily", scheduler.go triggers).
+            # @every maps onto this scheduler's minute-tick resolution:
+            # sub-minute intervals clamp to every tick.
+            spec = _descriptor_to_fields(spec)
         fields = spec.split()
         if len(fields) != 5:
             raise ValueError(f"cron spec needs 5 fields, got {len(fields)}: {spec!r}")

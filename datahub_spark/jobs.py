@@ -282,6 +282,132 @@ def parse_multi_source_dependencies(
     return out
 
 
+def parse_job_config(store: EntityStore, config: dict | str, *,
+                     allow_network: bool = False,
+                     spark=None) -> tuple[Job, list[dict]]:
+    """Build a Job from the reference's JobConfiguration JSON
+    (scheduler.go:79-90; source registry scheduler.go:613-731, sink
+    registry sink.go:45-106, transform registry transform.go
+    parseTransform) so existing job definitions run VERBATIM. Returns
+    (job, triggers) — triggers are the raw trigger dicts; cron ones
+    carry ``schedule`` (robfig descriptors like ``@every 2s`` are
+    accepted by the scheduler), onchange ones ``monitoredDataset``.
+
+    Source Types: DatasetSource (+LatestOnly), UnionDatasetSource,
+    MultiSource (explicit Dependencies + track_queries derivation from
+    the transform Code), SampleSource, HttpDatasetSource.
+    Sink Types: DatasetSink, DevNullSink, ConsoleSink, HttpDatasetSink.
+    Transform Types: JavascriptTransform (base64 or raw Code, JS or
+    Python — script.compile_script; optional engine extension
+    ``LookupDatasets`` names the store datasets backing Query/FindById),
+    HttpTransform (Url, TimeOut, SupportContext).
+
+    The first trigger's ``jobType`` ("incremental"/"fullsync") becomes
+    the job type, and its ``onError`` list maps to the job's
+    ErrorHandler — reference error-handler kinds reRun/log/reQueue with
+    maxRetries/retryDelay/maxItems."""
+    if isinstance(config, str):
+        config = json.loads(config)
+    spark = spark or store.spark
+    job_id = config.get("id") or "job"
+
+    def _bool(v) -> bool:
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+
+    # -- source -----------------------------------------------------------
+    def parse_source(sc: dict):
+        t = sc.get("Type")
+        if t == "DatasetSource":
+            return DatasetSource(store, sc["Name"],
+                                 latest_only=_bool(sc.get("LatestOnly", False)))
+        if t == "UnionDatasetSource":
+            subs = [parse_source({**d, "Type": "DatasetSource"})
+                    for d in sc["DatasetSources"]]
+            return UnionDatasetSource(subs)
+        if t == "MultiSource":
+            tc = config.get("transform") or config.get("Transform") or {}
+            code = tc.get("Code") \
+                if tc.get("Type") == "JavascriptTransform" else None
+            deps = parse_multi_source_dependencies(
+                sc["Name"], sc.get("Dependencies"), code)
+            return MultiSource(store, sc["Name"], deps,
+                               latest_only=_bool(sc.get("LatestOnly", True)))
+        if t == "SampleSource":
+            return SampleSource(spark, int(sc.get("NumberOfEntities", 10)))
+        if t == "HttpDatasetSource":
+            return HttpDatasetSource(spark, sc["Url"],
+                                     allow_network=allow_network)
+        raise ValueError(f"unknown source type: {t}")
+
+    # -- sink -------------------------------------------------------------
+    def parse_sink(sc: dict):
+        t = sc.get("Type")
+        if t == "DatasetSink":
+            return DatasetSink(store, sc["Name"])
+        if t == "DevNullSink":
+            return DevNullSink()
+        if t == "ConsoleSink":
+            return ConsoleSink()
+        if t == "HttpDatasetSink":
+            return HttpDatasetSink(sc["Url"], allow_network=allow_network)
+        raise ValueError(f"unknown sink type: {t}")
+
+    # -- transform --------------------------------------------------------
+    def parse_transform(tc: dict | None):
+        if not tc:
+            return None
+        t = tc.get("Type")
+        if t == "JavascriptTransform":
+            from datahub_spark.script import make_script_transform
+
+            lookup = [store.log([name])
+                      for name in tc.get("LookupDatasets", [])] or None
+            return make_script_transform(tc["Code"], lookup=lookup)
+        if t == "HttpTransform":
+            return make_http_transform(
+                tc["Url"], allow_network=allow_network,
+                support_context=_bool(tc.get("SupportContext", False)),
+                timeout_s=float(tc.get("TimeOut") or 30.0))
+        raise ValueError(f"unknown transform type: {t}")
+
+    # -- triggers / error handlers ---------------------------------------
+    # accept both Go-marshalled (capitalized) and json-tag (camelCase)
+    # key spellings, like the reference's tolerant config loader
+    def g(d: dict, *names, default=None):
+        for n in names:
+            if n in d:
+                return d[n]
+        return default
+
+    triggers = [dict(t) for t in g(config, "triggers", "Triggers",
+                                   default=[]) or []]
+    job_type = "incremental"
+    handler = ErrorHandler()
+    if triggers:
+        first = triggers[0]
+        job_type = g(first, "jobType", "JobType", default="incremental")
+        on_error = g(first, "onError", "ErrorHandlers", default=[]) or []
+        if on_error:
+            e = on_error[0]
+            handler = ErrorHandler(
+                kind=g(e, "errorHandler", "Type", default="reRun"),
+                max_retries=int(g(e, "maxRetries", "MaxRetries", default=3)),
+                retry_delay_s=float(g(e, "retryDelay", "RetryDelay",
+                                      default=0) or 0),
+                max_items=int(g(e, "maxItems", "MaxItems", default=10)))
+
+    job = Job(
+        job_id,
+        parse_source(g(config, "source", "Source") or {}),
+        parse_sink(g(config, "sink", "Sink") or {}),
+        transform=parse_transform(g(config, "transform", "Transform")),
+        job_type=job_type,
+        on_error=handler,
+        paused=_bool(g(config, "paused", "Paused", default=False)),
+    )
+    return job, triggers
+
+
 def _track_queries_chains(transform_code: str) -> list:
     """Run the transform source far enough to call its ``track_queries``
     function with a DependencyRegistry; returns the registered chains.
@@ -434,6 +560,88 @@ class DevNullSink:
 class ConsoleSink:
     def write(self, df: DataFrame) -> None:
         df.show(50, truncate=False)
+
+
+def make_http_transform(url: str, token_provider=None,
+                        allow_network: bool = False,
+                        support_context: bool = False,
+                        context: dict | None = None,
+                        timeout_s: float = 30.0):
+    """HttpTransform (transform.go:676-760): POST each batch of entities
+    as a JSON array (``{id, recorded, deleted, props, refs}`` objects,
+    optionally with the ``@context`` head when SupportContext) to a
+    remote service; the response array IS the transformed batch.
+
+    Runs inside ``mapInPandas`` so every executor posts its own
+    partitions concurrently — the distributed analogue of the
+    reference's single-threaded batch loop (its getParallelism()==1 is a
+    process-model limit, not a semantic one). Gated behind
+    ``allow_network`` (loopback-only sandbox). At-least-once like the
+    HTTP sink: a retried task reposts its partition — the remote service
+    must be idempotent per entity id, which the reference's contract
+    already demands."""
+    ctx = context or {"id": "@context", "namespaces": {}}
+
+    def transform(df: DataFrame) -> DataFrame:
+        if not allow_network:
+            raise NotImplementedError(
+                "network post disabled: pass allow_network=True, or use "
+                "make_script_transform / python_transform for local "
+                "batch logic")
+        from datahub_spark.script import SCRIPT_OUTPUT_SCHEMA, _as_dict
+
+        token = token_provider() if token_provider is not None else None
+
+        def run(batches):
+            import urllib.request
+
+            import pandas as pd
+
+            for pdf in batches:
+                objs = []
+                for r in pdf.to_dict("records"):
+                    rec = r.get("recorded")
+                    seq = r.get("seq")
+                    objs.append({
+                        "id": r.get("id"),
+                        "recorded": None if pd.isna(rec) else int(rec),
+                        "seq": None if pd.isna(seq) else int(seq),
+                        "deleted": bool(r.get("deleted") or False),
+                        "props": _as_dict(r.get("props")),
+                        "refs": {k: list(v) for k, v in
+                                 _as_dict(r.get("refs")).items()},
+                    })
+                payload = [ctx] + objs if support_context else objs
+                req = urllib.request.Request(
+                    url, data=json.dumps(payload).encode("utf-8"),
+                    method="POST",
+                    headers={"Content-Type": "application/json"})
+                if token is not None:
+                    req.add_header("Authorization", f"Bearer {token}")
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    back = json.loads(resp.read().decode("utf-8"))
+                rows = []
+                for obj in back:
+                    if obj.get("id") in ("@context", "@continuation"):
+                        continue
+                    rows.append({
+                        "id": obj.get("id"),
+                        "recorded": obj.get("recorded"),
+                        "seq": obj.get("seq"),
+                        "deleted": bool(obj.get("deleted") or False),
+                        "props": {k: (None if v is None else str(v))
+                                  for k, v in (obj.get("props") or {}).items()},
+                        "refs": {k: ([str(x) for x in v]
+                                     if isinstance(v, list) else [str(v)])
+                                 for k, v in (obj.get("refs") or {}).items()},
+                        "dataset": obj.get("dataset"),
+                    })
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in SCRIPT_OUTPUT_SCHEMA.fields])
+
+        return df.mapInPandas(run, schema=SCRIPT_OUTPUT_SCHEMA)
+
+    return transform
 
 
 class HttpDatasetSink:
@@ -616,6 +824,21 @@ class Job:
                     df = self.transform(df)
                 if "_error" in df.columns:
                     df = self._route_failing_entities(df)
+                # transaction routing (reference Store.ExecuteTransaction
+                # called mid-transform): script-staged rows carry an
+                # "@txn:<dataset>" marker — they commit to THEIR datasets;
+                # returned entities flow to the job sink as usual. Only
+                # engaged for scripts that can stage transactions
+                # (may_stage_transactions) — the split re-executes the
+                # plan, so the frame is persisted for the duration.
+                txn_df = None
+                txn_cached = None
+                if getattr(self.transform, "may_stage_transactions", False) \
+                        and "dataset" in df.columns:
+                    txn_cached = df.persist()
+                    is_txn = F.col("dataset").startswith("@txn:")
+                    txn_df = txn_cached.filter(is_txn)
+                    df = txn_cached.filter(~F.coalesce(is_txn, F.lit(False)))
                 # Run the source+transform plan EXACTLY ONCE: the sink
                 # write is the single execution. The continuation token is
                 # the PRE-scan log watermark (a pruned stats-only agg taken
@@ -629,6 +852,25 @@ class Job:
                     cached = df.persist()
                     df = cached
                 try:
+                    if txn_df is not None:
+                        # commit transaction targets first — the reference
+                        # executes them mid-transform, before the sink
+                        # sees the batch; one atomic multi-dataset commit
+                        stripped = txn_df.withColumn(
+                            "dataset", F.expr("substring(dataset, 6)"))
+                        targets = [r["dataset"] for r in
+                                   stripped.select("dataset").distinct().collect()]
+                        if targets:
+                            tstore = getattr(self.sink, "store", None) \
+                                or getattr(self.source, "store", None)
+                            if tstore is None:
+                                raise ValueError(
+                                    "ExecuteTransaction output needs a "
+                                    "store-backed source or sink to route to")
+                            tstore.execute_transaction({
+                                t: stripped.filter(F.col("dataset") == t)
+                                           .drop("dataset")
+                                for t in targets})
                     if self.job_type == "fullsync" and isinstance(self.sink, DatasetSink):
                         # CompleteFullSync contract: the source snapshot
                         # replaces the dataset's live set; missing
@@ -653,6 +895,8 @@ class Job:
                 finally:
                     if cached is not None:
                         cached.unpersist()
+                    if txn_cached is not None:
+                        txn_cached.unpersist()
                 for d in drained:  # requeue datasets processed: retire them
                     rq_store.delete_dataset(d)
                 result = {"id": self.job_id, "attempts": attempts, "token": wm}
@@ -843,6 +1087,21 @@ class Scheduler:
         self.jobs[job.job_id] = job
         if schedule is not None:
             self.schedules[job.job_id] = CronSpec.parse(schedule)
+
+    def register_config(self, store: EntityStore, config: dict | str,
+                        allow_network: bool = False) -> Job:
+        """Register a job from a reference JobConfiguration JSON
+        (parse_job_config); cron triggers schedule it, onchange triggers
+        are returned on the job as ``monitored_datasets`` for the caller
+        to wire (wire_onchange / streaming)."""
+        job, triggers = parse_job_config(store, config,
+                                         allow_network=allow_network)
+        schedule = next(
+            (t.get("schedule") or t.get("Schedule") for t in triggers
+             if (t.get("triggerType") or t.get("TriggerType")) == "cron"
+             and (t.get("schedule") or t.get("Schedule"))), None)
+        self.register(job, schedule)
+        return job
 
     def due_jobs(self, now) -> list[Job]:
         """Unpaused jobs whose cron spec matches ``now``'s minute and

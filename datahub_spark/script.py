@@ -253,7 +253,12 @@ def make_builtins(namespaces: dict[str, str], index: dict | None = None,
 
     def ExecuteTransaction(txn):
         """Batch-buffered (see make_builtins docstring): stages every
-        (dataset, entity) pair for emission with the batch output."""
+        (dataset, entity) pair for emission with the batch output. In
+        the emitted rows the target dataset carries an ``@txn:`` prefix
+        so the jobs engine can route them to their own datasets (the
+        reference's Store.ExecuteTransaction semantics) while returned
+        entities flow to the job sink — Job.run strips the marker and
+        commits per target dataset."""
         if txn_sink is None:
             raise RuntimeError(
                 "ExecuteTransaction is only available inside a "
@@ -596,11 +601,11 @@ def script_transform(df: DataFrame, code: str, *,
             txn_sink.clear()
             out = fn(ents)
             rows = [_entity_to_row(e) for e in (out or [])]
-            # transaction-staged entities ride along, routed by their
-            # dataset column (see make_builtins ExecuteTransaction)
+            # transaction-staged entities ride along, marked for routing
+            # (see make_builtins ExecuteTransaction)
             for ds, ent in txn_sink:
                 row = _entity_to_row(ent)
-                row["dataset"] = ds
+                row["dataset"] = f"@txn:{ds}"
                 rows.append(row)
             txn_sink.clear()
             yield pd.DataFrame(rows, columns=ENTITY_COLUMNS)
@@ -615,10 +620,17 @@ def make_script_transform(code: str, *, lookup: list[DataFrame] | None = None,
     wire format — or Python; see compile_script) — the analogue of a job
     config's ``{"Type": "JavascriptTransform", "Code": ...}`` block.
     Validates the script immediately (driver-side), not at first job
-    run."""
-    compile_script(code, namespaces)
+    run. The returned callable carries ``may_stage_transactions`` so
+    Job.run only pays the transaction-routing split (an extra plan
+    execution) for scripts that can actually call ExecuteTransaction."""
+    decoded = maybe_b64_decode(code)
+    compile_script(decoded, namespaces)
+
     def transform(df: DataFrame) -> DataFrame:
-        return script_transform(df, code, lookup=lookup, namespaces=namespaces)
+        return script_transform(df, decoded, lookup=lookup,
+                                namespaces=namespaces)
+
+    transform.may_stage_transactions = "ExecuteTransaction" in decoded
     return transform
 
 

@@ -106,11 +106,12 @@ def test_transaction_fixture(spark, people):
     by_ds = {}
     for r in out:
         by_ds.setdefault(r["dataset"], set()).add(r["id"])
-    # the returned entities keep their source dataset; each staged copy
-    # carries its transaction dataset
+    # returned entities keep their source dataset; each staged copy
+    # carries its transaction target behind the @txn: routing marker
+    # (stripped by Job.run when committing to the store)
     assert by_ds["people"] == {"p:1", "p:2"}
-    assert by_ds["NewProducts"] == {"p:1", "p:2"}
-    assert by_ds["ProductAudit"] == {"p:1", "p:2"}
+    assert by_ds["@txn:NewProducts"] == {"p:1", "p:2"}
+    assert by_ds["@txn:ProductAudit"] == {"p:1", "p:2"}
 
 
 def test_query_enrichment_fixture(spark):
