@@ -33,8 +33,10 @@ transform dialect and documented here so they are loud:
     keeps JS sign semantics; int results are printed without ".0"
     (goja's int64 behavior, transform_test.go:71-111 relies on number
     round-tripping).
-  * getter/setter properties, classes, generators, async, regex literals
-    are not supported and raise JSError at parse time.
+  * regex literals are supported (JSRegExp over Python re: test/exec,
+    String.match/replace/split/search, g/i/m/s flags, named groups);
+    getter/setter properties, classes, generators, and async are not
+    and raise JSError at parse time.
 """
 
 from __future__ import annotations
@@ -128,9 +130,29 @@ class _Tok:
         return f"{self.kind}:{self.value!r}"
 
 
+_REGEX_RE = re.compile(r"/(?:\\.|\[(?:\\.|[^\]\\])*\]|[^/\\\n])+/[a-z]*")
+
+
 def _tokenize(src: str) -> list[_Tok]:
     toks, pos, line = [], 0, 1
     while pos < len(src):
+        # regex literal vs division: a '/' starts a regex iff the
+        # previous significant token cannot end an operand
+        if src[pos] == "/" and not src.startswith(("//", "/*"), pos):
+            prev = toks[-1] if toks else None
+            operand_before = prev is not None and (
+                prev.kind in ("num", "str", "tmpl", "regex")
+                or (prev.kind == "name")
+                or (prev.kind == "kw" and prev.value in
+                    ("true", "false", "null", "undefined"))
+                or (prev.kind == "punct" and prev.value in (")", "]", "++", "--"))
+            )
+            if not operand_before:
+                m = _REGEX_RE.match(src, pos)
+                if m:
+                    toks.append(_Tok("regex", m.group(0), line))
+                    pos = m.end()
+                    continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             raise JSError(f"unexpected character {src[pos]!r} at line {line}")
@@ -487,11 +509,13 @@ class _Parser:
                     if not self.eat(","):
                         break
                 self.expect(")")
-            return ("New", callee, args)
+            # the constructed object continues the postfix chain:
+            # new RegExp(p).test(s), new Foo().bar[0], ...
+            return self.postfix(seed=("New", callee, args))
         return self.postfix()
 
-    def postfix(self, no_call: bool = False):
-        e = self.primary()
+    def postfix(self, no_call: bool = False, seed=None):
+        e = self.primary() if seed is None else seed
         while True:
             t = self.peek()
             if t.kind != "punct":
@@ -532,6 +556,8 @@ class _Parser:
             return ("Str", _unescape(t.value[1:-1]))
         if t.kind == "tmpl":
             return self._template(t.value[1:-1])
+        if t.kind == "regex":
+            return ("Regex", t.value)
         if t.kind == "kw":
             if t.value == "true":
                 return ("Bool", True)
@@ -732,6 +758,84 @@ class _ContinueSignal(Exception):
     pass
 
 
+class JSRegExp:
+    """JS regex literal / RegExp object over Python ``re``. The dialect
+    transforms use (character classes, groups, anchors, quantifiers,
+    alternation, i/m/s/g flags) maps directly; JS named groups
+    ``(?<n>...)`` translate to Python's ``(?P<n>...)``."""
+
+    def __init__(self, pattern: str, flags: str = ""):
+        self.source = pattern
+        self.flags = flags
+        self.is_global = "g" in flags
+        setattr(self, "global", self.is_global)  # JS property name
+        f = 0
+        if "i" in flags:
+            f |= re.IGNORECASE
+        if "m" in flags:
+            f |= re.MULTILINE
+        if "s" in flags:
+            f |= re.DOTALL
+        py = re.sub(r"\(\?<(?![=!])", "(?P<", pattern)
+        try:
+            self._re = re.compile(py, f)
+        except re.error as exc:
+            raise JSError(f"invalid regular expression /{pattern}/: {exc}")
+
+    @classmethod
+    def from_literal(cls, text: str) -> "JSRegExp":
+        body, _, flags = text.rpartition("/")
+        return cls(body[1:], flags)
+
+    def test(self, s) -> bool:
+        return self._re.search(js_to_string(s)) is not None
+
+    def exec(self, s):
+        m = self._re.search(js_to_string(s))
+        if m is None:
+            return None
+        return [m.group(0)] + [g if g is not None else UNDEFINED
+                               for g in m.groups()]
+
+    def toString(self):
+        return f"/{self.source}/{self.flags}"
+
+    def _sub_repl(self, rep):
+        """JS replacement-string conventions -> python: $& whole match,
+        $1..$9 groups, $$ literal dollar."""
+        if callable(rep):
+            return lambda m: js_to_string(
+                rep(m.group(0), *[g if g is not None else UNDEFINED
+                                  for g in m.groups()]))
+        text = js_to_string(rep)
+
+        def repl(m):
+            out, i = [], 0
+            while i < len(text):
+                c = text[i]
+                if c == "$" and i + 1 < len(text):
+                    n = text[i + 1]
+                    if n == "$":
+                        out.append("$")
+                        i += 2
+                        continue
+                    if n == "&":
+                        out.append(m.group(0))
+                        i += 2
+                        continue
+                    if n.isdigit():
+                        j = int(n)
+                        if j <= len(m.groups()):
+                            out.append(m.group(j) or "")
+                            i += 2
+                            continue
+                out.append(c)
+                i += 1
+            return "".join(out)
+
+        return repl
+
+
 class JSThrown(JSError):
     """A JS `throw` propagating out of the script."""
 
@@ -927,17 +1031,40 @@ def _string_method(s: str, name: str):
         def split(sep=UNDEFINED, limit=None):
             if sep is UNDEFINED:
                 return [s]
-            sep = js_to_string(sep)
-            parts = list(s) if sep == "" else s.split(sep)
+            if isinstance(sep, JSRegExp):
+                parts = sep._re.split(s)
+            else:
+                sep = js_to_string(sep)
+                parts = list(s) if sep == "" else s.split(sep)
             return parts[:int(js_to_number(limit))] if limit is not None \
                 else parts
         return split
     if name == "replace":
-        return lambda pat, rep: s.replace(js_to_string(pat),
-                                          js_to_string(rep), 1)
+        def replace(pat, rep):
+            if isinstance(pat, JSRegExp):
+                return pat._re.sub(pat._sub_repl(rep), s,
+                                   count=0 if pat.is_global else 1)
+            return s.replace(js_to_string(pat), js_to_string(rep), 1)
+        return replace
     if name == "replaceAll":
-        return lambda pat, rep: s.replace(js_to_string(pat),
-                                          js_to_string(rep))
+        def replace_all(pat, rep):
+            if isinstance(pat, JSRegExp):
+                return pat._re.sub(pat._sub_repl(rep), s)
+            return s.replace(js_to_string(pat), js_to_string(rep))
+        return replace_all
+    if name == "match":
+        def match(r):
+            r = r if isinstance(r, JSRegExp) else JSRegExp(js_to_string(r))
+            if r.is_global:
+                return [m.group(0) for m in r._re.finditer(s)] or None
+            return r.exec(s)
+        return match
+    if name == "search":
+        def search(r):
+            r = r if isinstance(r, JSRegExp) else JSRegExp(js_to_string(r))
+            m = r._re.search(s)
+            return m.start() if m else -1
+        return search
     if name == "concat":
         return lambda *a: s + "".join(js_to_string(x) for x in a)
     if name == "repeat":
@@ -1216,6 +1343,9 @@ def _std_globals():
         "Error": _mk_error,
         "TypeError": _mk_error,
         "RangeError": _mk_error,
+        "RegExp": lambda p, f=None: JSRegExp(
+            p.source if isinstance(p, JSRegExp) else js_to_string(p),
+            js_to_string(f) if f not in (None, UNDEFINED) else ""),
         "console": {"log": lambda *a: UNDEFINED,
                     "warn": lambda *a: UNDEFINED,
                     "error": lambda *a: UNDEFINED},
@@ -1391,6 +1521,8 @@ class Interpreter:
         op = e[0]
         if op == "Num" or op == "Str" or op == "Bool":
             return e[1]
+        if op == "Regex":
+            return JSRegExp.from_literal(e[1])
         if op == "Null":
             return None
         if op == "Undef":

@@ -274,6 +274,38 @@ def test_json_and_math_and_number():
     assert run_expr("(3.14159).toFixed(2)") == "3.14"
 
 
+# -- regex -----------------------------------------------------------------
+
+def test_regex_literals():
+    assert run_expr("/ab+c/.test('xabbc')") is True
+    assert run_expr("/ab+c/.test('ac')") is False
+    assert run_expr("/a(b)(c)/.exec('zabc')") == ["abc", "b", "c"]
+    assert run_expr("/nope/.exec('zzz')") is None
+    assert run_expr("/A/i.test('a')") is True
+    assert run_expr("'a-b-c'.replace(/-/g, '_')") == "a_b_c"
+    assert run_expr("'a-b-c'.replace(/-/, '_')") == "a_b-c"  # non-global: first only
+    assert run_expr("'john smith'.replace(/(\\w+) (\\w+)/, '$2 $1')") == \
+        "smith john"
+    assert run_expr("'a1b22c'.match(/\\d+/g)") == ["1", "22"]
+    assert run_expr("'xyz'.match(/\\d/g)") is None
+    assert run_expr("'a1b'.search(/\\d/)") == 1
+    assert run_expr("'a, b,c'.split(/,\\s*/)") == ["a", "b", "c"]
+    assert run_expr("new RegExp('b.', 'g').test('abc')") is True
+
+
+def test_regex_vs_division_disambiguation():
+    assert run_expr("10 / 2 / 5") == 1  # both are division
+    assert run_body(
+        "var n = 6; return n / 2 + ' ' + /x/.test('x');") == "3 true"
+
+
+def test_regex_replace_with_function():
+    body = """
+    return 'a1b2'.replace(/\\d/g, function(m) { return m * 2; });
+    """
+    assert run_body(body) == "a2b4"
+
+
 # -- host interop ----------------------------------------------------------
 
 def test_host_functions_and_shared_dicts():
