@@ -1827,13 +1827,22 @@ def run_program(code: str, host: dict | None = None) -> dict:
     """Execute a JS program with ``host`` names bound as globals and
     return {function_name: callable} for every top-level function the
     program defined (the reference convention: the engine calls
-    transform_entities(entities) per batch, transform.go:300)."""
+    transform_entities(entities) per batch, transform.go:300).
+
+    Host-name precedence matches goja: the reference loads the helper
+    functions AFTER the user program (transform.go:258-262 runs
+    HelperJavascriptFunctions last), so a user function that collides
+    with a built-in name loses everywhere — the host binding is
+    re-asserted after the program runs."""
     interp = Interpreter(host)
     interp.run(parse(code))
     out = {}
+    host_names = set(host or {})
     for name, val in interp.globals.vars.items():
-        if isinstance(val, JSFunction):
+        if isinstance(val, JSFunction) and name not in host_names:
             out[name] = val
+    for k, v in (host or {}).items():  # helpers load last, like goja
+        interp.globals.declare(k, _wrap_host(v))
     return out
 
 

@@ -636,21 +636,24 @@ def make_script_transform(code: str, *, lookup: list[DataFrame] | None = None,
 
 def run_query_script(spark: SparkSession, code: str, *,
                      lookup: list[DataFrame] | None = None,
+                     index: dict | None = None,
                      namespaces: dict[str, str] | None = None,
                      entry: str = "do_query") -> list:
     """Driver-side script-query runner — the reference's javascript
-    query endpoint (transform.go:322 WriteQueryResult writes objects to
-    the response stream). The script defines ``do_query()`` (any
-    JS/Python body) and calls WriteQueryResult(obj) per result; returns
-    the written objects in order. Runs DRIVER-side against the broadcast
-    lookup index (query scripts are interactive, bounded-output by
-    construction); set-oriented querying over big data belongs in
-    datahub_spark.query / queries."""
+    query endpoint (transform.go:561 ExecuteQuery; WriteQueryResult
+    writes objects to the response stream). The script defines
+    ``do_query()`` (any JS/Python body) and calls WriteQueryResult(obj)
+    per result; returns the written objects in order. Runs DRIVER-side
+    against the broadcast lookup index — built from ``lookup`` frames or
+    passed pre-built via ``index`` (query scripts are interactive,
+    bounded-output by construction); set-oriented querying over big data
+    belongs in datahub_spark.query / queries."""
     from datahub_spark import js as _js
 
     code = maybe_b64_decode(code)
     results: list = []
-    index = build_lookup_index(*lookup) if lookup else None
+    if index is None:
+        index = build_lookup_index(*lookup) if lookup else None
     env: dict = dict(make_builtins(namespaces or DEFAULT_NAMESPACES, index,
                                    query_result_sink=results))
     if _js.looks_like_js(code):

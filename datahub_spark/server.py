@@ -134,6 +134,7 @@ class UdaServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._host, self._port = host, port
+        self._index: dict | None = None  # /query lookup, built lazily
 
     # -- lifecycle --------------------------------------------------------
 
@@ -278,7 +279,7 @@ class UdaServer:
         rq.end_headers()
         rq.wfile.write(data)
 
-    # -- POST (store + fullsync lease) ------------------------------------
+    # -- POST (store + fullsync lease + /query) ---------------------------
 
     def _route_post(self, rq) -> None:
         try:
@@ -287,9 +288,104 @@ class UdaServer:
             if len(parts) == 3 and parts[0] == "datasets" \
                     and parts[2] == "entities":
                 return self._post_entities(rq, parts[1])
+            if parts == ["query"]:
+                return self._post_query(rq)
             self._error(rq, 404, "not found")
         except Exception as exc:
             self._error(rq, 500, str(exc))
+
+    # -- /query (queryhandler.go) -----------------------------------------
+
+    def _query_index(self) -> dict:
+        """Broadcast-style lookup index over the store's datasets for the
+        graph-query endpoint — the analogue of the reference resolving
+        queries against its local Badger store (queryhandler.go's
+        GetManyRelatedEntitiesBatch). Bounded by the script-surface row
+        cap: interactive graph queries are dimension-scale by
+        construction; set-oriented querying over big data belongs in the
+        engine's query operators, not an HTTP endpoint."""
+        from datahub_spark.script import build_lookup_index
+
+        if self._index is None:
+            frames = [self.store.log([d]) for d in
+                      sorted(self.store.list_datasets())]
+            self._index = build_lookup_index(*frames)
+        return self._index
+
+    def invalidate_query_index(self) -> None:
+        self._index = None
+
+    def _wire_entity(self, ent: dict | None, eid: str) -> dict:
+        if ent is None:
+            return {"id": eid}
+        return {"id": ent.get("ID"), "recorded": ent.get("Recorded"),
+                "deleted": bool(ent.get("IsDeleted", False)),
+                "props": ent.get("Properties") or {},
+                "refs": ent.get("References") or {}}
+
+    def _post_query(self, rq) -> None:
+        """POST /query (queryhandler.go:142-265): three modes —
+        Content-Type application/x-javascript-query runs a do_query
+        script whose WriteQueryResult objects stream back as a JSON
+        array; a body with entityId returns [@context, merged-entity];
+        startingEntities/predicate/inverse returns [@context, triples]
+        plus a continuation token when a limit was given (resumable via
+        Continuations, stateless offset re-run)."""
+        n = int(rq.headers.get("Content-Length", "0"))
+        body = rq.rfile.read(n).decode() if n else "{}"
+        ctype = rq.headers.get("Content-Type", "")
+        if "application/x-javascript-query" in ctype:
+            from datahub_spark import script as SC
+
+            q = json.loads(body)
+            results = SC.run_query_script(
+                None, q.get("query", ""),
+                namespaces=dict(self.nsmgr.context()),
+                index=self._query_index())
+            return self._reply(rq, 200, results)
+
+        q = json.loads(body)
+        ctx = {"id": "@context", "namespaces": self.nsmgr.context()}
+        if q.get("entityId"):
+            eid = q["entityId"]
+            rows = self.store.get_entity(
+                eid, q.get("datasets") or None,
+                merge=not q.get("noPartialMerging", False)).collect()
+            if not rows:
+                return self._reply(rq, 200, [ctx, {"id": eid}])
+            r = rows[0]
+            ent = {"id": r["id"], "recorded": r["recorded"],
+                   "deleted": bool(r["deleted"]),
+                   "props": dict(r["props"] or {}),
+                   "refs": {k: list(v) for k, v in
+                            dict(r["refs"] or {}).items()}}
+            return self._reply(rq, 200, [ctx, ent])
+
+        from datahub_spark.script import make_builtins
+
+        limit = int(q.get("limit") or 0)
+        offset = 0
+        if q.get("continuations"):
+            resume = _tok_decode(q["continuations"][0])
+            q = resume["q"]
+            offset = resume["off"]
+            limit = int(q.get("limit") or 0)
+        env = make_builtins(dict(self.nsmgr.context()),
+                            self._query_index())
+        triples = env["Query"](q.get("startingEntities") or [],
+                               q.get("predicate"),
+                               bool(q.get("inverse", False)),
+                               q.get("datasets"))
+        include_cont = limit > 0
+        page = triples[offset:offset + limit] if limit else triples[:100]
+        wire = [[s, p, self._wire_entity(e, s)] for s, p, e in page]
+        result = [ctx, wire]
+        if include_cont:
+            nxt = offset + len(page)
+            token = _tok_encode({"q": q, "off": nxt}) \
+                if nxt < len(triples) else ""
+            result.append([token] if token else [])
+        self._reply(rq, 200, result)
 
     def _parse_body(self, rq):
         n = int(rq.headers.get("Content-Length", "0"))
@@ -342,9 +438,11 @@ class UdaServer:
                     session.append(batch.drop("dataset"))
                 else:
                     self.store.store_entities(ds, batch.drop("dataset"))
+                    self.invalidate_query_index()
             if fs_end:
                 session = self.leases.release(ds, fs_id)
                 session.complete()
+                self.invalidate_query_index()
             self._reply(rq, 200, {})
         except ConflictError as exc:
             self._error(rq, 409, str(exc))

@@ -205,6 +205,55 @@ def test_http_sink_posts_into_served_store(served, spark):
     assert "e:9" in out
 
 
+def test_query_endpoint_entity_lookup(served):
+    # queryhandler.go:200-230: entityId -> [@context, merged entity];
+    # unknown id -> [@context, {"id": ...}]
+    _, base = served
+    code, body = _post(f"{base}/query", {"entityId": "e:1"})
+    assert code == 200
+    assert body[0]["id"] == "@context"
+    assert body[1]["id"] == "e:1"
+    assert body[1]["props"]["p:name"] == "one"
+    assert body[1]["refs"]["p:link"] == ["e:2"]
+    code, body = _post(f"{base}/query", {"entityId": "e:404"})
+    assert body[1] == {"id": "e:404"}
+
+
+def test_query_endpoint_related_with_continuation(served):
+    # queryhandler.go:249-265: startingEntities/predicate ->
+    # [@context, triples(, continuation when limit given)]
+    _, base = served
+    code, body = _post(f"{base}/query", {
+        "startingEntities": ["e:1"], "predicate": "p:link"})
+    assert code == 200
+    [[start, pred, ent]] = body[1]
+    assert (start, pred, ent["id"]) == ("e:1", "p:link", "e:2")
+    assert len(body) == 2  # no limit -> no continuation element
+    # inverse with limit: continuation pages through
+    code, body = _post(f"{base}/query", {
+        "startingEntities": ["e:2"], "predicate": "p:link",
+        "inverse": True, "limit": 1})
+    assert [t[2]["id"] for t in body[1]] == ["e:1"]
+    assert body[2] == []  # only one inverse edge: drained
+
+
+def test_query_endpoint_javascript_query(served):
+    # Content-Type application/x-javascript-query (queryhandler.go:144):
+    # do_query script streams WriteQueryResult objects back
+    _, base = served
+    js = """function do_query() {
+        var hits = Query(["e:1"], "p:link", false);
+        for (h of hits) {
+            WriteQueryResult({start: h[0], related: GetId(h[2])});
+        }
+    }"""
+    code, body = _post(
+        f"{base}/query", {"query": js},
+        headers={"Content-Type": "application/x-javascript-query"})
+    assert code == 200
+    assert body == [{"start": "e:1", "related": "e:2"}]
+
+
 def _fs_headers(sync_id, start=False, end=False):
     h = {"universal-data-api-full-sync-id": sync_id}
     if start:
