@@ -189,6 +189,17 @@ class UdaServer:
             if parts == ["datasets"]:
                 names = sorted(self.store.list_datasets())
                 return self._reply(rq, 200, [{"Name": n} for n in names])
+            if parts == ["namespaces"]:
+                # namespacehandler.go:37 — prefix -> expansion map
+                return self._reply(rq, 200, self.nsmgr.context())
+            if parts and parts[0] == "statistics" and len(parts) <= 2:
+                # statisticshandler.go:14-18 — per-dataset counts
+                log = self.store.log([parts[1]] if len(parts) == 2 else None)
+                rows = S.dataset_stats(log).collect()
+                return self._reply(rq, 200, {
+                    r["dataset"]: {"changes": r["n_changes"],
+                                   "entities": r["n_entities"]}
+                    for r in rows})
             if len(parts) == 3 and parts[0] == "datasets":
                 ds, verb = parts[1], parts[2]
                 if ds not in self.store.list_datasets():
@@ -290,9 +301,43 @@ class UdaServer:
                 return self._post_entities(rq, parts[1])
             if parts == ["query"]:
                 return self._post_query(rq)
+            if parts == ["transactions"]:
+                return self._post_transaction(rq)
             self._error(rq, 404, "not found")
         except Exception as exc:
             self._error(rq, 500, str(exc))
+
+    def _post_transaction(self, rq) -> None:
+        """POST /transactions (txnhandler.go:54; wire format
+        streamparser.go:53: ``{"@context": {...}, "<dataset>":
+        [entities], ...}``) — one atomic multi-dataset commit via the
+        store's staged-rename transaction."""
+        n = int(rq.headers.get("Content-Length", "0"))
+        payload = json.loads(rq.rfile.read(n).decode()) if n else {}
+        if not isinstance(payload, dict):
+            return self._error(rq, 400, "transaction body must be an object")
+        spark = self.store.spark
+        dataset_entities = {}
+        for ds, objs in payload.items():
+            if ds == "@context":
+                continue
+            rows = []
+            for obj in objs or []:
+                refs = {k: (v if isinstance(v, list) else [v])
+                        for k, v in (obj.get("refs") or {}).items()}
+                props = {k: (None if v is None else str(v))
+                         for k, v in (obj.get("props") or {}).items()}
+                rows.append((obj.get("id"), obj.get("recorded"),
+                             obj.get("seq", 0),
+                             bool(obj.get("deleted", False)),
+                             props, refs, None))
+            if rows:
+                dataset_entities[ds] = spark.createDataFrame(
+                    rows, SCRIPT_OUTPUT_SCHEMA).drop("dataset")
+        if dataset_entities:
+            self.store.execute_transaction(dataset_entities)
+            self.invalidate_query_index()
+        self._reply(rq, 200, {})
 
     # -- /query (queryhandler.go) -----------------------------------------
 

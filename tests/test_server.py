@@ -205,6 +205,32 @@ def test_http_sink_posts_into_served_store(served, spark):
     assert "e:9" in out
 
 
+def test_namespaces_statistics_transactions(served, spark):
+    store, base = served
+    # GET /namespaces: prefix -> expansion map
+    ns = _get(f"{base}/namespaces")
+    assert ns.get("p", "").startswith("http")
+    # POST /transactions: atomic multi-dataset commit (txnhandler.go:54)
+    code, _ = _post(f"{base}/transactions", {
+        "@context": {"namespaces": {}},
+        "txnA": [{"id": "t:1", "deleted": False,
+                  "props": {"p:name": "alpha"}, "refs": {}}],
+        "txnB": [{"id": "t:2", "deleted": False,
+                  "props": {}, "refs": {"p:link": "t:1"}}],
+    })
+    assert code == 200
+    assert {r["id"] for r in
+            S.latest(store.log(["txnA"])).collect()} == {"t:1"}
+    assert S.latest(store.log(["txnB"])).collect()[0]["refs"]["p:link"] == \
+        ["t:1"]  # scalar ref normalized to list
+    # GET /statistics and /statistics/{ds}
+    stats = _get(f"{base}/statistics")
+    assert stats["d"]["entities"] == 5
+    assert stats["all"]["changes"] >= 7
+    only = _get(f"{base}/statistics/txnA")
+    assert only["txnA"] == {"changes": 1, "entities": 1}
+
+
 def test_query_endpoint_entity_lookup(served):
     # queryhandler.go:200-230: entityId -> [@context, merged entity];
     # unknown id -> [@context, {"id": ...}]
