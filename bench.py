@@ -29,6 +29,8 @@ Headliners (SURVEY.md §6) cover the main plan shapes:
   ann_topk            vector scoring + per-query top-k
   text_quality        wide per-row expression plan
   parts_per_nation    multi-edge broadcast join + aggregate
+  js_transform        scripted escape hatch (JS interpreter in
+                      mapInPandas, Arrow batch round-trip)
 Each query is forced with a noop write (full execution, no driver
 collect bottleneck); time is wall-clock per query, value = total.
 
@@ -54,6 +56,9 @@ PINNED_MEDIANS = {
     "ann_topk": 0.779,
     "text_quality": 0.633,
     "parts_per_nation": 2.130,
+    # 150k entities through the bundled JS interpreter inside
+    # mapInPandas (~108k entities/s) — the scripted escape-hatch path
+    "js_transform": 1.391,
 }
 # regression budgets = ~2x the pinned medians: wide enough for machine
 # noise (observed min-max spread is ~1.5x), tight enough that a
