@@ -243,16 +243,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     has no GraphX binding). Each round does
       1. label(v) := min(label(v), min label over neighbors)  — one
          equi-join + HashAggregate, and
-      2. label(v) := label(label(v))                          — one
+      2. from round 3 on: label(v) := label(label(v))         — one
          self-join (pointer jump / path halving).
     Propagation alone needs O(diameter) rounds — a pathological chain
     (each doc near-dup of the next) would exhaust any fixed budget and,
     worse, SILENTLY return split components. The jump step halves the
     remaining pointer depth each round, so convergence is O(log
-    diameter): a 10k-long chain closes in ~15 rounds (pinned in
+    diameter): a 10k-long chain closes in <20 rounds (pinned in
     tests/test_dedup.py), and max_iterations=50 bounds graphs beyond
     any physical size. Running out of rounds raises instead of
-    returning a wrong answer.
+    returning a wrong answer. The jump is ADAPTIVE — near-dup graphs
+    have tiny diameter and converge in 2-3 plain rounds, so the extra
+    self-join only engages once a graph proves deeper than that
+    (scale_smoke's 1M-doc leg pays nothing for the chain insurance).
 
     localCheckpoint truncates the growing lineage per round; convergence
     is checked with a limit(1) probe (no data collected to the driver).
@@ -271,7 +274,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     )
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("component", F.col("id"))
-    for _ in range(max_iterations):
+    for iteration in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
@@ -281,15 +284,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("component", F.coalesce("_nmin", "component")).alias("component"))
         )
-        # pointer jump: every component value is itself a node id, so
-        # rebind it to THAT node's current label — path halving
-        parent = propagated.select(
-            F.col("id").alias("component"), F.col("component").alias("_cc"))
-        new_labels = (
-            propagated.join(parent, "component", "left")
-            .select("id", F.coalesce("_cc", "component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        if iteration >= 2:
+            # pointer jump: every component value is itself a node id,
+            # so rebind it to THAT node's current label — path halving
+            parent = propagated.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("_cc"))
+            propagated = (
+                propagated.join(parent, "component", "left")
+                .select("id",
+                        F.coalesce("_cc", "component").alias("component"))
+            )
+        new_labels = propagated.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
