@@ -92,12 +92,14 @@ class CronSpec:
 
     @classmethod
     def parse(cls, spec: str) -> "CronSpec":
-        spec = spec.strip()
+        original = spec.strip()
+        spec = original
         if spec.startswith("@"):
             # robfig/cron descriptors, the syntax reference job configs
             # carry ("@every 2s", "@daily", scheduler.go triggers).
             # @every maps onto this scheduler's minute-tick resolution:
-            # sub-minute intervals clamp to every tick.
+            # sub-minute intervals clamp to every tick. ``spec`` keeps
+            # the ORIGINAL descriptor, so listings echo the config form.
             spec = _descriptor_to_fields(spec)
         fields = spec.split()
         if len(fields) != 5:
@@ -108,7 +110,7 @@ class CronSpec:
             vals.append(frozenset(v))
             wilds.append(w)
         return cls(vals[0], vals[1], vals[2], vals[3], vals[4],
-                   dom_any=wilds[2], dow_any=wilds[4], spec=spec)
+                   dom_any=wilds[2], dow_any=wilds[4], spec=original)
 
     def matches(self, t: datetime) -> bool:
         # day rule: python isoweekday Mon=1..Sun=7 -> cron Sun=0; when

@@ -126,7 +126,8 @@ class UdaServer:
                  nsmgr: NamespaceManager | None = None,
                  host: str = "127.0.0.1", port: int = 0,
                  default_limit: int = 1000,
-                 lease_seconds: float = 3600.0):
+                 lease_seconds: float = 3600.0,
+                 scheduler=None):
         self.store = store
         self.nsmgr = nsmgr or NamespaceManager()
         self.default_limit = default_limit
@@ -135,6 +136,11 @@ class UdaServer:
         self._thread: threading.Thread | None = None
         self._host, self._port = host, port
         self._index: dict | None = None  # /query lookup, built lazily
+        # jobs API (jobshandler.go / joboperationhandler.go): attach a
+        # jobs.Scheduler to serve /jobs CRUD + /job/{id} operations
+        self.scheduler = scheduler
+        self._job_configs: dict[str, dict] = {}
+        self._runner = None
 
     # -- lifecycle --------------------------------------------------------
 
@@ -150,6 +156,12 @@ class UdaServer:
 
             def do_POST(self):
                 outer._route_post(self)
+
+            def do_PUT(self):
+                outer._route_put(self)
+
+            def do_DELETE(self):
+                outer._route_delete(self)
 
         self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
         self._thread = threading.Thread(
@@ -200,6 +212,8 @@ class UdaServer:
                     r["dataset"]: {"changes": r["n_changes"],
                                    "entities": r["n_entities"]}
                     for r in rows})
+            if parts and parts[0] in ("jobs", "job", "lineage"):
+                return self._jobs_get(rq, parts)
             if len(parts) == 3 and parts[0] == "datasets":
                 ds, verb = parts[1], parts[2]
                 if ds not in self.store.list_datasets():
@@ -303,9 +317,120 @@ class UdaServer:
                 return self._post_query(rq)
             if parts == ["transactions"]:
                 return self._post_transaction(rq)
+            if parts == ["jobs"]:
+                return self._jobs_add(rq)
             self._error(rq, 404, "not found")
         except Exception as exc:
             self._error(rq, 500, str(exc))
+
+    def _route_put(self, rq) -> None:
+        try:
+            parts = [p for p in urlparse(rq.path).path.split("/") if p]
+            if len(parts) == 3 and parts[0] == "job":
+                return self._job_operate(rq, parts[1], parts[2])
+            self._error(rq, 404, "not found")
+        except Exception as exc:
+            self._error(rq, 500, str(exc))
+
+    def _route_delete(self, rq) -> None:
+        try:
+            parts = [p for p in urlparse(rq.path).path.split("/") if p]
+            if len(parts) == 2 and parts[0] == "jobs":
+                if self.scheduler is None:
+                    return self._error(rq, 503, "no job scheduler attached")
+                self.scheduler.jobs.pop(parts[1], None)
+                self.scheduler.schedules.pop(parts[1], None)
+                self._job_configs.pop(parts[1], None)
+                return self._reply(rq, 200, {})
+            self._error(rq, 404, "not found")
+        except Exception as exc:
+            self._error(rq, 500, str(exc))
+
+    # -- jobs API (jobshandler.go:48-61, joboperationhandler.go:41-47) ----
+
+    def _need_scheduler(self, rq):
+        if self.scheduler is None:
+            self._error(rq, 503, "no job scheduler attached")
+            return None
+        return self.scheduler
+
+    def _jobs_add(self, rq) -> None:
+        """POST /jobs — a reference JobConfiguration JSON registers (or
+        replaces) a job; cron triggers schedule it."""
+        sched = self._need_scheduler(rq)
+        if sched is None:
+            return
+        n = int(rq.headers.get("Content-Length", "0"))
+        cfg = json.loads(rq.rfile.read(n).decode())
+        job = sched.register_config(self.store, cfg)
+        self._job_configs[job.job_id] = cfg
+        self._reply(rq, 201, {"id": job.job_id})
+
+    def _jobs_get(self, rq, parts: list[str]) -> None:
+        sched = self._need_scheduler(rq)
+        if sched is None:
+            return
+        from datahub_spark.jobs import lineage
+
+        if parts[0] == "lineage":
+            return self._reply(rq, 200, lineage(list(sched.jobs.values())))
+        if parts == ["jobs"]:
+            return self._reply(rq, 200, list(self._job_configs.values()))
+        if parts == ["jobs", "_", "schedules"]:
+            return self._reply(rq, 200, {
+                jid: spec.spec for jid, spec in sched.schedules.items()})
+        if parts == ["jobs", "_", "history"]:
+            return self._reply(rq, 200, {
+                jid: sched.state.history(jid) for jid in sched.jobs})
+        if len(parts) == 2 and parts[0] == "jobs":
+            cfg = self._job_configs.get(parts[1])
+            if cfg is None:
+                return self._error(rq, 404, "no such job")
+            return self._reply(rq, 200, cfg)
+        if len(parts) == 3 and parts[0] == "job" and parts[2] == "status":
+            running = self._runner is not None and \
+                parts[1] in self._runner.raffle.running_jobs()
+            return self._reply(
+                rq, 200, {"state": "Running" if running else "Stopped"})
+        self._error(rq, 404, "not found")
+
+    def _job_operate(self, rq, job_id: str, op: str) -> None:
+        """PUT /job/{id}/run|pause|resume|reset
+        (joboperationhandler.go:41-46). ``run`` executes through the
+        raffle-gated runner and waits for completion — deterministic for
+        callers; long pipelines belong on cron triggers."""
+        from datahub_spark.jobs import JobRunner
+
+        sched = self._need_scheduler(rq)
+        if sched is None:
+            return
+        job = sched.jobs.get(job_id)
+        if job is None:
+            return self._error(rq, 404, "no such job")
+        if op == "pause":
+            job.paused = True
+        elif op == "resume":
+            job.paused = False
+        elif op == "reset":
+            sched.state.set_token(job_id, 0)
+        elif op == "run":
+            if self._runner is None:
+                self._runner = JobRunner(sched.state)
+            was_paused, job.paused = job.paused, False
+            try:
+                if not self._runner.submit(job):
+                    return self._error(rq, 409, "job is already running")
+                results = self._runner.join()
+            finally:
+                job.paused = was_paused
+            err = next((r.get("error") for r in results
+                        if r.get("id") == job_id and r.get("error")), None)
+            if err:
+                return self._error(rq, 500, err)
+            self.invalidate_query_index()
+        else:
+            return self._error(rq, 404, f"unknown operation {op}")
+        self._reply(rq, 200, {"id": job_id, "operation": op})
 
     def _post_transaction(self, rq) -> None:
         """POST /transactions (txnhandler.go:54; wire format

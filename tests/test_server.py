@@ -280,6 +280,83 @@ def test_query_endpoint_javascript_query(served):
     assert body == [{"start": "e:1", "related": "e:2"}]
 
 
+def _put(url: str, payload=None):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload or {}).encode(), method="PUT",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read().decode() or "{}")
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read().decode() or "{}")
+
+
+def test_jobs_api_over_http(spark, tmp_path):
+    """jobshandler.go / joboperationhandler.go: POST a verbatim
+    JobConfiguration over HTTP, operate it, and see its output land in
+    the served store — a peer can fully DRIVE this engine's job engine
+    through the wire."""
+    import base64
+
+    store = S.EntityStore(spark, str(tmp_path / "store"))
+    store.store_entities("src", _entities(spark, [
+        ("s:1", None, 0, False, {"p:name": "a"}, None, None),
+        ("s:2", None, 1, False, {"p:name": "b"}, None, None),
+    ]).drop("dataset"))
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    srv = UdaServer(store, scheduler=sched)
+    base = srv.start()
+    try:
+        js = """function transform_entities(entities) {
+            for (e of entities) {
+                SetProperty(e, "p", "upper",
+                            GetProperty(e, "p", "name", "").toUpperCase());
+            }
+            return entities;
+        }"""
+        cfg = {
+            "id": "wire-job",
+            "triggers": [{"triggerType": "cron", "jobType": "incremental",
+                          "schedule": "@every 1m"}],
+            "source": {"Type": "DatasetSource", "Name": "src"},
+            "transform": {"Type": "JavascriptTransform",
+                          "Code": base64.b64encode(js.encode()).decode()},
+            "sink": {"Type": "DatasetSink", "Name": "out"},
+        }
+        code, body = _post(f"{base}/jobs", cfg)
+        assert code == 201 and body == {"id": "wire-job"}
+        assert _get(f"{base}/jobs") == [cfg]
+        assert _get(f"{base}/jobs/_/schedules") == {"wire-job": "@every 1m"}
+        # run it over the wire; output lands in the store
+        code, _ = _put(f"{base}/job/wire-job/run")
+        assert code == 200
+        out = {r["id"]: r["props"]["p:upper"] for r in
+               S.latest(store.log(["out"])).collect()}
+        assert out == {"s:1": "A", "s:2": "B"}
+        # history recorded; status idle; lineage has the edge
+        hist = _get(f"{base}/jobs/_/history")["wire-job"]
+        assert hist and hist[0]["id"] == "wire-job"
+        assert _get(f"{base}/job/wire-job/status") == {"state": "Stopped"}
+        lin = _get(f"{base}/lineage")
+        assert any(e.get("from") == "src" or e.get("source") == "src"
+                   or "src" in json.dumps(e) for e in lin)
+        # pause blocks run; resume + reset re-run from token 0
+        _put(f"{base}/job/wire-job/pause")
+        assert sched.jobs["wire-job"].paused is True
+        _put(f"{base}/job/wire-job/resume")
+        _put(f"{base}/job/wire-job/reset")
+        assert state.token("wire-job") == 0
+        # delete unregisters
+        req = urllib.request.Request(f"{base}/jobs/wire-job",
+                                     method="DELETE")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+        assert _get(f"{base}/jobs") == []
+    finally:
+        srv.stop()
+
+
 def _fs_headers(sync_id, start=False, end=False):
     h = {"universal-data-api-full-sync-id": sync_id}
     if start:
