@@ -127,7 +127,7 @@ class UdaServer:
                  host: str = "127.0.0.1", port: int = 0,
                  default_limit: int = 1000,
                  lease_seconds: float = 3600.0,
-                 scheduler=None):
+                 scheduler=None, content=None):
         self.store = store
         self.nsmgr = nsmgr or NamespaceManager()
         self.default_limit = default_limit
@@ -141,6 +141,8 @@ class UdaServer:
         self.scheduler = scheduler
         self._job_configs: dict[str, dict] = {}
         self._runner = None
+        # content API (contenthandler.go:44-48): attach a ContentService
+        self.content = content
 
     # -- lifecycle --------------------------------------------------------
 
@@ -214,6 +216,13 @@ class UdaServer:
                     for r in rows})
             if parts and parts[0] in ("jobs", "job", "lineage"):
                 return self._jobs_get(rq, parts)
+            if parts and parts[0] == "content" and self.content is not None:
+                if len(parts) == 1:
+                    return self._reply(rq, 200, self.content.list())
+                item = self.content.get(parts[1])
+                if item is None:
+                    return self._error(rq, 404, "no such content")
+                return self._reply(rq, 200, item)
             if len(parts) == 3 and parts[0] == "datasets":
                 ds, verb = parts[1], parts[2]
                 if ds not in self.store.list_datasets():
@@ -319,6 +328,31 @@ class UdaServer:
                 return self._post_transaction(rq)
             if parts == ["jobs"]:
                 return self._jobs_add(rq)
+            if parts == ["content"] and self.content is not None:
+                n = int(rq.headers.get("Content-Length", "0"))
+                data = json.loads(rq.rfile.read(n).decode())
+                cid = data.get("id")
+                if not cid:
+                    return self._error(rq, 400, "content needs an id")
+                return self._reply(
+                    rq, 201, self.content.upsert(cid, data.get("data", {})))
+            if parts == ["compact"]:
+                # compactionhandler.go:22-45
+                n = int(rq.headers.get("Content-Length", "0"))
+                r = json.loads(rq.rfile.read(n).decode()) if n else {}
+                if not r.get("dataset"):
+                    return self._error(rq, 400, "dataset not provided")
+                if not r.get("strategy"):
+                    return self._error(rq, 400, "strategy not provided")
+                if r["strategy"] not in ("deduplication", "deduplicate"):
+                    return self._error(
+                        rq, 400, "strategy not supported. allowed "
+                        "values: deduplication")
+                if r["dataset"] not in self.store.list_datasets():
+                    return self._error(rq, 404, "no such dataset")
+                self.store.compact(r["dataset"], strategy="deduplicate")
+                self.invalidate_query_index()
+                return self._reply(rq, 200, {})
             self._error(rq, 404, "not found")
         except Exception as exc:
             self._error(rq, 500, str(exc))
@@ -328,6 +362,12 @@ class UdaServer:
             parts = [p for p in urlparse(rq.path).path.split("/") if p]
             if len(parts) == 3 and parts[0] == "job":
                 return self._job_operate(rq, parts[1], parts[2])
+            if len(parts) == 2 and parts[0] == "content" \
+                    and self.content is not None:
+                n = int(rq.headers.get("Content-Length", "0"))
+                data = json.loads(rq.rfile.read(n).decode())
+                return self._reply(rq, 200, self.content.upsert(
+                    parts[1], data.get("data", data)))
             self._error(rq, 404, "not found")
         except Exception as exc:
             self._error(rq, 500, str(exc))
@@ -341,6 +381,11 @@ class UdaServer:
                 self.scheduler.jobs.pop(parts[1], None)
                 self.scheduler.schedules.pop(parts[1], None)
                 self._job_configs.pop(parts[1], None)
+                return self._reply(rq, 200, {})
+            if len(parts) == 2 and parts[0] == "content" \
+                    and self.content is not None:
+                if not self.content.delete(parts[1]):
+                    return self._error(rq, 404, "no such content")
                 return self._reply(rq, 200, {})
             self._error(rq, 404, "not found")
         except Exception as exc:

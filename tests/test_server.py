@@ -357,6 +357,42 @@ def test_jobs_api_over_http(spark, tmp_path):
         srv.stop()
 
 
+def test_content_and_compaction_over_http(spark, tmp_path):
+    # contenthandler.go:44-48 CRUD; compactionhandler.go:22 dedup trigger
+    from datahub_spark.content import ContentService
+
+    store = S.EntityStore(spark, str(tmp_path / "store"))
+    # two identical successive versions: compaction drops one
+    for _ in range(2):
+        store.store_entities("d", _entities(spark, [
+            ("e:1", None, 0, False, {"p:name": "same"}, None, None),
+        ]).drop("dataset"), skip_unchanged=False)
+    srv = UdaServer(store, content=ContentService(str(tmp_path / "content")))
+    base = srv.start()
+    try:
+        code, body = _post(f"{base}/content", {"id": "c1", "data": {"x": 1}})
+        assert code == 201
+        assert _get(f"{base}/content/c1")["data"] == {"x": 1}
+        code, _ = _put(f"{base}/content/c1", {"id": "c1", "data": {"x": 2}})
+        assert code == 200
+        assert _get(f"{base}/content/c1")["data"] == {"x": 2}
+        assert len(_get(f"{base}/content")) == 1
+        req = urllib.request.Request(f"{base}/content/c1", method="DELETE")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+
+        assert store.log(["d"]).count() == 2
+        code, _ = _post(f"{base}/compact",
+                        {"dataset": "d", "strategy": "deduplication"})
+        assert code == 200
+        assert store.log(["d"]).count() == 1  # duplicate version dropped
+        code, _ = _post(f"{base}/compact",
+                        {"dataset": "d", "strategy": "bogus"})
+        assert code == 400
+    finally:
+        srv.stop()
+
+
 def _fs_headers(sync_id, start=False, end=False):
     h = {"universal-data-api-full-sync-id": sync_id}
     if start:
