@@ -76,7 +76,7 @@ _KEYWORDS = {
     "var", "let", "const", "function", "return", "if", "else", "for", "of",
     "in", "while", "do", "break", "continue", "true", "false", "null",
     "undefined", "new", "delete", "typeof", "throw", "try", "catch",
-    "finally", "instanceof",
+    "finally", "instanceof", "switch", "case", "default",
 }
 
 _TOKEN_RE = re.compile(
@@ -273,6 +273,8 @@ class _Parser:
                 return ("Throw", e)
             if v == "try":
                 return self.try_stmt()
+            if v == "switch":
+                return self.switch_stmt()
         e = self.expression()
         self.eat(";")
         return ("ExprStmt", e)
@@ -394,6 +396,27 @@ class _Parser:
         update = None if self.at(")") else self.expression()
         self.expect(")")
         return ("For", init, cond, update, self.statement())
+
+    def switch_stmt(self):
+        self.expect("switch")
+        self.expect("(")
+        disc = self.expression()
+        self.expect(")")
+        self.expect("{")
+        cases = []  # (test_expr_or_None_for_default, [stmts])
+        while not self.at("}"):
+            if self.eat("case"):
+                test = self.expression()
+            else:
+                self.expect("default")
+                test = None
+            self.expect(":")
+            body = []
+            while not (self.at("case") or self.at("default") or self.at("}")):
+                body.append(self.statement())
+            cases.append((test, body))
+        self.expect("}")
+        return ("Switch", disc, cases)
 
     def try_stmt(self):
         self.expect("try")
@@ -1509,6 +1532,29 @@ class Interpreter:
             finally:
                 if finalizer is not None:
                     self.exec_block(finalizer, _Env(env))
+        elif op == "Switch":
+            _, disc_expr, cases = st
+            disc = self.eval(disc_expr, env)
+            sw_env = _Env(env)
+            matched = False
+            try:
+                for test, body in cases:
+                    if not matched and test is not None and \
+                            js_equals_strict(disc, self.eval(test, sw_env)):
+                        matched = True
+                    if matched:
+                        for s in body:
+                            self.exec_stmt(s, sw_env)
+                if not matched:  # fall back to default (with fallthrough)
+                    from_default = False
+                    for test, body in cases:
+                        if test is None:
+                            from_default = True
+                        if from_default:
+                            for s in body:
+                                self.exec_stmt(s, sw_env)
+            except _BreakSignal:
+                pass
         elif op == "FuncDecl":
             env.declare(st[1], JSFunction(st[1], st[2], st[3], env, self))
         elif op == "Empty":

@@ -123,6 +123,60 @@ def stateful_user_totals(stream_df: DataFrame, key_col: str = "user_id",
     )
 
 
+# output/state schemas for sessionize
+_SESS_OUT = ("user_id long, session_start long, session_end long, "
+             "n_events long, closed boolean")
+_SESS_STATE = "start long, last long, n long"
+
+
+def sessionize(stream_df: DataFrame, ts_micros_col: str = "_us",
+               key_col: str = "user_id",
+               gap_minutes: int = 30) -> DataFrame:
+    """Event sessionization: per-key inactivity-gap session windows, the
+    classic training-pipeline grouping (clickstream -> sessions) that
+    fixed tumbling windows can't express. applyInPandasWithState keeps
+    the OPEN session (start, last-seen, count) per key in the state
+    store; an event more than ``gap_minutes`` after the last closes the
+    session (emitted with closed=true) and opens a new one. Each update
+    also emits the current open session (closed=false, latest state
+    wins in the consumer's max_by/groupBy) so a finite AvailableNow
+    drain — where timeouts never fire — still surfaces every session.
+
+    Events are sorted by event time within each batch (a file batch is
+    not time-ordered); cross-batch disorder beyond the watermark is the
+    stream's contract, as with any event-time operator."""
+    gap_us = gap_minutes * 60_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out_rows = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf[ts_micros_col])
+        ts_all.sort()
+        for ts in ts_all:
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_us:
+                out_rows.append((key[0], start, last, n, True))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((start, last, n))
+        if start is not None:
+            out_rows.append((key[0], start, last, n, False))
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "session_start", "session_end",
+                               "n_events", "closed"])
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            update, _SESS_OUT, _SESS_STATE, "update",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_to_store(stream_df: DataFrame, store, dataset: str,
                     checkpoint_dir: str | None = None,
                     transform=None) -> None:

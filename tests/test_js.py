@@ -200,6 +200,35 @@ def test_ternary_logical_nullish():
     assert run_expr("null ?? 5") == 5
 
 
+def test_switch_with_fallthrough_and_default():
+    body = """
+    var out = [];
+    for (var x of ['a', 'b', 'z', 'c']) {
+        switch (x) {
+            case 'a':
+                out.push('A');
+                break;
+            case 'b':            // fallthrough
+            case 'c':
+                out.push('BC');
+                break;
+            default:
+                out.push('other');
+        }
+    }
+    return out;
+    """
+    assert run_body(body) == ["A", "BC", "other", "BC"]
+
+
+def test_switch_strict_match():
+    # case matching is ===: '1' does not match 1
+    body = """
+    switch ('1') { case 1: return 'number'; default: return 'string'; }
+    """
+    assert run_body(body) == "string"
+
+
 # -- functions -------------------------------------------------------------
 
 def test_function_hoisting_and_closures():

@@ -61,6 +61,33 @@ def test_stateful_user_totals_accumulates_state(spark, tmp_path):
     assert got[2] == (4, (2 + 5 + 8 + 11) * 100)
 
 
+def test_sessionize_gap_windows(spark, tmp_path):
+    """Inactivity-gap sessionization (ST.sessionize): per-user session
+    windows with a 30-minute gap; closed sessions emitted when the gap
+    is exceeded, the open tail emitted with closed=false."""
+    path = str(tmp_path / "ev3")
+    m = 60_000_000  # one minute in micros
+    rows = [
+        # user 1: events at 0, 10, 20 min (one session), then 100, 105
+        # (second session, still open)
+        (1, 1, 0 * m), (2, 1, 10 * m), (3, 1, 20 * m),
+        (4, 1, 100 * m), (5, 1, 105 * m),
+        # user 2: a single event — one open session
+        (6, 2, 50 * m),
+    ]
+    spark.createDataFrame(rows, "event_id long, user_id long, _us long") \
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    out = ST.run_available_now(ST.sessionize(stream, "_us", gap_minutes=30),
+                               output_mode="update")
+    rows = [(r["user_id"], r["session_start"] // m, r["session_end"] // m,
+             r["n_events"], r["closed"]) for r in out.collect()]
+    assert (1, 0, 20, 3, True) in rows     # first session closed by gap
+    assert (1, 100, 105, 2, False) in rows  # open tail
+    assert (2, 50, 50, 1, False) in rows
+
+
 def test_frame_sample_fans_out_batches(spark):
     from datahub_spark.operators import multimodal as MM
 
