@@ -414,3 +414,42 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.9,
         "id_a", "id_b",
         F.round("_cos", 4).cast("decimal(9,4)").cast("string").alias("cosine"),
     )
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 8,
+                  min_hits: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_hits`` word n-grams with ANY benchmark/eval document —
+    the standard n-gram overlap filter used before LLM training so eval
+    sets don't leak into the corpus (GPT-3 appendix C / The Pile use
+    13-grams; default 8 here because the synthetic docs are short).
+
+    Spark shape, built to scale: both sides explode to distinct
+    (shingle) rows and meet in ONE equi-join on the shingle — never an
+    all-pairs document comparison. The benchmark side is a small
+    curated set by construction, so its exploded shingles broadcast;
+    the training side stays partitioned. Returns (id, n_hits,
+    contaminated) for every training doc — filter on ~contaminated to
+    clean, or join back for audit."""
+    t = train.select(F.col(id_col).alias("id"),
+                     F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    b = (benchmark
+         .select(F.explode(shingles(F.col(bench_text_col), n)).alias("sh"))
+         .distinct())
+    hits = (
+        t.join(F.broadcast(b), "sh")
+        .groupBy("id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

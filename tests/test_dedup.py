@@ -118,6 +118,38 @@ def test_connected_components_long_path_converges(spark):
     assert len(got) == 13
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Benchmark decontamination: train docs sharing >= min_hits n-grams
+    with any benchmark doc are flagged; clean docs pass."""
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated training text about spark engines here"),
+        (3, "the quick brown fox jumps over something else entirely now"),
+    ])
+    bench = _docs(spark, [
+        (100, "eval question: the quick brown fox jumps over the lazy dog"),
+    ])
+    out = {r["id"]: (r["n_hits"], r["contaminated"]) for r in
+           DD.decontaminate(train, bench, n=5, min_hits=1).collect()}
+    assert out[1][1] is True        # shares 5-grams with the eval doc
+    assert out[2] == (0, False)     # clean
+    assert out[3][1] is True        # shares "the quick brown fox jumps"
+    # stricter threshold: doc 3 shares only the one 5-gram run
+    strict = {r["id"]: r["contaminated"] for r in
+              DD.decontaminate(train, bench, n=5, min_hits=4).collect()}
+    assert strict[1] is True and strict[3] is False
+
+
+def test_decontaminate_is_broadcast_not_cartesian(spark):
+    train = _docs(spark, [(i, f"doc number {i} with some shared text body")
+                          for i in range(20)])
+    bench = _docs(spark, [(999, "a benchmark doc with some shared text")])
+    plan = DD.decontaminate(train, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # benchmark shingles broadcast
+
+
 def test_connected_components_adversarial_10k_chain(spark):
     """The adversarial case for label propagation: a 10k-diameter path
     graph (every doc near-dup of the next). Plain propagation needs
