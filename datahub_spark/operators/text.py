@@ -206,3 +206,30 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}"))
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return df.select(F.col("doc_id"), *counts, out.alias("scrubbed"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      id_col: str = "doc_id", seed: int = 42,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing step of a
+    training-data pipeline (e.g. keep 100% of high-quality docs, 10% of
+    mid, drop low). Selection hashes the DOCUMENT ID (xxhash64 with a
+    fixed seed) against the stratum's rate, so it is:
+      * reproducible: the same corpus always yields the same sample
+        (no RNG state, no partition-order dependence — Spark's
+        df.sample is neither stable under repartitioning nor portable);
+      * stable under growth: a document's keep/drop never changes when
+        other documents are added, so incremental corpus builds don't
+        churn;
+      * fully map-side: one filter, no shuffle, scales to any size.
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; strata
+    absent from the map use ``default_rate``."""
+    bound = F.lit(None).cast("double")
+    for value, rate in rates.items():
+        bound = F.when(F.col(strata_col) == value,
+                       F.lit(float(rate))).otherwise(bound)
+    bound = F.coalesce(bound, F.lit(float(default_rate)))
+    # uniform in [0, 1): low 52 bits of xxhash64 / 2^52 (exact in double)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 52))
+         .cast("double") / F.lit(float(1 << 52)))
+    return df.filter(u < bound)

@@ -72,3 +72,35 @@ def test_pii_scrub_redacts_all_kinds(spark):
     r = TX.pii_scrub(df).collect()[0]
     assert (r["n_email"], r["n_url"], r["n_phone"]) == (1, 1, 1)
     assert r["scrubbed"] == "mail <EMAIL> or visit <URL> or call <PHONE> now"
+
+
+def test_stratified_sample_deterministic_and_stable_under_growth(spark):
+    rows = [(i, f"doc {i}", "hi" if i % 3 == 0 else ("mid" if i % 3 == 1 else "lo"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q string")
+    rates = {"hi": 1.0, "mid": 0.1, "lo": 0.0}
+    kept = TX.stratified_sample(df, "q", rates).select("doc_id", "q")
+    got = {r["doc_id"]: r["q"] for r in kept.collect()}
+    # exact strata behavior at the extremes
+    assert sum(1 for q in got.values() if q == "hi") == 1000
+    assert sum(1 for q in got.values() if q == "lo") == 0
+    # mid keeps ~10% (hash-uniform; generous bounds for n=1000)
+    n_mid = sum(1 for q in got.values() if q == "mid")
+    assert 50 <= n_mid <= 180
+    # deterministic: identical on re-run
+    again = {r["doc_id"] for r in kept.collect()}
+    assert again == set(got)
+    # stable under growth: adding documents never flips existing picks
+    bigger = spark.createDataFrame(
+        rows + [(i, f"new {i}", "mid") for i in range(3000, 4000)],
+        "doc_id long, text string, q string")
+    grown = {r["doc_id"] for r in
+             TX.stratified_sample(bigger, "q", rates).collect()
+             if r["doc_id"] < 3000}
+    assert grown == set(got)
+    # unknown stratum uses default_rate
+    extra = spark.createDataFrame([(9999, "x", "unknown")],
+                                  "doc_id long, text string, q string")
+    assert TX.stratified_sample(extra, "q", rates,
+                                default_rate=1.0).count() == 1
+    assert TX.stratified_sample(extra, "q", rates).count() == 0
