@@ -67,6 +67,24 @@ def test_array_property_fixture(spark):
     assert out[0]["props"]["b:output"] == "['v', 'v']"
 
 
+def test_nested_entity_property_fixture(spark):
+    # transform_test.go:114-121 (verbatim): an entity value set as a
+    # property — canonicalized to its string form in the props map
+    js = """ function transform_entities(entities) {
+                    for (e of entities) {
+                        const n = NewEntity();
+                        SetProperty(n, "b", "num", GetProperty(e, "a", "input"));
+                        SetProperty(e, "b", "output", n);
+                    }
+                    return entities;
+                }"""
+    src = _entities(spark, [
+        ("1", 1, 0, False, {"a:input": "6708238"}, None, "d")])
+    out = SC.script_transform(src, js).collect()
+    nested = out[0]["props"]["b:output"]
+    assert "6708238" in nested and "b:num" in nested
+
+
 def test_base64_code_is_accepted(spark, people):
     # the job-config wire format: Code is base64
     js = """function transform_entities(entities) {
