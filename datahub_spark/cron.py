@@ -59,7 +59,20 @@ _DESCRIPTORS = {
 
 def _descriptor_to_fields(spec: str) -> str:
     """robfig/cron ``@`` descriptors -> 5-field cron at this scheduler's
-    minute-tick resolution."""
+    minute-tick resolution.
+
+    ``@every`` is approximated on the tick grid, which is coarser than
+    robfig's fixed-interval timer in two documented ways:
+
+    - sub-minute intervals clamp to every minute tick;
+    - intervals >= 1h round DOWN to whole hours (``@every 90m`` -> hourly)
+      and >= 24h to daily, and ``*/N`` cron semantics reset at hour/day
+      boundaries (``@every 7m`` fires :56 then :00, not :56 then :03).
+
+    Jobs needing exact robfig cadence should use an explicit 5-field spec;
+    the scheduler intentionally trades cadence fidelity for a pure
+    minute-tick evaluator with no persistent timer state.
+    """
     import re as _re
 
     if spec in _DESCRIPTORS:

@@ -1527,7 +1527,9 @@ class Interpreter:
                                      if isinstance(exc, JSThrown)
                                      else _mk_error(str(exc)))
                     self.exec_block(handler[1], cenv)
-                elif finalizer is None:
+                else:
+                    # no catch clause: the finally block (below) runs the
+                    # finalizer, then the exception must propagate
                     raise
             finally:
                 if finalizer is not None:

@@ -36,9 +36,11 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # entity frames build props/refs via create_map and consumers
         # re-extract keys; always-inline lets SimplifyExtractValueOps
-        # delete the map construction and prune the scan (see
-        # ingest.load_tables, which also sets this for driver-supplied
-        # sessions)
+        # delete the map construction and prune the scan. get_spark is
+        # the ONLY site that sets it (ingest.load_tables deliberately
+        # does not mutate session confs); a driver-supplied session
+        # without this conf stays correct but loses the props-map
+        # pruning — perf only.
         .config("spark.sql.optimizer.collapseProjectAlwaysInline", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

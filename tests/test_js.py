@@ -279,6 +279,36 @@ def test_throw_and_try_catch():
         run_body("throw new Error('unhandled');")
 
 
+def test_try_finally_without_catch_rethrows():
+    # try/finally (no catch) must run the finalizer AND re-raise — a
+    # transform relying on an error escaping a cleanup block must not
+    # silently continue (goja/ECMA semantics).
+    body = """
+    var log = [];
+    function inner() {
+        try { throw new Error("escape"); }
+        finally { log.push("cleaned"); }
+        return 1;
+    }
+    try { inner(); } catch (e) { return log[0] + ":" + e.message; }
+    return "not-thrown";
+    """
+    assert run_body(body) == "cleaned:escape"
+    with pytest.raises(JSThrown, match="escape"):
+        run_body("try { throw new Error('escape'); } finally { var x = 1; }")
+
+
+def test_try_finally_with_catch_suppresses():
+    body = """
+    var out = "";
+    try { throw new Error("x"); }
+    catch (e) { out = "caught"; }
+    finally { out = out + "+final"; }
+    return out;
+    """
+    assert run_body(body) == "caught+final"
+
+
 def test_typeof():
     assert run_expr("typeof 'x'") == "string"
     assert run_expr("typeof 1") == "number"
