@@ -210,11 +210,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
                       id_col: str = "doc_id", seed: int = 42,
-                      default_rate: float = 0.0) -> DataFrame:
+                      default_rate: float = 0.0,
+                      method: str = "xxhash64") -> DataFrame:
     """Deterministic per-stratum sampling — the corpus-mixing step of a
     training-data pipeline (e.g. keep 100% of high-quality docs, 10% of
-    mid, drop low). Selection hashes the DOCUMENT ID (xxhash64 with a
-    fixed seed) against the stratum's rate, so it is:
+    mid, drop low). Selection hashes the DOCUMENT ID with a fixed seed
+    against the stratum's rate, so it is:
       * reproducible: the same corpus always yields the same sample
         (no RNG state, no partition-order dependence — Spark's
         df.sample is neither stable under repartitioning nor portable);
@@ -223,13 +224,35 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
         churn;
       * fully map-side: one filter, no shuffle, scales to any size.
     ``rates`` maps stratum value -> keep fraction in [0, 1]; strata
-    absent from the map use ``default_rate``."""
-    bound = F.lit(None).cast("double")
-    for value, rate in rates.items():
-        bound = F.when(F.col(strata_col) == value,
-                       F.lit(float(rate))).otherwise(bound)
-    bound = F.coalesce(bound, F.lit(float(default_rate)))
-    # uniform in [0, 1): low 52 bits of xxhash64 / 2^52 (exact in double)
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 52))
-         .cast("double") / F.lit(float(1 << 52)))
-    return df.filter(u < bound)
+    absent from the map use ``default_rate``.
+
+    ``method``: ``"xxhash64"`` (default — cheapest, JVM codegen) or
+    ``"md5"`` (engine-portable: a 60-bit value from the digest prefix,
+    reproducible bit-for-bit in any engine with md5, same fixed-point
+    trick as minhash_signature; the keep test is an integer compare
+    against floor(rate * 2^60), no float arithmetic at all)."""
+    if method == "xxhash64":
+        bound = F.lit(None).cast("double")
+        for value, rate in rates.items():
+            bound = F.when(F.col(strata_col) == value,
+                           F.lit(float(rate))).otherwise(bound)
+        bound = F.coalesce(bound, F.lit(float(default_rate)))
+        # uniform in [0, 1): low 52 bits of xxhash64 / 2^52 (exact in double)
+        u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 52))
+             .cast("double") / F.lit(float(1 << 52)))
+        return df.filter(u < bound)
+    if method == "md5":
+        bound = F.lit(None).cast("long")
+        for value, rate in rates.items():
+            bound = F.when(F.col(strata_col) == value,
+                           F.lit(int(float(rate) * (1 << 60)))).otherwise(bound)
+        bound = F.coalesce(bound, F.lit(int(float(default_rate) * (1 << 60))))
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit(":"), F.lit(str(seed)))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+        return df.filter(h < bound)
+    raise ValueError(f"stratified_sample: unknown method {method!r}")
