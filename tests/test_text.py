@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datahub_spark.operators import text as TX
@@ -104,3 +105,27 @@ def test_stratified_sample_deterministic_and_stable_under_growth(spark):
     assert TX.stratified_sample(extra, "q", rates,
                                 default_rate=1.0).count() == 1
     assert TX.stratified_sample(extra, "q", rates).count() == 0
+
+
+def test_stratified_sample_md5_method_portable(spark):
+    # the engine-portable md5 fixed-point method: same guarantees
+    # (extremes exact, deterministic, stable under growth), different
+    # hash family — and the 60-bit value must equal what any engine
+    # computes from the digest prefix
+    rows = [(i, f"doc {i}", "hi" if i % 2 == 0 else "mid")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q string")
+    rates = {"hi": 1.0, "mid": 0.25}
+    kept = TX.stratified_sample(df, "q", rates, seed=7, method="md5")
+    got = {r["doc_id"] for r in kept.collect()}
+    assert sum(1 for i in got if i % 2 == 0) == 1000
+    n_mid = sum(1 for i in got if i % 2 == 1)
+    assert 180 <= n_mid <= 330
+    # cross-check the keep rule against pure-Python md5 (the portable
+    # fixed-point contract the DuckDB oracle relies on)
+    import hashlib
+    for i in (1, 3, 5, 7, 9, 11, 13, 15):
+        h = int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:15], 16)
+        assert (i in got) == (h < int(0.25 * (1 << 60)))
+    with pytest.raises(ValueError, match="unknown method"):
+        TX.stratified_sample(df, "q", rates, method="sha9000")
