@@ -47,6 +47,85 @@ from datahub_spark.namespaces import NamespaceManager
 from datahub_spark.script import SCRIPT_OUTPUT_SCHEMA
 
 
+# one element may legitimately be large (a fat props map), but a parser
+# that buffers past this without completing an element is being fed
+# something that is not an entity array — fail loudly, don't OOM
+_MAX_ELEMENT_BYTES = 64 * 1024 * 1024
+
+
+def iter_json_array(stream, nbytes: int, chunk_bytes: int = 64 * 1024):
+    """Incrementally parse a top-level JSON array from a byte stream,
+    yielding one decoded element at a time — the reference's streaming
+    request-body parser (internal/server/streamparser.go:1-486)
+    re-expressed over ``json.JSONDecoder.raw_decode``: the buffer only
+    ever holds the current chunk plus one partial element, so a multi-GB
+    ``/entities`` POST parses in flat memory instead of one
+    ``json.loads`` of the whole body.
+
+    ``raw_decode`` does the per-element scanning at C speed; an
+    incremental UTF-8 decoder handles multi-byte characters split across
+    chunk boundaries. Raises ``ValueError`` on malformed input (including
+    a single element exceeding _MAX_ELEMENT_BYTES)."""
+    import codecs
+
+    utf8 = codecs.getincrementaldecoder("utf-8")()
+    dec = json.JSONDecoder()
+    buf, pos = "", 0
+    remaining = nbytes
+    started = done = False
+
+    def refill() -> bool:
+        nonlocal buf, pos, remaining
+        if remaining <= 0:
+            return False
+        data = stream.read(min(chunk_bytes, remaining))
+        if not data:
+            remaining = 0
+            return False
+        remaining -= len(data)
+        buf = buf[pos:] + utf8.decode(data)
+        pos = 0
+        if len(buf) > _MAX_ELEMENT_BYTES:
+            raise ValueError("JSON element exceeds the streaming buffer cap")
+        return True
+
+    def skip_ws() -> bool:
+        nonlocal pos
+        while True:
+            while pos < len(buf) and buf[pos] in " \t\r\n":
+                pos += 1
+            if pos < len(buf):
+                return True
+            if not refill():
+                return False
+
+    if not skip_ws():
+        return  # empty body == empty batch (UDA tolerates it)
+    if buf[pos] != "[":
+        raise ValueError("request body is not a JSON array")
+    pos += 1
+    while not done:
+        if not skip_ws():
+            raise ValueError("unterminated JSON array")
+        if buf[pos] == "]":
+            done = True
+            break
+        if buf[pos] == ",":
+            pos += 1
+            continue
+        while True:
+            try:
+                obj, end = dec.raw_decode(buf, pos)
+                pos = end
+                yield obj
+                break
+            except ValueError:
+                # incomplete element in the buffer — pull more bytes;
+                # if the wire is exhausted it really is malformed
+                if not refill():
+                    raise
+
+
 def _tok_encode(payload) -> str:
     raw = json.dumps(payload, separators=(",", ":")).encode()
     return base64.urlsafe_b64encode(raw).decode().rstrip("=")
@@ -602,12 +681,21 @@ class UdaServer:
             result.append([token] if token else [])
         self._reply(rq, 200, result)
 
+    # rows per DataFrame chunk cut from a streamed /entities POST body:
+    # bounds the Python-side row list; each chunk ships to the JVM as a
+    # LocalRelation before the next is accumulated
+    BODY_CHUNK_ROWS = 10_000
+
     def _parse_body(self, rq):
+        """Streamed body -> iterator of DataFrame chunks (each at most
+        BODY_CHUNK_ROWS rows). The server process never holds the whole
+        body, the whole decoded object tree, or the whole row list —
+        the reference's streamparser.go contract."""
         n = int(rq.headers.get("Content-Length", "0"))
-        payload = json.loads(rq.rfile.read(n).decode()) if n else []
+        spark = self.store.spark
         rows = []
-        for obj in payload:
-            oid = obj.get("id")
+        for obj in iter_json_array(rq.rfile, n):
+            oid = obj.get("id") if isinstance(obj, dict) else None
             if oid in ("@context", "@continuation") or oid is None:
                 continue
             refs = {
@@ -618,11 +706,14 @@ class UdaServer:
                      for k, v in (obj.get("props") or {}).items()}
             rows.append((oid, obj.get("recorded"), obj.get("seq", 0),
                          bool(obj.get("deleted", False)), props, refs, None))
-        spark = self.store.spark
-        # nullable schema: recorded left NULL by the wire is stamped at
-        # commit (store_entities), like the script-sink contract
-        return spark.createDataFrame(rows, SCRIPT_OUTPUT_SCHEMA) \
-            if rows else None
+            if len(rows) >= self.BODY_CHUNK_ROWS:
+                # nullable schema: recorded left NULL by the wire is
+                # stamped at commit (store_entities), like the
+                # script-sink contract
+                yield spark.createDataFrame(rows, SCRIPT_OUTPUT_SCHEMA)
+                rows = []
+        if rows:
+            yield spark.createDataFrame(rows, SCRIPT_OUTPUT_SCHEMA)
 
     def _post_entities(self, rq, ds: str) -> None:
         from datahub_spark.jobs import FullSyncSession
@@ -634,12 +725,13 @@ class UdaServer:
             "universal-data-api-full-sync-end", "") == "true"
 
         try:
-            batch = self._parse_body(rq)
             # mirror processEntities (datasethandler.go:785-860): start a
             # lease on fsStart; while a sync is started, every write must
             # present the lease id (plain writes 409); with no sync
             # started, writes store directly — and fsEnd then fails the
-            # release with 410 Gone.
+            # release with 410 Gone. The lease check runs BEFORE the body
+            # is consumed, so a rejected writer is refused without
+            # parsing its (possibly huge) payload.
             session = None
             if fs_start:
                 session = FullSyncSession(self.store, ds)
@@ -648,12 +740,29 @@ class UdaServer:
                 if fs_id == "" and not fs_end:
                     return self._error(rq, 409, "fullsync is ongoing")
                 session = self.leases.refresh(ds, fs_id)
-            if batch is not None:
-                if session is not None:
-                    session.append(batch.drop("dataset"))
-                else:
-                    self.store.store_entities(ds, batch.drop("dataset"))
-                    self.invalidate_query_index()
+            # streamed chunks: a fullsync session appends each chunk as
+            # it parses (its complete() unions them); a plain write
+            # unions the chunk plans and commits ONCE — same atomicity
+            # as before, flat parse memory
+            plain: list = []
+            try:
+                for chunk in self._parse_body(rq):
+                    if session is not None:
+                        session.append(chunk.drop("dataset"))
+                    else:
+                        plain.append(chunk.drop("dataset"))
+            except ValueError as exc:
+                # malformed body mid-stream: a lease we just started
+                # must not survive the failed request
+                if fs_start and session is not None:
+                    self.leases.release(ds, fs_id).abandon()
+                return self._error(rq, 400, f"malformed entity batch: {exc}")
+            if plain:
+                batch = plain[0]
+                for b in plain[1:]:
+                    batch = batch.unionByName(b)
+                self.store.store_entities(ds, batch)
+                self.invalidate_query_index()
             if fs_end:
                 session = self.leases.release(ds, fs_id)
                 session.complete()

@@ -442,3 +442,98 @@ def test_fullsync_lease_protocol(served, spark):
     code, _ = _post(url, _uda_batch(
         {"id": "e:8", "deleted": False, "props": {}, "refs": {}}))
     assert code == 200
+
+
+# -- streaming request-body parsing (streamparser.go:1-486) ----------------
+
+class _TrackedStream:
+    """BytesIO-alike that records how far the wire has been read."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def read(self, n: int) -> bytes:
+        chunk = self.data[self.pos:self.pos + n]
+        self.pos += len(chunk)
+        return chunk
+
+
+def test_iter_json_array_is_incremental():
+    from datahub_spark.server import iter_json_array
+
+    objs = [{"id": f"e:{i}", "props": {"p:n": "x" * 50}} for i in range(2000)]
+    data = json.dumps(objs).encode()
+    ts = _TrackedStream(data)
+    it = iter_json_array(ts, len(data), chunk_bytes=1024)
+    got = []
+    consumed = 0
+    max_outstanding = 0
+    for obj in it:
+        got.append(obj)
+        consumed += len(json.dumps(obj).encode())
+        # bytes pulled off the wire but not yet yielded: bounded by a few
+        # chunks + one element — NEVER the whole body
+        max_outstanding = max(max_outstanding, ts.pos - consumed)
+    assert got == objs
+    assert ts.pos == len(data)
+    assert max_outstanding < 8 * 1024, max_outstanding
+
+
+def test_iter_json_array_utf8_split_and_edges():
+    from datahub_spark.server import iter_json_array
+
+    objs = [{"id": "e:ü", "props": {"p:t": "héllo 🌍 日本語"}}, {"id": "e:2"}]
+    data = json.dumps(objs, ensure_ascii=False).encode()
+    # chunk size 3 guarantees multi-byte codepoints split across reads
+    out = list(iter_json_array(_TrackedStream(data), len(data), chunk_bytes=3))
+    assert out == objs
+    # empty body -> no elements (UDA tolerates it)
+    assert list(iter_json_array(_TrackedStream(b""), 0)) == []
+    assert list(iter_json_array(_TrackedStream(b"  [ ]"), 5)) == []
+    # malformed: not an array / truncated mid-element
+    with pytest.raises(ValueError):
+        list(iter_json_array(_TrackedStream(b'{"id": 1}'), 9))
+    with pytest.raises(ValueError):
+        bad = b'[{"id": "e:1"}, {"id": "e:'
+        list(iter_json_array(_TrackedStream(bad), len(bad)))
+
+
+def test_streamed_post_chunks_single_commit(served, monkeypatch):
+    from datahub_spark.server import UdaServer
+
+    store, base = served
+    monkeypatch.setattr(UdaServer, "BODY_CHUNK_ROWS", 250)
+    n = 1200  # >> chunk rows: body parses as 5 DataFrame chunks
+    batch = _uda_batch(*[
+        {"id": f"big:{i}", "deleted": False,
+         "props": {"p:n": str(i)}, "refs": {}} for i in range(n)])
+    code, _ = _post(f"{base}/datasets/big/entities", batch)
+    assert code == 200
+    log = store.log(["big"])
+    assert log.count() == n
+    # chunked parse must still be ONE atomic commit
+    assert log.select("recorded").distinct().count() == 1
+
+
+def test_streamed_post_malformed_is_400_and_releases_lease(served):
+    store, base = served
+    url = f"{base}/datasets/d/entities"
+    body = b'[{"id": "@context", "namespaces": {}}, {"id": "e:1", '  # cut off
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers={"Content-Type": "application/json",
+                 **_fs_headers("syncX", start=True)})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            code = resp.status
+    except urllib.error.HTTPError as exc:
+        code = exc.code
+    assert code == 400
+    # the lease started by the failed request must not linger: a fresh
+    # fullsync can start immediately
+    code, _ = _post(url, _uda_batch(
+        {"id": "e:1", "deleted": False, "props": {}, "refs": {}}),
+        _fs_headers("syncY", start=True))
+    assert code == 200
+    code, _ = _post(url, _uda_batch(), _fs_headers("syncY", end=True))
+    assert code == 200
