@@ -322,6 +322,46 @@ class UdaServer:
     def _context(self, ds: str) -> dict:
         return self.store.dataset_context(ds, self.nsmgr)
 
+    # -- JSON-LD content negotiation (datasethandler.go:246-340) ----------
+
+    @staticmethod
+    def _wants_jsonld(rq, q: dict) -> bool:
+        """``?format=jsonld`` or ``Accept: application/ld+json`` selects
+        JSON-LD output on dataset reads (the reference negotiates on the
+        Accept header, datasethandler.go:303-305; the query param is the
+        curl-friendly alias)."""
+        if q.get("format") == "jsonld":
+            return True
+        return "application/ld+json" in (rq.headers.get("Accept") or "")
+
+    @staticmethod
+    def _jsonld_context(ctx: dict) -> dict:
+        # convertContextToJSONLD (datasethandler.go:247-259): the UDA
+        # namespace map plus the fixed core/rdf prefixes
+        namespaces = dict(ctx.get("namespaces") or {})
+        namespaces["core"] = "http://data.mimiro.io/core/uda/"
+        namespaces["rdf"] = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        return {"@context": namespaces}
+
+    @staticmethod
+    def _jsonld_entity(obj: dict) -> dict:
+        """UDA entity object -> JSON-LD node (toJSONLD,
+        datasethandler.go:492-530): ``@id`` + prop keys verbatim (CURIEs
+        resolve through the @context) + refs as ``{"@id": ...}`` nodes.
+        Deliberate deviation: the reference's ref-array branch
+        (datasethandler.go:519-524) preallocates AND appends, emitting
+        len(refs) empty nodes before the real ones — we emit exactly the
+        refs."""
+        node: dict = {"@id": obj.get("id")}
+        for key, value in (obj.get("props") or {}).items():
+            node[key] = value
+        for key, value in (obj.get("refs") or {}).items():
+            if isinstance(value, list):
+                node[key] = [{"@id": r} for r in value]
+            else:
+                node[key] = {"@id": value}
+        return node
+
     def _get_entities(self, rq, ds: str, q: dict) -> None:
         limit = int(q.get("limit", self.default_limit))
         from_tok = q.get("from", "")
@@ -341,7 +381,8 @@ class UdaServer:
             token = _tok_encode(last)
         else:
             token = from_tok
-        self._write_page(rq, ds, objs, token)
+        self._write_page(rq, ds, objs, token,
+                         jsonld=self._wants_jsonld(rq, q))
 
     def _get_changes(self, rq, ds: str, q: dict) -> None:
         limit = int(q.get("limit", self.default_limit))
@@ -378,16 +419,29 @@ class UdaServer:
             token = _tok_encode([last["recorded"], last["seq"], last["id"]])
         else:
             token = since
-        self._write_page(rq, ds, objs, token)
+        self._write_page(rq, ds, objs, token,
+                         jsonld=self._wants_jsonld(rq, q))
 
-    def _write_page(self, rq, ds: str, objs: list[str], token) -> None:
-        body = "[" + ",".join(
-            [json.dumps(self._context(ds))] + objs
-            + [json.dumps({"id": "@continuation", "token": token})]
-        ) + "]"
+    def _write_page(self, rq, ds: str, objs: list[str], token,
+                    jsonld: bool = False) -> None:
+        if jsonld:
+            ctx = self._jsonld_context(self._context(ds))
+            ents = [json.dumps(self._jsonld_entity(json.loads(o)))
+                    for o in objs]
+            # makeJsonLdContinuationToken (datasethandler.go:767-773)
+            cont = json.dumps({"rdf:type": {"@id": "core:continuation"},
+                               "core:token": token})
+            body = "[" + ",".join([json.dumps(ctx)] + ents + [cont]) + "]"
+            ctype = "application/ld+json"
+        else:
+            body = "[" + ",".join(
+                [json.dumps(self._context(ds))] + objs
+                + [json.dumps({"id": "@continuation", "token": token})]
+            ) + "]"
+            ctype = "application/json"
         data = body.encode()
         rq.send_response(200)
-        rq.send_header("Content-Type", "application/json")
+        rq.send_header("Content-Type", ctype)
         rq.send_header("Content-Length", str(len(data)))
         rq.end_headers()
         rq.wfile.write(data)

@@ -537,3 +537,50 @@ def test_streamed_post_malformed_is_400_and_releases_lease(served):
     assert code == 200
     code, _ = _post(url, _uda_batch(), _fs_headers("syncY", end=True))
     assert code == 200
+
+
+# -- JSON-LD content negotiation (datasethandler.go:246-340,492-530) -------
+
+def _get_with_headers(url: str, headers: dict):
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.headers.get("Content-Type"), json.loads(resp.read().decode())
+
+
+def test_entities_jsonld_negotiation(served):
+    _, base = served
+    for url, hdrs in [
+        (f"{base}/datasets/d/entities?format=jsonld", {}),
+        (f"{base}/datasets/d/entities", {"Accept": "application/ld+json"}),
+    ]:
+        ctype, page = _get_with_headers(url, hdrs)
+        assert ctype == "application/ld+json"
+        # context: namespace map + the fixed core/rdf prefixes
+        ctx = page[0]["@context"]
+        assert ctx["core"] == "http://data.mimiro.io/core/uda/"
+        assert ctx["rdf"] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        # entities: @id nodes, props verbatim, refs as {"@id": ...} nodes
+        ents = {e["@id"]: e for e in page[1:-1]}
+        assert set(ents) == {"e:1", "e:2", "e:3", "e:5"}  # e:4 deleted
+        assert ents["e:1"]["p:name"] == "one"
+        assert ents["e:1"]["p:link"] == [{"@id": "e:2"}]
+        assert "id" not in ents["e:1"] and "props" not in ents["e:1"]
+        # continuation: the JSON-LD token node, not {"id":"@continuation"}
+        cont = page[-1]
+        assert cont["rdf:type"] == {"@id": "core:continuation"}
+        assert isinstance(cont["core:token"], str) and cont["core:token"]
+
+
+def test_changes_jsonld_and_plain_unchanged(served):
+    _, base = served
+    ctype, page = _get_with_headers(
+        f"{base}/datasets/d/changes?format=jsonld", {})
+    assert ctype == "application/ld+json"
+    assert "@context" in page[0]
+    assert all("@id" in e for e in page[1:-1])
+    assert page[-1]["rdf:type"] == {"@id": "core:continuation"}
+    # plain JSON output is byte-for-byte the UDA shape it always was
+    ctype, plain = _get_with_headers(f"{base}/datasets/d/changes", {})
+    assert ctype == "application/json"
+    assert plain[0]["id"] == "@context"
+    assert plain[-1]["id"] == "@continuation"
