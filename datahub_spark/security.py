@@ -1,0 +1,192 @@
+"""Minimal Bearer-token + per-dataset ACL layer for UdaServer — the
+subset of the reference's security manager its access-matrix
+integration tests exercise (internal/security/manager.go:440-521;
+internal/web/middlewares/authentication.go:208-215 token extraction;
+middlewares/authorization.go doAclCheck semantics):
+
+  * clients authenticate with Authorization: Bearer <JWT>;
+  * claims carry ``sub`` (client id), ``roles``, ``exp``;
+  * the ``admin`` role bypasses ACLs (authorization.go:60-64);
+  * otherwise the subject's AccessControl list is consulted: a request
+    is granted when ANY entry matches the path — exact resource or
+    trailing-``*`` prefix pattern — with a compatible action. ``read``
+    is granted by a read OR write entry ("write implies read",
+    manager.go:499-504); POST/DELETE/PUT require ``write``
+    (authorization.go:73-77). A matching ``deny`` entry does not grant
+    (CheckGranted returns false for it) but — faithfully to the
+    reference — does not veto a different granting entry either.
+
+Deliberate deviation, documented: the reference signs access tokens
+RS256 with a node keypair (manager.go:456-476). This container has no
+asymmetric-crypto library and nothing may be installed, so tokens here
+are JWS HS256 (HMAC-SHA256, stdlib ``hmac``) over the same claims
+shape. The wire protocol (Bearer header, JWT triplet, claims) and the
+authorization semantics are the reference's; only the signature
+algorithm differs, and ``verify`` pins it (alg is NOT attacker-chosen).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import secrets
+import time
+from dataclasses import dataclass
+
+
+def _b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _b64url_decode(text: str) -> bytes:
+    return base64.urlsafe_b64decode(text + "=" * (-len(text) % 4))
+
+
+class AuthError(Exception):
+    """401 — missing/invalid/expired credentials."""
+
+
+class ForbiddenError(Exception):
+    """403 — authenticated but not granted."""
+
+
+def jwt_sign(claims: dict, key: bytes) -> str:
+    header = _b64url(json.dumps(
+        {"alg": "HS256", "typ": "JWT"}, separators=(",", ":")).encode())
+    payload = _b64url(json.dumps(claims, separators=(",", ":")).encode())
+    signing_input = f"{header}.{payload}".encode()
+    sig = _b64url(hmac.new(key, signing_input, hashlib.sha256).digest())
+    return f"{header}.{payload}.{sig}"
+
+
+def jwt_verify(token: str, key: bytes, now: float | None = None) -> dict:
+    """Signature + exp check; pins HS256 (the alg header is untrusted
+    input — accepting attacker-chosen algorithms is the classic JWT
+    confusion bug)."""
+    try:
+        h64, p64, s64 = token.split(".")
+        header = json.loads(_b64url_decode(h64))
+        payload = json.loads(_b64url_decode(p64))
+        sig = _b64url_decode(s64)
+    except (ValueError, json.JSONDecodeError) as exc:
+        raise AuthError(f"malformed token: {exc}") from exc
+    if header.get("alg") != "HS256":
+        raise AuthError("unsupported token algorithm")
+    expect = hmac.new(key, f"{h64}.{p64}".encode(), hashlib.sha256).digest()
+    if not hmac.compare_digest(sig, expect):
+        raise AuthError("bad token signature")
+    exp = payload.get("exp")
+    if exp is not None and (now if now is not None else time.time()) >= exp:
+        raise AuthError("token expired")
+    return payload
+
+
+@dataclass(frozen=True)
+class AccessControl:
+    """manager.go:87-91 — allow or deny ``action`` on ``resource``;
+    trailing ``*`` is a prefix pattern."""
+    resource: str
+    action: str  # "read" | "write"
+    deny: bool = False
+
+
+def check_granted(ac: AccessControl, resource: str, action: str) -> bool:
+    """Port of ServiceCore.CheckGranted (manager.go:499-521)."""
+    def action_ok() -> bool:
+        if action == "read" and ac.action in ("read", "write"):
+            return True
+        return action == ac.action
+
+    if ac.resource == resource:
+        return action_ok() and not ac.deny
+    if ac.resource.endswith("*") and \
+            resource.startswith(ac.resource[:-1]):
+        return action_ok() and not ac.deny
+    return False
+
+
+class SecurityManager:
+    """Client registry + ACL store + token issuance. Attach to a
+    UdaServer via ``security=``; every request then needs a Bearer
+    token from ``issue_token`` / POST /security/token."""
+
+    TOKEN_TTL_SECONDS = 15 * 60  # manager.go:464 (15-minute tokens)
+
+    def __init__(self, admin_client_id: str = "admin",
+                 admin_client_secret: str | None = None,
+                 signing_key: bytes | None = None,
+                 node_id: str = "node1"):
+        self.node_id = node_id
+        self._key = signing_key or secrets.token_bytes(32)
+        self._clients: dict[str, str] = {}
+        self._acls: dict[str, list[AccessControl]] = {}
+        self._admin_id = admin_client_id
+        self._admin_secret = admin_client_secret or secrets.token_urlsafe(24)
+
+    @property
+    def admin_secret(self) -> str:
+        return self._admin_secret
+
+    # -- client / ACL management (securityhandler.go surface) -------------
+
+    def add_client(self, client_id: str, client_secret: str) -> None:
+        self._clients[client_id] = client_secret
+
+    def delete_client(self, client_id: str) -> None:
+        self._clients.pop(client_id, None)
+        self._acls.pop(client_id, None)
+
+    def set_acls(self, client_id: str, acls: list[AccessControl]) -> None:
+        self._acls[client_id] = list(acls)
+
+    def get_acls(self, client_id: str) -> list[AccessControl]:
+        return list(self._acls.get(client_id, []))
+
+    # -- tokens -----------------------------------------------------------
+
+    def issue_token(self, client_id: str, client_secret: str) -> str:
+        """Credentials -> 15-minute Bearer JWT (manager.go:430-476's
+        exchange, minus the client-JWT assertion step: shared-secret
+        client auth, the node-local deployment shape)."""
+        if client_id == self._admin_id:
+            ok = secrets.compare_digest(client_secret, self._admin_secret)
+            roles = ["admin"]
+        else:
+            expect = self._clients.get(client_id)
+            ok = expect is not None and \
+                secrets.compare_digest(client_secret, expect)
+            roles = ["client"]
+        if not ok:
+            raise AuthError("invalid client credentials")
+        now = int(time.time())
+        return jwt_sign({
+            "sub": client_id,
+            "roles": roles,
+            "iss": f"node:{self.node_id}",
+            "aud": f"node:{self.node_id}",
+            "iat": now,
+            "exp": now + self.TOKEN_TTL_SECONDS,
+        }, self._key)
+
+    # -- request authorization (authorization.go doAclCheck) --------------
+
+    def authorize(self, authorization_header: str | None,
+                  method: str, path: str) -> dict:
+        """Raises AuthError (401) / ForbiddenError (403); returns the
+        verified claims on success."""
+        auth = authorization_header or ""
+        if not auth.startswith("Bearer ") or len(auth) <= 7:
+            raise AuthError("missing bearer token")
+        claims = jwt_verify(auth[7:], self._key)
+        if "admin" in (claims.get("roles") or []):
+            return claims
+        action = "write" if method in ("POST", "DELETE", "PUT") else "read"
+        acl = self._acls.get(claims.get("sub", ""))
+        if not acl:
+            raise ForbiddenError("user does not have permission")
+        for ac in acl:
+            if check_granted(ac, path, action):
+                return claims
+        raise ForbiddenError("user does not have permission")

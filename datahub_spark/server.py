@@ -206,11 +206,17 @@ class UdaServer:
                  host: str = "127.0.0.1", port: int = 0,
                  default_limit: int = 1000,
                  lease_seconds: float = 3600.0,
-                 scheduler=None, content=None):
+                 scheduler=None, content=None, security=None):
         self.store = store
         self.nsmgr = nsmgr or NamespaceManager()
         self.default_limit = default_limit
         self.leases = FullSyncLease(lease_seconds)
+        # optional security.SecurityManager: when set, every endpoint
+        # except POST /security/token requires a Bearer token
+        # (middlewares/authentication.go + authorization.go); when None
+        # the server is loopback/trusted-network only, which stays the
+        # default for the in-process analytics mission
+        self.security = security
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._host, self._port = host, port
@@ -274,7 +280,28 @@ class UdaServer:
 
     # -- GET --------------------------------------------------------------
 
+    def _authorize(self, rq) -> bool:
+        """Bearer-token gate (middlewares/authentication.go:208-215 +
+        authorization.go doAclCheck). Writes 401/403 and returns False
+        on refusal; True when no SecurityManager is attached."""
+        if self.security is None:
+            return True
+        from datahub_spark.security import AuthError, ForbiddenError
+
+        try:
+            self.security.authorize(rq.headers.get("Authorization"),
+                                    rq.command, urlparse(rq.path).path)
+            return True
+        except AuthError as exc:
+            self._error(rq, 401, str(exc))
+            return False
+        except ForbiddenError as exc:
+            self._error(rq, 403, str(exc))
+            return False
+
     def _route_get(self, rq) -> None:
+        if not self._authorize(rq):
+            return
         try:
             u = urlparse(rq.path)
             parts = [p for p in u.path.split("/") if p]
@@ -449,9 +476,15 @@ class UdaServer:
     # -- POST (store + fullsync lease + /query) ---------------------------
 
     def _route_post(self, rq) -> None:
+        u = urlparse(rq.path)
+        parts = [p for p in u.path.split("/") if p]
+        # the token exchange is the one unauthenticated endpoint
+        # (clients bootstrap their Bearer token here, manager.go:430)
+        if parts == ["security", "token"] and self.security is not None:
+            return self._post_token(rq)
+        if not self._authorize(rq):
+            return
         try:
-            u = urlparse(rq.path)
-            parts = [p for p in u.path.split("/") if p]
             if len(parts) == 3 and parts[0] == "datasets" \
                     and parts[2] == "entities":
                 return self._post_entities(rq, parts[1])
@@ -490,7 +523,25 @@ class UdaServer:
         except Exception as exc:
             self._error(rq, 500, str(exc))
 
+    def _post_token(self, rq) -> None:
+        from datahub_spark.security import AuthError
+
+        n = int(rq.headers.get("Content-Length", "0"))
+        try:
+            creds = json.loads(rq.rfile.read(n).decode()) if n else {}
+        except json.JSONDecodeError:
+            return self._error(rq, 400, "malformed credentials")
+        try:
+            token = self.security.issue_token(
+                creds.get("client_id", ""), creds.get("client_secret", ""))
+        except AuthError as exc:
+            return self._error(rq, 401, str(exc))
+        self._reply(rq, 200, {"access_token": token,
+                              "token_type": "Bearer"})
+
     def _route_put(self, rq) -> None:
+        if not self._authorize(rq):
+            return
         try:
             parts = [p for p in urlparse(rq.path).path.split("/") if p]
             if len(parts) == 3 and parts[0] == "job":
@@ -506,6 +557,8 @@ class UdaServer:
             self._error(rq, 500, str(exc))
 
     def _route_delete(self, rq) -> None:
+        if not self._authorize(rq):
+            return
         try:
             parts = [p for p in urlparse(rq.path).path.split("/") if p]
             if len(parts) == 2 and parts[0] == "jobs":

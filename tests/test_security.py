@@ -1,0 +1,161 @@
+"""Bearer-token + ACL layer (datahub_spark.security + UdaServer
+integration) — the subset of the reference's security manager its
+access-matrix integration tests exercise (manager.go:440-521,
+middlewares/authentication.go, authorization.go)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from datahub_spark import store as S
+from datahub_spark.script import SCRIPT_OUTPUT_SCHEMA
+from datahub_spark.security import (
+    AccessControl, AuthError, SecurityManager, check_granted,
+    jwt_sign, jwt_verify,
+)
+from datahub_spark.server import UdaServer
+
+
+# -- token primitives ------------------------------------------------------
+
+def test_jwt_roundtrip_and_tamper():
+    key = b"k" * 32
+    tok = jwt_sign({"sub": "c1", "roles": ["client"]}, key)
+    assert jwt_verify(tok, key)["sub"] == "c1"
+    with pytest.raises(AuthError, match="signature"):
+        jwt_verify(tok[:-2] + "xx", key)
+    with pytest.raises(AuthError, match="signature"):
+        jwt_verify(tok, b"other" * 7)
+    with pytest.raises(AuthError, match="malformed"):
+        jwt_verify("not.a", key)
+
+
+def test_jwt_exp_and_alg_pinning():
+    key = b"k" * 32
+    old = jwt_sign({"sub": "c1", "exp": int(time.time()) - 1}, key)
+    with pytest.raises(AuthError, match="expired"):
+        jwt_verify(old, key)
+    # alg:none confusion attack must be rejected, not trusted
+    import base64
+
+    def b64(d):
+        return base64.urlsafe_b64encode(
+            json.dumps(d).encode()).rstrip(b"=").decode()
+
+    forged = f"{b64({'alg': 'none'})}.{b64({'sub': 'c1'})}."
+    with pytest.raises(AuthError, match="algorithm"):
+        jwt_verify(forged, key)
+
+
+def test_check_granted_matrix():
+    # manager.go:499-521: exact, trailing-*, write-implies-read, deny
+    read_d = AccessControl("/datasets/d/entities", "read")
+    star = AccessControl("/datasets/d*", "write")
+    deny = AccessControl("/datasets/d*", "read", deny=True)
+    assert check_granted(read_d, "/datasets/d/entities", "read")
+    assert not check_granted(read_d, "/datasets/d/entities", "write")
+    assert not check_granted(read_d, "/datasets/other/entities", "read")
+    assert check_granted(star, "/datasets/d/changes", "read")  # write=>read
+    assert check_granted(star, "/datasets/d2/entities", "write")
+    assert not check_granted(deny, "/datasets/d/entities", "read")
+
+
+# -- served integration ----------------------------------------------------
+
+def _req(url, method="GET", token=None, payload=None):
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read().decode() or "{}")
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read().decode() or "{}")
+
+
+@pytest.fixture
+def secured(spark, tmp_path):
+    store = S.EntityStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [("e:1", None, 0, False, {"p:name": "one"}, None, None)],
+        SCRIPT_OUTPUT_SCHEMA).drop("dataset")
+    store.store_entities("d", df)
+    store.store_entities("secret", df)
+    sec = SecurityManager(admin_client_secret="admin-pw")
+    sec.add_client("reader", "reader-pw")
+    sec.set_acls("reader", [AccessControl("/datasets/d*", "read")])
+    sec.add_client("writer", "writer-pw")
+    sec.set_acls("writer", [AccessControl("/datasets/d*", "write")])
+    srv = UdaServer(store, security=sec)
+    base = srv.start()
+    yield base
+    srv.stop()
+
+
+def _token(base, cid, secret):
+    code, body = _req(f"{base}/security/token", "POST",
+                      payload={"client_id": cid, "client_secret": secret})
+    return code, body.get("access_token")
+
+
+def test_secured_server_requires_token(secured):
+    base = secured
+    assert _req(f"{base}/datasets")[0] == 401
+    assert _req(f"{base}/datasets/d/entities")[0] == 401
+    assert _req(f"{base}/datasets/d/entities", "POST", payload=[])[0] == 401
+    code, _ = _token(base, "reader", "wrong-pw")
+    assert code == 401
+    code, _ = _token(base, "nobody", "pw")
+    assert code == 401
+
+
+def test_admin_bypasses_acls(secured):
+    base = secured
+    code, tok = _token(base, "admin", "admin-pw")
+    assert code == 200 and tok
+    assert _req(f"{base}/datasets", token=tok)[0] == 200
+    assert _req(f"{base}/datasets/secret/entities", token=tok)[0] == 200
+    code, _ = _req(f"{base}/datasets/d/entities", "POST", token=tok,
+                   payload=[{"id": "e:9", "props": {}, "refs": {}}])
+    assert code == 200
+
+
+def test_acl_scoping_read_vs_write(secured):
+    base = secured
+    _, reader = _token(base, "reader", "reader-pw")
+    _, writer = _token(base, "writer", "writer-pw")
+    # reader: its dataset reads, everything else refused
+    assert _req(f"{base}/datasets/d/entities", token=reader)[0] == 200
+    assert _req(f"{base}/datasets/d/changes", token=reader)[0] == 200
+    assert _req(f"{base}/datasets/secret/entities", token=reader)[0] == 403
+    code, _ = _req(f"{base}/datasets/d/entities", "POST", token=reader,
+                   payload=[{"id": "e:9", "props": {}, "refs": {}}])
+    assert code == 403
+    # writer: write grants imply read (manager.go:499-504)
+    code, _ = _req(f"{base}/datasets/d/entities", "POST", token=writer,
+                   payload=[{"id": "e:9", "props": {}, "refs": {}}])
+    assert code == 200
+    assert _req(f"{base}/datasets/d/entities", token=writer)[0] == 200
+    assert _req(f"{base}/datasets/secret/entities", token=writer)[0] == 403
+
+
+def test_unsecured_server_stays_open(spark, tmp_path):
+    store = S.EntityStore(spark, str(tmp_path / "store2"))
+    df = spark.createDataFrame(
+        [("e:1", None, 0, False, {"p:name": "one"}, None, None)],
+        SCRIPT_OUTPUT_SCHEMA).drop("dataset")
+    store.store_entities("d", df)
+    srv = UdaServer(store)
+    base = srv.start()
+    try:
+        assert _req(f"{base}/datasets")[0] == 200
+    finally:
+        srv.stop()
