@@ -757,11 +757,26 @@ class Job:
     job_type: str = "incremental"  # or "fullsync"
     on_error: ErrorHandler = field(default_factory=ErrorHandler)
     paused: bool = False
+    # optional metrics.Metrics — jobs.count on start, jobs.success /
+    # jobs.error with the run's wall-time on completion (job.go:114-144)
+    metrics: object = None
+
+    def _metric(self, name: str, started: float | None = None) -> None:
+        if self.metrics is None:
+            return
+        tags = {"job": self.job_id, "jobtype": self.job_type}
+        if started is None:
+            self.metrics.count(name, 1, tags)
+        else:
+            self.metrics.timing(name, (time.perf_counter() - started) * 1000,
+                                tags)
 
     def run(self, state: "JobState") -> dict:
         """Execute once (the scheduler analogue triggers this)."""
         since = state.token(self.job_id) if self.job_type == "incremental" else 0
         attempts = 0
+        started = time.perf_counter()
+        self._metric("jobs.count")
         while True:
             attempts += 1
             try:
@@ -901,12 +916,14 @@ class Job:
                     rq_store.delete_dataset(d)
                 result = {"id": self.job_id, "attempts": attempts, "token": wm}
                 state.record_run(self.job_id, result)
+                self._metric("jobs.success", started)
                 return result
             except Exception:
                 if self.on_error.kind == "reRun" and attempts <= self.on_error.max_retries:
                     if self.on_error.retry_delay_s:
                         time.sleep(self.on_error.retry_delay_s)
                     continue
+                self._metric("jobs.error", started)
                 raise
 
     def _route_failing_entities(self, df: DataFrame) -> DataFrame:
@@ -1075,16 +1092,22 @@ class Scheduler:
     onchange triggering is wire_onchange / Structured Streaming
     (datahub_spark.streaming)."""
 
-    def __init__(self, state: "JobState"):
+    def __init__(self, state: "JobState", metrics=None):
         self.state = state
         self.jobs: dict[str, Job] = {}
         self.schedules: dict[str, "CronSpec"] = {}
         self._last_fired: dict[str, object] = {}
+        # metrics.Metrics threaded onto every registered job (the
+        # reference threads its statsd client through the runner into
+        # each job, runner.go:55-70)
+        self.metrics = metrics
 
     def register(self, job: Job, schedule: str | None = None) -> None:
         from datahub_spark.cron import CronSpec
 
         self.jobs[job.job_id] = job
+        if job.metrics is None and self.metrics is not None:
+            job.metrics = self.metrics
         if schedule is not None:
             self.schedules[job.job_id] = CronSpec.parse(schedule)
 

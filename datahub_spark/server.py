@@ -206,7 +206,8 @@ class UdaServer:
                  host: str = "127.0.0.1", port: int = 0,
                  default_limit: int = 1000,
                  lease_seconds: float = 3600.0,
-                 scheduler=None, content=None, security=None):
+                 scheduler=None, content=None, security=None,
+                 metrics=None):
         self.store = store
         self.nsmgr = nsmgr or NamespaceManager()
         self.default_limit = default_limit
@@ -217,6 +218,9 @@ class UdaServer:
         # the server is loopback/trusted-network only, which stays the
         # default for the in-process analytics mission
         self.security = security
+        # optional metrics.Metrics: per-request http.count / http.time /
+        # http.size with method/path/status tags (loggerfilter.go:64-74)
+        self.metrics = metrics
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._host, self._port = host, port
@@ -239,16 +243,16 @@ class UdaServer:
                 pass
 
             def do_GET(self):
-                outer._route_get(self)
+                outer._observed(self, outer._route_get)
 
             def do_POST(self):
-                outer._route_post(self)
+                outer._observed(self, outer._route_post)
 
             def do_PUT(self):
-                outer._route_put(self)
+                outer._observed(self, outer._route_put)
 
             def do_DELETE(self):
-                outer._route_delete(self)
+                outer._observed(self, outer._route_delete)
 
         self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
         self._thread = threading.Thread(
@@ -279,6 +283,41 @@ class UdaServer:
         return [r["json"] for r in uda.to_uda_json(df).collect()]
 
     # -- GET --------------------------------------------------------------
+
+    def _observed(self, rq, dispatch) -> None:
+        """Per-request telemetry (loggerfilter.go:64-74): http.count +
+        http.time (ms) + http.size (response bytes), tagged with
+        method/path/status. With no Metrics attached, dispatch runs
+        untouched."""
+        if self.metrics is None:
+            return dispatch(rq)
+        t0 = time.perf_counter()
+        seen = {"status": 0, "size": 0}
+        orig_response, orig_header = rq.send_response, rq.send_header
+
+        def send_response(code, *a, **k):
+            seen["status"] = code
+            return orig_response(code, *a, **k)
+
+        def send_header(name, value, *a, **k):
+            if name.lower() == "content-length":
+                try:
+                    seen["size"] = int(value)
+                except (TypeError, ValueError):
+                    pass
+            return orig_header(name, value, *a, **k)
+
+        rq.send_response, rq.send_header = send_response, send_header
+        try:
+            return dispatch(rq)
+        finally:
+            tags = {"method": rq.command,
+                    "path": urlparse(rq.path).path,
+                    "status": seen["status"]}
+            self.metrics.count("http.count", 1, tags)
+            self.metrics.timing(
+                "http.time", (time.perf_counter() - t0) * 1000, tags)
+            self.metrics.gauge("http.size", seen["size"], tags)
 
     def _authorize(self, rq) -> bool:
         """Bearer-token gate (middlewares/authentication.go:208-215 +

@@ -572,3 +572,33 @@ def test_run_due_starved_producer_defers_consumer(spark, store, tmp_path):
     results = sched.run_due(t0, runner=runner2)
     assert sorted(r["id"] for r in results) == ["consume", "produce"]
     assert store.log(["lvl2"]).count() == 4
+
+
+def test_job_metrics_emitted(spark, store, tmp_path):
+    # job.go:114-144: jobs.count at start, jobs.success with run
+    # wall-time on completion; jobs.error on terminal failure
+    from datahub_spark.metrics import RecordingMetrics
+
+    state = J.JobState(str(tmp_path / "state.json"))
+    rec = RecordingMetrics()
+    sched = J.Scheduler(state, metrics=rec)
+    job = J.Job("obs", J.DatasetSource(store, "people"),
+                J.DatasetSink(store, "obs_out"))
+    sched.register(job)
+    assert job.metrics is rec
+    job.run(state)
+    assert [e["tags"]["job"] for e in rec.named("jobs.count")] == ["obs"]
+    ok = rec.named("jobs.success")
+    assert len(ok) == 1 and ok[0]["kind"] == "timing" and ok[0]["value"] > 0
+    assert ok[0]["tags"] == {"job": "obs", "jobtype": "incremental"}
+    assert rec.named("jobs.error") == []
+
+    class FailSink:
+        def write(self, df):
+            raise RuntimeError("boom")
+
+    bad = J.Job("bad", J.DatasetSource(store, "people"), FailSink(),
+                on_error=J.ErrorHandler("log"), metrics=rec)
+    with pytest.raises(RuntimeError):
+        bad.run(state)
+    assert len(rec.named("jobs.error")) == 1

@@ -584,3 +584,34 @@ def test_changes_jsonld_and_plain_unchanged(served):
     assert ctype == "application/json"
     assert plain[0]["id"] == "@context"
     assert plain[-1]["id"] == "@continuation"
+
+
+def test_http_request_metrics(spark, tmp_path):
+    # loggerfilter.go:64-74: http.count / http.time / http.size per
+    # request, tagged method/path/status
+    from datahub_spark.metrics import RecordingMetrics
+
+    store = S.EntityStore(spark, str(tmp_path / "mstore"))
+    df = _entities(spark, [
+        ("e:1", None, 0, False, {"p:name": "one"}, None, None),
+    ]).drop("dataset")
+    store.store_entities("d", df)
+    rec = RecordingMetrics()
+    srv = UdaServer(store, metrics=rec)
+    base = srv.start()
+    try:
+        _get(f"{base}/datasets/d/entities")
+        code, _ = _post(f"{base}/datasets/nope/entities/extra", [])
+        assert code == 404
+    finally:
+        srv.stop()
+    counts = rec.named("http.count")
+    assert {(e["tags"]["method"], e["tags"]["path"], e["tags"]["status"])
+            for e in counts} == {
+        ("GET", "/datasets/d/entities", 200),
+        ("POST", "/datasets/nope/entities/extra", 404),
+    }
+    times = rec.named("http.time")
+    assert len(times) == 2 and all(e["value"] > 0 for e in times)
+    sizes = rec.named("http.size")
+    assert len(sizes) == 2 and all(e["value"] > 0 for e in sizes)
