@@ -98,12 +98,45 @@ class _LazyFrames:
         return self._builders.keys()
 
 
+class _LRUCache:
+    """Bounded LRU mapping: a long-lived process (the UDA server, a
+    notebook session cycling scale dirs) must not accumulate plan
+    entries without bound. Reads refresh recency; inserting past
+    ``maxsize`` evicts the least-recently-used entry. Plans are cheap
+    to rebuild (~0.2s driver-side), so eviction is safe."""
+
+    def __init__(self, maxsize: int):
+        from collections import OrderedDict
+
+        self.maxsize = maxsize
+        self._d = OrderedDict()
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __getitem__(self, key):
+        value = self._d[key]
+        self._d.move_to_end(key)
+        return value
+
+    def __setitem__(self, key, value) -> None:
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
 # plan caches keyed by (session applicationId, sf_dir) — DataFrame plans
 # are immutable, so reuse across query calls is safe and saves the
 # rebuild. applicationId (not id(spark)) so a recycled python object
 # address can never resurrect plans bound to a stopped JVM session.
-_TABLE_CACHE: dict[tuple[str, str], _LazyFrames] = {}
-_ENTITY_CACHE: dict[tuple[str, str], _LazyFrames] = {}
+# LRU-bounded: entries for stopped sessions / abandoned scale dirs age
+# out instead of accumulating for the life of a served process.
+_TABLE_CACHE = _LRUCache(maxsize=32)
+_ENTITY_CACHE = _LRUCache(maxsize=32)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
@@ -319,7 +352,9 @@ def _user_entity(events: DataFrame) -> DataFrame:
 
 # memoized (appid, sf_dir, since, until) -> user entity frame with the
 # range predicate applied to the PHYSICAL ts column
-_USER_LOG_CACHE: dict[tuple, DataFrame] = {}
+# (appid, sf_dir, since, until) keys churn with every distinct range a
+# server answers — the widest-fanout cache of the three, same LRU bound
+_USER_LOG_CACHE = _LRUCache(maxsize=128)
 
 
 def user_log(spark: SparkSession, sf_dir: str,

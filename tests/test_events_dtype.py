@@ -104,3 +104,25 @@ def test_until_bound_inclusive(spark, both_dirs):
     for enc in ("us", "ns"):
         df = ingest.user_log(spark, both_dirs[enc], until_us=T_MID)
         assert sorted(r["seq"] for r in df.collect()) == [1, 2]
+
+
+def test_ingest_plan_caches_are_lru_bounded():
+    # a long-lived server must not accumulate plan entries without
+    # bound; reads refresh recency, inserts past maxsize evict LRU
+    from datahub_spark.ingest import _LRUCache
+
+    c = _LRUCache(maxsize=3)
+    for i in range(3):
+        c[("app", f"dir{i}")] = i
+    assert len(c) == 3
+    _ = c[("app", "dir0")]          # refresh dir0
+    c[("app", "dir3")] = 3          # evicts dir1 (LRU), not dir0
+    assert len(c) == 3
+    assert ("app", "dir0") in c and ("app", "dir3") in c
+    assert ("app", "dir1") not in c
+    # module-level caches are instances of the bounded type
+    from datahub_spark import ingest
+
+    for cache in (ingest._TABLE_CACHE, ingest._ENTITY_CACHE,
+                  ingest._USER_LOG_CACHE):
+        assert isinstance(cache, _LRUCache) and cache.maxsize >= 1
