@@ -34,8 +34,18 @@ Headliners (SURVEY.md §6) cover the main plan shapes:
 Each query is forced with a noop write (full execution, no driver
 collect bottleneck); time is wall-clock per query, value = total.
 
+Scale-decade leg (r7): after the main x10 leg, the top-3 headliners
+re-run at a x100 replication (effective sf10, ~60M lineitem rows) with
+n=3 medians — one more measured decade between "plan pins say it
+scales" and 100 TB. The JSON grows an "x100" object carrying the
+medians plus scale_vs_x10 = x100_median / x10_median (data grew 10x,
+so ~10 is linear scaling; the fixed-cost floor keeps it below 10, a
+shuffle/spill cliff pushes it far above).
+
 Env knobs: SPARK_GRAFT_BENCH_REPL (default 10; 1 = bench the base dir
-directly, old behavior), SPARK_GRAFT_BENCH_RUNS (default 5).
+directly, old behavior), SPARK_GRAFT_BENCH_RUNS (default 5),
+SPARK_GRAFT_BENCH_X100 (default 1; 0 skips the scale-decade leg),
+SPARK_GRAFT_BENCH_X100_RUNS (default 3).
 """
 from __future__ import annotations
 
@@ -66,6 +76,10 @@ PINNED_MEDIANS = {
 # trips them.
 BUDGETS = {k: round(2 * v, 1) for k, v in PINNED_MEDIANS.items()}
 HEADLINERS = list(BUDGETS)
+
+# scale-decade leg: the three most expensive plan shapes (wide agg,
+# multi-edge join+agg, shingle/LSH pipeline) measured one decade up
+X100_HEADLINERS = ["query_aggregate", "parts_per_nation", "dedup_minhash"]
 
 
 def main() -> None:
@@ -118,6 +132,10 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s (n={runs}, min={min(samples)}, "
               f"max={max(samples)}, budget={BUDGETS[name]})", file=sys.stderr)
 
+    x100 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_X100", "1") == "1" and repl > 1:
+        x100 = bench_x100(spark, base_dir, timings)
+
     store_write = bench_store_write(spark)
 
     total = round(sum(timings.values()), 3)
@@ -135,8 +153,50 @@ def main() -> None:
                          "pinned_at": "r6 sf0.1x10 local[32] n=5"},
         "budget_ok": not over,
         "over_budget": over,
+        "x100": x100,
         "store_write": store_write,
     }))
+
+
+def bench_x100(spark, base_dir: str, x10_timings: dict) -> dict:
+    """One measured decade above the main leg: x100 replication of the
+    base dir (effective sf10 from sf0.1), top-3 headliners, n=3 medians
+    after one warmup. scale_vs_x10 is the ratio to THIS run's x10
+    medians — data is 10x bigger, so ~10 = linear, <10 = fixed costs
+    amortizing, >>10 = a scale cliff the plan pins missed."""
+    from datahub_spark.derive import ensure_derived
+    from datahub_spark.queries import QUERIES
+
+    repl = int(os.environ.get("SPARK_GRAFT_BENCH_X100_REPL", "100"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_X100_RUNS", "3")))
+    t0 = time.monotonic()
+    sf_dir = ensure_derived(spark, base_dir, repl)
+    print(f"  derived {sf_dir} ({round(time.monotonic() - t0, 1)}s)",
+          file=sys.stderr)
+
+    timings, spreads = {}, {}
+    for name in X100_HEADLINERS:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.monotonic() - t0, 3))
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = [min(samples), max(samples)]
+        print(f"  x{repl} {name}: {timings[name]}s (n={runs}, "
+              f"min={min(samples)}, max={max(samples)})", file=sys.stderr)
+    return {
+        "repl": repl,
+        "runs_per_query": runs,
+        "queries": timings,
+        "min_max": spreads,
+        "scale_vs_x10": {
+            k: round(timings[k] / x10_timings[k], 2)
+            for k in timings if x10_timings.get(k)
+        },
+    }
 
 
 def bench_store_write(spark) -> dict:

@@ -133,7 +133,11 @@ def ensure_derived(spark: SparkSession, base_dir: str, repl: int,
                 ).withColumn("n_chars", F.length("text"))
             if t == "embeddings":
                 dim = 64  # driver testdata embedding width
-                shift = (rep * (dim // max(repl, 1))) % dim
+                # stride floors at 1 so repl > dim still rotates every
+                # replica (repl=100 would otherwise get stride 0 = all
+                # replicas identical); replicas repl>dim apart share a
+                # rotation — acceptable decorrelation loss at that scale
+                shift = (rep * F.lit(max(1, dim // max(repl, 1)))) % dim
                 rolled = F.concat(
                     F.slice(F.col("embedding"), shift + 1, dim - shift),
                     F.slice(F.col("embedding"), F.lit(1), shift))
