@@ -1,0 +1,154 @@
+"""Instance boot/wiring (app.go + cmd/datahub/main.go analogue).
+
+``DatahubInstance`` composes the engine the way app.go:110-227 does:
+config -> store + namespace manager + job state/scheduler/runner +
+content service + optional security manager -> served UDA surface,
+plus the background clock (reference: jobs.Scheduler's cron runner and
+the BackupManager's schedule) and GC-on-startup. ``run`` is
+datahub.Run: build, start, block until SIGINT/SIGTERM, stop.
+
+Differences from the reference, by design: the "database" is a
+SparkSession + parquet log, so boot also owns the SparkSession; the
+clock is ONE ticker thread driving ``Scheduler.run_due`` and the backup
+schedule at minute resolution (the reference delegates to robfig/cron's
+goroutine per entry — same observable cadence, simpler to test because
+``tick(now)`` is callable with an injected clock).
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+import threading
+from datetime import datetime
+
+from datahub_spark import store as S
+from datahub_spark.config import Config
+from datahub_spark.content import ContentService
+from datahub_spark.cron import CronSpec
+from datahub_spark.jobs import JobRunner, JobState, Raffle, Scheduler
+from datahub_spark.metrics import LoggingMetrics
+from datahub_spark.namespaces import NamespaceManager
+from datahub_spark.security import SecurityManager
+from datahub_spark.server import UdaServer
+
+import os
+
+
+class DatahubInstance:
+    """app.go:35-54's DatahubInstance — every engine component wired
+    from one Config, started/stopped together."""
+
+    def __init__(self, config: Config, spark=None):
+        self.config = config
+        self.logger = logging.getLogger("datahub")
+        self.logger.setLevel(getattr(logging, config.log_level.upper(),
+                                     logging.INFO))
+        if spark is None:
+            from datahub_spark.session import get_spark
+            spark = get_spark("datahub")
+        self.spark = spark
+        self.store = S.EntityStore(spark, config.store_location)
+        self.nsmgr = NamespaceManager()
+        self.metrics = LoggingMetrics(self.logger)
+        self.state = JobState(os.path.join(config.store_location,
+                                           "jobstate.json"))
+        self.scheduler = Scheduler(self.state, metrics=self.metrics)
+        # RunnerConfig pools (config.go:91-95): fullsync vs incremental
+        # ticket classes map onto the raffle's two ticket pools
+        self.runner = JobRunner(self.state, Raffle(
+            tickets_full=config.jobs_max_fullsync,
+            tickets_incr=config.jobs_max_incremental))
+        self.content = ContentService(
+            os.path.join(config.store_location, "content"))
+        self.security = None
+        if config.security_enabled:
+            # ADMIN_USERNAME/ADMIN_PASSWORD bootstrap the root client
+            # (config.go:86-87, security/manager.go's admin user)
+            self.security = SecurityManager(
+                admin_client_id=config.admin_username or "admin",
+                admin_client_secret=config.admin_password or None,
+                node_id=config.node_id)
+        self.server = UdaServer(
+            self.store, self.nsmgr,
+            port=config.port,
+            lease_seconds=config.fullsync_lease_timeout,
+            scheduler=self.scheduler, content=self.content,
+            security=self.security, metrics=self.metrics)
+        self._backup_spec = (CronSpec.parse(config.backup_schedule)
+                             if config.backup_location else None)
+        self._backup_last: datetime | None = None
+        self._ticker: threading.Thread | None = None
+        self._stop_evt = threading.Event()
+        self.url: str | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> str:
+        """Start the instance; returns the served base URL. GC runs
+        first (GC_ON_STARTUP, app.go's gc.Start), then the web service,
+        then the clock."""
+        if self.config.gc_on_startup:
+            removed = self.store.vacuum()
+            if removed:
+                self.logger.info("startup GC removed %d orphans",
+                                 len(removed))
+        self.url = self.server.start()
+        self._stop_evt.clear()
+        self._ticker = threading.Thread(target=self._clock_loop,
+                                        daemon=True)
+        self._ticker.start()
+        self.logger.info("datahub instance started at %s", self.url)
+        return self.url
+
+    def stop(self) -> None:
+        """datahub.Stop (app.go:89-97): web service, clock, scheduler
+        state all quiesce; the SparkSession is left to its owner."""
+        self._stop_evt.set()
+        if self._ticker is not None:
+            self._ticker.join(timeout=5)
+            self._ticker = None
+        self.server.stop()
+        self.runner.join()
+        self.logger.info("datahub instance stopped")
+
+    # -- clock -------------------------------------------------------------
+
+    def tick(self, now: datetime) -> list[dict]:
+        """One clock tick: fire due cron jobs (through the runner's
+        raffle) and the backup schedule. Public and deterministic —
+        tests drive it with an injected ``now``; the ticker thread
+        drives it with the wall clock."""
+        results = self.scheduler.run_due(now, runner=self.runner)
+        if self._backup_spec is not None:
+            minute = now.replace(second=0, microsecond=0)
+            if self._backup_spec.matches(now) and self._backup_last != minute:
+                self._backup_last = minute
+                self.store.backup(self.config.backup_location)
+                self.metrics.count("backup.runs", 1)
+        return results
+
+    def _clock_loop(self) -> None:
+        while not self._stop_evt.wait(timeout=1.0):
+            try:
+                self.tick(datetime.now())
+            except Exception:  # never let one bad tick kill the clock
+                self.logger.exception("scheduler tick failed")
+
+
+def run(config: Config, spark=None) -> None:
+    """datahub.Run (app.go:77-87): build + start + wait for SIGINT/
+    SIGTERM + stop."""
+    instance = DatahubInstance(config, spark=spark)
+    instance.start()
+    stop = threading.Event()
+
+    def _on_signal(signum, frame):
+        stop.set()
+
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGTERM, _on_signal)
+    try:
+        stop.wait()
+    finally:
+        instance.stop()

@@ -534,6 +534,30 @@ class EntityStore:
 
     # -- maintenance -----------------------------------------------------------
 
+    def vacuum(self) -> list[str]:
+        """Startup garbage collection (GC_ON_STARTUP, app.go's
+        GarbageCollector over Badger's value log). The parquet analog of
+        "reclaim dead space without changing visible data" is removing
+        the leftovers of compactions that crashed between staging and
+        swap: ``_compact-*`` staging dirs under the root and
+        ``dataset=X.old-*`` rollback dirs under the log. Both are
+        invisible to readers (never listed in the registry, never
+        matched by the ``dataset=`` partition glob), so deleting them is
+        semantically a no-op. Returns the removed paths."""
+        removed: list[str] = []
+        with _root_lock(self.root):
+            for name in os.listdir(self.root):
+                if name.startswith("_compact-"):
+                    path = os.path.join(self.root, name)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+            for name in os.listdir(self.log_dir):
+                if ".old-" in name and name.startswith("dataset="):
+                    path = os.path.join(self.log_dir, name)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        return removed
+
     def compact(self, dataset: str, strategy: str = "deduplicate",
                 gc_horizon: int | None = None) -> None:
         """Physical compaction (DOCUMENTATION.md:2349): apply the strategy
