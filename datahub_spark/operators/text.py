@@ -256,3 +256,103 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
         ).cast("long")
         return df.filter(h < bound)
     raise ValueError(f"stratified_sample: unknown method {method!r}")
+
+
+def segment_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, delimiter: str | None = None,
+                  window: int | None = None) -> DataFrame:
+    """One row per document segment: ``(id, pos, segment)``.
+
+    Two segmentation modes, matching how real corpora differ:
+      * ``delimiter`` (e.g. ``"\\n"``) — line/paragraph segments, the
+        C4 shape (Raffel et al. 2020 §2.2 cleans at line granularity);
+      * ``window=k`` — fixed k-word chunks for flat text without line
+        structure (word i*k..i*k+k-1 forms chunk i).
+    Empty/whitespace-only segments are dropped in both modes.
+    Everything is built-in array/higher-order functions — no Python in
+    the plan, so the explode runs inside whole-stage codegen and the
+    row count scales with total corpus tokens, never with pairs."""
+    if (delimiter is None) == (window is None):
+        raise ValueError("segment_table: exactly one of delimiter/window")
+    if delimiter is not None:
+        parts = F.split(F.col(text_col), F.lit(delimiter), -1)
+    else:
+        w = words(F.col(text_col))
+        n_chunks = F.ceil(F.size(w) / F.lit(int(window))).cast("int")
+        parts = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * F.lit(int(window)) + 1, int(window)), " "),
+        )
+    out = df.select(F.col(id_col), F.posexplode(parts).alias("pos", "segment"))
+    return out.filter(F.trim(F.col("segment")) != "")
+
+
+def boilerplate_blocklist(segments: DataFrame, min_docs: int = 2,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency blocklist: md5 keys of normalized segments that
+    occur in >= ``min_docs`` DISTINCT documents (boilerplate: nav bars,
+    cookie banners, license headers — text repeated across unrelated
+    pages). One narrow HashAggregate over (key, doc): the md5 key keeps
+    shuffle rows fixed-width however long the segment is, and
+    count-distinct partials combine map-side. The blocklist is small by
+    construction (only cross-doc repeats survive), which is what makes
+    the removal join broadcast-able."""
+    key = F.md5(normalize(F.col("segment"))).alias("seg_key")
+    return (segments.select(key, F.col(id_col))
+            .groupBy("seg_key")
+            .agg(F.countDistinct(id_col).alias("n_docs"))
+            .filter(F.col("n_docs") >= int(min_docs))
+            .select("seg_key"))
+
+
+def remove_boilerplate(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       delimiter: str | None = None,
+                       window: int | None = None,
+                       min_docs: int = 2,
+                       joiner: str = " ") -> DataFrame:
+    """C4-style boilerplate removal: drop every segment whose normalized
+    form appears in >= ``min_docs`` distinct documents, and reassemble
+    the survivors in document order. Returns
+    ``(id, clean_text, kept_segments, dropped_segments)``; documents
+    whose every segment was boilerplate surface with ``clean_text=''``
+    (the caller's quality filter drops empties — same staging as C4).
+
+    Shape at scale: segment explode (map-side) -> blocklist aggregate
+    (narrow md5 keys) -> BROADCAST left join of the blocklist onto the
+    segments -> ONE per-document groupBy that both filters and
+    reassembles (array_sort over collected (pos, blocked, segment)
+    structs). Exactly two shuffles — the blocklist aggregate and the
+    per-doc reassembly — both keyed, neither pairwise; no self-join of
+    the corpus at any point."""
+    segs = segment_table(df, text_col, id_col,
+                         delimiter=delimiter, window=window)
+    block = boilerplate_blocklist(segs, min_docs, id_col)
+    marked = (segs.withColumn("seg_key", F.md5(normalize(F.col("segment"))))
+              .join(F.broadcast(block.withColumn("blocked", F.lit(True))),
+                    "seg_key", "left")
+              .withColumn("blocked", F.coalesce("blocked", F.lit(False))))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("blocked"),
+                                F.col("segment"))))
+    out = (marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda x: ~x["blocked"]),
+                lambda x: x["segment"]),
+            joiner).alias("clean_text"),
+        F.sum(F.when(~F.col("blocked"), 1).otherwise(0))
+         .cast("long").alias("kept_segments"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+         .cast("long").alias("dropped_segments"),
+    ))
+    # documents that produced zero segments (empty text) still belong
+    # in the output contract: left join back over the id spine
+    return (df.select(id_col).join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_segments", F.lit(0)).cast("long")
+                     .alias("kept_segments"),
+                    F.coalesce("dropped_segments", F.lit(0)).cast("long")
+                     .alias("dropped_segments")))

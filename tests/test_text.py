@@ -129,3 +129,112 @@ def test_stratified_sample_md5_method_portable(spark):
         assert (i in got) == (h < int(0.25 * (1 << 60)))
     with pytest.raises(ValueError, match="unknown method"):
         TX.stratified_sample(df, "q", rates, method="sha9000")
+
+
+# -- boilerplate removal (C4-style corpus-frequency line/chunk dedup) -----
+
+
+def test_segment_table_delimiter_and_window(spark):
+    df = _docs(spark, [(1, "alpha beta\n\n  \ngamma"),
+                       (2, "a b c d e")])
+    lines = TX.segment_table(df, delimiter="\n").collect()
+    assert {(r["doc_id"], r["pos"], r["segment"]) for r in lines} == {
+        (1, 0, "alpha beta"), (1, 3, "gamma"),
+        (2, 0, "a b c d e")}
+    chunks = TX.segment_table(df, window=2).collect()
+    assert {(r["doc_id"], r["pos"], r["segment"]) for r in chunks} == {
+        (1, 0, "alpha beta"), (1, 1, "gamma"),
+        (2, 0, "a b"), (2, 1, "c d"), (2, 2, "e")}
+
+
+def test_remove_boilerplate_lines(spark):
+    banner = "accept all cookies to continue"
+    df = _docs(spark, [
+        (1, f"{banner}\nreal content one\nshared footer"),
+        (2, f"{banner}\nreal content two\nshared footer"),
+        (3, "standalone document text"),
+    ])
+    out = {r["doc_id"]: r for r in
+           TX.remove_boilerplate(df, delimiter="\n", min_docs=2,
+                                 joiner="\n").collect()}
+    assert out[1]["clean_text"] == "real content one"
+    assert out[2]["clean_text"] == "real content two"
+    assert out[1]["dropped_segments"] == 2 and out[1]["kept_segments"] == 1
+    assert out[3]["clean_text"] == "standalone document text"
+    assert out[3]["dropped_segments"] == 0
+
+
+def test_remove_boilerplate_fully_boilerplate_doc_surfaces_empty(spark):
+    df = _docs(spark, [(1, "same line"), (2, "same line"),
+                       (3, "same line\nunique bit")])
+    out = {r["doc_id"]: r for r in
+           TX.remove_boilerplate(df, delimiter="\n", min_docs=2).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["kept_segments"] == 0
+    assert out[3]["clean_text"] == "unique bit"
+    assert len(out) == 3
+
+
+def test_remove_boilerplate_repeat_within_one_doc_not_blocked(spark):
+    # corpus frequency counts DISTINCT docs: a segment repeated inside
+    # ONE document is repetition (text_repetition's job), not boilerplate
+    df = _docs(spark, [(1, "echo line\necho line\nbody"),
+                       (2, "other text entirely")])
+    out = {r["doc_id"]: r["clean_text"] for r in
+           TX.remove_boilerplate(df, delimiter="\n", min_docs=2,
+                                 joiner="\n").collect()}
+    assert out[1] == "echo line\necho line\nbody"
+
+
+def test_remove_boilerplate_window_mode_duckdb_parity(spark):
+    # full-operator parity against an independent DuckDB formulation
+    # over the real documents table (oracle-style evidence for a row
+    # outside the driver's capped 50-key window)
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = TX.remove_boilerplate(docs, window=8, min_docs=2)
+    K, MIN_DOCS = 8, 2
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, gs.i AS pos,
+             array_to_string(ws[gs.i*{K}+1 : gs.i*{K}+{K}], ' ') AS segment
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+            CAST(ceil(len(ws)/CAST({K} AS double)) AS int) - 1)) AS i) gs
+      WHERE trim(array_to_string(ws[gs.i*{K}+1 : gs.i*{K}+{K}], ' ')) != ''
+    ), keyed AS (
+      SELECT doc_id, pos, segment, md5(segment) AS seg_key FROM seg
+    ), block AS (
+      SELECT seg_key FROM keyed GROUP BY seg_key
+      HAVING count(DISTINCT doc_id) >= {MIN_DOCS}
+    ), agg AS (
+      SELECT k.doc_id,
+             coalesce(string_agg(CASE WHEN b.seg_key IS NULL THEN k.segment END,
+                                 ' ' ORDER BY k.pos), '') AS clean_text,
+             CAST(count(CASE WHEN b.seg_key IS NULL THEN 1 END) AS BIGINT) AS kept_segments,
+             CAST(count(b.seg_key) AS BIGINT) AS dropped_segments
+      FROM keyed k LEFT JOIN block b USING (seg_key)
+      GROUP BY k.doc_id
+    )
+    SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.kept_segments, 0) AS kept_segments,
+           coalesce(a.dropped_segments, 0) AS dropped_segments
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+    # and the operator actually does something on this corpus
+    assert got.agg(F.sum("dropped_segments")).collect()[0][0] > 0
+
+
+def test_remove_boilerplate_plan_blocklist_broadcast_no_cartesian(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = TX.remove_boilerplate(docs, window=8, min_docs=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # blocklist side broadcast
