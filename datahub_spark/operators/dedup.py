@@ -453,3 +453,91 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, n: int = 8,
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def duplicate_window_starts(df: DataFrame, window: int = 16,
+                            min_docs: int = 2, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Cross-document exact-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr step, re-expressed relationally): one row
+    ``(id, start)`` per 0-based word index where a ``window``-word
+    sequence that also occurs in >= ``min_docs`` DISTINCT documents
+    begins. Any shared substring of >= window words is covered by its
+    constituent windows, so the union of flagged windows IS the shared
+    span — no suffix array needed.
+
+    Scale shape: positional k-grams explode linearly with corpus tokens
+    (never pairs); the duplicated-key set comes from one md5-keyed
+    HashAggregate with map-side countDistinct partials; membership is a
+    shuffle equi-join on the md5 key (NOT broadcast by default — on a
+    crawl-scale corpus the duplicated-window set is itself large)."""
+    from datahub_spark.operators.text import words
+
+    w = words(F.col(text_col))
+    starts = F.when(
+        F.size(w) >= window,
+        F.sequence(F.lit(0), F.size(w) - window),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(starts).alias("start"),
+        w.alias("_w"),
+    ).select(
+        "id", "start",
+        F.md5(F.array_join(
+            F.slice(F.col("_w"), F.col("start") + 1, window), " "))
+        .alias("gram_key"),
+    )
+    dup_keys = (grams.groupBy("gram_key")
+                .agg(F.countDistinct("id").alias("n_docs"))
+                .filter(F.col("n_docs") >= int(min_docs))
+                .select("gram_key"))
+    return grams.join(dup_keys, "gram_key").select("id", "start")
+
+
+def remove_duplicate_substrings(df: DataFrame, window: int = 16,
+                                min_docs: int = 2, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Cut every cross-document duplicated span (>= ``window`` words
+    shared with >= ``min_docs``-1 other documents) out of every
+    occurrence, keeping the rest of each document intact — the
+    ExactSubstr removal policy (Lee et al. 2021 cut all copies;
+    keep-one-copy is a composition with dedup_exact upstream).
+
+    Returns ``(id, clean_text, n_words, n_removed_words,
+    n_dup_windows)``. Word indices covered by any duplicated window are
+    dropped via pure array functions (sequence/flatten/filter with the
+    element-index lambda) — no Python in the plan; the per-doc
+    span-union groupBy shuffles only the (sparse) duplicated starts,
+    and the rebuild joins that small aggregate back onto the corpus by
+    id."""
+    from datahub_spark.operators.text import words
+
+    spans = (duplicate_window_starts(df, window, min_docs,
+                                     id_col, text_col)
+             .groupBy("id")
+             .agg(F.collect_set("start").alias("dup_starts")))
+    w = words(F.col(text_col))
+    out = (df.select(F.col(id_col).alias("id"), w.alias("_w"))
+           .join(spans, "id", "left")
+           .withColumn("dup_starts",
+                       F.coalesce("dup_starts",
+                                  F.array().cast("array<int>")))
+           .withColumn(
+               "_covered",
+               F.array_distinct(F.flatten(F.transform(
+                   F.col("dup_starts"),
+                   lambda s: F.sequence(s, s + window - 1)))))
+           .withColumn(
+               "_kept",
+               F.filter(F.col("_w"),
+                        lambda x, i: ~F.array_contains("_covered", i))))
+    return out.select(
+        "id",
+        F.array_join("_kept", " ").alias("clean_text"),
+        F.size("_w").cast("long").alias("n_words"),
+        (F.size("_w") - F.size("_kept")).cast("long")
+        .alias("n_removed_words"),
+        F.size("dup_starts").cast("long").alias("n_dup_windows"),
+    )

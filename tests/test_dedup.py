@@ -168,3 +168,108 @@ def test_connected_components_adversarial_10k_chain(spark):
     assert agg["n"] == n
     assert agg["ncomp"] == 1
     assert agg["root"] == "n00000"
+
+
+# -- exact-substring span removal (Lee et al. 2021 ExactSubstr shape) -----
+
+
+def test_remove_duplicate_substrings_cuts_shared_span_all_copies(spark):
+    shared = "one two three four five six seven eight"  # 8 words
+    df = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma"),
+         (2, f"{shared} delta epsilon"),
+         (3, "entirely different words here")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           DD.remove_duplicate_substrings(df, window=8, min_docs=2).collect()}
+    # the span is cut from EVERY occurrence; surrounding text survives
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[3]["clean_text"] == "entirely different words here"
+    assert out[1]["n_removed_words"] == 8
+    assert out[1]["n_words"] == 11
+    assert out[3]["n_removed_words"] == 0
+
+
+def test_remove_duplicate_substrings_longer_shared_span_union(spark):
+    # a 10-word shared run with window=8 has 3 duplicated windows whose
+    # UNION covers exactly the 10 shared words — span semantics, not
+    # per-window cuts
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, f"{shared} tail1"), (2, f"head2 {shared}")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           DD.remove_duplicate_substrings(df, window=8, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "tail1"
+    assert out[2]["clean_text"] == "head2"
+    assert out[1]["n_dup_windows"] == 3
+    assert out[1]["n_removed_words"] == 10
+
+
+def test_remove_duplicate_substrings_short_doc_untouched(spark):
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc")], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           DD.remove_duplicate_substrings(df, window=8, min_docs=2).collect()}
+    # both docs are < window words: no windows exist, nothing is cut
+    # (whole-doc duplicates are dedup_exact's job)
+    assert out[1]["clean_text"] == "short doc"
+    assert out[2]["clean_text"] == "short doc"
+
+
+def test_remove_duplicate_substrings_duckdb_parity(spark):
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    K, MIN_DOCS = 8, 2
+    got = DD.remove_duplicate_substrings(docs, window=K, min_docs=MIN_DOCS)
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, gs.s AS start,
+             md5(array_to_string(ws[gs.s+1 : gs.s+{K}], ' ')) AS gram_key
+      FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws)-{K})) AS s) gs
+    ), dup AS (
+      SELECT gram_key FROM g GROUP BY gram_key
+      HAVING count(DISTINCT doc_id) >= {MIN_DOCS}
+    ), ds AS (
+      SELECT g.doc_id, g.start FROM g JOIN dup USING (gram_key)
+    ), cov AS (
+      SELECT DISTINCT ds.doc_id, gs2.i AS idx
+      FROM ds, LATERAL (SELECT unnest(generate_series(ds.start, ds.start+{K}-1)) AS i) gs2
+    ), wi AS (
+      SELECT w.doc_id, ws[gs.i+1] AS word, gs.i AS idx
+      FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws)-1)) AS i) gs
+    ), kept AS (
+      SELECT wi.doc_id, wi.word, wi.idx
+      FROM wi LEFT JOIN cov ON wi.doc_id = cov.doc_id AND wi.idx = cov.idx
+      WHERE cov.idx IS NULL
+    ), spans AS (
+      SELECT doc_id, count(*) AS n_dup_windows FROM ds GROUP BY doc_id
+    ), agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS clean_text,
+             count(*) AS n_kept FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id AS id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_words,
+           CAST(coalesce(s.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+    FROM w LEFT JOIN agg a USING (doc_id) LEFT JOIN spans s USING (doc_id)
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+    assert got.agg(F.sum("n_removed_words")).collect()[0][0] > 0
+
+
+def test_remove_duplicate_substrings_plan_no_cartesian(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = DD.remove_duplicate_substrings(docs, window=8, min_docs=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
