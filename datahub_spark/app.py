@@ -17,9 +17,11 @@ goroutine per entry — same observable cadence, simpler to test because
 
 from __future__ import annotations
 
+import json
 import logging
 import signal
 import threading
+from dataclasses import dataclass
 from datetime import datetime
 
 from datahub_spark import store as S
@@ -33,6 +35,53 @@ from datahub_spark.security import SecurityManager
 from datahub_spark.server import UdaServer
 
 import os
+
+
+def compute_store_statistics(store: "S.EntityStore") -> dict:
+    """Per-dataset storage statistics snapshot (the reference's
+    scheduled statistics updater walks every Badger key and caches
+    counts + key/value sizes under a meta key,
+    service/scheduler/statistics_update.go:43-99). The parquet analog
+    reads FOOTERS only — row counts and byte sizes per dataset come
+    from file metadata, no Spark job and no data scan, so the updater
+    stays cheap however large the store grows."""
+    import pyarrow.parquet as pq
+
+    out: dict = {"datasets": {}, "all": {"rows": 0, "bytes": 0, "files": 0}}
+    for ds in store.list_datasets():
+        part = os.path.join(store.log_dir, f"dataset={ds}")
+        rows = size = files = 0
+        try:
+            names = sorted(os.listdir(part))
+        except FileNotFoundError:
+            names = []
+        for fn in names:
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(part, fn)
+            size += os.path.getsize(path)
+            rows += pq.read_metadata(path).num_rows
+            files += 1
+        out["datasets"][ds] = {"rows": rows, "bytes": size, "files": files}
+        out["all"]["rows"] += rows
+        out["all"]["bytes"] += size
+        out["all"]["files"] += files
+    return out
+
+
+@dataclass
+class MaintenanceTask:
+    """One schedulable background task (service/scheduler/
+    schedulable.go): a named callable on a cron cadence, optionally run
+    immediately at instance start. ``last_result`` records the
+    success/failed state of the most recent run (RunResult shape)."""
+
+    name: str
+    spec: CronSpec
+    fn: object
+    immediate: bool = True
+    last_result: str | None = None
+    last_fired: datetime | None = None
 
 
 class DatahubInstance:
@@ -78,6 +127,15 @@ class DatahubInstance:
         self._backup_spec = (CronSpec.parse(config.backup_schedule)
                              if config.backup_location else None)
         self._backup_last: datetime | None = None
+        # background maintenance (service/scheduler/scheduler.go:21-22:
+        # statistics at 02:00, GC at 19:00, both immediate-run on start)
+        self.maintenance: list[MaintenanceTask] = [
+            MaintenanceTask("scheduled_stats_update",
+                            CronSpec.parse("0 2 * * *"),
+                            self._update_statistics),
+            MaintenanceTask("scheduled_gc", CronSpec.parse("0 19 * * *"),
+                            self.store.vacuum),
+        ]
         self._ticker: threading.Thread | None = None
         self._stop_evt = threading.Event()
         self.url: str | None = None
@@ -93,6 +151,9 @@ class DatahubInstance:
             if removed:
                 self.logger.info("startup GC removed %d orphans",
                                  len(removed))
+        for task in self.maintenance:
+            if task.immediate:
+                self._run_maintenance(task, datetime.now())
         self.url = self.server.start()
         self._stop_evt.clear()
         self._ticker = threading.Thread(target=self._clock_loop,
@@ -126,7 +187,35 @@ class DatahubInstance:
                 self._backup_last = minute
                 self.store.backup(self.config.backup_location)
                 self.metrics.count("backup.runs", 1)
+        minute = now.replace(second=0, microsecond=0)
+        for task in self.maintenance:
+            if task.spec.matches(now) and task.last_fired != minute:
+                self._run_maintenance(task, now)
         return results
+
+    def _run_maintenance(self, task: MaintenanceTask, now: datetime) -> None:
+        task.last_fired = now.replace(second=0, microsecond=0)
+        try:
+            task.fn()
+            task.last_result = "success"
+        except Exception:
+            task.last_result = "failed"
+            self.logger.exception("maintenance task %s failed", task.name)
+        self.metrics.count("maintenance.runs", 1,
+                           {"task": task.name,
+                            "state": task.last_result})
+
+    def _update_statistics(self) -> None:
+        """Refresh the cached statistics snapshot (the reference caches
+        the walk's output under a store meta key and serves it from
+        there; here it lands as ``statistics.json`` in the store
+        root)."""
+        snap = compute_store_statistics(self.store)
+        path = os.path.join(self.store.root, "statistics.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, path)
 
     def _clock_loop(self) -> None:
         while not self._stop_evt.wait(timeout=1.0):

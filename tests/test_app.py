@@ -196,3 +196,43 @@ def test_main_help(capsys):
     from datahub_spark.__main__ import main
     assert main(["--help"]) == 0
     assert "usage" in capsys.readouterr().out
+
+
+def test_maintenance_tasks_fire_on_schedule_and_start(spark, tmp_path):
+    from datahub_spark.app import compute_store_statistics
+    cfg = Config(store_location=str(tmp_path / "hub"), port=0,
+                 gc_on_startup=False)
+    inst = DatahubInstance(cfg, spark=spark)
+    df = spark.createDataFrame(
+        [("e:1", None, 0, False, {"p:a": "1"}, None, None),
+         ("e:2", None, 1, False, {"p:a": "2"}, None, None)],
+        SCRIPT_OUTPUT_SCHEMA).drop("dataset")
+    inst.store.store_entities("people", df)
+
+    # the stats updater fires at 02:00 (scheduler.go:21), gc at 19:00
+    stats_path = os.path.join(inst.store.root, "statistics.json")
+    inst.tick(datetime(2026, 8, 14, 2, 0, 10))
+    assert os.path.exists(stats_path)
+    with open(stats_path) as f:
+        snap = json.load(f)
+    assert snap["datasets"]["people"]["rows"] == 2
+    assert snap["datasets"]["people"]["bytes"] > 0
+    assert snap["all"]["rows"] == 2
+    # same minute: not re-run; 19:00: gc task fires and succeeds
+    os.remove(stats_path)
+    inst.tick(datetime(2026, 8, 14, 2, 0, 50))
+    assert not os.path.exists(stats_path)
+    inst.tick(datetime(2026, 8, 14, 19, 0, 0))
+    gc_task = [t for t in inst.maintenance if t.name == "scheduled_gc"][0]
+    assert gc_task.last_result == "success"
+
+    # immediate-run on start (ImmediateRun, scheduler.go:26-31)
+    url = inst.start()
+    try:
+        assert os.path.exists(stats_path)
+    finally:
+        inst.stop()
+
+    # snapshot helper is footer-only and exact
+    snap2 = compute_store_statistics(inst.store)
+    assert snap2["datasets"]["people"]["files"] >= 1
