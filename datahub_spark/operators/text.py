@@ -356,3 +356,72 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text",
                      .alias("kept_segments"),
                     F.coalesce("dropped_segments", F.lit(0)).cast("long")
                      .alias("dropped_segments")))
+
+
+def sample_to_token_budget(df: DataFrame, strata_col: str,
+                           budgets: dict[str, int],
+                           id_col: str = "doc_id",
+                           text_col: str = "text", seed: int = 42,
+                           default_rate: float = 0.0) -> DataFrame:
+    """Corpus mixing against per-domain TOKEN budgets (the knob LLM
+    data recipes are actually written in — "300B web tokens, 50B code
+    tokens" — rather than keep fractions): measure each stratum's total
+    whitespace-token count, derive keep_rate = min(1, budget / total),
+    and apply the deterministic hash-keyed keep from
+    ``stratified_sample``. Two stages:
+      1. one narrow groupBy(strata).sum(tokens) aggregate, collected to
+         the driver — bounded by the number of strata (domains), never
+         by corpus size;
+      2. the same fully map-side filter as stratified_sample —
+         reproducible, stable under corpus growth, no shuffle of data.
+    Kept token mass per stratum converges to the budget with sampling
+    variance O(sqrt(N_docs)); exact-budget packing would need a
+    sequential knapsack and is deliberately out of scope. Strata
+    without a budget entry use ``default_rate``."""
+    totals = {
+        r["s"]: r["t"]
+        for r in (df.groupBy(F.col(strata_col).alias("s"))
+                  .agg(F.sum(token_count_whitespace(F.col(text_col)))
+                       .alias("t"))
+                  .collect())
+    }
+    rates = {
+        stratum: min(1.0, float(budget) / float(totals[stratum]))
+        for stratum, budget in budgets.items()
+        if totals.get(stratum)
+    }
+    return stratified_sample(df, strata_col, rates, id_col=id_col,
+                             seed=seed, default_rate=default_rate)
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, stride: int | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Context-window chunking for training prep: split each document
+    into windows of ``max_tokens`` words starting every ``stride``
+    words (stride < max_tokens ⇒ overlapping windows, the standard
+    sliding-window tokenizer prep; default stride = max_tokens ⇒
+    disjoint). Emits ``(id, chunk_id, chunk_text, n_tokens)`` with
+    chunk_id numbering windows in order. Pure array built-ins — the
+    explode is linear in output tokens, fully map-side, no shuffle."""
+    stride = int(max_tokens if stride is None else stride)
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("chunk_documents: max_tokens and stride must be > 0")
+    w = words(F.col(text_col))
+    # windows start at 0, stride, 2*stride ... while start < n_words
+    n_chunks = F.greatest(
+        F.ceil((F.size(w) - F.lit(max_tokens)) / F.lit(stride) + 1),
+        F.lit(1)).cast("int")
+    starts = F.when(F.size(w) > 0,
+                    F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                                lambda i: i * F.lit(stride))) \
+             .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.slice(w, s + 1, int(max_tokens)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(chunks).alias("chunk_id", "_cw"))
+            .filter(F.trim(F.array_join("_cw", " ")) != "")
+            .select("id", "chunk_id",
+                    F.array_join("_cw", " ").alias("chunk_text"),
+                    F.size("_cw").cast("long").alias("n_tokens")))

@@ -238,3 +238,85 @@ def test_remove_boilerplate_plan_blocklist_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # blocklist side broadcast
+
+
+# -- token-budget mixing + context-window chunking ------------------------
+
+
+def test_sample_to_token_budget_rates_derived_from_totals(spark):
+    # web: 4 docs x 5 tokens = 20; code: 2 docs x 5 tokens = 10
+    rows = [(i, "w1 w2 w3 w4 w5", "web") for i in range(4)] + \
+           [(i + 10, "c1 c2 c3 c4 c5", "code") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # budget 10 web tokens of 20 -> rate 0.5; code budget >= total -> keep all
+    out = TX.sample_to_token_budget(df, "source",
+                                    {"web": 10, "code": 100}, seed=7)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    assert {d for d, s in got if s == "code"} == {10, 11}
+    # the web half is whatever the deterministic hash keep selects —
+    # assert exact agreement with stratified_sample at the derived rate
+    expect = {r["doc_id"] for r in TX.stratified_sample(
+        df.filter("source = 'web'"), "source", {"web": 0.5},
+        seed=7).collect()}
+    assert {d for d, s in got if s == "web"} == expect
+    # unbudgeted strata drop by default
+    df2 = df.withColumn("source",
+                        F.when(F.col("doc_id") == 0, "misc")
+                        .otherwise(F.col("source")))
+    out2 = TX.sample_to_token_budget(df2, "source", {"code": 100}, seed=7)
+    assert {r["source"] for r in out2.collect()} == {"code"}
+
+
+def test_sample_to_token_budget_is_reproducible(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = TX.sample_to_token_budget(docs, "source", {"src0": 500, "src1": 200})
+    b = TX.sample_to_token_budget(docs, "source", {"src0": 500, "src1": 200})
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())
+    assert len(ra) > 0
+
+
+def test_chunk_documents_disjoint_and_overlapping(spark):
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(1, 11)))])  # 10 words
+    disjoint = {(r["chunk_id"], r["chunk_text"], r["n_tokens"])
+                for r in TX.chunk_documents(df, max_tokens=4).collect()}
+    assert disjoint == {
+        (0, "t1 t2 t3 t4", 4), (1, "t5 t6 t7 t8", 4), (2, "t9 t10", 2)}
+    sliding = {(r["chunk_id"], r["chunk_text"])
+               for r in TX.chunk_documents(df, max_tokens=4,
+                                           stride=2).collect()}
+    assert sliding == {
+        (0, "t1 t2 t3 t4"), (1, "t3 t4 t5 t6"), (2, "t5 t6 t7 t8"),
+        (3, "t7 t8 t9 t10")}
+
+
+def test_chunk_documents_short_and_empty(spark):
+    df = _docs(spark, [(1, "only three words"), (2, "   ")])
+    out = TX.chunk_documents(df, max_tokens=8).collect()
+    assert [(r["id"], r["chunk_id"], r["chunk_text"]) for r in out] == \
+        [(1, 0, "only three words")]
+
+
+def test_chunk_documents_duckdb_parity(spark):
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    K, STRIDE = 32, 24
+    got = TX.chunk_documents(docs, max_tokens=K, stride=STRIDE)
+    sql = f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, gs.i AS chunk_id,
+             array_to_string(ws[gs.i*{STRIDE}+1 : gs.i*{STRIDE}+{K}], ' ') AS chunk_text,
+             len(ws[gs.i*{STRIDE}+1 : gs.i*{STRIDE}+{K}]) AS n_tokens
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+            greatest(CAST(ceil((len(ws) - {K}) / CAST({STRIDE} AS double) + 1) AS int), 1) - 1)) AS i) gs
+    )
+    SELECT doc_id AS id, chunk_id, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE trim(chunk_text) != ''
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
