@@ -197,3 +197,31 @@ def stream_to_store(stream_df: DataFrame, store, dataset: str,
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+def stream_dedup_exact(stream_df: DataFrame, ts_micros_col: str,
+                       text_col: str = "text",
+                       watermark: str = "1 hour",
+                       digest_col: str = "_digest") -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST occurrence of each
+    normalized-content digest, forgetting digests once the watermark
+    passes — the streaming twin of operators.dedup.dedup_exact, for
+    ingest-time dedup of a document feed (near-identical re-crawls,
+    repeated webhook posts) before anything lands in the corpus.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the md5
+    digest and evicts entries older than the watermark, so state is
+    bounded by the feed's rate x watermark horizon, not by stream
+    lifetime — the only shape that survives an unbounded 100 TB-scale
+    feed (a plain dropDuplicates would accrete state forever). A
+    duplicate arriving AFTER the watermark expired its key is
+    re-admitted by design; global history-wide dedup is the batch
+    operator's job downstream."""
+    from datahub_spark.operators.text import normalize
+
+    return (stream_df
+            .withColumn("_ts", F.timestamp_micros(F.col(ts_micros_col)))
+            .withColumn(digest_col, F.md5(normalize(F.col(text_col))))
+            .withWatermark("_ts", watermark)
+            .dropDuplicatesWithinWatermark([digest_col])
+            .drop("_ts"))

@@ -175,3 +175,29 @@ def test_watermark_discards_late_data_across_triggers(spark, tmp_path):
     # across ALL emissions — the late event never appeared anywhere
     write([(6, 6 * HOUR, "a")])
     assert drain() == {(0, "a"): 1, (1, "a"): 1, (2, "a"): 1, (3, "a"): 1}
+
+
+def test_stream_dedup_exact_keeps_first_within_watermark(spark, tmp_path):
+    path = str(tmp_path / "feed")
+    # same normalized content arrives three times (docs 1, 2, 4);
+    # doc 3 is unique. All within one watermark horizon.
+    rows = [
+        (1, 1_000_000, "Hello   World"),
+        (2, 2_000_000, "hello world"),
+        (3, 3_000_000, "something else"),
+        (4, 4_000_000, "  HELLO WORLD  "),
+    ]
+    spark.createDataFrame(rows, "doc_id long, us long, text string") \
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    out = ST.run_available_now(
+        ST.stream_dedup_exact(stream, "us"), output_mode="append")
+    got = sorted((r["doc_id"], r["_digest"]) for r in out.collect())
+    # exactly one survivor per digest; the unique doc survives too
+    assert len(got) == 2
+    assert {d for _, d in got} == {
+        r["_digest"] for r in out.select("_digest").distinct().collect()}
+    surviving_ids = {i for i, _ in got}
+    assert 3 in surviving_ids
+    assert len(surviving_ids & {1, 2, 4}) == 1
