@@ -425,3 +425,76 @@ def chunk_documents(df: DataFrame, max_tokens: int, stride: int | None = None,
             .select("id", "chunk_id",
                     F.array_join("_cw", " ").alias("chunk_text"),
                     F.size("_cw").cast("long").alias("n_tokens")))
+
+
+def build_vocabulary(df: DataFrame, text_col: str = "text",
+                     top_k: int | None = None,
+                     min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: ``(token, count, rank)`` by descending
+    frequency (rank 1 = most frequent; ties break lexicographically for
+    determinism) — the tokenizer-training / frequency-analysis
+    primitive. One explode (linear in corpus tokens) + one narrow
+    HashAggregate with map-side partials; ``top_k``/``min_count`` bound
+    the result so it stays broadcastable downstream."""
+    counts = (df.select(F.explode(words(F.col(text_col))).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).cast("long").alias("count"))
+              .filter(F.col("count") >= int(min_count)))
+    from pyspark.sql import Window
+    if top_k is not None:
+        # orderBy().limit() compiles to TakeOrderedAndProject — a
+        # distributed partial top-k, never a full sort of the count
+        # table; only the top_k survivors see the rank window
+        counts = counts.orderBy(F.desc("count"), F.asc("token")) \
+                       .limit(int(top_k))
+    # without top_k this window IS a global sort of the vocabulary —
+    # acceptable for bounded vocabularies, bound it with top_k otherwise
+    return counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("count"), F.asc("token"))).cast("long"))
+
+
+def corpus_frequency_features(df: DataFrame, vocab: DataFrame | None = None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              rare_threshold: int = 2) -> DataFrame:
+    """Corpus-trained rarity scoring — the integer-exact core of a
+    CCNet-style LM quality filter: documents made of tokens the corpus
+    itself considers rare (OCR garbage, gibberish, boilerplate hashes)
+    score low; typical prose scores high. Per document:
+    ``(id, n_tokens, sum_freq, mean_freq_e4, rare_ratio_e4)`` where
+    sum_freq sums each token's corpus count, mean_freq_e4 is the e4
+    fixed-point round-half-up mean, and rare_ratio_e4 the e4 fraction
+    of tokens with count <= rare_threshold (out-of-vocabulary counts as
+    0). All integer arithmetic — engine-portable and oracle-exact,
+    deliberately avoiding float log-probs whose last-ulp behavior
+    differs across engines.
+
+    Scale shape: with a bounded ``vocab`` (build_vocabulary top_k) the
+    frequency lookup is a BROADCAST left join — the big side never
+    shuffles for it; the only corpus-wide shuffle is the per-doc
+    groupBy. Without a vocab the full count table is computed and
+    joined by token (two keyed shuffles, still linear)."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(words(F.col(text_col))).alias("token")) \
+             .filter(F.col("token") != "")
+    if vocab is None:
+        vocab_df = (toks.groupBy("token")
+                    .agg(F.count(F.lit(1)).cast("long").alias("count")))
+        joined = toks.join(vocab_df, "token", "left")
+    else:
+        joined = toks.join(F.broadcast(vocab.select("token", "count")),
+                           "token", "left")
+    joined = joined.withColumn("count",
+                               F.coalesce("count", F.lit(0).cast("long")))
+    agg = (joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("count").cast("long").alias("sum_freq"),
+        F.sum(F.when(F.col("count") <= int(rare_threshold), 1)
+              .otherwise(0)).cast("long").alias("_n_rare")))
+    return agg.selectExpr(
+        "id", "n_tokens", "sum_freq",
+        "(20000 * sum_freq + n_tokens) div (2 * n_tokens) as mean_freq_e4",
+        "(20000 * _n_rare + n_tokens) div (2 * n_tokens) as rare_ratio_e4")

@@ -320,3 +320,75 @@ def test_chunk_documents_duckdb_parity(spark):
     """
     ok, msg = compare(got, sql, sf)
     assert ok, msg
+
+
+# -- vocabulary + corpus-frequency (rarity) scoring ------------------------
+
+
+def test_build_vocabulary_counts_and_rank(spark):
+    df = _docs(spark, [(1, "a a a b b c"), (2, "a b x")])
+    vocab = {r["token"]: (r["count"], r["rank"])
+             for r in TX.build_vocabulary(df).collect()}
+    assert vocab == {"a": (4, 1), "b": (3, 2), "c": (1, 3), "x": (1, 4)}
+    top2 = [r["token"] for r in
+            TX.build_vocabulary(df, top_k=2).orderBy("rank").collect()]
+    assert top2 == ["a", "b"]
+    assert [r["token"] for r in
+            TX.build_vocabulary(df, min_count=3).orderBy("rank").collect()] \
+        == ["a", "b"]
+
+
+def test_corpus_frequency_features_exact(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "a c")])
+    # corpus counts: a=3, b=1, c=1
+    out = {r["id"]: r for r in
+           TX.corpus_frequency_features(df, rare_threshold=1).collect()}
+    # doc 1: freqs [3,3,1] sum=7 mean=7/3=2.3333->23333 rare 1/3->3333
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["sum_freq"] == 7
+    assert out[1]["mean_freq_e4"] == 23333
+    assert out[1]["rare_ratio_e4"] == 3333
+    # doc 2: freqs [3,1] sum=4 mean 2.0 rare 1/2
+    assert out[2]["mean_freq_e4"] == 20000
+    assert out[2]["rare_ratio_e4"] == 5000
+
+
+def test_corpus_frequency_with_bounded_vocab_broadcast(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "a z")])
+    vocab = TX.build_vocabulary(df, top_k=2)  # a, b only; z is OOV
+    got = {r["id"]: r for r in
+           TX.corpus_frequency_features(df, vocab=vocab,
+                                        rare_threshold=0).collect()}
+    # doc 2: a=3, z OOV->0; rare (<=0) = 1 of 2
+    assert got[2]["sum_freq"] == 3
+    assert got[2]["rare_ratio_e4"] == 5000
+    plan = TX.corpus_frequency_features(df, vocab=vocab) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_frequency_duckdb_parity(spark):
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = TX.corpus_frequency_features(docs, rare_threshold=2)
+    sql = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), t AS (SELECT doc_id, token FROM toks WHERE token != ''),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+    j AS (SELECT t.doc_id, counts.cnt FROM t JOIN counts USING (token)),
+    agg AS (
+      SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt) AS BIGINT) AS sum_freq,
+             CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM j GROUP BY doc_id
+    )
+    SELECT id, n_tokens, sum_freq,
+           (20000 * sum_freq + n_tokens) // (2 * n_tokens) AS mean_freq_e4,
+           (20000 * n_rare + n_tokens) // (2 * n_tokens) AS rare_ratio_e4
+    FROM agg
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
