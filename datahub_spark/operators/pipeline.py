@@ -1,0 +1,120 @@
+"""End-to-end corpus cleaning pipeline: the canonical composition of
+the verified operators, in the order production training-data pipelines
+apply them (C4/Pile/CCNet-style):
+
+  1. boilerplate removal   (cross-doc repeated segments cut)
+  2. exact-substring span removal (cross-doc duplicated spans cut)
+  3. quality floor         (drop low-scoring documents)
+  4. exact dedup           (keep one copy per content digest)
+  5. near-dup cluster keeper (MinHash+LSH -> connected components ->
+                              keep each cluster's min-id representative)
+  6. benchmark decontamination (drop eval-overlapping documents)
+  7. token-budget mixing   (per-domain deterministic downsampling)
+
+Every stage is optional and independently tested elsewhere; this module
+only owns the composition and the stage accounting. The whole pipeline
+stays lazy — one DataFrame in, one out — so Catalyst sees a single
+plan; ``with_counts=True`` additionally materializes per-stage
+survivor counts (one count() action per enabled stage, for audit runs,
+not production).
+
+Requires the corpus id column to be named ``doc_id`` (the quality and
+dedup operators' contract, matching the documents table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datahub_spark.operators import dedup as DD
+from datahub_spark.operators import text as TX
+
+
+def _replace_text(cur: DataFrame, rewritten: DataFrame, id_col: str,
+                  text_col: str, out_id: str, out_text: str) -> DataFrame:
+    """Swap the text column for a rewrite stage's output, preserving
+    every other column; documents rewritten to empty are dropped."""
+    rw = rewritten.select(F.col(out_id).alias(id_col),
+                          F.col(out_text).alias(text_col))
+    return (cur.drop(text_col).join(rw, id_col)
+            .filter(F.trim(F.col(text_col)) != ""))
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 boilerplate: dict | None = None,
+                 span_dedup: dict | None = None,
+                 quality_floor_centi: int | None = None,
+                 near_dup: dict | None = None,
+                 benchmark: DataFrame | None = None,
+                 decontaminate_n: int = 8,
+                 budgets: dict | None = None,
+                 strata_col: str = "source",
+                 seed: int = 42,
+                 with_counts: bool = False):
+    """Run the enabled stages in canonical order; returns the cleaned
+    DataFrame (same columns as the input), or ``(df, counts)`` with
+    ``with_counts=True`` where counts maps stage name -> surviving
+    document count after that stage.
+
+    Stage parameters pass through to the underlying operators:
+    ``boilerplate={"delimiter": "\\n", "min_docs": 3}`` or
+    ``{"window": 20, ...}``; ``span_dedup={"window": 16, "min_docs":
+    2}``; ``near_dup={"k": 12, "n": 3, "bands": 4, "rows_per_band":
+    3}``; ``budgets={"web": 10_000_000, ...}`` over ``strata_col``."""
+    counts: dict[str, int] = {}
+    cur = df
+
+    def note(stage: str) -> None:
+        if with_counts:
+            counts[stage] = cur.count()
+
+    if boilerplate is not None:
+        rw = TX.remove_boilerplate(cur, text_col, id_col, **boilerplate)
+        cur = _replace_text(cur, rw, id_col, text_col, id_col, "clean_text")
+        note("boilerplate")
+    if span_dedup is not None:
+        rw = DD.remove_duplicate_substrings(
+            cur, id_col=id_col, text_col=text_col, **span_dedup)
+        cur = _replace_text(cur, rw, id_col, text_col, "id", "clean_text")
+        note("span_dedup")
+    if quality_floor_centi is not None:
+        scored = TX.quality_features(cur, text_col) \
+            .filter(F.col("quality_score_centi") >= int(quality_floor_centi)) \
+            .select(id_col)
+        cur = cur.join(scored, id_col)
+        note("quality_floor")
+    # exact dedup always precedes near-dup when either dedup runs:
+    # identical copies would otherwise bloat LSH buckets for nothing
+    if near_dup is not None:
+        keepers = DD.dedup_exact(cur, text_col, id_col) \
+            .select(F.col("keeper").alias(id_col))
+        cur = cur.join(keepers, id_col)
+        note("exact_dedup")
+        sig = DD.minhash_signature(
+            cur, k=near_dup.get("k", 12), n=near_dup.get("n", 3),
+            text_col=text_col, id_col=id_col)
+        pairs = DD.lsh_candidates(
+            sig, bands=near_dup.get("bands", 4),
+            rows_per_band=near_dup.get("rows_per_band", 3), id_col=id_col)
+        labels = DD.connected_components(pairs)
+        # min-label CC: the component label IS the cluster's min id, so
+        # non-representatives are exactly the rows where label != id
+        losers = labels.filter(F.col("component") != F.col("id")) \
+            .select(F.col("id").alias(id_col))
+        cur = cur.join(losers, id_col, "left_anti")
+        note("near_dup")
+    if benchmark is not None:
+        flags = DD.decontaminate(cur, benchmark, n=decontaminate_n,
+                                 id_col=id_col, text_col=text_col)
+        clean_ids = flags.filter(~F.col("contaminated")) \
+            .select(F.col("id").alias(id_col))
+        cur = cur.join(clean_ids, id_col)
+        note("decontaminate")
+    if budgets is not None:
+        cur = TX.sample_to_token_budget(
+            cur, strata_col, budgets, id_col=id_col, text_col=text_col,
+            seed=seed)
+        note("token_budget")
+    return (cur, counts) if with_counts else cur

@@ -1,0 +1,89 @@
+"""clean_corpus (operators/pipeline.py): the canonical stage
+composition over verified pieces — ordering, column preservation,
+stage accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datahub_spark.operators import pipeline as P
+
+
+def test_clean_corpus_stages_compose(spark):
+    banner = "accept all cookies now ok"
+    eval_text = "the secret benchmark question about turtles and rivers"
+    rows = [
+        # near-identical pair (minhash near-dup): keep min id
+        (1, f"{banner}\nquick brown fox jumps over the lazy dog today", "web"),
+        (2, f"{banner}\nquick brown fox jumps over the lazy dog tonight", "web"),
+        # exact duplicate of 4 (after normalization): keep 4.
+        # NOTE deliberately below the min_docs=3 boilerplate threshold:
+        # a 2-copy whole-document duplicate at min_docs=2 would be
+        # consumed by the boilerplate stage as a cross-doc repeated
+        # segment (correctly — which is why real pipelines set the
+        # boilerplate threshold above the plain-duplicate multiplicity)
+        (4, "Some Decent Content with many useful words appearing here", "web"),
+        (5, "some decent content with many useful words appearing here", "web"),
+        # contaminated: shares an 8-gram with the benchmark; also
+        # carries the banner so it reaches the min_docs=3 threshold
+        (6, f"{banner}\nfiller text {eval_text} more filler text", "web"),
+        # clean unique survivor
+        (7, "another long and reasonably unique document body text", "wiki"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+
+    out, counts = P.clean_corpus(
+        df,
+        boilerplate={"delimiter": "\n", "min_docs": 3},
+        near_dup={"k": 12, "n": 3, "bands": 4, "rows_per_band": 3},
+        benchmark=bench,
+        with_counts=True,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 1/2 near-dups -> keeper 1; 4/5 exact -> keeper 4; 6 contaminated out
+    assert set(got) == {1, 4, 7}
+    # the banner was cut before dedup; other columns preserved
+    assert "cookies" not in got[1]["text"]
+    assert got[1]["source"] == "web"
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    # stage accounting
+    assert counts["boilerplate"] == 6
+    assert counts["exact_dedup"] == 5
+    assert counts["near_dup"] == 4
+    assert counts["decontaminate"] == 3
+
+
+def test_clean_corpus_lazy_and_stageless_is_identity(spark):
+    df = spark.createDataFrame([(1, "a b c", "s")],
+                               "doc_id long, text string, source string")
+    out = P.clean_corpus(df)
+    assert out is df  # no stages enabled -> the input plan, untouched
+
+
+def test_clean_corpus_quality_and_budget(spark):
+    rows = [(i, "the data value is good and it has the tokens " * 3, "web")
+            for i in range(40)] + \
+           [(100, "x", "web")]  # one-token junk: fails the floor
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, counts = P.clean_corpus(
+        df, quality_floor_centi=4000,
+        budgets={"web": 200}, with_counts=True)
+    assert counts["quality_floor"] == 40
+    # budget 200 of 40*30=1200 tokens -> ~1/6 keep rate
+    assert 0 < counts["token_budget"] < 20
+    assert 100 not in {r["doc_id"] for r in out.collect()}
+
+
+def test_clean_corpus_runs_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out, counts = P.clean_corpus(
+        docs,
+        span_dedup={"window": 8, "min_docs": 2},
+        quality_floor_centi=1000,
+        near_dup={},
+        with_counts=True)
+    assert counts["span_dedup"] > 0
+    assert counts["near_dup"] <= counts["exact_dedup"] <= counts["quality_floor"]
+    assert out.count() == counts["near_dup"]
+    assert set(out.columns) == set(docs.columns)
