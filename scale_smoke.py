@@ -81,7 +81,11 @@ def main() -> None:
         F.concat_ws(
             " ", tok("alpha"), tok("bravo"), tok("charlie"), tok("delta"),
             tok("echo"), tok("foxtrot"), tok("golf"),
-            F.concat(F.lit("variant"), (F.col("id") % 5).cast("string")),
+            # the quotient, NOT id % 5: 5 divides 200k, so id % 5 would
+            # be determined by the template id and all "variants" of a
+            # template would be identical
+            F.concat(F.lit("variant"),
+                     ((F.col("id") / 200_000).cast("long") % 5).cast("string")),
         ).alias("text"),
     )
     t0 = time.monotonic()
@@ -91,9 +95,30 @@ def main() -> None:
     n_keepers = comp.filter(F.col("component") == F.col("id")).count()
     timings["minhash_lsh_cc_1m_docs"] = round(time.monotonic() - t0, 2)
 
+    # r7 text-rewrite operators at the same 1M-doc volume. The 5
+    # variants of a template share their first 7 tokens, so with
+    # window=4: every 4-gram window starting at 0..3 is duplicated
+    # across 5 docs (span removal cuts words 0..6 of every doc), while
+    # the window containing the variant token is unique and survives.
+    from datahub_spark.operators import text as TX
+
+    t0 = time.monotonic()
+    spans = DD.remove_duplicate_substrings(docs, window=4, min_docs=2)
+    n_removed = spans.agg(F.sum("n_removed_words")).collect()[0][0]
+    timings["span_dedup_1m_docs"] = round(time.monotonic() - t0, 2)
+    assert n_removed == 7 * n_docs, n_removed
+
+    t0 = time.monotonic()
+    bp = TX.remove_boilerplate(docs, window=4, min_docs=2)
+    n_dropped_segs = bp.agg(F.sum("dropped_segments")).collect()[0][0]
+    timings["boilerplate_1m_docs"] = round(time.monotonic() - t0, 2)
+    assert n_dropped_segs == n_docs, n_dropped_segs  # segment [0..3] per doc
+
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
-                 "dup_cluster_keepers": n_keepers},
+                 "dup_cluster_keepers": n_keepers,
+                 "span_words_removed": int(n_removed),
+                 "boilerplate_segments_dropped": int(n_dropped_segs)},
         "sec": timings,
         "n_versions": n_versions,
         "n_docs": n_docs,
