@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from datahub_spark.operators import similarity as SIM
 
@@ -88,3 +89,43 @@ def test_ivf_recall_reasonable_with_full_probe(spark):
     a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
     e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
     assert a == e
+
+
+def test_quantize_roundtrip_bounds_error_and_preserves_ranking(spark):
+    import math
+    from datahub_spark.operators import similarity as SIM
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = SIM.quantize_embeddings(emb)
+    back = SIM.dequantize_embeddings(q, out_col="vec2")
+    rows = back.select("vec_id", "embedding", "vec2", "q_scale").collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        s = r["q_scale"]
+        for a, b in zip(r["embedding"], r["vec2"]):
+            assert abs(a - b) <= s / 2 + 1e-6
+    # int8 payload is 4x smaller per element and within range
+    qr = q.select(F.explode("q").alias("e")).agg(
+        F.min("e").alias("lo"), F.max("e").alias("hi")).collect()[0]
+    assert -127 <= qr["lo"] and qr["hi"] <= 127
+    # cosine ranking survives: top-5 neighbors of vector 0 overlap >= 4/5
+    import numpy as np
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    deq = {r["vec_id"]: np.array(r["vec2"], dtype=float) for r in rows}
+
+    def topk(vecs, qid, k=5):
+        qv = vecs[qid]
+        scored = sorted(
+            ((np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v) + 1e-12), i)
+             for i, v in vecs.items() if i != qid), reverse=True)
+        return {i for _, i in scored[:k]}
+    qid = rows[0]["vec_id"]
+    assert len(topk(orig, qid) & topk(deq, qid)) >= 4
+
+
+def test_quantize_zero_vector_guarded(spark):
+    from datahub_spark.operators import similarity as SIM
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+                               "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in SIM.quantize_embeddings(df).collect()}
+    assert out[1]["q_scale"] == 0.0 and out[1]["q"] == [0, 0, 0]
+    assert out[2]["q"][1] == -127  # max-abs element hits the rail
