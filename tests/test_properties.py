@@ -144,3 +144,109 @@ def test_script_identity_roundtrips_arbitrary_entities(spark, rows):
         assert (row["recorded"], row["seq"], row["deleted"]) == (r, s, d)
         assert (row["props"] or {}) == (p or {})
         assert (row["refs"] or {}) == ({k: list(v) for k, v in f.items()} if f else {})
+
+
+# -- text-rewrite invariants (r7 operators) vs a pure-python model --------
+
+word = st.sampled_from([f"w{i}" for i in range(8)])
+doc_strategy = st.lists(word, min_size=0, max_size=14)
+
+
+def _model_span_removal(docs: dict, window: int, min_docs: int):
+    """Pure-python remove_duplicate_substrings."""
+    grams: dict[tuple, set] = {}
+    for did, ws in docs.items():
+        for s in range(max(0, len(ws) - window + 1)):
+            grams.setdefault(tuple(ws[s:s + window]), set()).add(did)
+    dup = {g for g, ids in grams.items() if len(ids) >= min_docs}
+    out = {}
+    for did, ws in docs.items():
+        covered = set()
+        starts = [s for s in range(max(0, len(ws) - window + 1))
+                  if tuple(ws[s:s + window]) in dup]
+        for s in starts:
+            covered.update(range(s, s + window))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[did] = (" ".join(kept), len(ws), len(ws) - len(kept), len(starts))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_strategy, min_size=1, max_size=8))
+def test_span_removal_matches_python_model(spark, docs_words):
+    from datahub_spark.operators import dedup as DD
+    docs = {i: ws for i, ws in enumerate(docs_words)}
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "doc_id long, text string")
+    got = {r["id"]: (r["clean_text"], r["n_words"], r["n_removed_words"],
+                     r["n_dup_windows"])
+           for r in DD.remove_duplicate_substrings(
+               df, window=3, min_docs=2).collect()}
+    # split('') on empty normalized text yields [''] — the operator's
+    # n_words for an empty doc is 1 (one empty token); align the model
+    model = {}
+    for did, (ct, nw, nr, nd) in _model_span_removal(docs, 3, 2).items():
+        model[did] = (ct, max(nw, 1), nr, nd)
+    assert got == model
+
+
+def _model_boilerplate(docs: dict, window: int, min_docs: int):
+    segs: dict[tuple, set] = {}
+    per_doc: dict[int, list] = {}
+    for did, ws in docs.items():
+        chunks = [tuple(ws[i:i + window])
+                  for i in range(0, len(ws), window)]
+        chunks = [c for c in chunks if c]
+        per_doc[did] = chunks
+        for c in chunks:
+            segs.setdefault(c, set()).add(did)
+    blocked = {c for c, ids in segs.items() if len(ids) >= min_docs}
+    out = {}
+    for did, chunks in per_doc.items():
+        kept = [" ".join(c) for c in chunks if c not in blocked]
+        n_drop = sum(1 for c in chunks if c in blocked)
+        out[did] = (" ".join(kept), len(chunks) - n_drop, n_drop)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_strategy, min_size=1, max_size=8))
+def test_boilerplate_window_matches_python_model(spark, docs_words):
+    from datahub_spark.operators import text as TX
+    docs = {i: ws for i, ws in enumerate(docs_words)}
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs.items()],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["kept_segments"],
+                         r["dropped_segments"])
+           for r in TX.remove_boilerplate(df, window=3,
+                                          min_docs=2).collect()}
+    assert got == _model_boilerplate(docs, 3, 2)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_strategy, min_size=1, max_size=6), st.integers(1, 4),
+       st.integers(1, 4))
+def test_chunking_reassembles_to_normalized_text(spark, docs_words, k, stride):
+    from datahub_spark.operators import text as TX
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string")
+    out = TX.chunk_documents(df, max_tokens=k, stride=stride).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], {})[r["chunk_id"]] = r["chunk_text"]
+    for i, ws in enumerate(docs_words):
+        chunks = by_doc.get(i, {})
+        if not ws:
+            assert chunks == {}
+            continue
+        # disjoint-stride reassembly covers the doc exactly; general
+        # stride: every chunk is the right slice
+        for cid, ctext in chunks.items():
+            s = cid * stride
+            assert ctext == " ".join(ws[s:s + k])
+        if stride == k:
+            assert " ".join(
+                chunks[c] for c in sorted(chunks)) == " ".join(ws)
