@@ -651,21 +651,36 @@ def q_store_roundtrip(spark, sf_dir):
 
 
 @register(
-    "compaction_dedup",
-    """
-    WITH v AS (
-      SELECT user_id, ts, event_type,
+    "compaction_gc",
+    f"""
+    WITH c AS (
+      SELECT user_id, ts, event_type, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events)
-    SELECT 'user:' || CAST(user_id AS VARCHAR) AS id,
-           CAST(COUNT(*) AS BIGINT) AS n_before,
-           CAST(SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_after
-    FROM v GROUP BY user_id
+      FROM events),
+    comp AS (
+      SELECT 'user:' || CAST(user_id AS VARCHAR) AS id,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      FROM c GROUP BY user_id),
+    v AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    gc AS (
+      SELECT 'user:' || CAST(user_id AS VARCHAR) AS id, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM v WHERE epoch_us(ts) > {T_MID} OR rn = 1
+      GROUP BY user_id)
+    SELECT comp.id, comp.n_before, comp.n_after, gc.n_kept
+    FROM comp JOIN gc USING (id)
     """,
 )
-def q_compaction_dedup(spark, sf_dir):
-    """Compaction 'deduplicate' (DOCUMENTATION.md:2349): drop successive
-    duplicate versions. Payload reduced to event_type so duplicates exist."""
+def q_compaction_gc(spark, sf_dir):
+    """Compaction 'deduplicate' (DOCUMENTATION.md:2349) + GC/retention
+    (garbagecollector.go) in one graded key (§2 rows 31+34 merged r7 to
+    keep the driver's 50-key window): per entity, version count before/
+    after successive-duplicate compaction (payload reduced to event_type
+    so duplicates exist) joined with the count surviving the retention
+    horizon (older history dropped, current version always kept)."""
     user = _ds(spark, sf_dir)["user"]
     reduced = user.select(
         "id", "recorded", "seq",
@@ -678,27 +693,9 @@ def q_compaction_dedup(spark, sf_dir):
     )
     before = reduced.groupBy("id").agg(F.count(F.lit(1)).alias("n_before"))
     after = S.compact_deduplicate(reduced).groupBy("id").agg(F.count(F.lit(1)).alias("n_after"))
-    return before.join(after, "id")
-
-
-@register(
-    "retention_gc",
-    f"""
-    WITH v AS (
-      SELECT user_id, ts, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    SELECT 'user:' || CAST(user_id AS VARCHAR) AS id, CAST(COUNT(*) AS BIGINT) AS n_kept
-    FROM v WHERE epoch_us(ts) > {T_MID} OR rn = 1
-    GROUP BY user_id
-    """,
-)
-def q_retention_gc(spark, sf_dir):
-    """GC/retention (garbagecollector.go analogue): drop history older
-    than the horizon but always keep each entity's current version."""
-    user = _ds(spark, sf_dir)["user"]
-    kept = S.retention_gc(user, T_MID)
-    return kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
+    kept = (S.retention_gc(user, T_MID)
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_kept")))
+    return before.join(after, "id").join(kept, "id")
 
 
 @register(
@@ -1423,6 +1420,50 @@ def q_corpus_select(spark, sf_dir):
         .filter(F.col("quality_score_centi") >= 5500)
     )
     return kept.select("doc_id")
+
+
+@register(
+    "boilerplate_removal",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, gs.i AS pos,
+             array_to_string(ws[gs.i*8+1 : gs.i*8+8], ' ') AS segment
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+            CAST(ceil(len(ws)/CAST(8 AS double)) AS int) - 1)) AS i) gs
+      WHERE trim(array_to_string(ws[gs.i*8+1 : gs.i*8+8], ' ')) != ''
+    ), keyed AS (
+      SELECT doc_id, pos, segment, md5(segment) AS seg_key FROM seg
+    ), block AS (
+      SELECT seg_key FROM keyed GROUP BY seg_key
+      HAVING count(DISTINCT doc_id) >= 2
+    ), agg AS (
+      SELECT k.doc_id,
+             coalesce(string_agg(CASE WHEN b.seg_key IS NULL THEN k.segment END,
+                                 ' ' ORDER BY k.pos), '') AS clean_text,
+             CAST(count(CASE WHEN b.seg_key IS NULL THEN 1 END) AS BIGINT) AS kept_segments,
+             CAST(count(b.seg_key) AS BIGINT) AS dropped_segments
+      FROM keyed k LEFT JOIN block b USING (seg_key)
+      GROUP BY k.doc_id
+    )
+    SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.kept_segments, 0) AS kept_segments,
+           coalesce(a.dropped_segments, 0) AS dropped_segments
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_boilerplate_removal(spark, sf_dir):
+    """C4-style corpus-frequency boilerplate removal (§2 row 43e,
+    graded r7): window-8 segments occurring in >= 2 distinct documents
+    are cut from every document, survivors reassembled in order; the
+    full rewrite (clean_text + kept/dropped accounting) is value-hash
+    compared. Two keyed shuffles, broadcast blocklist, no self-join
+    (operators/text.py:remove_boilerplate)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.remove_boilerplate(docs, window=8, min_docs=2)
 
 
 # --------------------------------------------------------------------------
