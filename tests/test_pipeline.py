@@ -87,3 +87,23 @@ def test_clean_corpus_runs_on_documents_table(spark):
     assert counts["near_dup"] <= counts["exact_dedup"] <= counts["quality_floor"]
     assert out.count() == counts["near_dup"]
     assert set(out.columns) == set(docs.columns)
+
+
+def test_clean_then_export_end_to_end(spark, tmp_path):
+    """The full corpus story: clean (span dedup + quality floor +
+    near-dup keeper) then write reproducible training shards — the two
+    halves compose on the real documents table."""
+    import os
+    from datahub_spark.operators import export as EX
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cleaned = P.clean_corpus(
+        docs, span_dedup={"window": 8, "min_docs": 2},
+        quality_floor_centi=1000, near_dup={})
+    out = str(tmp_path / "shards")
+    manifest = EX.export_shards(cleaned, out, n_shards=4).collect()
+    n_cleaned = cleaned.count()
+    assert sum(r["n_docs"] for r in manifest) == n_cleaned > 0
+    written = spark.read.parquet(out)
+    assert written.select("doc_id").distinct().count() == n_cleaned
+    assert os.path.isdir(os.path.join(out, "shard=0"))
