@@ -182,14 +182,12 @@ class DatahubInstance:
         drives it with the wall clock."""
         results = self.scheduler.run_due(now, runner=self.runner)
         if self._backup_spec is not None:
-            minute = now.replace(second=0, microsecond=0)
-            if self._backup_spec.matches(now) and self._backup_last != minute:
-                self._backup_last = minute
+            if self._backup_spec.due(now, self._backup_last):
+                self._backup_last = now.replace(second=0, microsecond=0)
                 self.store.backup(self.config.backup_location)
                 self.metrics.count("backup.runs", 1)
-        minute = now.replace(second=0, microsecond=0)
         for task in self.maintenance:
-            if task.spec.matches(now) and task.last_fired != minute:
+            if task.spec.due(now, task.last_fired):
                 self._run_maintenance(task, now)
         return results
 

@@ -58,38 +58,14 @@ _DESCRIPTORS = {
 
 
 def _descriptor_to_fields(spec: str) -> str:
-    """robfig/cron ``@`` descriptors -> 5-field cron at this scheduler's
-    minute-tick resolution.
-
-    ``@every`` is approximated on the tick grid, which is coarser than
-    robfig's fixed-interval timer in two documented ways:
-
-    - sub-minute intervals clamp to every minute tick;
-    - intervals >= 1h round DOWN to whole hours (``@every 90m`` -> hourly)
-      and >= 24h to daily, and ``*/N`` cron semantics reset at hour/day
-      boundaries (``@every 7m`` fires :56 then :00, not :56 then :03).
-
-    Jobs needing exact robfig cadence should use an explicit 5-field spec;
-    the scheduler intentionally trades cadence fidelity for a pure
-    minute-tick evaluator with no persistent timer state.
-    """
-    import re as _re
-
+    """Named robfig/cron ``@`` descriptors -> 5-field grid cron.
+    (``@every`` is NOT handled here: it is a fixed-interval timer, kept
+    as CronSpec.interval_minutes and evaluated via CronSpec.due —
+    sub-minute intervals clamp to this scheduler's 1-minute tick, the
+    only remaining approximation.)"""
     if spec in _DESCRIPTORS:
         return _DESCRIPTORS[spec]
-    m = _re.fullmatch(r"@every\s+((?:\d+[hms])+)", spec)
-    if not m:
-        raise ValueError(f"unsupported cron descriptor: {spec!r}")
-    secs = 0
-    for n, unit in _re.findall(r"(\d+)([hms])", m.group(1)):
-        secs += int(n) * {"h": 3600, "m": 60, "s": 1}[unit]
-    minutes = max(1, secs // 60)
-    if minutes < 60:
-        return f"*/{minutes} * * * *"
-    hours = max(1, minutes // 60)
-    if hours < 24:
-        return f"0 */{hours} * * *"
-    return "0 0 * * *"
+    raise ValueError(f"unsupported cron descriptor: {spec!r}")
 
 
 @dataclass(frozen=True)
@@ -102,17 +78,34 @@ class CronSpec:
     dom_any: bool
     dow_any: bool
     spec: str
+    # robfig fixed-interval mode (``@every 90m``): fires every N minutes
+    # from the previous firing, NOT on grid minutes — so 90m means 90m,
+    # never "hourly", and 7m fires :56 then :03 across the hour. Gated
+    # through due(); the grid fields are all-wildcard in this mode.
+    interval_minutes: int | None = None
 
     @classmethod
     def parse(cls, spec: str) -> "CronSpec":
         original = spec.strip()
         spec = original
-        if spec.startswith("@"):
-            # robfig/cron descriptors, the syntax reference job configs
-            # carry ("@every 2s", "@daily", scheduler.go triggers).
-            # @every maps onto this scheduler's minute-tick resolution:
-            # sub-minute intervals clamp to every tick. ``spec`` keeps
-            # the ORIGINAL descriptor, so listings echo the config form.
+        interval = None
+        if spec.startswith("@every"):
+            # robfig fixed-interval descriptor: keep the TRUE interval
+            # (clamped to this scheduler's 1-minute tick resolution) and
+            # evaluate it against the last firing via due(); ``spec``
+            # keeps the ORIGINAL descriptor so listings echo the config
+            import re as _re
+
+            m = _re.fullmatch(r"@every\s+((?:\d+[hms])+)", spec)
+            if not m:
+                raise ValueError(f"unsupported cron descriptor: {spec!r}")
+            secs = 0
+            for n, unit in _re.findall(r"(\d+)([hms])", m.group(1)):
+                secs += int(n) * {"h": 3600, "m": 60, "s": 1}[unit]
+            interval = max(1, secs // 60)
+            spec = "* * * * *"
+        elif spec.startswith("@"):
+            # named descriptors (@daily, @hourly, ...) are grid specs
             spec = _descriptor_to_fields(spec)
         fields = spec.split()
         if len(fields) != 5:
@@ -123,13 +116,30 @@ class CronSpec:
             vals.append(frozenset(v))
             wilds.append(w)
         return cls(vals[0], vals[1], vals[2], vals[3], vals[4],
-                   dom_any=wilds[2], dow_any=wilds[4], spec=original)
+                   dom_any=wilds[2], dow_any=wilds[4], spec=original,
+                   interval_minutes=interval)
 
     def matches(self, t: datetime) -> bool:
         # day rule: python isoweekday Mon=1..Sun=7 -> cron Sun=0; when
-        # both dom and dow are restricted, vixie OR rule applies
+        # both dom and dow are restricted, vixie OR rule applies.
+        # Interval specs are all-wildcard here — schedulers must gate
+        # them through due(), which knows the last firing.
         return (t.minute in self.minutes and t.hour in self.hours
                 and t.month in self.months and self._day_matches(t))
+
+    def due(self, now: datetime, last: datetime | None) -> bool:
+        """Should a job with this spec fire at ``now``, given the minute
+        it last fired (``None`` = never)? Grid specs: the minute matches
+        and hasn't fired yet. Interval specs (robfig ``@every``): the
+        full interval has elapsed since the last firing — a fresh
+        registration fires on the next tick, as robfig's timer does on
+        start."""
+        minute = now.replace(second=0, microsecond=0)
+        if self.interval_minutes is not None:
+            if last is None:
+                return True
+            return (minute - last).total_seconds() >= self.interval_minutes * 60
+        return self.matches(now) and last != minute
 
     def _day_matches(self, t: datetime) -> bool:
         dom_ok = t.day in self.doms
@@ -145,7 +155,11 @@ class CronSpec:
     def next_after(self, t: datetime) -> datetime:
         """First matching minute strictly after t. Steps by day, then
         picks the next allowed (hour, minute) slot directly — the 4-year
-        search bound covers leap-day-only specs like '0 0 29 2 *'."""
+        search bound covers leap-day-only specs like '0 0 29 2 *'.
+        Interval specs: one full interval after t (robfig's timer)."""
+        if self.interval_minutes is not None:
+            return (t.replace(second=0, microsecond=0)
+                    + timedelta(minutes=self.interval_minutes))
         cur = t.replace(second=0, microsecond=0) + timedelta(minutes=1)
         for _ in range(4 * 366 + 1):
             if cur.month in self.months and self._day_matches(cur):

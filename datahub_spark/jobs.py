@@ -1127,15 +1127,17 @@ class Scheduler:
         return job
 
     def due_jobs(self, now) -> list[Job]:
-        """Unpaused jobs whose cron spec matches ``now``'s minute and
-        that have not already fired this minute, in lineage order."""
-        minute = now.replace(second=0, microsecond=0)
+        """Unpaused jobs due at ``now`` in lineage order: grid specs
+        fire on a matching minute not yet fired; ``@every`` interval
+        specs fire when the full interval has elapsed since their last
+        firing (CronSpec.due — robfig fixed-interval cadence, so
+        ``@every 90m`` means 90 minutes, never "hourly")."""
         due = []
         for j in self._ordered():
             spec = self.schedules.get(j.job_id)
-            if j.paused or spec is None or not spec.matches(now):
+            if j.paused or spec is None:
                 continue
-            if self._last_fired.get(j.job_id) == minute:
+            if not spec.due(now, self._last_fired.get(j.job_id)):
                 continue
             due.append(j)
         return due

@@ -214,16 +214,11 @@ def test_http_transform_round_trip(spark, products_store, tmp_path):
 
 
 @pytest.mark.parametrize("descriptor,expect_fields", [
-    ("@every 2s", "*/1 * * * *"),
-    ("@every 5m", "*/5 * * * *"),
-    ("@every 2h", "0 */2 * * *"),
     ("@hourly", "0 * * * *"),
     ("@daily", "0 0 * * *"),
 ])
-def test_cron_descriptors(descriptor, expect_fields):
-    assert CronSpec.parse(descriptor).spec == \
-        CronSpec.parse(expect_fields).spec or True  # spec retains input
-    # behavioral check: both match the same minutes over an hour
+def test_cron_named_descriptors_are_grid(descriptor, expect_fields):
+    # behavioral check: both match the same minutes over three hours
     import datetime
 
     a, b = CronSpec.parse(descriptor), CronSpec.parse(expect_fields)
@@ -231,3 +226,39 @@ def test_cron_descriptors(descriptor, expect_fields):
     for m in range(180):
         t = base + datetime.timedelta(minutes=m)
         assert a.matches(t) == b.matches(t), (descriptor, t)
+
+
+@pytest.mark.parametrize("descriptor,interval_min", [
+    ("@every 2s", 1),       # sub-minute clamps to the 1-minute tick
+    ("@every 5m", 5),
+    ("@every 90m", 90),     # NOT rounded to hourly
+    ("@every 2h", 120),
+    ("@every 1h30m", 90),
+])
+def test_cron_every_is_fixed_interval(descriptor, interval_min):
+    """robfig @every semantics: fire every N minutes from the LAST
+    firing — no grid reset at hour/day boundaries (@every 7m fires
+    :56 then :03, not :56 then :00)."""
+    import datetime
+
+    spec = CronSpec.parse(descriptor)
+    assert spec.interval_minutes == interval_min
+    assert spec.spec == descriptor  # listings echo the config form
+    base = datetime.datetime(2026, 1, 1, 0, 0)
+    # never fired -> due now; then due exactly after the interval
+    assert spec.due(base, None)
+    fired = base
+    nxt = spec.next_after(fired)
+    assert nxt == fired + datetime.timedelta(minutes=interval_min)
+    for m in range(1, interval_min):
+        assert not spec.due(fired + datetime.timedelta(minutes=m), fired)
+    assert spec.due(nxt, fired)
+
+
+def test_cron_every_7m_crosses_hour_boundary():
+    import datetime
+
+    spec = CronSpec.parse("@every 7m")
+    fired = datetime.datetime(2026, 1, 1, 0, 56)
+    assert not spec.due(datetime.datetime(2026, 1, 1, 1, 0), fired)
+    assert spec.due(datetime.datetime(2026, 1, 1, 1, 3), fired)
