@@ -498,3 +498,55 @@ def corpus_frequency_features(df: DataFrame, vocab: DataFrame | None = None,
         "id", "n_tokens", "sum_freq",
         "(20000 * sum_freq + n_tokens) div (2 * n_tokens) as mean_freq_e4",
         "(20000 * _n_rare + n_tokens) div (2 * n_tokens) as rare_ratio_e4")
+
+
+# URL pattern shared with PII_PATTERNS' url entry in spirit but anchored
+# to capture the host: scheme://host[/rest]. Java-regex ∩ RE2 safe (no
+# backrefs/lookaround) so a DuckDB oracle can reuse it verbatim.
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def domain_features(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL/domain signals for crawl cleaning:
+    ``(id, n_urls, domains)`` where domains is the sorted distinct list
+    of lowercased hosts linked from the document. Map-side regexes
+    only; the registrable-domain reduction (PSL) is out of scope — the
+    raw host is what blocklists key on in practice."""
+    hosts = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_PATTERN), 1),
+        F.lower)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(URL_HOST_PATTERN), 0))
+        .cast("long").alias("n_urls"),
+        F.array_sort(F.array_distinct(hosts)).alias("domains"))
+
+
+def filter_blocked_domains(df: DataFrame, blocklist: list[str],
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           match_subdomains: bool = True) -> DataFrame:
+    """Drop documents linking to any blocklisted domain (spam/SEO-farm
+    filtering, the UT1/DMOZ-blocklist step of crawl pipelines). The
+    blocklist is a driver-side list folded into ONE map-side exists()
+    predicate over the extracted hosts — no join, no shuffle; with
+    ``match_subdomains`` a host matches ``d`` when it equals d or ends
+    with ``.d``. For blocklists too large to fold into a literal
+    expression, explode domain_features and anti-join instead."""
+    bl = [d.lower().lstrip(".") for d in blocklist]
+    hosts = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_PATTERN), 1),
+        F.lower)
+
+    def _blocked(h):
+        cond = F.lit(False)
+        for d in bl:
+            hit = (h == d)
+            if match_subdomains:
+                hit = hit | h.endswith("." + d)
+            cond = cond | hit
+        return cond
+
+    return df.filter(~F.exists(hosts, _blocked))

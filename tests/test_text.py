@@ -392,3 +392,38 @@ def test_corpus_frequency_duckdb_parity(spark):
     """
     ok, msg = compare(got, sql, sf)
     assert ok, msg
+
+
+# -- URL/domain extraction + blocklist filtering ---------------------------
+
+
+def test_domain_features_extracts_hosts(spark):
+    df = _docs(spark, [
+        (1, "see https://Example.COM/page and http://a.b.org/x plus https://example.com/other"),
+        (2, "no links here"),
+    ])
+    out = {r["id"]: r for r in TX.domain_features(df).collect()}
+    assert out[1]["n_urls"] == 3
+    assert out[1]["domains"] == ["a.b.org", "example.com"]
+    assert out[2]["n_urls"] == 0 and out[2]["domains"] == []
+
+
+def test_filter_blocked_domains_subdomain_semantics(spark):
+    df = _docs(spark, [
+        (1, "link https://spam.example/x"),
+        (2, "link https://sub.spam.example/y"),
+        (3, "link https://notspam.example/z"),
+        (4, "link https://fine.org/ok"),
+        (5, "plain text"),
+    ])
+    kept = {r["doc_id"] for r in
+            TX.filter_blocked_domains(df, ["spam.example"]).collect()}
+    # exact host and true subdomains blocked; suffix-similar host kept
+    assert kept == {3, 4, 5}
+    exact_only = {r["doc_id"] for r in
+                  TX.filter_blocked_domains(df, ["spam.example"],
+                                            match_subdomains=False).collect()}
+    assert exact_only == {2, 3, 4, 5}
+    plan = TX.filter_blocked_domains(df, ["spam.example"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # pure map-side predicate
