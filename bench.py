@@ -27,7 +27,7 @@ Headliners (SURVEY.md §6) cover the main plan shapes:
   changes_latest_only versioned-store window/max_by
   dedup_minhash       shingle explode + LSH band join
   ann_topk            vector scoring + per-query top-k
-  text_quality        wide per-row expression plan
+  text_signals        wide per-row expression plan (lang-ID join quality)
   parts_per_nation    multi-edge broadcast join + aggregate
   js_transform        scripted escape hatch (JS interpreter in
                       mapInPandas, Arrow batch round-trip)
@@ -64,7 +64,10 @@ PINNED_MEDIANS = {
     "changes_latest_only": 1.292,
     "dedup_minhash": 3.496,
     "ann_topk": 0.779,
-    "text_quality": 0.633,
+    # r7: text_quality merged with text_lang_id into text_signals
+    # (lang_id join quality on doc_id); median re-pinned from a clean
+    # r7 run at the same repl=10 derived scale
+    "text_signals": 1.064,
     "parts_per_nation": 2.130,
     # 150k entities through the bundled JS interpreter inside
     # mapInPandas (~108k entities/s) — the scripted escape-hatch path
@@ -150,7 +153,7 @@ def main() -> None:
         "min_max": spreads,
         "budgets": BUDGETS,
         "budget_basis": {"pinned_medians": PINNED_MEDIANS,
-                         "pinned_at": "r6 sf0.1x10 local[32] n=5"},
+                         "pinned_at": "r6 sf0.1x10 local[32] n=5; text_signals re-pinned r7 (clean n=5 run, same scale)"},
         "budget_ok": not over,
         "over_budget": over,
         "x100": x100,

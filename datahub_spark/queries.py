@@ -750,14 +750,6 @@ def _lang_id_oracle() -> str:
     """
 
 
-@register("text_lang_id", _lang_id_oracle())
-def q_text_lang_id(spark, sf_dir):
-    """Language ID via marker-word frequency (first-match-on-max,
-    deterministic ordering)."""
-    docs = ingest.load_tables(spark, sf_dir)["documents"]
-    return TX.lang_id_table(docs)
-
-
 def _quality_oracle() -> str:
     stop_sum = " + ".join(_marker_count_sql(s) for s in TX.STOPWORDS)
     return rf"""
@@ -787,11 +779,27 @@ def _quality_oracle() -> str:
     """
 
 
-@register("text_quality", _quality_oracle())
-def q_text_quality(spark, sf_dir):
-    """Quality scoring: token stats + stopword/punctuation ratios."""
+def _text_signals_oracle() -> str:
+    return f"""
+    WITH lang AS ({_lang_id_oracle()}),
+    qual AS ({_quality_oracle()})
+    SELECT lang.doc_id, lang.lang_pred, qual.n_tokens,
+           qual.mean_token_len_e4, qual.stopword_hits, qual.n_punct,
+           qual.quality_score_centi
+    FROM lang JOIN qual USING (doc_id)
+    """
+
+
+@register("text_signals", _text_signals_oracle())
+def q_text_signals(spark, sf_dir):
+    """Language ID + quality scoring in one wide graded key (SURVEY
+    rows 42+43 merged r7 to keep the 50-key window; each half was
+    individually hash-green through r6): marker-frequency lang_pred
+    joined with the exact integer fixed-point quality features on
+    doc_id."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    return TX.quality_features(docs)
+    return TX.lang_id_table(docs).join(TX.quality_features(docs), "doc_id")
+
 
 
 @register(
@@ -1514,6 +1522,36 @@ def q_span_dedup(spark, sf_dir):
     operators/dedup.py:duplicate_window_starts)."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return DD.remove_duplicate_substrings(docs, window=8, min_docs=2)
+
+
+@register(
+    "corpus_frequency",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), t AS (SELECT doc_id, token FROM toks WHERE token != ''),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+    j AS (SELECT t.doc_id, counts.cnt FROM t JOIN counts USING (token)),
+    agg AS (
+      SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt) AS BIGINT) AS sum_freq,
+             CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM j GROUP BY doc_id
+    )
+    SELECT id, n_tokens, sum_freq,
+           (20000 * sum_freq + n_tokens) // (2 * n_tokens) AS mean_freq_e4,
+           (20000 * n_rare + n_tokens) // (2 * n_tokens) AS rare_ratio_e4
+    FROM agg
+    """,
+)
+def q_corpus_frequency(spark, sf_dir):
+    """Corpus-trained rarity scoring (§2 row 43i, graded r7): the
+    integer-exact core of a CCNet-style LM quality filter — per-doc
+    sum/mean corpus token frequency and rare-token (count <= 2) ratio
+    in e4 fixed-point (operators/text.py:corpus_frequency_features)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.corpus_frequency_features(docs, rare_threshold=2)
 
 
 # --------------------------------------------------------------------------

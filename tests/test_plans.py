@@ -85,7 +85,7 @@ def test_dedup_embedding_is_blocked_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("key", ["text_lang_id", "text_quality"])
+@pytest.mark.parametrize("key", ["text_signals", "corpus_frequency"])
 def test_text_ops_have_no_python_and_no_sort_agg(spark, key):
     plan = _plan(spark, key)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
