@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -352,7 +353,31 @@ class UdaServer:
                 # namespacehandler.go:37 — prefix -> expansion map
                 return self._reply(rq, 200, self.nsmgr.context())
             if parts and parts[0] == "statistics" and len(parts) <= 2:
-                # statisticshandler.go:14-18 — per-dataset counts
+                # statisticshandler.go:14-18 — per-dataset counts.
+                # ?cached=true serves the maintenance updater's snapshot
+                # (statistics_update.go caches its walk under a store
+                # meta key; here it is statistics.json in the store
+                # root, refreshed at 02:00 + instance start) — no Spark
+                # job, storage-level numbers
+                if q.get("cached", "false").lower() in ("1", "true"):
+                    snap_path = os.path.join(self.store.root,
+                                             "statistics.json")
+                    try:
+                        with open(snap_path) as f:
+                            snap = json.load(f)
+                    except FileNotFoundError:
+                        return self._error(
+                            rq, 404,
+                            "no cached statistics snapshot yet — the "
+                            "updater writes one at start and on its "
+                            "schedule")
+                    if len(parts) == 2:
+                        ds_snap = snap.get("datasets", {}).get(parts[1])
+                        if ds_snap is None:
+                            return self._error(
+                                rq, 404, f"dataset {parts[1]} not found")
+                        return self._reply(rq, 200, {parts[1]: ds_snap})
+                    return self._reply(rq, 200, snap)
                 log = self.store.log([parts[1]] if len(parts) == 2 else None)
                 rows = S.dataset_stats(log).collect()
                 return self._reply(rq, 200, {

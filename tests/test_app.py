@@ -236,3 +236,39 @@ def test_maintenance_tasks_fire_on_schedule_and_start(spark, tmp_path):
     # snapshot helper is footer-only and exact
     snap2 = compute_store_statistics(inst.store)
     assert snap2["datasets"]["people"]["files"] >= 1
+
+
+def test_statistics_cached_endpoint_serves_snapshot(spark, tmp_path):
+    cfg = Config(store_location=str(tmp_path / "hub"), port=0,
+                 gc_on_startup=False)
+    inst = DatahubInstance(cfg, spark=spark)
+    df = spark.createDataFrame(
+        [("e:1", None, 0, False, {"p:a": "1"}, None, None)],
+        SCRIPT_OUTPUT_SCHEMA).drop("dataset")
+    inst.store.store_entities("people", df)
+    url = inst.start()  # immediate stats run writes the snapshot
+    try:
+        status, body = _get(f"{url}/statistics?cached=true")
+        assert status == 200
+        assert body["datasets"]["people"]["rows"] == 1
+        assert body["all"]["files"] >= 1
+        status, one = _get(f"{url}/statistics/people?cached=true")
+        assert status == 200 and one["people"]["rows"] == 1
+        status, _ = _get(f"{url}/statistics/nope?cached=true")
+        assert status == 404
+        # live (Spark) path still works alongside
+        status, live = _get(f"{url}/statistics")
+        assert status == 200 and live["people"]["changes"] == 1
+    finally:
+        inst.stop()
+    # no snapshot yet -> 404 with a pointer to the updater
+    cfg2 = Config(store_location=str(tmp_path / "hub2"), port=0)
+    from datahub_spark.server import UdaServer
+    from datahub_spark import store as S2
+    srv = UdaServer(S2.EntityStore(spark, str(tmp_path / "hub2")))
+    base = srv.start()
+    try:
+        status, _ = _get(f"{base}/statistics?cached=true")
+        assert status == 404
+    finally:
+        srv.stop()
