@@ -138,6 +138,27 @@ class SecurityManager:
         self._clients.pop(client_id, None)
         self._acls.pop(client_id, None)
 
+    def register_client(self, info: dict) -> None:
+        """ServiceCore.RegisterClient (manager.go:333-347): an info with
+        ``Deleted: true`` removes the client AND its ACLs; otherwise it
+        is stored/overwritten. The reference's ClientInfo carries a
+        PublicKey (RS256 client assertions); this HS256 deployment
+        carries ``ClientSecret`` instead — same registry semantics."""
+        client_id = info.get("ClientId") or info.get("client_id") or ""
+        if not client_id:
+            raise ValueError("client registration needs a ClientId")
+        if info.get("Deleted") or info.get("deleted"):
+            self.delete_client(client_id)
+            return
+        secret = info.get("ClientSecret") or info.get("client_secret") or ""
+        self.add_client(client_id, secret)
+
+    def list_clients(self) -> dict:
+        """GetClients (manager.go:349-356) response shape — a map keyed
+        by client id; secrets never leave the manager."""
+        return {cid: {"ClientId": cid, "Deleted": False}
+                for cid in sorted(self._clients)}
+
     def set_acls(self, client_id: str, acls: list[AccessControl]) -> None:
         self._acls[client_id] = list(acls)
 

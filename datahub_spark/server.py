@@ -38,7 +38,7 @@ import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import functions as F
 
@@ -208,7 +208,7 @@ class UdaServer:
                  default_limit: int = 1000,
                  lease_seconds: float = 3600.0,
                  scheduler=None, content=None, security=None,
-                 metrics=None):
+                 metrics=None, providers=None):
         self.store = store
         self.nsmgr = nsmgr or NamespaceManager()
         self.default_limit = default_limit
@@ -233,6 +233,9 @@ class UdaServer:
         self._runner = None
         # content API (contenthandler.go:44-48): attach a ContentService
         self.content = content
+        # login providers for outgoing connections
+        # (providerhandler.go:44-48): attach a providers.ProviderStore
+        self.providers = providers
 
     # -- lifecycle --------------------------------------------------------
 
@@ -386,6 +389,32 @@ class UdaServer:
                     for r in rows})
             if parts and parts[0] in ("jobs", "job", "lineage"):
                 return self._jobs_get(rq, parts)
+            if parts == ["security", "clients"] and self.security is not None:
+                # securityhandler.go:80-83
+                return self._reply(rq, 200, self.security.list_clients())
+            if len(parts) == 4 and parts[:2] == ["security", "clients"] \
+                    and parts[3] == "acl" and self.security is not None:
+                # securityhandler.go:134-140
+                cid = unquote(parts[2])
+                return self._reply(rq, 200, [
+                    {"Resource": a.resource, "Action": a.action,
+                     "Deny": a.deny}
+                    for a in self.security.get_acls(cid)])
+            if parts == ["provider", "logins"] and self.providers is not None:
+                # providerhandler.go:81-94 (secrets masked)
+                return self._reply(rq, 200, self.providers.list(mask=True))
+            if len(parts) == 2 and parts[0] == "provider" \
+                    and self.providers is None:
+                return self._error(rq, 503, "no provider store attached")
+            if len(parts) == 3 and parts[:2] == ["provider", "login"] \
+                    and self.providers is not None:
+                # providerhandler.go:104-114
+                try:
+                    cfg = self.providers.get_config(unquote(parts[2]),
+                                                    mask=True)
+                except KeyError:
+                    return self._error(rq, 404, "no such login provider")
+                return self._reply(rq, 200, cfg)
             if parts and parts[0] == "content" and self.content is not None:
                 if len(parts) == 1:
                     return self._reply(rq, 200, self.content.list())
@@ -558,6 +587,52 @@ class UdaServer:
                 return self._post_transaction(rq)
             if parts == ["jobs"]:
                 return self._jobs_add(rq)
+            if parts == ["security", "clients"] and self.security is not None:
+                # securityhandler.go:118-132 client registration
+                n = int(rq.headers.get("Content-Length", "0"))
+                info = json.loads(rq.rfile.read(n).decode()) if n else {}
+                try:
+                    self.security.register_client(info)
+                except ValueError as exc:
+                    return self._error(rq, 400, str(exc))
+                return self._reply(rq, 200, {})
+            if len(parts) == 4 and parts[:2] == ["security", "clients"] \
+                    and parts[3] == "acl" and self.security is not None:
+                # securityhandler.go:151-168 set client ACLs
+                from datahub_spark.security import AccessControl
+                n = int(rq.headers.get("Content-Length", "0"))
+                acls = json.loads(rq.rfile.read(n).decode()) if n else []
+                self.security.set_acls(unquote(parts[2]), [
+                    AccessControl(a.get("Resource", a.get("resource", "")),
+                                  a.get("Action", a.get("action", "read")),
+                                  bool(a.get("Deny", a.get("deny", False))))
+                    for a in acls])
+                return self._reply(rq, 200, {})
+            if parts == ["provider", "logins"] and self.providers is not None:
+                # providerhandler.go:51-62 create
+                from datahub_spark.providers import ProviderConfig
+                n = int(rq.headers.get("Content-Length", "0"))
+                obj = json.loads(rq.rfile.read(n).decode()) if n else {}
+                try:
+                    self.providers.add(ProviderConfig.from_json(obj))
+                except ValueError as exc:
+                    return self._error(rq, 400, str(exc))
+                return self._reply(rq, 200, {})
+            if len(parts) == 3 and parts[:2] == ["provider", "login"] \
+                    and self.providers is not None:
+                # providerhandler.go:64-79 update (path name wins)
+                from datahub_spark.providers import ProviderConfig
+                n = int(rq.headers.get("Content-Length", "0"))
+                obj = json.loads(rq.rfile.read(n).decode()) if n else {}
+                obj.setdefault("name", unquote(parts[2]))  # path name wins
+                try:
+                    self.providers.update(unquote(parts[2]),
+                                          ProviderConfig.from_json(obj))
+                except KeyError:
+                    return self._error(rq, 404, "no such login provider")
+                except ValueError as exc:
+                    return self._error(rq, 400, str(exc))
+                return self._reply(rq, 200, {})
             if parts == ["content"] and self.content is not None:
                 n = int(rq.headers.get("Content-Length", "0"))
                 data = json.loads(rq.rfile.read(n).decode())
@@ -591,10 +666,22 @@ class UdaServer:
         from datahub_spark.security import AuthError
 
         n = int(rq.headers.get("Content-Length", "0"))
-        try:
-            creds = json.loads(rq.rfile.read(n).decode()) if n else {}
-        except json.JSONDecodeError:
-            return self._error(rq, 400, "malformed credentials")
+        body = rq.rfile.read(n).decode() if n else ""
+        ctype = (rq.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/x-www-form-urlencoded":
+            # the reference token endpoint is OAuth2 form-encoded
+            # (securityhandler.go:85-116): grant_type=client_credentials
+            # + client_id/client_secret
+            form = {k: v[0] for k, v in parse_qs(body).items()}
+            if form.get("grant_type") != "client_credentials":
+                return self._error(rq, 400, "unsupported grant_type")
+            creds = {"client_id": form.get("client_id", ""),
+                     "client_secret": form.get("client_secret", "")}
+        else:
+            try:
+                creds = json.loads(body) if body else {}
+            except json.JSONDecodeError:
+                return self._error(rq, 400, "malformed credentials")
         try:
             token = self.security.issue_token(
                 creds.get("client_id", ""), creds.get("client_secret", ""))
@@ -636,6 +723,19 @@ class UdaServer:
                     and self.content is not None:
                 if not self.content.delete(parts[1]):
                     return self._error(rq, 404, "no such content")
+                return self._reply(rq, 200, {})
+            if len(parts) == 4 and parts[:2] == ["security", "clients"] \
+                    and parts[3] == "acl" and self.security is not None:
+                # securityhandler.go:142-149
+                self.security.set_acls(unquote(parts[2]), [])
+                return self._reply(rq, 200, {})
+            if len(parts) == 3 and parts[:2] == ["provider", "login"] \
+                    and self.providers is not None:
+                # providerhandler.go:116-127
+                try:
+                    self.providers.delete(unquote(parts[2]))
+                except KeyError:
+                    return self._error(rq, 404, "no such login provider")
                 return self._reply(rq, 200, {})
             self._error(rq, 404, "not found")
         except Exception as exc:
