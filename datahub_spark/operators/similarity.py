@@ -192,16 +192,23 @@ def _int_mean_exprs(dim: int) -> list[str]:
     ]
 
 
-def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,
-            n_probe: int = 4, lloyd_rounds: int = 2, dim: int = 64,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) ANN: k-means-style coarse quantizer, then probe
-    only the query's n_probe nearest clusters.
+def centroid_score(v: Column, m: Column) -> Column:
+    """Cluster-affinity score: double(dot_int)/sqrt(double(normsq_int))
+    — one IEEE division and sqrt of exact ints, bit-identical across
+    engines."""
+    return dot_long(v, m).cast("double") / F.sqrt(normsq_long(m).cast("double"))
 
-    Deterministic and exact throughout: vectors are fixed-point int64;
-    initial centroids are the first n_clusters corpus vectors by id;
-    Lloyd refinement is a fixed number of rounds of (broadcast centroids
-    -> best-cluster assign -> per-DIMENSION integer-mean recompute).
+
+def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
+                    lloyd_rounds: int = 2, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic k-means coarse quantizer -> (inverted, centroids).
+
+    ``inverted`` has (cid, cv fixed-point, cl); ``centroids`` has
+    (cl, m). Exact throughout: vectors are fixed-point int64; initial
+    centroids are the first n_clusters corpus vectors by id; Lloyd
+    refinement is a fixed number of rounds of (broadcast centroids ->
+    best-cluster assign -> per-DIMENSION integer-mean recompute).
 
     Scale shape per Lloyd round:
       * assignment: broadcast join against n_clusters rows, then ONE
@@ -212,10 +219,8 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int =
         — bounded row width (dim longs), hash-aggregable, map-side
         partials. Never collects whole clusters into single rows.
     The final assignment is the inverted file (at scale: persist it,
-    bucketed by cluster); probing is an equi-join on cluster id, never a
-    cross-join against the corpus. Cluster argmax compares
-    double(dot_int)/sqrt(double(normsq_int)) — one IEEE division and
-    sqrt of exact ints, bit-identical across engines."""
+    bucketed by cluster). Shared by ann_ivf (probe path) and
+    dedup.semantic_dedup (within-cluster pruning)."""
     c = corpus.select(F.col(id_col).alias("cid"), fixed_vec(F.col(vec_col)).alias("cv"))
 
     w_init = Window.orderBy("cid")
@@ -225,12 +230,9 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int =
         .select("cl", F.col("cv").alias("m"))
     )
 
-    def score(v: Column, m: Column) -> Column:
-        return dot_long(v, m).cast("double") / F.sqrt(normsq_long(m).cast("double"))
-
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
-            "_s", score(F.col("cv"), F.col("m"))
+            "_s", centroid_score(F.col("cv"), F.col("m"))
         )
         best = F.max_by(F.struct("cv", "cl"), F.struct(F.col("_s"), -F.col("cl")))
         return scored.groupBy("cid").agg(best.alias("_r")).select(
@@ -245,7 +247,20 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int =
         )
         centroids = sums.selectExpr("cl", f"array({', '.join(_int_mean_exprs(dim))}) AS m")
 
-    inverted = assign(c, centroids).select(
+    return assign(c, centroids), centroids
+
+
+def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,
+            n_probe: int = 4, lloyd_rounds: int = 2, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-style coarse quantizer
+    (kmeans_inverted), then probe only the query's n_probe nearest
+    clusters; probing is an equi-join on cluster id, never a cross-join
+    against the corpus."""
+    score = centroid_score
+    assigned, centroids = kmeans_inverted(
+        corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
+    inverted = assigned.select(
         F.col("cid").alias("neighbor_id"), F.col("cv").alias("_cv"), "cl"
     )
     q = queries.select(F.col(id_col).alias("query_id"), fixed_vec(F.col(vec_col)).alias("qv"))
@@ -270,17 +285,20 @@ def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int =
     )
 
 
-def ann_ivf_oracle(k: int = 5, n_clusters: int = 16, n_probe: int = 4,
-                   lloyd_rounds: int = 2, dim: int = 64,
-                   query_pred: str = "cid < 10") -> str:
-    """DuckDB SQL computing exactly ann_ivf(): same fixed-point vectors,
-    init, assignment tie-breaks, and integer-mean centroid updates, with
-    the Lloyd rounds unrolled as chained CTEs."""
+SCORE_SQL = ("CAST(" + DOT_LONG_SQL.format(a="{a}", b="{b}") +
+             " AS DOUBLE) / sqrt(CAST(" + NORMSQ_LONG_SQL.format(a="{b}") +
+             " AS DOUBLE))")
+
+
+def kmeans_sql_parts(n_clusters: int, lloyd_rounds: int, dim: int,
+                     src: str = "embeddings") -> tuple[list[str], str]:
+    """DuckDB CTE chain computing exactly kmeans_inverted() over ``src``
+    (vec_id + embedding columns): same fixed-point vectors, init,
+    assignment tie-breaks, and integer-mean centroid updates, with the
+    Lloyd rounds unrolled. Returns (cte_parts, final_centroid_cte); the
+    final assignment lands in the ``inv`` CTE (cid, cv, cl)."""
     fxl = FX_SQL.format(v="embedding")
-    dot = lambda a, b: DOT_LONG_SQL.format(a=a, b=b)
-    score = lambda a, b: (
-        f"CAST({dot(a, b)} AS DOUBLE) / sqrt(CAST({NORMSQ_LONG_SQL.format(a=b)} AS DOUBLE))"
-    )
+    score = lambda a, b: SCORE_SQL.format(a=a, b=b)
 
     def assign_cte(name: str, cent: str, rn_pred: str, keep: str) -> str:
         return (
@@ -291,7 +309,7 @@ def ann_ivf_oracle(k: int = 5, n_clusters: int = 16, n_probe: int = 4,
         )
 
     parts = [
-        f"fx AS (SELECT vec_id AS cid, {fxl} AS cv FROM embeddings)",
+        f"fx AS (SELECT vec_id AS cid, {fxl} AS cv FROM {src})",
         f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cl, "
         f"cv AS m FROM (SELECT cid, cv FROM fx ORDER BY cid LIMIT {n_clusters}))",
     ]
@@ -310,6 +328,17 @@ def ann_ivf_oracle(k: int = 5, n_clusters: int = 16, n_probe: int = 4,
         )
         cur = f"cent{r + 1}"
     parts.append(assign_cte("inv", cur, "rn = 1", "cid, cv, cl"))
+    return parts, cur
+
+
+def ann_ivf_oracle(k: int = 5, n_clusters: int = 16, n_probe: int = 4,
+                   lloyd_rounds: int = 2, dim: int = 64,
+                   query_pred: str = "cid < 10") -> str:
+    """DuckDB SQL computing exactly ann_ivf() (kmeans_sql_parts CTEs +
+    the probe/top-k tail)."""
+    dot = lambda a, b: DOT_LONG_SQL.format(a=a, b=b)
+    score = lambda a, b: SCORE_SQL.format(a=a, b=b)
+    parts, cur = kmeans_sql_parts(n_clusters, lloyd_rounds, dim)
     parts.append(f"q AS (SELECT cid AS query_id, cv AS qv FROM fx WHERE {query_pred})")
     parts.append(
         f"pr AS (SELECT query_id, qv, cl FROM ("

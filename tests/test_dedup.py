@@ -273,3 +273,62 @@ def test_remove_duplicate_substrings_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- SemDeDup (semantic dedup via embedding k-means) -----------------------
+
+def _load_embeddings(spark, sf=None):
+    from tests.conftest import SF_SMALL
+
+    return spark.read.parquet(f"{sf or SF_SMALL}/embeddings.parquet")
+
+
+def test_semantic_dedup_matches_duckdb_exactly(spark):
+    """Full value parity with the SQL oracle on the real embeddings
+    table — clustering, affinity, and the priority-removal rule are all
+    bit-identical (fixed-point arithmetic end to end)."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+
+    tau = int(0.93 * 10 ** 14)
+    got = (DD.semantic_dedup(_load_embeddings(spark), tau)
+           .orderBy("vec_id").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF_SMALL}/embeddings.parquet')")
+    want = con.execute(
+        DD.semantic_dedup_oracle(tau) + " ORDER BY vec_id").fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["vec_id"], g["cl"], g["keep"]) == (w[0], w[1], w[3])
+        assert g["centroid_affinity"] == w[2]
+
+
+def test_semantic_dedup_keeps_lowest_affinity_of_dup_group(spark):
+    """Two near-identical vectors land in one cluster; the survivor is
+    the one with LOWER centroid affinity (SemDeDup keep rule)."""
+    base = [1.0] + [0.0] * 63
+    near = [0.999] + [0.0446] + [0.0] * 62  # ~normalized, cos≈0.999
+    other = [0.0] * 32 + [1.0] + [0.0] * 31
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in DD.semantic_dedup(
+        df, int(0.99 * 10 ** 14), n_clusters=2, dim=64).collect()}
+    assert out[3]["keep"]  # different direction, untouched
+    kept = [i for i in (1, 2) if out[i]["keep"]]
+    assert len(kept) == 1
+    survivor = out[kept[0]]
+    victim = out[1 if kept[0] == 2 else 2]
+    assert survivor["centroid_affinity"] <= victim["centroid_affinity"]
+
+
+def test_semantic_dedup_plan_is_cluster_blocked(spark):
+    """The pair probe must be an equi-join on cluster id, never a
+    corpus cross-join: no CartesianProduct anywhere in the plan (the
+    only nested-loop is the broadcast against n_clusters centroids)."""
+    df = _load_embeddings(spark)
+    plan = DD.semantic_dedup(
+        df, int(0.95 * 10 ** 14))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
