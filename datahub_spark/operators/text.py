@@ -550,3 +550,122 @@ def filter_blocked_domains(df: DataFrame, blocklist: list[str],
         return cond
 
     return df.filter(~F.exists(hosts, _blocked))
+
+
+def bigram_keys(col: Column) -> Column:
+    """Space-joined consecutive word pairs of the normalized text (words
+    cannot contain spaces post-normalization, so ``w1 || ' ' || w2`` is
+    an injective bigram key). Pure array built-ins: two slices zipped —
+    linear, map-side. Documents under two words yield an empty array."""
+    ws = words(col)
+    n = F.size(ws)
+    return F.when(
+        n >= 2,
+        F.zip_with(F.slice(ws, 1, n - 1), F.slice(ws, F.lit(2), n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def build_bigram_table(df: DataFrame, text_col: str = "text",
+                       top_k: int | None = None,
+                       min_count: int = 1) -> DataFrame:
+    """Corpus bigram statistics ``(bigram, count, rank)`` — the
+    training step of the bigram LM quality signal. Same plan shape as
+    build_vocabulary: one explode (linear in corpus tokens) + one
+    narrow HashAggregate with map-side partials; ``top_k`` keeps the
+    table broadcastable (TakeOrderedAndProject, never a full sort)."""
+    counts = (df.select(F.explode(bigram_keys(F.col(text_col))).alias("bigram"))
+              .groupBy("bigram")
+              .agg(F.count(F.lit(1)).cast("long").alias("count"))
+              .filter(F.col("count") >= int(min_count)))
+    from pyspark.sql import Window
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("count"), F.asc("bigram")) \
+                       .limit(int(top_k))
+    return counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("count"), F.asc("bigram"))).cast("long"))
+
+
+def bigram_lm_features(df: DataFrame, bigram_table: DataFrame | None = None,
+                       vocab: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       novel_threshold: int = 1) -> DataFrame:
+    """Bigram-LM familiarity scoring — the conditional-probability step
+    beyond corpus_frequency_features' unigram rarity, in the same
+    integer-exact formulation (a CCNet/KenLM-style perplexity filter
+    without float log-probs, whose last-ulp behavior differs across
+    engines). Per document:
+
+      * ``n_bigrams``
+      * ``sum_bigram_freq``  — total corpus count of its bigrams
+        (out-of-table = 0)
+      * ``novel_ratio_e4``   — e4 fixed-point fraction of bigrams the
+        corpus has seen <= ``novel_threshold`` times: gibberish and
+        OCR noise score high, templated boilerplate scores 0
+      * ``cond_familiarity_e4`` — e4 fixed-point mean over bigrams of
+        P(w2|w1) = count(w1 w2)/count(w1), each conditional computed
+        by exact integer division (round half up), OOV w1 scoring 0.
+        This IS the bigram LM probability signal, kept rational.
+
+    Scale shape: with bounded tables (build_bigram_table/-vocabulary
+    top_k) both lookups are BROADCAST left joins — the exploded corpus
+    side never shuffles for them; the only corpus-wide shuffle is the
+    per-doc groupBy. Untrained (None) tables are computed from the
+    corpus itself (two extra keyed shuffles, still linear)."""
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bigram_keys(F.col(text_col))).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ")[0])
+
+    if bigram_table is None:
+        bt = (pairs.groupBy("bigram")
+              .agg(F.count(F.lit(1)).cast("long").alias("bcount")))
+        joined = pairs.join(bt, "bigram", "left")
+    else:
+        joined = pairs.join(
+            F.broadcast(bigram_table.select(
+                "bigram", F.col("count").alias("bcount"))),
+            "bigram", "left")
+    if vocab is None:
+        uni = (df.select(F.explode(words(F.col(text_col))).alias("w1"))
+               .filter(F.col("w1") != "")
+               .groupBy("w1")
+               .agg(F.count(F.lit(1)).cast("long").alias("ucount")))
+        joined = joined.join(uni, "w1", "left")
+    else:
+        joined = joined.join(
+            F.broadcast(vocab.select(F.col("token").alias("w1"),
+                                     F.col("count").alias("ucount"))),
+            "w1", "left")
+
+    joined = (joined
+              .withColumn("bcount", F.coalesce("bcount", F.lit(0).cast("long")))
+              .withColumn("ucount", F.coalesce("ucount", F.lit(0).cast("long")))
+              .withColumn(
+                  "p_e4",
+                  F.when(F.col("ucount") > 0,
+                         F.expr("(20000 * bcount + ucount) div (2 * ucount)"))
+                  .otherwise(F.lit(0).cast("long"))))
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bcount").cast("long").alias("sum_bigram_freq"),
+        F.sum(F.when(F.col("bcount") <= int(novel_threshold), 1)
+              .otherwise(0)).cast("long").alias("_n_novel"),
+        F.sum("p_e4").cast("long").alias("_sum_p_e4"),
+    )
+    feats = agg.selectExpr(
+        "id", "n_bigrams", "sum_bigram_freq",
+        "(20000 * _n_novel + n_bigrams) div (2 * n_bigrams) AS novel_ratio_e4",
+        "(2 * _sum_p_e4 + n_bigrams) div (2 * n_bigrams) AS cond_familiarity_e4",
+    )
+    # docs with < 2 words have no bigrams: surface them with zeros so
+    # the output covers the corpus (a filter consumer must see them)
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(feats, "id", "left")
+            .select("id",
+                    F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+                    F.coalesce("sum_bigram_freq", F.lit(0).cast("long")).alias("sum_bigram_freq"),
+                    F.coalesce("novel_ratio_e4", F.lit(0).cast("long")).alias("novel_ratio_e4"),
+                    F.coalesce("cond_familiarity_e4", F.lit(0).cast("long")).alias("cond_familiarity_e4")))

@@ -427,3 +427,94 @@ def test_filter_blocked_domains_subdomain_semantics(spark):
     plan = TX.filter_blocked_domains(df, ["spam.example"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # pure map-side predicate
+
+
+# -- bigram LM familiarity scoring ----------------------------------------
+
+def test_bigram_keys_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "The  quick\tbrown"), (2, "one"), (3, ""), (4, "A a A")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bg"] for r in df.select(
+        "doc_id", TX.bigram_keys(F.col("text")).alias("bg")).collect()}
+    assert got[1] == ["the quick", "quick brown"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["a a", "a a"]
+
+
+def test_build_bigram_table_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+    rows = {r["bigram"]: (r["count"], r["rank"])
+            for r in TX.build_bigram_table(df).collect()}
+    # "a b" appears 3x (twice in doc1, once in doc2)
+    assert rows["a b"] == (3, 1)
+    assert rows["b a"][0] == 1 and rows["b c"][0] == 1
+
+
+def test_bigram_lm_features_duckdb_parity(spark):
+    """Full-operator parity against an independent DuckDB formulation
+    over the real documents table — corpus-trained bigram + unigram
+    tables, integer-exact conditionals (oracle-style evidence for a
+    row outside the driver's capped 50-key window)."""
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = TX.bigram_lm_features(docs)
+    sql = """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+      FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM w WHERE len(ws) >= 2)
+    ), bt AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS bcount FROM bg GROUP BY bigram
+    ), uni AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS ucount
+      FROM (SELECT unnest(ws) AS w1 FROM w) WHERE w1 != '' GROUP BY w1
+    ), j AS (
+      SELECT bg.doc_id,
+             coalesce(bt.bcount, 0) AS bcount,
+             coalesce(uni.ucount, 0) AS ucount,
+             CASE WHEN coalesce(uni.ucount, 0) > 0
+                  THEN (20000 * coalesce(bt.bcount, 0) + uni.ucount) // (2 * uni.ucount)
+                  ELSE 0 END AS p_e4
+      FROM bg LEFT JOIN bt USING (bigram) LEFT JOIN uni USING (w1)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(bcount) AS BIGINT) AS sum_bigram_freq,
+             CAST(sum(CASE WHEN bcount <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(sum(p_e4) AS BIGINT) AS sum_p_e4
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.sum_bigram_freq, 0) AS sum_bigram_freq,
+           coalesce((20000 * a.n_novel + a.n_bigrams) // (2 * a.n_bigrams), 0) AS novel_ratio_e4,
+           coalesce((2 * a.sum_p_e4 + a.n_bigrams) // (2 * a.n_bigrams), 0) AS cond_familiarity_e4
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+
+
+def test_bigram_lm_features_bounded_tables_broadcast(spark):
+    """With pre-trained bounded tables both lookups must be broadcast
+    hash joins — the exploded corpus side never shuffles for them."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bt = TX.build_bigram_table(docs, top_k=500)
+    vocab = TX.build_vocabulary(docs, top_k=500)
+    out = TX.bigram_lm_features(docs, bigram_table=bt, vocab=vocab)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # familiarity is a meaningful signal on the real corpus: bounded
+    # tables -> some OOV, but typical prose scores nonzero
+    row = out.agg(F.max("cond_familiarity_e4"),
+                  F.max("novel_ratio_e4")).collect()[0]
+    assert row[0] > 0 and row[1] > 0
