@@ -5,11 +5,14 @@ apply them (C4/Pile/CCNet-style):
   1. boilerplate removal   (cross-doc repeated segments cut)
   2. exact-substring span removal (cross-doc duplicated spans cut)
   3. quality floor         (drop low-scoring documents)
-  4. exact dedup           (keep one copy per content digest)
-  5. near-dup cluster keeper (MinHash+LSH -> connected components ->
+  4. bigram-LM floor       (drop gibberish: high novel-bigram ratio /
+                            low conditional familiarity, r7)
+  5. exact dedup           (keep one copy per content digest)
+  6. near-dup cluster keeper (MinHash+LSH -> connected components ->
                               keep each cluster's min-id representative)
-  6. benchmark decontamination (drop eval-overlapping documents)
-  7. token-budget mixing   (per-domain deterministic downsampling)
+  7. semantic dedup        (SemDeDup over an embedding table, r7)
+  8. benchmark decontamination (drop eval-overlapping documents)
+  9. token-budget mixing   (per-domain deterministic downsampling)
 
 Every stage is optional and independently tested elsewhere; this module
 only owns the composition and the stage accounting. The whole pipeline
@@ -46,7 +49,10 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  boilerplate: dict | None = None,
                  span_dedup: dict | None = None,
                  quality_floor_centi: int | None = None,
+                 lm_floor: dict | None = None,
                  near_dup: dict | None = None,
+                 embeddings: DataFrame | None = None,
+                 semantic: dict | None = None,
                  benchmark: DataFrame | None = None,
                  decontaminate_n: int = 8,
                  budgets: dict | None = None,
@@ -62,7 +68,13 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     ``boilerplate={"delimiter": "\\n", "min_docs": 3}`` or
     ``{"window": 20, ...}``; ``span_dedup={"window": 16, "min_docs":
     2}``; ``near_dup={"k": 12, "n": 3, "bands": 4, "rows_per_band":
-    3}``; ``budgets={"web": 10_000_000, ...}`` over ``strata_col``."""
+    3}``; ``budgets={"web": 10_000_000, ...}`` over ``strata_col``;
+    ``lm_floor={"max_novel_e4": 9500, "min_familiarity_e4": 0,
+    "top_k": 50000}`` (bigram/unigram tables trained on the current
+    survivors, top_k-bounded so the lookups broadcast);
+    ``semantic={"threshold_fp": int(0.95e14), "n_clusters": 16}`` with
+    ``embeddings`` a (vec_id, embedding) frame whose ids are doc ids —
+    docs without an embedding pass through untouched."""
     counts: dict[str, int] = {}
     cur = df
 
@@ -85,6 +97,19 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             .select(id_col)
         cur = cur.join(scored, id_col)
         note("quality_floor")
+    if lm_floor is not None:
+        top_k = lm_floor.get("top_k", 50_000)
+        bt = TX.build_bigram_table(cur, text_col, top_k=top_k)
+        vocab = TX.build_vocabulary(cur, text_col, top_k=top_k)
+        feats = TX.bigram_lm_features(cur, bt, vocab,
+                                      text_col=text_col, id_col=id_col)
+        keep = feats.filter(
+            (F.col("novel_ratio_e4") <= int(lm_floor.get("max_novel_e4", 10_000)))
+            & (F.col("cond_familiarity_e4")
+               >= int(lm_floor.get("min_familiarity_e4", 0)))
+        ).select(F.col("id").alias(id_col))
+        cur = cur.join(keep, id_col)
+        note("lm_floor")
     # exact dedup always precedes near-dup when either dedup runs:
     # identical copies would otherwise bloat LSH buckets for nothing
     if near_dup is not None:
@@ -105,6 +130,21 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             .select(F.col("id").alias(id_col))
         cur = cur.join(losers, id_col, "left_anti")
         note("near_dup")
+    if semantic is not None:
+        if embeddings is None:
+            raise ValueError("semantic stage needs an embeddings frame")
+        sd = DD.semantic_dedup(
+            embeddings,
+            threshold_fp=semantic.get("threshold_fp", int(0.95 * 10 ** 14)),
+            n_clusters=semantic.get("n_clusters", 16),
+            lloyd_rounds=semantic.get("lloyd_rounds", 2),
+            dim=semantic.get("dim", 64))
+        # anti-join on the pruned ids: docs without an embedding pass
+        # through untouched (the embedding table may cover a subset)
+        pruned = sd.filter(~F.col("keep")) \
+            .select(F.col("vec_id").alias(id_col))
+        cur = cur.join(pruned, id_col, "left_anti")
+        note("semantic")
     if benchmark is not None:
         flags = DD.decontaminate(cur, benchmark, n=decontaminate_n,
                                  id_col=id_col, text_col=text_col)

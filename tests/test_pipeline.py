@@ -107,3 +107,26 @@ def test_clean_then_export_end_to_end(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.select("doc_id").distinct().count() == n_cleaned
     assert os.path.isdir(os.path.join(out, "shard=0"))
+
+
+def test_clean_corpus_lm_floor_and_semantic_stages(spark):
+    """The r7 stages: bigram-LM gibberish floor and SemDeDup over the
+    embeddings table, composed with the rest on the real corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out, counts = P.clean_corpus(
+        docs,
+        lm_floor={"max_novel_e4": 9990, "top_k": 100_000},
+        near_dup={},
+        embeddings=emb,
+        semantic={"threshold_fp": int(0.93 * 10 ** 14)},
+        with_counts=True)
+    assert counts["lm_floor"] <= docs.count()
+    assert counts["semantic"] <= counts["near_dup"]
+    assert out.count() == counts["semantic"] > 0
+    assert set(out.columns) == set(docs.columns)
+
+    # semantic stage without an embeddings frame is a loud error
+    import pytest
+    with pytest.raises(ValueError, match="embeddings"):
+        P.clean_corpus(docs, semantic={})
