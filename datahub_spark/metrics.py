@@ -80,3 +80,50 @@ class LoggingMetrics(Metrics):
                            dict(tags or {}))
         except Exception:
             pass
+
+
+def statsd_line(event: dict) -> str:
+    """One DogStatsD wire line for an event — the exact format the
+    reference's statsd client ships (web.go:24 constructs a DataDog
+    statsd client; conf/metrics.go wires its namespace/tags):
+    ``name:value|TYPE[|#tag:val,...]`` with c/ms/g for
+    count/timing/gauge."""
+    t = {"count": "c", "timing": "ms", "gauge": "g"}[event["kind"]]
+    v = event["value"]
+    line = f"{event['name']}:{v:g}|{t}" if isinstance(v, float) \
+        else f"{event['name']}:{v}|{t}"
+    tags = event.get("tags") or {}
+    if tags:
+        line += "|#" + ",".join(f"{k}:{tags[k]}" for k in sorted(tags))
+    return line
+
+
+class StatsdMetrics(Metrics):
+    """UDP statsd sink: fire-and-forget datagrams, one event per
+    packet, never blocking or failing the instrumented path (datagram
+    sends don't wait for a receiver — statsd's design and the reason
+    the reference logs-and-continues on telemetry errors)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8125,
+                 prefix: str = ""):
+        super().__init__()
+        import socket
+
+        self._addr = (host, port)
+        self._prefix = prefix
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def _emit(self, kind, name, value, tags):
+        try:
+            line = statsd_line({"kind": kind,
+                                "name": self._prefix + name,
+                                "value": value, "tags": tags})
+            self._sock.sendto(line.encode(), self._addr)
+        except Exception:
+            pass
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except Exception:
+            pass

@@ -165,3 +165,39 @@ def test_content_filename_escaping_is_injective(tmp_path):
     assert cs.get(" ac")["data"]["v"] == "space-ac"
     assert cs.get("€")["data"]["v"] == "euro"
     assert len(cs.list()) == 2
+
+
+# -- statsd wire sink ------------------------------------------------------
+
+def test_statsd_line_format():
+    from datahub_spark.metrics import statsd_line
+
+    assert statsd_line({"kind": "count", "name": "http.count",
+                        "value": 1, "tags": {}}) == "http.count:1|c"
+    assert statsd_line({"kind": "timing", "name": "http.time",
+                        "value": 12.5,
+                        "tags": {"path": "/datasets", "method": "GET"}}) \
+        == "http.time:12.5|ms|#method:GET,path:/datasets"
+    assert statsd_line({"kind": "gauge", "name": "jobs.active",
+                        "value": 3, "tags": None}) == "jobs.active:3|g"
+
+
+def test_statsd_metrics_sends_datagrams():
+    import socket
+
+    from datahub_spark.metrics import StatsdMetrics
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    m = StatsdMetrics(port=port, prefix="datahub.")
+    m.count("http.count", 1, {"status": "200"})
+    m.timing("http.time", 4.25)
+    got = {rx.recvfrom(2048)[0].decode() for _ in range(2)}
+    assert got == {"datahub.http.count:1|c|#status:200",
+                   "datahub.http.time:4.25|ms"}
+    m.close()
+    rx.close()
+    # a closed socket (or no receiver at all) must never raise
+    m.count("late", 1)
