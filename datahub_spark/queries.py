@@ -1060,14 +1060,36 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
-@register("ann_lsh", SIM.ann_lsh_oracle(k=5, n_planes=6, dim=64, query_pred="vec_id < 10"))
-def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (random-hyperplane buckets; equi-join probe).
-    Buckets and scores are exact fixed-point ints; the oracle embeds the
-    same seeded hyperplane literals, so results hash-match exactly."""
+@register(
+    "ann_bucketed",
+    "SELECT 'lsh' AS method, * FROM ("
+    + SIM.ann_lsh_oracle(k=5, n_planes=6, dim=64, query_pred="vec_id < 10")
+    + ") UNION ALL SELECT 'ivf' AS method, * FROM ("
+    + SIM.ann_ivf_oracle(k=5, n_clusters=16, n_probe=4,
+                         lloyd_rounds=2, dim=64, query_pred="cid < 10")
+    + ")")
+def q_ann_bucketed(spark, sf_dir):
+    """BOTH bucketed ANN scale paths, one graded key (§2 rows 41 and
+    41b, merged r7 to free grading-window slots — same output schema,
+    tagged by method):
+
+    * LSH — random-hyperplane buckets, equi-join probe; buckets and
+      scores exact fixed-point ints, the oracle embeds the same seeded
+      hyperplane literals;
+    * IVF — deterministic fixed-point k-means coarse quantizer
+      (similarity.kmeans_inverted); probing is an equi-join on cluster
+      id — the persisted-index scale path; exact integer
+      assignment/means make index construction oracle-verifiable
+      bit-for-bit."""
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < 10)
-    return SIM.ann_lsh(q, emb, k=5, n_planes=6, dim=64)
+    lsh = SIM.ann_lsh(q, emb, k=5, n_planes=6, dim=64) \
+        .withColumn("method", F.lit("lsh"))
+    ivf = SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4,
+                      lloyd_rounds=2, dim=64) \
+        .withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf).select(
+        "method", "query_id", "rank", "neighbor_id", "dot_fp")
 
 
 @register(
@@ -1224,16 +1246,22 @@ def q_dedup_clusters(spark, sf_dir):
     return DD.connected_components(pairs)
 
 
-@register("ann_ivf", SIM.ann_ivf_oracle(k=5, n_clusters=16, n_probe=4,
-                                        lloyd_rounds=2, dim=64, query_pred="cid < 10"))
-def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN: deterministic fixed-point k-means coarse
-    quantizer; probing is an equi-join on cluster id — the
-    persisted-index scale path. Exact integer assignment/means make the
-    whole index construction oracle-verifiable bit-for-bit."""
+@register(
+    "semantic_dedup",
+    DD.semantic_dedup_oracle(int(0.93 * 10 ** 14), n_clusters=16,
+                             lloyd_rounds=2, dim=64))
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
+    via embedding k-means — cluster with the deterministic coarse
+    quantizer, then within each cluster drop vectors with cosine >= tau
+    to a lower-centroid-affinity clustermate (keep = lowest affinity,
+    the paper's diversity-preserving rule). Pair probe is a cluster-id
+    equi-join (quadratic bounded by cluster size BY DESIGN), removal
+    one left-semi EXISTS; exact fixed-point end to end, so clustering,
+    affinities, and keep flags all hash-match the SQL oracle."""
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
-    q = emb.filter(F.col("vec_id") < 10)
-    return SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4, lloyd_rounds=2, dim=64)
+    return DD.semantic_dedup(emb, int(0.93 * 10 ** 14), n_clusters=16,
+                             lloyd_rounds=2, dim=64)
 
 
 @register(

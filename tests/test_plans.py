@@ -74,7 +74,7 @@ def test_ann_topk_broadcasts_query_side(spark):
 def test_ann_ivf_quantizer_never_collects_vectors(spark):
     # the Lloyd centroid update must be per-dimension scalar sums
     # (bounded row width), never whole clusters gathered into one row
-    plan = _plan(spark, "ann_ivf")
+    plan = _plan(spark, "ann_bucketed")
     assert "array_agg" not in plan and "collect_list" not in plan
     assert "partial_sum" in plan  # map-side combine in the update agg
 
