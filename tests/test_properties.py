@@ -250,3 +250,78 @@ def test_chunking_reassembles_to_normalized_text(spark, docs_words, k, stride):
         if stride == k:
             assert " ".join(
                 chunks[c] for c in sorted(chunks)) == " ".join(ws)
+
+
+# -- bigram LM invariants ---------------------------------------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "Aa", "x"]),
+    min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc_text, min_size=1, max_size=10))
+def test_bigram_lm_matches_python_model(spark, texts):
+    """Distributed bigram-LM features == a pure-python reference model:
+    counts, e4 novel ratio, e4 mean conditional — exact, every doc."""
+    from datahub_spark.operators import text as TX
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def bigrams(t):
+        w = norm(t).split(" ")
+        return [f"{a} {b}" for a, b in zip(w, w[1:])] if len(w) >= 2 else []
+
+    bt, uni = {}, {}
+    for t in texts:
+        for bg in bigrams(t):
+            bt[bg] = bt.get(bg, 0) + 1
+        for w in norm(t).split(" "):
+            if w:
+                uni[w] = uni.get(w, 0) + 1
+
+    expect = {}
+    for i, t in enumerate(texts):
+        bgs = bigrams(t)
+        if not bgs:
+            expect[i] = (0, 0, 0, 0)
+            continue
+        sum_freq = sum(bt[b] for b in bgs)
+        n_novel = sum(1 for b in bgs if bt[b] <= 1)
+        p_e4s = []
+        for b in bgs:
+            u = uni.get(b.split(" ")[0], 0)
+            p_e4s.append((20000 * bt[b] + u) // (2 * u) if u > 0 else 0)
+        n = len(bgs)
+        expect[i] = (n, sum_freq,
+                     (20000 * n_novel + n) // (2 * n),
+                     (2 * sum(p_e4s) + n) // (2 * n))
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["id"]: (r["n_bigrams"], r["sum_bigram_freq"],
+                     r["novel_ratio_e4"], r["cond_familiarity_e4"])
+           for r in TX.bigram_lm_features(df).collect()}
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=2 ** 31), min_size=1,
+                max_size=6),
+       st.integers(min_value=4000, max_value=16000))
+def test_wav_roundtrip_arbitrary_frames(spark, seeds, rate):
+    """synthesize_wav -> decode_wav_features round-trips header fields
+    exactly for arbitrary payload-deriving texts and sample rates."""
+    from datahub_spark.operators import multimodal as MM
+
+    texts = [("s" * (s % 97)) + str(s) for s in seeds]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in MM.decode_wav_features(
+        MM.synthesize_wav(df, rate=rate)).collect()}
+    for i, t in enumerate(texts):
+        r = got[i]
+        assert r["sample_rate"] == rate
+        assert r["n_frames"] == 64 + (len(t) % 512)
+        assert r["n_channels"] == 1 and r["sample_width"] == 2
