@@ -118,12 +118,20 @@ class DatahubInstance:
                 admin_client_id=config.admin_username or "admin",
                 admin_client_secret=config.admin_password or None,
                 node_id=config.node_id)
+        # login providers for outgoing connections (app.go wires
+        # security.NewTokenProviders; persisted like the reference's
+        # store-backed ProviderManager)
+        from datahub_spark.providers import ProviderStore
+        self.providers = ProviderStore(
+            path=os.path.join(config.store_location, "providers.json"),
+            security_manager=self.security)
         self.server = UdaServer(
             self.store, self.nsmgr,
             port=config.port,
             lease_seconds=config.fullsync_lease_timeout,
             scheduler=self.scheduler, content=self.content,
-            security=self.security, metrics=self.metrics)
+            security=self.security, metrics=self.metrics,
+            providers=self.providers)
         self._backup_spec = (CronSpec.parse(config.backup_schedule)
                              if config.backup_location else None)
         self._backup_last: datetime | None = None

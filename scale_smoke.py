@@ -114,14 +114,63 @@ def main() -> None:
     timings["boilerplate_1m_docs"] = round(time.monotonic() - t0, 2)
     assert n_dropped_segs == n_docs, n_dropped_segs  # segment [0..3] per doc
 
+    # bigram-LM familiarity at the same 1M-doc volume: corpus-trained
+    # bigram + unigram tables (untrained mode = two extra keyed
+    # shuffles), integer-exact conditionals. 8 tokens/doc -> exactly 7
+    # bigrams/doc, so the count invariant is checkable at volume.
+    t0 = time.monotonic()
+    lm = TX.bigram_lm_features(docs)
+    n_bigrams_total = lm.agg(F.sum("n_bigrams")).collect()[0][0]
+    timings["bigram_lm_1m_docs"] = round(time.monotonic() - t0, 2)
+    assert n_bigrams_total == 7 * n_docs, n_bigrams_total
+
+    # SemDeDup at 100k vectors: 20k groups of 5 near-identical vectors
+    # (three heavy coords per group drawn from a 64^3 direction space so
+    # distinct groups are NOT similar; each variant adds a tiny
+    # variant-specific coord, keeping within-group cosine >= ~0.99).
+    # n_clusters=256 bounds within-cluster pair fan-out (~400/cluster)
+    # — the SemDeDup scale premise exercised for real.
+    n_vecs = 100_000
+    g = (F.col("id") / 5).cast("long")
+    c1, c2, c3 = g % 64, (g / 64).cast("long") % 64, (g / 4096).cast("long") % 64
+    variant = F.col("id") % 5
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.when(i == c1, 1.0)
+            .when(i == c2, 0.7)
+            .when(i == c3, 0.5)
+            .when(i == (variant + 59) % 64, 0.05)
+            .otherwise(0.0)
+        ).cast("float"),
+    )
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"))
+    t0 = time.monotonic()
+    sd = DD.semantic_dedup(vecs, int(0.95 * 10 ** 14), n_clusters=256,
+                           lloyd_rounds=1, dim=64)
+    kept = sd.filter(F.col("keep")).select("vec_id")
+    n_groups_kept = (kept
+                     .select(((F.col("vec_id") / 5).cast("long")).alias("g"))
+                     .distinct().count())
+    n_kept = kept.count()
+    timings["semantic_dedup_100k_vecs"] = round(time.monotonic() - t0, 2)
+    # every 5-variant group must keep at least one member, and the
+    # pruning must actually bite (variants are mutual near-dups)
+    assert n_groups_kept == n_vecs // 5, n_groups_kept
+    assert n_kept < n_vecs, n_kept
+
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
                  "dup_cluster_keepers": n_keepers,
                  "span_words_removed": int(n_removed),
-                 "boilerplate_segments_dropped": int(n_dropped_segs)},
+                 "boilerplate_segments_dropped": int(n_dropped_segs),
+                 "bigram_total": int(n_bigrams_total),
+                 "semantic_kept": int(n_kept)},
         "sec": timings,
         "n_versions": n_versions,
         "n_docs": n_docs,
+        "n_vecs": n_vecs,
     }))
 
 

@@ -162,6 +162,10 @@ def test_instance_boot_with_local_security(spark, tmp_path):
                             headers={"Authorization": f"Bearer {token}"})
         assert status == 200
         assert body == []
+        # the provider registry is wired and served (r7)
+        status, body = _get(f"{url}/provider/logins",
+                            headers={"Authorization": f"Bearer {token}"})
+        assert status == 200 and body == []
     finally:
         inst.stop()
 
