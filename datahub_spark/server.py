@@ -483,6 +483,10 @@ class UdaServer:
         return node
 
     def _get_entities(self, rq, ds: str, q: dict) -> None:
+        if q.get("reverse"):
+            # datasethandler.go:286-288
+            return self._error(
+                rq, 400, "reverse parameter only supported for changes")
         limit = int(q.get("limit", self.default_limit))
         from_tok = q.get("from", "")
         view = S.latest(self.store.log([ds]), include_deleted=False)
@@ -507,6 +511,11 @@ class UdaServer:
     def _get_changes(self, rq, ds: str, q: dict) -> None:
         limit = int(q.get("limit", self.default_limit))
         latest_only = q.get("latestOnly", "") == "true"
+        # ?reverse=true walks the change-log newest-first
+        # (datasethandler.go:551,702-731: the offset iterator is
+        # Inverse()d and the token pages further back) — same key-set
+        # continuation protocol here, with the comparisons flipped
+        reverse = q.get("reverse", "") == "true"
         since = q.get("since", "")
         log = self.store.log([ds])
         if latest_only:
@@ -522,7 +531,15 @@ class UdaServer:
                     return self._error(rq, 400, "bad since token")
         if pos is not None:
             if isinstance(pos, int):
-                log = log.filter(F.col("recorded") > pos)
+                log = log.filter(F.col("recorded") < pos if reverse
+                                 else F.col("recorded") > pos)
+            elif reverse:
+                r, s, i = pos
+                log = log.filter(
+                    (F.col("recorded") < r)
+                    | ((F.col("recorded") == r) & (F.col("seq") < s))
+                    | ((F.col("recorded") == r) & (F.col("seq") == s)
+                       & (F.col("id") < i)))
             else:
                 r, s, i = pos
                 log = log.filter(
@@ -530,7 +547,10 @@ class UdaServer:
                     | ((F.col("recorded") == r) & (F.col("seq") > s))
                     | ((F.col("recorded") == r) & (F.col("seq") == s)
                        & (F.col("id") > i)))
-        page_df = log.orderBy("recorded", "seq", "id").limit(limit)
+        order = [F.col("recorded").desc(), F.col("seq").desc(),
+                 F.col("id").desc()] if reverse \
+            else [F.col("recorded"), F.col("seq"), F.col("id")]
+        page_df = log.orderBy(*order).limit(limit)
         # one job yields both the wire rows and the position columns
         wire = uda.to_uda_json(page_df, ["recorded", "seq", "id"]).collect()
         objs = [r["json"] for r in wire]

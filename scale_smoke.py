@@ -124,26 +124,39 @@ def main() -> None:
     timings["bigram_lm_1m_docs"] = round(time.monotonic() - t0, 2)
     assert n_bigrams_total == 7 * n_docs, n_bigrams_total
 
-    # SemDeDup at 100k vectors: 20k groups of 5 near-identical vectors
-    # (three heavy coords per group drawn from a 64^3 direction space so
-    # distinct groups are NOT similar; each variant adds a tiny
-    # variant-specific coord, keeping within-group cosine >= ~0.99).
-    # n_clusters=256 bounds within-cluster pair fan-out (~400/cluster)
+    # SemDeDup at 100k vectors: 20k groups of 5 near-identical vectors.
+    # Four heavy coords per group in DISJOINT index ranges (mixed-radix
+    # over 16*16*16*11 = 45056 directions, injective for g < 45056 —
+    # disjoint ranges so no coord ever shadows another): worst-case
+    # cross-group cosine (three of four coords shared) is 2.0/2.16 =
+    # 0.926 < tau, within-group (all four shared, tiny variant coord)
+    # ~0.9988 >= tau. n_clusters=256 bounds within-cluster pair fan-out
     # — the SemDeDup scale premise exercised for real.
     n_vecs = 100_000
     g = (F.col("id") / 5).cast("long")
-    c1, c2, c3 = g % 64, (g / 64).cast("long") % 64, (g / 4096).cast("long") % 64
+    c1 = g % 16
+    c2 = 16 + (g / 16).cast("long") % 16
+    c3 = 32 + (g / 256).cast("long") % 16
+    c4 = 48 + (g / 4096).cast("long") % 11
     variant = F.col("id") % 5
-    vec = F.transform(
+    raw = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: (
             F.when(i == c1, 1.0)
-            .when(i == c2, 0.7)
-            .when(i == c3, 0.5)
-            .when(i == (variant + 59) % 64, 0.05)
+            .when(i == c2, 0.8)
+            .when(i == c3, 0.6)
+            .when(i == c4, 0.4)
+            .when(i == variant + 59, 0.05)
             .otherwise(0.0)
-        ).cast("float"),
+        ),
     )
+    # L2-normalize: the fixed-point threshold is cosine*1e14 for UNIT
+    # vectors (similarity.dot_long contract) — unnormalized payloads
+    # would inflate raw dots and make merely-coord-sharing groups
+    # "similar" (the bug this leg's first run caught)
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0),
+                              lambda acc, v: acc + v * v))
+    vec = F.transform(raw, lambda v: (v / norm).cast("float"))
     vecs = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"), vec.alias("embedding"))
     t0 = time.monotonic()

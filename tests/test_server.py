@@ -615,3 +615,29 @@ def test_http_request_metrics(spark, tmp_path):
     assert len(times) == 2 and all(e["value"] > 0 for e in times)
     sizes = rec.named("http.size")
     assert len(sizes) == 2 and all(e["value"] > 0 for e in sizes)
+
+
+def test_changes_reverse_pages_newest_first(served, spark):
+    """?reverse=true walks the change-log newest-first with the same
+    continuation protocol (datasethandler.go:551,702-731); /entities
+    rejects the parameter (datasethandler.go:286-288)."""
+    _, base = served
+    ctx, ents, token = _split(_get(f"{base}/datasets/d/changes?reverse=true&limit=3"))
+    recs = [e["recorded"] for e in ents]
+    assert len(ents) == 3
+    assert recs == sorted(recs, reverse=True)
+
+    # the token continues strictly older; drain and compare with the
+    # forward walk reversed
+    seen = [e["id"] for e in ents]
+    for _ in range(100):
+        ctx, ents, token2 = _split(_get(
+            f"{base}/datasets/d/changes?reverse=true&limit=3&since={token}"))
+        if not ents:
+            break
+        seen += [e["id"] for e in ents]
+        token = token2
+    fw_ctx, fw_ents, _ = _split(_get(f"{base}/datasets/d/changes?limit=10000"))
+    assert seen == [e["id"] for e in reversed(fw_ents)]
+
+    assert _req_status(f"{base}/datasets/d/entities?reverse=true")[0] == 400
