@@ -258,6 +258,9 @@ class UdaServer:
             def do_DELETE(self):
                 outer._observed(self, outer._route_delete)
 
+            def do_PATCH(self):
+                outer._observed(self, outer._route_patch)
+
         self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
@@ -352,6 +355,20 @@ class UdaServer:
             if parts == ["datasets"]:
                 names = sorted(self.store.list_datasets())
                 return self._reply(rq, 200, [{"Name": n} for n in names])
+            if len(parts) == 2 and parts[0] == "datasets":
+                # datasethandler.go:212-225 GetDatasetDetails: the
+                # dataset's core registry entity (items = entity count)
+                ds = unquote(parts[1])
+                cfg = self.store.dataset_config(ds)
+                if cfg is None:
+                    return self._error(rq, 404, f"dataset {ds} not found")
+                n_items = S.latest(self.store.log([ds])).count() \
+                    if self.store.has_data(ds) else 0
+                return self._reply(rq, 200, {
+                    "id": f"core:{ds}",
+                    "props": {"core:name": ds, "core:items": n_items},
+                    "refs": {},
+                })
             if parts == ["namespaces"]:
                 # namespacehandler.go:37 — prefix -> expansion map
                 return self._reply(rq, 200, self.nsmgr.context())
@@ -601,6 +618,8 @@ class UdaServer:
             if len(parts) == 3 and parts[0] == "datasets" \
                     and parts[2] == "entities":
                 return self._post_entities(rq, parts[1])
+            if len(parts) == 2 and parts[0] == "datasets":
+                return self._dataset_create(rq, unquote(parts[1]), u)
             if parts == ["query"]:
                 return self._post_query(rq)
             if parts == ["transactions"]:
@@ -682,6 +701,37 @@ class UdaServer:
         except Exception as exc:
             self._error(rq, 500, str(exc))
 
+    def _dataset_create(self, rq, ds: str, u) -> None:
+        """datasetCreate (datasethandler.go:256-300): 400 on existing
+        name; ?proxy=true requires a ProxyDatasetConfig with remoteUrl;
+        a VirtualDatasetConfig requires a transform; the config rides in
+        the registry entry (CreateDatasetConfig, dsmanager.go:102-106)."""
+        if ds in self.store.list_datasets():
+            return self._error(rq, 400, "Dataset already exist")
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        n = int(rq.headers.get("Content-Length", "0"))
+        try:
+            cfg = json.loads(rq.rfile.read(n).decode()) if n else {}
+        except json.JSONDecodeError:
+            return self._error(rq, 400, "malformed dataset config")
+        extra = {}
+        if q.get("proxy") == "true":
+            pc = cfg.get("ProxyDatasetConfig") or {}
+            if not pc.get("remoteUrl"):
+                return self._error(
+                    rq, 400, "invalid proxy configuration provided")
+            extra["ProxyDatasetConfig"] = pc
+        elif cfg.get("VirtualDatasetConfig") is not None:
+            vc = cfg["VirtualDatasetConfig"]
+            if not (vc.get("Transform") or vc.get("transform")):
+                return self._error(
+                    rq, 400, "invalid virtual dataset configuration provided")
+            extra["VirtualDatasetConfig"] = vc
+        self.store.create_dataset(
+            ds, public_namespaces=cfg.get("publicNamespaces"),
+            config=extra or None)
+        return self._reply(rq, 200, {})
+
     def _post_token(self, rq) -> None:
         from datahub_spark.security import AuthError
 
@@ -727,6 +777,37 @@ class UdaServer:
         except Exception as exc:
             self._error(rq, 500, str(exc))
 
+    def _route_patch(self, rq) -> None:
+        """PATCH /datasets/{name} = datasetUpdate (datasethandler.go:
+        the UpdateDatasetConfig carries the new ID/name)."""
+        if not self._authorize(rq):
+            return
+        try:
+            parts = [p for p in urlparse(rq.path).path.split("/") if p]
+            if len(parts) == 2 and parts[0] == "datasets":
+                ds = unquote(parts[1])
+                if self.store.dataset_config(ds) is None:
+                    return self._error(rq, 400, "Dataset does not exist")
+                n = int(rq.headers.get("Content-Length", "0"))
+                try:
+                    cfg = json.loads(rq.rfile.read(n).decode()) if n else {}
+                except json.JSONDecodeError:
+                    return self._error(
+                        rq, 400, "Could not parse update dataset payload")
+                new_name = cfg.get("ID") or cfg.get("id")
+                if not new_name:
+                    return self._error(
+                        rq, 400, "update dataset request without payload")
+                try:
+                    self.store.rename_dataset(ds, new_name)
+                except (KeyError, ValueError) as exc:
+                    return self._error(rq, 400, str(exc))
+                self.invalidate_query_index()
+                return self._reply(rq, 200, {})
+            self._error(rq, 404, "not found")
+        except Exception as exc:
+            self._error(rq, 500, str(exc))
+
     def _route_delete(self, rq) -> None:
         if not self._authorize(rq):
             return
@@ -756,6 +837,20 @@ class UdaServer:
                     self.providers.delete(unquote(parts[2]))
                 except KeyError:
                     return self._error(rq, 404, "no such login provider")
+                return self._reply(rq, 200, {})
+            if len(parts) == 2 and parts[0] == "datasets":
+                # deleteDatasetHandler (datasethandler.go:227-235)
+                ds = unquote(parts[1])
+                if self.store.dataset_config(ds) is None:
+                    return self._error(rq, 400, f"dataset {ds} not found")
+                self.store.delete_dataset(ds)
+                self.invalidate_query_index()
+                return self._reply(rq, 200, {})
+            if parts == ["datasets"]:
+                # deleteAllDatasets (datasethandler.go:237-244)
+                for ds in self.store.list_datasets():
+                    self.store.delete_dataset(ds)
+                self.invalidate_query_index()
                 return self._reply(rq, 200, {})
             self._error(rq, 404, "not found")
         except Exception as exc:

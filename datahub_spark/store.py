@@ -318,15 +318,41 @@ class EntityStore:
             finally:
                 os.close(fd)  # releases the flock
 
-    def create_dataset(self, name: str, public_namespaces: list[str] | None = None) -> None:
+    def create_dataset(self, name: str, public_namespaces: list[str] | None = None,
+                       config: dict | None = None) -> None:
+        """Register a dataset; ``config`` carries the reference's
+        CreateDatasetConfig extras (ProxyDatasetConfig /
+        VirtualDatasetConfig, dsmanager.go:102-106) in the registry."""
+        entry = {"publicNamespaces": public_namespaces or []}
+        if config:
+            entry.update(config)
         self._mutate_meta(
-            lambda meta: meta["datasets"].setdefault(
-                name, {"publicNamespaces": public_namespaces or []})
+            lambda meta: meta["datasets"].setdefault(name, entry)
         )
+
+    def dataset_config(self, name: str) -> dict | None:
+        """The registry entry for ``name`` (None when unknown)."""
+        return self._read_meta()["datasets"].get(name)
 
     def delete_dataset(self, name: str) -> None:
         self._mutate_meta(lambda meta: meta["datasets"].pop(name, None))
         shutil.rmtree(os.path.join(self.log_dir, f"dataset={name}"), ignore_errors=True)
+
+    def rename_dataset(self, name: str, new_name: str) -> None:
+        """UpdateDataset with a new ID (dsmanager.go:108-110): registry
+        entry and log partition move under the new name atomically with
+        respect to the registry lock."""
+        def mv(meta):
+            if name not in meta["datasets"]:
+                raise KeyError(name)
+            if new_name in meta["datasets"]:
+                raise ValueError(f"dataset {new_name} already exists")
+            meta["datasets"][new_name] = meta["datasets"].pop(name)
+            src = os.path.join(self.log_dir, f"dataset={name}")
+            if os.path.isdir(src):
+                shutil.move(src, os.path.join(self.log_dir,
+                                              f"dataset={new_name}"))
+        self._mutate_meta(mv)
 
     def list_datasets(self) -> list[str]:
         return sorted(self._read_meta()["datasets"])

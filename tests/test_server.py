@@ -641,3 +641,59 @@ def test_changes_reverse_pages_newest_first(served, spark):
     assert seen == [e["id"] for e in reversed(fw_ents)]
 
     assert _req_status(f"{base}/datasets/d/entities?reverse=true")[0] == 400
+
+
+def test_dataset_management_over_http(served, spark):
+    """Create / get-details / rename / delete lifecycle
+    (datasethandler.go:66-75,212-300): proxy and virtual configs are
+    validated, renames move the log, deletes drop it."""
+    store, base = served
+
+    # create plain + duplicate 400
+    assert _post(f"{base}/datasets/fresh", {})[0] == 200
+    assert "fresh" in [d["Name"] for d in _get(f"{base}/datasets")]
+    assert _post(f"{base}/datasets/fresh", {})[0] == 400
+
+    # proxy config validated (datasethandler.go:269-273)
+    assert _post(f"{base}/datasets/px?proxy=true", {})[0] == 400
+    assert _post(f"{base}/datasets/px?proxy=true",
+                 {"ProxyDatasetConfig": {"remoteUrl": "http://peer/datasets/d"}}
+                 )[0] == 200
+    # virtual config validated (datasethandler.go:275-279)
+    assert _post(f"{base}/datasets/vx",
+                 {"VirtualDatasetConfig": {}})[0] == 400
+    assert _post(f"{base}/datasets/vx",
+                 {"VirtualDatasetConfig": {"Transform": "ZnVuYw=="}})[0] == 200
+
+    # details: core entity shape with items count (datasethandler.go:212)
+    details = _get(f"{base}/datasets/d")
+    assert details["id"] == "core:d"
+    assert details["props"]["core:items"] == 4  # e:4 is deleted
+    assert _req_status(f"{base}/datasets/nope")[0] == 404
+
+    # rename via PATCH (UpdateDatasetConfig.ID), data follows the name
+    import urllib.request
+    req = urllib.request.Request(
+        f"{base}/datasets/d", data=json.dumps({"ID": "d2"}).encode(),
+        method="PATCH", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+    names = [d["Name"] for d in _get(f"{base}/datasets")]
+    assert "d2" in names and "d" not in names
+    _, ents, _ = _split(_get(f"{base}/datasets/d2/entities"))
+    assert {e["id"] for e in ents} == {"e:1", "e:2", "e:3", "e:5"}
+
+    # delete one (unknown -> 400), then delete all
+    req = urllib.request.Request(f"{base}/datasets/nope", method="DELETE")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 400
+    req = urllib.request.Request(f"{base}/datasets/px", method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+    req = urllib.request.Request(f"{base}/datasets", method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+    assert _get(f"{base}/datasets") == []
