@@ -443,6 +443,11 @@ class UdaServer:
                 ds, verb = parts[1], parts[2]
                 if ds not in self.store.list_datasets():
                     return self._error(rq, 404, f"dataset {ds} not found")
+                cfg = self.store.dataset_config(ds) or {}
+                if "ProxyDatasetConfig" in cfg and verb in ("entities",
+                                                            "changes"):
+                    return self._proxy_read(rq, cfg["ProxyDatasetConfig"],
+                                            verb, q)
                 if verb == "entities":
                     if "since" in q:
                         # datasethandler.go:283
@@ -700,6 +705,44 @@ class UdaServer:
             self._error(rq, 404, "not found")
         except Exception as exc:
             self._error(rq, 500, str(exc))
+
+    def _proxy_read(self, rq, proxy_cfg: dict, verb: str, q: dict) -> None:
+        """Read-through for proxy datasets (proxydataset.go:200-300 +
+        datasethandler.go:600-640): /entities and /changes forward to
+        the remote's same endpoint with the query passed through, the
+        outgoing Authorization coming from the configured login provider
+        (authProviderName -> ProviderStore), and the remote's UDA page —
+        context, entities, continuation — relayed verbatim (tokens are
+        the remote's, so the client's next call pages the remote)."""
+        import urllib.parse
+        import urllib.request
+
+        remote = proxy_cfg.get("remoteUrl", "").rstrip("/")
+        passthrough = {k: v for k, v in q.items()
+                       if k in ("limit", "from", "since", "latestOnly",
+                                "reverse")}
+        url = f"{remote}/{verb}"
+        if passthrough:
+            url += "?" + urllib.parse.urlencode(passthrough)
+        req = urllib.request.Request(url)
+        auth_name = proxy_cfg.get("authProviderName")
+        if auth_name and self.providers is not None:
+            try:
+                self.providers.provider(auth_name).authorize(req)
+            except KeyError:
+                return self._error(
+                    rq, 500, f"unknown auth provider {auth_name!r}")
+        timeout = float(proxy_cfg.get("timeoutSeconds") or 30)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = resp.read()
+        except Exception as exc:
+            return self._error(rq, 502, f"proxy fetch failed: {exc}")
+        rq.send_response(200)
+        rq.send_header("Content-Type", "application/json")
+        rq.send_header("Content-Length", str(len(data)))
+        rq.end_headers()
+        rq.wfile.write(data)
 
     def _dataset_create(self, rq, ds: str, u) -> None:
         """datasetCreate (datasethandler.go:256-300): 400 on existing

@@ -697,3 +697,48 @@ def test_dataset_management_over_http(served, spark):
     with urllib.request.urlopen(req, timeout=30) as resp:
         assert resp.status == 200
     assert _get(f"{base}/datasets") == []
+
+
+def test_proxy_dataset_read_through_with_auth_provider(served, spark, tmp_path):
+    """A dataset created with ?proxy=true forwards /entities and
+    /changes to its remoteUrl, authorizing outgoing requests via the
+    configured login provider (proxydataset.go:200-300 + the served
+    create config) — two servers loopback: B proxies A's secured data."""
+    from datahub_spark.providers import ProviderConfig, ProviderStore
+    from datahub_spark.security import AccessControl, SecurityManager
+
+    _, base_a0 = served  # unused plain server; build a secured A instead
+    sec = SecurityManager(admin_client_secret="a-pw")
+    sec.add_client("proxyclient", "proxy-pw")
+    sec.set_acls("proxyclient", [AccessControl("/datasets/src*", "read")])
+    store_a = S.EntityStore(spark, str(tmp_path / "a"))
+    store_a.store_entities("src", _entities(spark, [
+        ("e:10", None, 0, False, {"p:name": "ten"}, None, None),
+        ("e:11", None, 1, False, {"p:name": "eleven"}, None, None),
+    ]).drop("dataset"))
+    srv_a = UdaServer(store_a, security=sec)
+    base_a = srv_a.start()
+
+    store_b = S.EntityStore(spark, str(tmp_path / "b"))
+    providers_b = ProviderStore(security_manager=None)
+    providers_b.add(ProviderConfig.from_json({
+        "name": "alogin", "type": "bearer",
+        "key": {"type": "text", "value": "proxyclient"},
+        "secret": {"type": "text", "value": "proxy-pw"},
+        "endpoint": {"type": "text", "value": f"{base_a}/security/token"}}))
+    srv_b = UdaServer(store_b, providers=providers_b)
+    base_b = srv_b.start()
+    try:
+        code, _ = _post(
+            f"{base_b}/datasets/mirror?proxy=true",
+            {"ProxyDatasetConfig": {
+                "remoteUrl": f"{base_a}/datasets/src",
+                "authProviderName": "alogin"}})
+        assert code == 200
+        _, ents, _ = _split(_get(f"{base_b}/datasets/mirror/entities"))
+        assert {e["id"] for e in ents} == {"e:10", "e:11"}
+        _, chs, _ = _split(_get(f"{base_b}/datasets/mirror/changes?limit=1"))
+        assert len(chs) == 1
+    finally:
+        srv_a.stop()
+        srv_b.stop()
