@@ -575,25 +575,44 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
 
     assigned, centroids = SIM.kmeans_inverted(
         corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
-    members = assigned.join(F.broadcast(centroids), "cl").select(
+    cents_n = centroids.withColumn(
+        "_mn", F.sqrt(SIM.normsq_long(F.col("m")).cast("double")))
+    members = assigned.join(F.broadcast(cents_n), "cl").select(
         "cl", "cid", "cv",
-        SIM.centroid_score(F.col("cv"), F.col("m")).alias("aff"),
+        (SIM.dot_long(F.col("cv"), F.col("m")).cast("double")
+         / F.col("_mn")).alias("aff"),
     )
+    # the clustered frame feeds BOTH sides of the pair probe plus the
+    # final keep-join: checkpoint it once so the Lloyd pipeline (its own
+    # multi-shuffle job) executes once, not once per branch — at scale
+    # this IS the persisted cluster index (same precedent as
+    # connected_components' edge checkpoint). The explicit repartition
+    # by cluster id matters: the pair probe's cost is quadratic PER
+    # CLUSTER while its shuffle INPUT is small, so AQE (which coalesces
+    # on bytes, blind to join fan-out) would otherwise collapse it onto
+    # a couple of tasks; an explicit count is exempt from coalescing and
+    # co-partitions both probe sides.
+    n_part = int(members.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    members = members.repartition(n_part, "cl").localCheckpoint(eager=True)
     l, r = members.alias("l"), members.alias("r")
     # l is removed when a higher-priority (lower affinity) clustermate r
-    # sits within the threshold — one EXISTS via left-semi equi-join
+    # sits within the threshold. Deliberately NOT a left-semi with the
+    # dot in the join condition: a non-equi semi condition executes
+    # INTERPRETED inside SortMergeJoin (no codegen, per-eval array
+    # allocation — measured ~7x slower at 100k vectors). A pure equi
+    # self-join streams through whole-stage codegen into the fused
+    # priority+dot filter, then one distinct on the removed ids.
     removed = (
-        l.join(
-            r,
-            (F.col("l.cl") == F.col("r.cl"))
-            & (F.struct(F.col("r.aff"), F.col("r.cid"))
-               < F.struct(F.col("l.aff"), F.col("l.cid")))
-            & (SIM.dot_long(F.col("l.cv"), F.col("r.cv")) >= threshold_fp),
-            "left_semi",
-        )
+        l.join(r, F.col("l.cl") == F.col("r.cl"))
+        .filter(
+            (F.struct(F.col("r.aff"), F.col("r.cid"))
+             < F.struct(F.col("l.aff"), F.col("l.cid")))
+            & (SIM.dot_long(F.col("l.cv"), F.col("r.cv")) >= threshold_fp))
         .select(F.col("l.cid").alias("cid"))
+        .distinct()
     )
-    return (
+    out = (
         members.join(removed.withColumn("_rm", F.lit(True)), "cid", "left")
         .select(
             F.col("cid").alias(id_col), "cl",
@@ -601,6 +620,12 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
             F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
         )
     )
+    # the pair probe is the expensive stage and the verdict frame is
+    # slim (id, cluster, affinity, flag): lazily checkpoint it so
+    # multiple downstream actions (count + filter + join in a cleaning
+    # pipeline) run the probe once — at scale this is the persisted
+    # dedup verdict table
+    return out.localCheckpoint(eager=False)
 
 
 def semantic_dedup_oracle(threshold_fp: int, n_clusters: int = 16,

@@ -231,8 +231,13 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
     )
 
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
-            "_s", centroid_score(F.col("cv"), F.col("m"))
+        # precompute sqrt(normsq(m)) ONCE per centroid on the broadcast
+        # side — the per-row score then pays only the dot, not a second
+        # 64-element pass (bit-identical: same long -> same IEEE sqrt)
+        cents_n = cents.withColumn(
+            "_mn", F.sqrt(normsq_long(F.col("m")).cast("double")))
+        scored = vectors.crossJoin(F.broadcast(cents_n)).withColumn(
+            "_s", dot_long(F.col("cv"), F.col("m")).cast("double") / F.col("_mn")
         )
         best = F.max_by(F.struct("cv", "cl"), F.struct(F.col("_s"), -F.col("cl")))
         return scored.groupBy("cid").agg(best.alias("_r")).select(

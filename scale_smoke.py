@@ -162,11 +162,10 @@ def main() -> None:
     t0 = time.monotonic()
     sd = DD.semantic_dedup(vecs, int(0.95 * 10 ** 14), n_clusters=256,
                            lloyd_rounds=1, dim=64)
-    kept = sd.filter(F.col("keep")).select("vec_id")
-    n_groups_kept = (kept
-                     .select(((F.col("vec_id") / 5).cast("long")).alias("g"))
-                     .distinct().count())
-    n_kept = kept.count()
+    row = sd.filter(F.col("keep")).agg(
+        F.countDistinct((F.col("vec_id") / 5).cast("long")).alias("g"),
+        F.count(F.lit(1)).alias("k")).collect()[0]
+    n_groups_kept, n_kept = row["g"], row["k"]
     timings["semantic_dedup_100k_vecs"] = round(time.monotonic() - t0, 2)
     # every 5-variant group must keep at least one member, and the
     # pruning must actually bite (variants are mutual near-dups)
