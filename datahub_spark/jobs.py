@@ -1421,3 +1421,42 @@ def wire_onchange(scheduler: Scheduler, store: EntityStore,
                 job.run(scheduler.state)
 
     store.add_listener(on_write)
+
+
+class TabularSink:
+    """Data-layer egress (the outbound counterpart of TabularSource,
+    beyond the reference's four sinks): write an entity frame to any
+    Spark-supported tabular format with props flattened to columns —
+    `id`, `recorded`, `deleted`, then one column per property key.
+
+    ``prop_cols`` pins the schema (the scale path: no discovery pass);
+    ``None`` discovers the key set with one distinct-keys aggregate
+    (bounded by the vocabulary of property names, driver-collected).
+    The write itself is the format writer's parallel path — partitioned
+    parquet/orc/csv/json or a JDBC batch, with the engine's
+    partitioning preserved."""
+
+    def __init__(self, path: str, fmt: str = "parquet",
+                 prop_cols: list[str] | None = None,
+                 mode: str = "overwrite",
+                 writer_options: dict | None = None):
+        self.path, self.fmt, self.mode = path, fmt, mode
+        self.prop_cols = prop_cols
+        self.writer_options = writer_options or {}
+
+    def write(self, df: DataFrame) -> None:
+        keys = self.prop_cols
+        if keys is None:
+            keys = sorted(
+                r["k"] for r in df.select(
+                    F.explode(F.map_keys("props")).alias("k")).distinct()
+                .collect())
+        cols = [F.col("id"), F.col("recorded"), F.col("deleted")]
+        for k in keys:
+            # strip the CURIE prefix for the column name (p:name -> name)
+            cols.append(F.col("props")[k].alias(k.split(":", 1)[-1]))
+        out = df.select(*cols)
+        writer = out.write.format(self.fmt).mode(self.mode)
+        for k, v in self.writer_options.items():
+            writer = writer.option(k, v)
+        writer.save(self.path)

@@ -602,3 +602,27 @@ def test_job_metrics_emitted(spark, store, tmp_path):
     with pytest.raises(RuntimeError):
         bad.run(state)
     assert len(rec.named("jobs.error")) == 1
+
+
+def test_tabular_sink_flattens_props(spark, tmp_path):
+    """TabularSink: latest entity view -> flat tabular parquet, props as
+    columns; a Job wires TabularSource-style data back out."""
+    from datahub_spark.jobs import TabularSink
+    from datahub_spark.model import ENTITY_SCHEMA
+
+    df = spark.createDataFrame(
+        [("c:1", 5, 0, False, {"p:name": "ada", "p:city": "oslo"}, None, "d"),
+         ("c:2", 6, 0, False, {"p:name": "bob"}, None, "d")],
+        ENTITY_SCHEMA)
+    out = str(tmp_path / "flat")
+    TabularSink(out).write(df)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"id", "recorded", "deleted", "name", "city"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows["c:1"]["city"] == "oslo"
+    assert rows["c:2"]["city"] is None
+
+    # pinned prop schema skips discovery and controls the columns
+    TabularSink(out, prop_cols=["p:name"], mode="overwrite").write(df)
+    assert set(spark.read.parquet(out).columns) == {"id", "recorded",
+                                                    "deleted", "name"}
