@@ -701,11 +701,22 @@ class ScriptVirtualSource:
         self.code = code
         self.params = params or {}
         self.dataset = dataset
+        from datahub_spark import js as _js
+
+        code = maybe_b64_decode(code)
         env: dict = dict(make_builtins(namespaces or DEFAULT_NAMESPACES))
         self._emitted: list[dict] = []
         env["Emit"] = self._emitted.append
-        exec(compile(code, "<build_entities>", "exec"), env)
-        fn = env.get("build_entities")
+        if _js.looks_like_js(code):
+            # the reference's native virtual-dataset language
+            # (DOCUMENTATION.md:288-325): the JS build_entities runs
+            # VERBATIM on the bundled interpreter with the same host
+            # vocabulary (incl. Emit) the transforms get
+            fns = _js.run_program(code, host=env)
+            fn = fns.get("build_entities")
+        else:
+            exec(compile(code, "<build_entities>", "exec"), env)
+            fn = env.get("build_entities")
         if not callable(fn):
             raise ValueError("script must define build_entities(params, since, limit)")
         self._fn = fn

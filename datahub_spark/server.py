@@ -448,6 +448,10 @@ class UdaServer:
                                                             "changes"):
                     return self._proxy_read(rq, cfg["ProxyDatasetConfig"],
                                             verb, q)
+                if "VirtualDatasetConfig" in cfg and verb in ("entities",
+                                                              "changes"):
+                    return self._virtual_read(
+                        rq, ds, cfg["VirtualDatasetConfig"], q)
                 if verb == "entities":
                     if "since" in q:
                         # datasethandler.go:283
@@ -743,6 +747,39 @@ class UdaServer:
         rq.send_header("Content-Length", str(len(data)))
         rq.end_headers()
         rq.wfile.write(data)
+
+    def _virtual_read(self, rq, ds: str, vcfg: dict, q: dict) -> None:
+        """Served virtual dataset (virtualdataset.go; DOCUMENTATION.md:
+        288-325): the stored (base64) transform's build_entities(params,
+        since, limit) runs on the bundled JS interpreter per request,
+        Emit()ed entities become the UDA page, and the script's return
+        value is the page's continuation token. ``params`` is an
+        optional JSON body on the GET (the reference forwards any
+        request JSON as the params argument); ``since`` is forwarded
+        verbatim."""
+        from datahub_spark.script import ScriptVirtualSource
+
+        code = vcfg.get("Transform") or vcfg.get("transform") or ""
+        n = int(rq.headers.get("Content-Length", "0"))
+        try:
+            params = json.loads(rq.rfile.read(n).decode()) if n else {}
+        except json.JSONDecodeError:
+            return self._error(rq, 400, "malformed params body")
+        since_raw = q.get("since", "0")
+        try:
+            since = int(since_raw)
+        except ValueError:
+            since = since_raw
+        limit = int(q.get("limit", self.default_limit))
+        try:
+            src = ScriptVirtualSource(self.store.spark, code,
+                                      params=params, dataset=ds)
+            page = src.read(since, limit)
+        except Exception as exc:
+            return self._error(rq, 500, f"virtual dataset script: {exc}")
+        objs = [r["json"] for r in uda.to_uda_json(page).collect()]
+        self._write_page(rq, ds, objs, src.last_token,
+                         jsonld=self._wants_jsonld(rq, q))
 
     def _dataset_create(self, rq, ds: str, u) -> None:
         """datasetCreate (datasethandler.go:256-300): 400 on existing

@@ -742,3 +742,38 @@ def test_proxy_dataset_read_through_with_auth_provider(served, spark, tmp_path):
     finally:
         srv_a.stop()
         srv_b.stop()
+
+
+def test_virtual_dataset_served_runs_js_script(served, spark):
+    """A dataset created with a VirtualDatasetConfig serves pages by
+    running its (base64) JS build_entities on the bundled interpreter —
+    the reference's read-only script-backed dataset
+    (DOCUMENTATION.md:288-325, virtualdataset.go)."""
+    import base64
+
+    js = """
+    function build_entities(params, since, limit) {
+        var start = since || 0;
+        var n = limit < 3 ? limit : 3;
+        for (var i = start; i < start + n; i++) {
+            var e = NewEntity();
+            SetId(e, "v:" + i);
+            SetProperty(e, "p", "idx", i);
+            Emit(e);
+        }
+        return start + n;
+    }
+    """
+    cfg = {"VirtualDatasetConfig":
+           {"Transform": base64.b64encode(js.encode()).decode()}}
+    _, base = served
+    assert _post(f"{base}/datasets/gen", cfg)[0] == 200
+
+    _, ents, token = _split(_get(f"{base}/datasets/gen/entities?limit=3"))
+    assert [e["id"] for e in ents] == ["v:0", "v:1", "v:2"]
+    assert token == 3
+    # the continuation token pages the script
+    _, ents2, token2 = _split(
+        _get(f"{base}/datasets/gen/entities?limit=3&since={token}"))
+    assert [e["id"] for e in ents2] == ["v:3", "v:4", "v:5"]
+    assert token2 == 6
