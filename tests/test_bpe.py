@@ -1,0 +1,99 @@
+"""BPE training + encoding (operators/bpe.py) — checked against a pure
+python reference implementation of Sennrich-style BPE on the same
+corpus, and on the classic low/lower/newest example."""
+
+from __future__ import annotations
+
+import pytest
+
+from datahub_spark.operators import bpe as B
+
+
+def _train_model(texts, n_merges, min_pair_count=2):
+    """Driver-side reference BPE (dict-of-words), same tie-breaks."""
+    vocab = {}
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    vocab = {tuple(list(w) + [B.END]): n for w, n in vocab.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = \
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), cnt = best
+        merges.append({"a": a, "b": b, "merged": a + b, "count": cnt})
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+]
+
+
+def test_train_bpe_matches_reference_model(spark):
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    got = B.train_bpe(df, n_merges=12)
+    want = _train_model(CORPUS, 12)
+    assert got == want
+    # the classic result: 'est</w>' and 'low' become units early
+    merged = [m["merged"] for m in got]
+    assert any("est" in m for m in merged)
+    assert "low" in merged
+
+
+def test_train_bpe_early_stop(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # every word is a single char + END; pairs occur once each
+    got = B.train_bpe(df, n_merges=10, min_pair_count=2)
+    assert got == []
+
+
+def test_encode_bpe_roundtrip_and_counts(spark):
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    merges = B.train_bpe(df, n_merges=12)
+    enc = {r["id"]: r for r in B.encode_bpe(df, merges).collect()}
+    for i, text in enumerate(CORPUS):
+        toks = enc[i]["tokens"]
+        assert enc[i]["n_tokens"] == len(toks)
+        # tokens reassemble to the normalized words exactly
+        rebuilt = "".join(toks).replace(B.END, " ").strip()
+        assert rebuilt == " ".join(text.lower().split())
+    # with no merges, tokens are raw characters
+    enc0 = B.encode_bpe(df, [], text_col="text").collect()[0]
+    assert all(len(t) == 1 or t == B.END for t in enc0["tokens"])
+
+
+def test_encode_applies_rank_order_not_list_order(spark):
+    """Encoding must pick the LOWEST-rank applicable merge each step
+    (the BPE contract), not scan the table in arbitrary order."""
+    df = spark.createDataFrame([(1, "abc abc")], "doc_id long, text string")
+    merges = B.train_bpe(df, n_merges=5)
+    enc = B.encode_bpe(df, merges).collect()[0]
+    # fully merged into one token after enough merges
+    assert enc["tokens"] == ["abc" + B.END, "abc" + B.END]
