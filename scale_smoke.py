@@ -124,6 +124,22 @@ def main() -> None:
     timings["bigram_lm_1m_docs"] = round(time.monotonic() - t0, 2)
     assert n_bigrams_total == 7 * n_docs, n_bigrams_total
 
+    # BPE merge learning at the same volume: the corpus collapses to its
+    # weighted word vocabulary (~1.4M distinct template-specific words),
+    # then each merge round is one pair-count aggregation + one
+    # F.aggregate rewrite over that bounded vocab — corpus size only
+    # ever touches the first aggregation.
+    from datahub_spark.operators import bpe as B
+
+    t0 = time.monotonic()
+    merges = B.train_bpe(docs, n_merges=6)
+    timings["bpe_train_6_merges_1m_docs"] = round(time.monotonic() - t0, 2)
+    assert len(merges) == 6, merges
+    # argmax pair counts are non-increasing over rounds (merging the max
+    # pair never raises another pair's count) — a real BPE invariant
+    counts = [m["count"] for m in merges]
+    assert counts == sorted(counts, reverse=True), counts
+
     # SemDeDup at 100k vectors: 20k groups of 5 near-identical vectors.
     # Four heavy coords per group in DISJOINT index ranges (mixed-radix
     # over 16*16*16*11 = 45056 directions, injective for g < 45056 —
