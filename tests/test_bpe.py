@@ -97,3 +97,23 @@ def test_encode_applies_rank_order_not_list_order(spark):
     enc = B.encode_bpe(df, merges).collect()[0]
     # fully merged into one token after enough merges
     assert enc["tokens"] == ["abc" + B.END, "abc" + B.END]
+
+
+def test_train_bpe_property_random_corpora(spark):
+    """Hypothesis: the distributed trainer equals the pure-python
+    reference on arbitrary small corpora (tie-breaks included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["ab", "abc", "aab", "ba", "bab", "cc"])
+    doc = st.lists(word, min_size=1, max_size=5).map(" ".join)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def inner(texts):
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        assert B.train_bpe(df, n_merges=4) == _train_model(texts, 4)
+
+    inner()
