@@ -441,3 +441,65 @@ def dequantize_embeddings(df: DataFrame, q_col: str = "q",
         F.transform(F.col(q_col),
                     lambda x: (x.cast("double") * F.col(scale_col))
                     .cast("float")))
+
+
+def save_ivf_index(corpus: DataFrame, path: str, n_clusters: int = 16,
+                   lloyd_rounds: int = 2, dim: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist the IVF index the docstrings keep promising: the
+    inverted file lands as parquet PARTITIONED BY cluster id (one
+    directory per cluster — the on-disk shape of an inverted file on a
+    data lake), centroids beside it. A probe then touches only its
+    n_probe clusters' files via partition pruning — at 100 TB that is
+    the difference between reading the corpus and reading 4/256ths of
+    it."""
+    inverted, centroids = kmeans_inverted(
+        corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
+    (inverted.repartition("cl")
+     .write.mode("overwrite").partitionBy("cl")
+     .parquet(f"{path}/inverted"))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_probe(spark, path: str, queries: DataFrame, k: int = 5,
+                  n_probe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF index: score the (tiny) centroid table to
+    pick each query's n_probe clusters, then read ONLY those clusters'
+    partitions — the `cl IN (...)` filter is a partition filter, so
+    unprobed clusters' files are never opened (pinned in test_ann.py).
+    Scoring over the surviving candidates is identical to ann_ivf."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       fixed_vec(F.col(vec_col)).alias("qv"))
+    cents_n = centroids.withColumn(
+        "_mn", F.sqrt(normsq_long(F.col("m")).cast("double")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("cl"))
+    probes = (
+        q.crossJoin(F.broadcast(cents_n))
+        .withColumn("_s", dot_long(F.col("qv"), F.col("m")).cast("double")
+                    / F.col("_mn"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cl")
+    )
+    probed_cls = sorted({r["cl"] for r in probes.select("cl")
+                        .distinct().collect()})
+    inverted = (spark.read.parquet(f"{path}/inverted")
+                .filter(F.col("cl").isin(probed_cls))
+                .select(F.col("cid").alias("neighbor_id"),
+                        F.col("cv").alias("_cv"), "cl"))
+    scored = (
+        probes.join(inverted, "cl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                dot_long(F.col("qv"), F.col("_cv")).alias("dot_fp"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fp").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_fp")
+    )

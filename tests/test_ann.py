@@ -159,3 +159,26 @@ def test_bucketed_ann_recall_vs_bruteforce(spark):
     assert r_lsh4 >= 2 * r_lsh1, (r_lsh1, r_lsh4)
     assert r_lsh4 >= 0.2, r_lsh4
     assert r_ivf >= 0.5, r_ivf
+
+
+def test_persisted_ivf_index_probe_matches_inline(spark, tmp_path):
+    """save_ivf_index + ann_ivf_probe == ann_ivf run inline, and the
+    probe's scan reads ONLY the probed clusters' partitions (the
+    cl IN (...) predicate lands as a partition filter)."""
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    SIM.save_ivf_index(emb, path, n_clusters=16, lloyd_rounds=2, dim=64)
+
+    probe = SIM.ann_ivf_probe(spark, path, q, k=5, n_probe=4)
+    inline = SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4,
+                         lloyd_rounds=2, dim=64)
+    got = sorted(map(tuple, probe.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want and len(got) > 0
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cl" in plan.replace("#", " #") or \
+        "cl IN" in plan or "cl#" in plan.split("PartitionFilters")[1][:200]
