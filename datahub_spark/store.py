@@ -626,3 +626,83 @@ class EntityStore:
         shutil.copy2(os.path.join(backup_dir, "datasets.json"), os.path.join(root, "datasets.json"))
         shutil.copytree(os.path.join(backup_dir, "log"), os.path.join(root, "log"), dirs_exist_ok=True)
         return cls(spark, root)
+
+
+class WalIngest:
+    """LSM-style write-ahead ingest for high-frequency small commits —
+    the reference's own storage architecture (BadgerDB = WAL + LSM)
+    re-expressed for a Spark-backed store.
+
+    The engine's transactional append pays Spark's fixed per-job cost,
+    which makes the reference's OLTP loop shape (a 1000-entity commit
+    every few ms, dataset_benchmark_test.go) ~100x slower than its
+    design-point bulk path — the standing write-path gap since r3. The
+    WAL closes it the way every LSM does: ``append()`` makes a batch
+    DURABLE in milliseconds (fsync'd JSON-lines spool under the store
+    root), ``flush()`` folds everything pending into ONE atomic Spark
+    transaction that makes it QUERYABLE. Durability is per-append;
+    visibility is per-flush; the caller picks the flush cadence (count,
+    time, or job boundary).
+
+    Crash behavior: an un-flushed spool (or a ``.flushing`` file left
+    by a crash mid-flush) is picked up by the next ``flush()`` on ANY
+    instance over the same root — at-least-once across a crash between
+    commit and spool removal, where ``store_entities``'s write-time
+    payload dedup (skip_unchanged) collapses the replay to a no-op.
+    """
+
+    _SCHEMA = ("id string, seq long, deleted boolean, "
+               "props map<string,string>, refs map<string,array<string>>")
+
+    def __init__(self, store: "EntityStore", dataset: str):
+        self.store, self.dataset = store, dataset
+        wal_dir = os.path.join(store.root, "wal")
+        os.makedirs(wal_dir, exist_ok=True)
+        self.path = os.path.join(wal_dir, f"{dataset}.jsonl")
+        self._flushing = self.path + ".flushing"
+        self._fh = open(self.path, "a", encoding="utf-8")
+        self._seq = 0
+
+    def append(self, entities: list[dict]) -> None:
+        """Durably append a batch: one buffered write + one fsync.
+        Entity dicts carry ``id`` and optional ``deleted``/``props``/
+        ``refs`` (the UDA shape)."""
+        lines = []
+        for e in entities:
+            lines.append(json.dumps({
+                "id": e["id"],
+                "seq": self._seq,
+                "deleted": bool(e.get("deleted", False)),
+                "props": e.get("props") or {},
+                "refs": e.get("refs") or {},
+            }, separators=(",", ":")))
+            self._seq += 1
+        self._fh.write("\n".join(lines) + "\n")
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    def flush(self, skip_unchanged: bool = True) -> int | None:
+        """Fold the pending spool (plus any crash-left ``.flushing``
+        file) into one atomic store transaction. Returns the commit's
+        ``recorded`` tick, or None when nothing was pending."""
+        self._fh.close()
+        paths = []
+        if os.path.exists(self._flushing):          # crash recovery
+            paths.append(self._flushing)
+        if os.path.getsize(self.path) > 0:
+            os.replace(self.path, self._flushing + ".now")
+            paths.append(self._flushing + ".now")
+        self._fh = open(self.path, "a", encoding="utf-8")
+        if not paths:
+            return None
+        df = (self.store.spark.read.schema(self._SCHEMA).json(paths)
+              .withColumn("recorded", F.lit(None).cast("long"))
+              .select("id", "recorded", "seq", "deleted", "props", "refs"))
+        recorded = self.store.store_entities(
+            self.dataset, df, skip_unchanged=skip_unchanged)
+        for p in paths:
+            os.remove(p)
+        return recorded
+
+    def close(self) -> None:
+        self._fh.close()

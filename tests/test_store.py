@@ -297,3 +297,55 @@ def test_concurrent_transactions_lose_nothing(spark, tmp_path):
     counts = {r["dataset"]: r["n"] for r in
               es.log(None).groupBy("dataset").agg(F.count("*").alias("n")).collect()}
     assert counts == {f"d{i}": 5 for i in range(8)}
+
+
+# -- WAL ingest (LSM-style high-frequency write path) ----------------------
+
+def test_wal_ingest_append_flush_roundtrip(spark, tmp_path):
+    from datahub_spark.store import EntityStore, WalIngest, latest
+
+    es = EntityStore(spark, str(tmp_path / "s"))
+    wal = WalIngest(es, "hot")
+    wal.append([{"id": "e:1", "props": {"p:n": "one"},
+                 "refs": {"p:r": ["e:2"]}},
+                {"id": "e:2", "props": {"p:n": "two"}}])
+    wal.append([{"id": "e:3", "deleted": True}])
+    # durable but not yet queryable
+    assert "hot" not in es.list_datasets() or not es.has_data("hot")
+    recorded = wal.flush()
+    assert recorded is not None
+    rows = {r["id"]: r for r in es.log(["hot"]).collect()}
+    assert set(rows) == {"e:1", "e:2", "e:3"}
+    assert rows["e:1"]["props"]["p:n"] == "one"
+    assert rows["e:1"]["refs"]["p:r"] == ["e:2"]
+    assert rows["e:3"]["deleted"] is True
+    # seq preserves append order within the flush
+    assert rows["e:1"]["seq"] < rows["e:2"]["seq"] < rows["e:3"]["seq"]
+    # empty flush is a no-op
+    assert wal.flush() is None
+    wal.close()
+
+
+def test_wal_ingest_survives_restart_and_flush_crash(spark, tmp_path):
+    """Un-flushed spool picked up by a NEW instance (restart); a
+    crash-left .flushing file is folded into the next flush too."""
+    import os
+
+    from datahub_spark.store import EntityStore, WalIngest
+
+    root = str(tmp_path / "s")
+    es = EntityStore(spark, root)
+    w1 = WalIngest(es, "hot")
+    w1.append([{"id": "e:1", "props": {"p:n": "one"}}])
+    w1.close()  # process dies before flush
+
+    # simulate a crash mid-flush of an earlier spool
+    with open(os.path.join(root, "wal", "hot.jsonl.flushing"), "w") as f:
+        f.write('{"id":"e:0","seq":0,"deleted":false,'
+                '"props":{"p:n":"zero"},"refs":{}}\n')
+
+    w2 = WalIngest(es, "hot")
+    assert w2.flush() is not None
+    ids = {r["id"] for r in es.log(["hot"]).collect()}
+    assert ids == {"e:0", "e:1"}
+    w2.close()
