@@ -662,37 +662,45 @@ class WalIngest:
         self._flushing = self.path + ".flushing"
         self._fh = open(self.path, "a", encoding="utf-8")
         self._seq = 0
+        self._mu = threading.Lock()
 
     def append(self, entities: list[dict]) -> None:
         """Durably append a batch: one buffered write + one fsync.
         Entity dicts carry ``id`` and optional ``deleted``/``props``/
         ``refs`` (the UDA shape)."""
-        lines = []
-        for e in entities:
-            lines.append(json.dumps({
-                "id": e["id"],
-                "seq": self._seq,
-                "deleted": bool(e.get("deleted", False)),
-                "props": e.get("props") or {},
-                "refs": e.get("refs") or {},
-            }, separators=(",", ":")))
-            self._seq += 1
-        self._fh.write("\n".join(lines) + "\n")
-        self._fh.flush()
-        os.fsync(self._fh.fileno())
+        with self._mu:
+            lines = []
+            for e in entities:
+                lines.append(json.dumps({
+                    "id": e["id"],
+                    "seq": self._seq,
+                    "deleted": bool(e.get("deleted", False)),
+                    "props": e.get("props") or {},
+                    "refs": e.get("refs") or {},
+                }, separators=(",", ":")))
+                self._seq += 1
+            self._fh.write("\n".join(lines) + "\n")
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
 
     def flush(self, skip_unchanged: bool = True) -> int | None:
         """Fold the pending spool (plus any crash-left ``.flushing``
         file) into one atomic store transaction. Returns the commit's
         ``recorded`` tick, or None when nothing was pending."""
-        self._fh.close()
-        paths = []
-        if os.path.exists(self._flushing):          # crash recovery
-            paths.append(self._flushing)
-        if os.path.getsize(self.path) > 0:
-            os.replace(self.path, self._flushing + ".now")
-            paths.append(self._flushing + ".now")
-        self._fh = open(self.path, "a", encoding="utf-8")
+        with self._mu:
+            self._fh.close()
+            # crash recovery: ANY leftover rotated spool from an earlier
+            # interrupted flush (.flushing, .flushing.now, ...) re-enters
+            wal_dir = os.path.dirname(self.path)
+            base = os.path.basename(self._flushing)
+            paths = sorted(
+                os.path.join(wal_dir, fn) for fn in os.listdir(wal_dir)
+                if fn.startswith(base))
+            if os.path.getsize(self.path) > 0:
+                rotated = f"{self._flushing}.{len(paths)}.now"
+                os.replace(self.path, rotated)
+                paths.append(rotated)
+            self._fh = open(self.path, "a", encoding="utf-8")
         if not paths:
             return None
         df = (self.store.spark.read.schema(self._SCHEMA).json(paths)

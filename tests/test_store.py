@@ -349,3 +349,51 @@ def test_wal_ingest_survives_restart_and_flush_crash(spark, tmp_path):
     ids = {r["id"] for r in es.log(["hot"]).collect()}
     assert ids == {"e:0", "e:1"}
     w2.close()
+
+
+def test_wal_ingest_recovers_any_rotated_spool(spark, tmp_path):
+    """A crash can leave spools at ANY rotation name (.flushing,
+    .flushing.N.now); the next flush must fold all of them."""
+    import os
+
+    from datahub_spark.store import EntityStore, WalIngest
+
+    root = str(tmp_path / "s")
+    es = EntityStore(spark, root)
+    wal_dir = os.path.join(root, "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    for name, eid in [("hot.jsonl.flushing", "e:a"),
+                      ("hot.jsonl.flushing.0.now", "e:b")]:
+        with open(os.path.join(wal_dir, name), "w") as f:
+            f.write(f'{{"id":"{eid}","seq":0,"deleted":false,'
+                    f'"props":{{}},"refs":{{}}}}\n')
+    w = WalIngest(es, "hot")
+    w.append([{"id": "e:c"}])
+    assert w.flush() is not None
+    assert {r["id"] for r in es.log(["hot"]).collect()} == \
+        {"e:a", "e:b", "e:c"}
+    assert os.listdir(wal_dir) == ["hot.jsonl"]  # all spools consumed
+    w.close()
+
+
+def test_wal_ingest_concurrent_appends(spark, tmp_path):
+    import threading
+
+    from datahub_spark.store import EntityStore, WalIngest
+
+    es = EntityStore(spark, str(tmp_path / "s"))
+    wal = WalIngest(es, "hot")
+
+    def worker(base):
+        for i in range(20):
+            wal.append([{"id": f"e:{base + i}"}])
+
+    threads = [threading.Thread(target=worker, args=(b * 100,))
+               for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wal.flush()
+    assert es.log(["hot"]).count() == 80
+    wal.close()
