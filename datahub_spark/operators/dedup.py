@@ -573,15 +573,8 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
     broadcast join against n_clusters rows."""
     from datahub_spark.operators import similarity as SIM
 
-    assigned, centroids = SIM.kmeans_inverted(
+    members, _ = SIM.cluster_embeddings(
         corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
-    cents_n = centroids.withColumn(
-        "_mn", F.sqrt(SIM.normsq_long(F.col("m")).cast("double")))
-    members = assigned.join(F.broadcast(cents_n), "cl").select(
-        "cl", "cid", "cv",
-        (SIM.dot_long(F.col("cv"), F.col("m")).cast("double")
-         / F.col("_mn")).alias("aff"),
-    )
     # the clustered frame feeds BOTH sides of the pair probe plus the
     # final keep-join: checkpoint it once so the Lloyd pipeline (its own
     # multi-shuffle job) executes once, not once per branch — at scale

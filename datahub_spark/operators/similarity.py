@@ -503,3 +503,27 @@ def ann_ivf_probe(spark, path: str, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot_fp")
     )
+
+
+def cluster_embeddings(corpus: DataFrame, n_clusters: int = 16,
+                       lloyd_rounds: int = 2, dim: int = 64,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Corpus clustering as a first-class operator — the substrate both
+    SemDeDup and the IVF index build on, exposed for topic bucketing /
+    per-cluster sampling / diversity analysis of a training corpus.
+
+    Returns ``(members, centroids)``: members = (cl, cid, cv fixed,
+    aff double centroid-affinity), centroids = (cl, m). Deterministic
+    and exact (kmeans_inverted); centroid norms precomputed broadcast-
+    side so affinity costs one dot per row."""
+    assigned, centroids = kmeans_inverted(
+        corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
+    cents_n = centroids.withColumn(
+        "_mn", F.sqrt(normsq_long(F.col("m")).cast("double")))
+    members = assigned.join(F.broadcast(cents_n), "cl").select(
+        "cl", "cid", "cv",
+        (dot_long(F.col("cv"), F.col("m")).cast("double")
+         / F.col("_mn")).alias("aff"),
+    )
+    return members, centroids

@@ -182,3 +182,22 @@ def test_persisted_ivf_index_probe_matches_inline(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cl" in plan.replace("#", " #") or \
         "cl IN" in plan or "cl#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_cluster_embeddings_operator(spark):
+    """cluster_embeddings: every vector assigned, affinities finite,
+    identical to the members frame SemDeDup consumes."""
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    members, centroids = SIM.cluster_embeddings(emb, n_clusters=8,
+                                                lloyd_rounds=1, dim=64)
+    rows = members.collect()
+    assert len(rows) == emb.count()
+    assert centroids.count() == 8
+    assert all(0 <= r["cl"] < 8 for r in rows)
+    assert all(r["aff"] == r["aff"] for r in rows)  # no NaN
+    # cluster sizes cover the corpus
+    sizes = {r["cl"]: r["n"] for r in
+             members.groupBy("cl").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == len(rows)
