@@ -362,7 +362,8 @@ def sample_to_token_budget(df: DataFrame, strata_col: str,
                            budgets: dict[str, int],
                            id_col: str = "doc_id",
                            text_col: str = "text", seed: int = 42,
-                           default_rate: float = 0.0) -> DataFrame:
+                           default_rate: float = 0.0,
+                           token_counts: DataFrame | None = None) -> DataFrame:
     """Corpus mixing against per-domain TOKEN budgets (the knob LLM
     data recipes are actually written in — "300B web tokens, 50B code
     tokens" — rather than keep fractions): measure each stratum's total
@@ -377,14 +378,23 @@ def sample_to_token_budget(df: DataFrame, strata_col: str,
     Kept token mass per stratum converges to the budget with sampling
     variance O(sqrt(N_docs)); exact-budget packing would need a
     sequential knapsack and is deliberately out of scope. Strata
-    without a budget entry use ``default_rate``."""
-    totals = {
-        r["s"]: r["t"]
-        for r in (df.groupBy(F.col(strata_col).alias("s"))
-                  .agg(F.sum(token_count_whitespace(F.col(text_col)))
-                       .alias("t"))
-                  .collect())
-    }
+    without a budget entry use ``default_rate``.
+
+    ``token_counts`` (id -> n_tokens frame, e.g. ``bpe.encode_bpe``
+    output) prices the budget in REAL tokenizer tokens instead of the
+    whitespace proxy — the unit training recipes are actually written
+    in. One extra keyed join onto the (narrow) id column."""
+    if token_counts is not None:
+        counted = df.select(F.col(id_col), F.col(strata_col)).join(
+            token_counts.select(F.col("id").alias(id_col),
+                                F.col("n_tokens")),
+            id_col)
+        grouped = counted.groupBy(F.col(strata_col).alias("s")) \
+            .agg(F.sum("n_tokens").alias("t"))
+    else:
+        grouped = df.groupBy(F.col(strata_col).alias("s")) \
+            .agg(F.sum(token_count_whitespace(F.col(text_col))).alias("t"))
+    totals = {r["s"]: r["t"] for r in grouped.collect()}
     rates = {
         stratum: min(1.0, float(budget) / float(totals[stratum]))
         for stratum, budget in budgets.items()

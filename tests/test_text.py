@@ -518,3 +518,28 @@ def test_bigram_lm_features_bounded_tables_broadcast(spark):
     row = out.agg(F.max("cond_familiarity_e4"),
                   F.max("novel_ratio_e4")).collect()[0]
     assert row[0] > 0 and row[1] > 0
+
+
+def test_token_budget_with_real_bpe_counts(spark):
+    """sample_to_token_budget priced in REAL tokenizer tokens: the
+    budget maths runs on encode_bpe counts instead of the whitespace
+    proxy (sanity: identical keep-decisions when counts are forced
+    equal, different totals when BPE inflates short words)."""
+    from datahub_spark.operators import bpe as B
+
+    rows = [(i, "web" if i < 40 else "code",
+             "alpha beta gamma delta epsilon") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    merges = B.train_bpe(df, n_merges=4)
+    counts = B.encode_bpe(df, merges)
+    n_bpe = counts.collect()[0]["n_tokens"]
+    assert n_bpe > 5  # BPE splits beyond whitespace here
+
+    kept = TX.sample_to_token_budget(
+        df, "source", {"web": 20 * n_bpe, "code": 10 ** 9},
+        token_counts=counts)
+    by = {r["source"]: r["n"] for r in
+          kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # code: budget >> total -> all kept; web: ~half the token mass
+    assert by.get("code") == 20
+    assert 0 < by.get("web", 0) < 40
