@@ -219,8 +219,8 @@ def bench_store_write(spark) -> dict:
       eps_wal_100x1k — the same loop through store.WalIngest (r7):
                      100 fsync-durable appends + one flush commit.
                      The LSM answer to the per-job cost; measured
-                     ~42k entities/s ≈ 1.9x the reference baseline
-                     in ITS OWN loop shape."""
+                     42-53k entities/s ≈ 1.9-2.4x the reference
+                     baseline in ITS OWN loop shape."""
     import shutil
     import tempfile
 
