@@ -679,3 +679,67 @@ def bigram_lm_features(df: DataFrame, bigram_table: DataFrame | None = None,
                     F.coalesce("sum_bigram_freq", F.lit(0).cast("long")).alias("sum_bigram_freq"),
                     F.coalesce("novel_ratio_e4", F.lit(0).cast("long")).alias("novel_ratio_e4"),
                     F.coalesce("cond_familiarity_e4", F.lit(0).cast("long")).alias("cond_familiarity_e4")))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, app. A —
+    the standard pre-filter MassiveText/RefinedWeb-family pipelines
+    start from), each rule an integer-exact boolean column plus the
+    conjunction:
+
+      * ``ok_word_count``    — 50 <= words <= 100,000
+      * ``ok_mean_word_len`` — mean word length in [3, 10] chars
+        (compared as exact rationals: 3*nt <= chars <= 10*nt)
+      * ``ok_hash_ratio``    — '#' symbols <= 0.1 per word
+      * ``ok_ellipsis_ratio``— '...'/'…' count <= 0.1 per word
+      * ``ok_bullet_lines``  — < 90% of lines start with a bullet
+      * ``ok_ellipsis_lines``— < 30% of lines end with an ellipsis
+      * ``ok_alpha_words``   — >= 80% of words contain a letter
+      * ``ok_stopwords``     — >= 2 distinct common-English stopwords
+
+    No floats anywhere (ratio thresholds are cross-multiplied), so the
+    verdicts are engine-portable — DuckDB-parity tested. One projection,
+    no shuffle."""
+    t = F.col(text_col)
+    w = words(t)
+    lines = F.split(t, "\n")
+    padded = F.concat(F.lit(" "), normalize(t), F.lit(" "))
+    nt = F.size(w).cast("long")
+    tc = F.length(F.array_join(w, "")).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ell = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+             + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+             ).cast("long")
+    bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•‣▪]"))).cast("long")
+    ell_end = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))).cast("long")
+    alpha_w = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_stop = sum(
+        (F.when(F.contains(padded, F.lit(f" {s} ")), 1).otherwise(0)
+         for s in GOPHER_STOPWORDS),
+        F.lit(0),
+    ).cast("long")
+    rules = {
+        "ok_word_count": (nt >= 50) & (nt <= 100_000),
+        "ok_mean_word_len": (tc >= 3 * nt) & (tc <= 10 * nt),
+        "ok_hash_ratio": n_hash * 10 <= nt,
+        "ok_ellipsis_ratio": n_ell * 10 <= nt,
+        "ok_bullet_lines": bullet * 10 < n_lines * 9,
+        "ok_ellipsis_lines": ell_end * 10 < n_lines * 3,
+        "ok_alpha_words": alpha_w * 5 >= nt * 4,
+        "ok_stopwords": n_stop >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in rules.items()],
+        passes.alias("passes_gopher"),
+    )

@@ -543,3 +543,84 @@ def test_token_budget_with_real_bpe_counts(spark):
     # code: budget >> total -> all kept; web: ~half the token mass
     assert by.get("code") == 20
     assert 0 < by.get("web", 0) < 40
+
+
+# -- Gopher quality rules --------------------------------------------------
+
+def test_gopher_rules_unit_cases(spark):
+    fifty = " ".join(["the"] * 25 + ["and"] * 25)
+    rows = [
+        (1, fifty),                                  # passes everything
+        (2, "too short of a doc"),                   # word count
+        (3, " ".join(["a"] * 60)),                   # mean word len < 3
+        (4, " ".join(["the#tag"] * 25 + ["and##"] * 25)),   # hash ratio
+        (5, "\n".join(["- item the and"] * 10)),     # bullets >= 90%
+        (6, " ".join(["1234"] * 50) + " the and"),   # alpha words < 80%
+        (7, " ".join(["lorem"] * 50)),               # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.gopher_rules(df).collect()}
+    assert got[1]["passes_gopher"]
+    assert not got[2]["ok_word_count"]
+    assert not got[3]["ok_mean_word_len"]
+    assert not got[4]["ok_hash_ratio"]
+    assert not got[5]["ok_bullet_lines"]
+    assert not got[6]["ok_alpha_words"]
+    assert not got[7]["ok_stopwords"]
+    for i in (2, 3, 4, 5, 6, 7):
+        assert not got[i]["passes_gopher"]
+
+
+def test_gopher_rules_duckdb_parity(spark):
+    """Full-operator parity against an independent DuckDB formulation
+    over the real documents table — every rule boolean, value-exact."""
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = TX.gopher_rules(docs)
+    stop_terms = " + ".join(
+        f"(CASE WHEN ' ' || nrm || ' ' LIKE '% {s} %' THEN 1 ELSE 0 END)"
+        for s in TX.GOPHER_STOPWORDS)
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nrm,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS nt,
+             CAST(length(array_to_string(ws, '')) AS BIGINT) AS tc,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  + length(text) - length(replace(text, chr(8230), '')) AS BIGINT) AS nell,
+             CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS BIGINT) AS nbul,
+             CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS nelll,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+             CAST({stop_terms} AS BIGINT) AS nstop
+      FROM base
+    )
+    SELECT doc_id,
+           nt >= 50 AND nt <= 100000 AS ok_word_count,
+           tc >= 3 * nt AND tc <= 10 * nt AS ok_mean_word_len,
+           nhash * 10 <= nt AS ok_hash_ratio,
+           nell * 10 <= nt AS ok_ellipsis_ratio,
+           nbul * 10 < nl * 9 AS ok_bullet_lines,
+           nelll * 10 < nl * 3 AS ok_ellipsis_lines,
+           nalpha * 5 >= nt * 4 AS ok_alpha_words,
+           nstop >= 2 AS ok_stopwords,
+           (nt >= 50 AND nt <= 100000) AND (tc >= 3 * nt AND tc <= 10 * nt)
+           AND (nhash * 10 <= nt) AND (nell * 10 <= nt)
+           AND (nbul * 10 < nl * 9) AND (nelll * 10 < nl * 3)
+           AND (nalpha * 5 >= nt * 4) AND (nstop >= 2) AS passes_gopher
+    FROM m
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+    # the rules discriminate on this corpus (the synthetic docs contain
+    # no real English stopwords, so the full conjunction is 0 by
+    # construction — the word-count rule shows real variance instead)
+    n_wc = got.filter(F.col("ok_word_count")).count()
+    assert 0 < n_wc < docs.count()
