@@ -5,6 +5,7 @@ apply them (C4/Pile/CCNet-style):
   1. boilerplate removal   (cross-doc repeated segments cut)
   2. exact-substring span removal (cross-doc duplicated spans cut)
   3. quality floor         (drop low-scoring documents)
+  3b. Gopher rule set      (Rae et al. 2021 hard filters, r7)
   4. bigram-LM floor       (drop gibberish: high novel-bigram ratio /
                             low conditional familiarity, r7)
   5. exact dedup           (keep one copy per content digest)
@@ -49,6 +50,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  boilerplate: dict | None = None,
                  span_dedup: dict | None = None,
                  quality_floor_centi: int | None = None,
+                 gopher: bool = False,
                  lm_floor: dict | None = None,
                  near_dup: dict | None = None,
                  embeddings: DataFrame | None = None,
@@ -97,6 +99,11 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             .select(id_col)
         cur = cur.join(scored, id_col)
         note("quality_floor")
+    if gopher:
+        keep = TX.gopher_rules(cur, text_col, id_col) \
+            .filter(F.col("passes_gopher")).select(id_col)
+        cur = cur.join(keep, id_col)
+        note("gopher")
     if lm_floor is not None:
         top_k = lm_floor.get("top_k", 50_000)
         bt = TX.build_bigram_table(cur, text_col, top_k=top_k)

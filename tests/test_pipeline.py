@@ -130,3 +130,12 @@ def test_clean_corpus_lm_floor_and_semantic_stages(spark):
     import pytest
     with pytest.raises(ValueError, match="embeddings"):
         P.clean_corpus(docs, semantic={})
+
+
+def test_clean_corpus_gopher_stage(spark):
+    rows = [(1, "web", " ".join(["the"] * 30 + ["and"] * 30)),
+            (2, "web", "way too short")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out, counts = P.clean_corpus(docs, gopher=True, with_counts=True)
+    assert counts["gopher"] == 1
+    assert [r["doc_id"] for r in out.collect()] == [1]
