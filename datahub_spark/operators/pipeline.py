@@ -13,6 +13,7 @@ apply them (C4/Pile/CCNet-style):
                               keep each cluster's min-id representative)
   7. semantic dedup        (SemDeDup over an embedding table, r7)
   8. benchmark decontamination (drop eval-overlapping documents)
+  8b. DSIR domain selection (importance-resample toward a target, r7)
   9. token-budget mixing   (per-domain deterministic downsampling)
 
 Every stage is optional and independently tested elsewhere; this module
@@ -58,6 +59,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  benchmark: DataFrame | None = None,
                  decontaminate_n: int = 8,
                  budgets: dict | None = None,
+                 dsir: dict | None = None,
                  strata_col: str = "source",
                  seed: int = 42,
                  with_counts: bool = False):
@@ -159,6 +161,21 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             .select(F.col("id").alias(id_col))
         cur = cur.join(clean_ids, id_col)
         note("decontaminate")
+    if dsir is not None:
+        # domain-matched selection (Xie et al. 2023): weight survivors
+        # against the target corpus, keep the Gumbel-top-k
+        from datahub_spark.operators import dsir as DS
+        target = dsir.get("target")
+        if target is None:
+            raise ValueError("dsir stage needs a target corpus frame")
+        w = DS.dsir_weights(cur, target, text_col=text_col, id_col=id_col,
+                            n=dsir.get("n", 2),
+                            buckets=dsir.get("buckets", 10_000),
+                            alpha=dsir.get("alpha", 1.0))
+        cur = DS.dsir_resample(cur, w, dsir["n_keep"], id_col=id_col,
+                               seed=seed,
+                               temperature=dsir.get("temperature", 1.0))
+        note("dsir")
     if budgets is not None:
         cur = TX.sample_to_token_budget(
             cur, strata_col, budgets, id_col=id_col, text_col=text_col,

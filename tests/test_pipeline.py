@@ -139,3 +139,26 @@ def test_clean_corpus_gopher_stage(spark):
     out, counts = P.clean_corpus(docs, gopher=True, with_counts=True)
     assert counts["gopher"] == 1
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_clean_corpus_dsir_stage(spark):
+    rows = [(i, "web", t) for i, t in enumerate([
+        "the cat sat on the mat today again",
+        "stock market prices rose sharply today",
+        "a cat and a dog played in the garden",
+        "equity futures and bond yields moved fast",
+    ])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [(0, "a dog and a cat sat together in the garden")],
+        "doc_id long, text string")
+    out, counts = P.clean_corpus(
+        docs, dsir={"target": target, "n_keep": 2, "buckets": 64},
+        with_counts=True)
+    assert counts["dsir"] == 2
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert len(kept) == 2
+
+    import pytest
+    with pytest.raises(ValueError, match="target"):
+        P.clean_corpus(docs, dsir={"n_keep": 2})
