@@ -42,7 +42,12 @@ def _ngram_buckets(col: Column, n: int, buckets: int) -> Column:
                    F.slice(ws, F.lit(n), size - (n - 1)),
                    lambda a, b: F.concat_ws(" ", a, b))
         if n == 2 else
-        F.transform(F.sequence(F.lit(1), size - (n - 1)),
+        # greatest(..., 1): CASE branches are not guaranteed lazy, and
+        # sequence(1, size-(n-1)) descends through 0 for short docs,
+        # where slice(ws, 0, n) errors — the outer when() discards the
+        # value either way
+        F.transform(F.sequence(F.lit(1), F.greatest(size - (n - 1),
+                                                    F.lit(1))),
                     lambda i: F.array_join(F.slice(ws, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
     return F.transform(

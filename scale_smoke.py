@@ -140,6 +140,19 @@ def main() -> None:
     counts = [m["count"] for m in merges]
     assert counts == sorted(counts, reverse=True), counts
 
+    # DSIR at the same 1M-doc volume: bucket models collapse to 4096
+    # broadcastable rows, weighting is one broadcast join + per-doc sum,
+    # selection a distributed partial top-k.
+    from datahub_spark.operators import dsir as DS
+
+    t0 = time.monotonic()
+    target = docs.filter(F.col("doc_id") < 1000)
+    wts = DS.dsir_weights(docs, target, buckets=4096)
+    picked = DS.dsir_resample(docs, wts, 100_000)
+    n_picked = picked.count()
+    timings["dsir_select_100k_of_1m"] = round(time.monotonic() - t0, 2)
+    assert n_picked == 100_000, n_picked
+
     # SemDeDup at 100k vectors: 20k groups of 5 near-identical vectors.
     # Four heavy coords per group in DISJOINT index ranges (mixed-radix
     # over 16*16*16*11 = 45056 directions, injective for g < 45056 —
@@ -194,6 +207,7 @@ def main() -> None:
                  "span_words_removed": int(n_removed),
                  "boilerplate_segments_dropped": int(n_dropped_segs),
                  "bigram_total": int(n_bigrams_total),
+                 "dsir_picked": int(n_picked),
                  "semantic_kept": int(n_kept)},
         "sec": timings,
         "n_versions": n_versions,

@@ -118,3 +118,24 @@ def test_dsir_empty_docs_weigh_zero(spark):
     got = {r["id"]: r["weight"] for r in
            DS.dsir_weights(raw, target, buckets=16).collect()}
     assert got[1] == 0.0 and got[2] == 0.0  # no bigrams -> 0
+
+
+def test_dsir_trigram_features_and_short_docs(spark):
+    """n=3 path (transform-over-sequence) matches the python model and
+    survives docs shorter than n (the non-lazy CASE-branch guard)."""
+    def tri_buckets(text, buckets):
+        w = _norm(text).split(" ")
+        grams = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)] \
+            if len(w) >= 3 else []
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+                for g in grams]
+
+    texts = ["one two three four", "ab", "", "x y z"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    target = spark.createDataFrame([(0, "one two three")],
+                                   "doc_id long, text string")
+    got = {r["id"]: r["weight"] for r in
+           DS.dsir_weights(df, target, n=3, buckets=32).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0  # short docs weigh zero
+    assert got[0] > got[3]  # target trigram present in doc 0 only
