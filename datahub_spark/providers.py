@@ -30,6 +30,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import threading
 import time
 import urllib.parse
 import urllib.request
@@ -179,6 +180,8 @@ class ProviderStore:
         self._sm = security_manager
         self._configs: dict[str, ProviderConfig] = {}
         self._instances: dict[str, object] = {}
+        # served handlers mutate concurrently (ThreadingHTTPServer)
+        self._mu = threading.Lock()
         if path and os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 for obj in json.load(f):
@@ -196,10 +199,11 @@ class ProviderStore:
     # -- CRUD (providerhandler.go surface) --------------------------------
 
     def add(self, cfg: ProviderConfig) -> None:
-        key = cfg.name.lower()
-        self._configs[key] = cfg
-        self._instances.pop(key, None)
-        self._save()
+        with self._mu:
+            key = cfg.name.lower()
+            self._configs[key] = cfg
+            self._instances.pop(key, None)
+            self._save()
 
     def update(self, name: str, cfg: ProviderConfig) -> None:
         """UpdateProvider (token.go:108): 404s on unknown name; the
@@ -219,11 +223,12 @@ class ProviderStore:
         return cfg.to_json(mask=mask)
 
     def delete(self, name: str) -> None:
-        if name.lower() not in self._configs:
-            raise KeyError(name)
-        self._configs.pop(name.lower())
-        self._instances.pop(name.lower(), None)
-        self._save()
+        with self._mu:
+            if name.lower() not in self._configs:
+                raise KeyError(name)
+            self._configs.pop(name.lower())
+            self._instances.pop(name.lower(), None)
+            self._save()
 
     # -- provider instances (token.go toProvider dispatch) ----------------
 
