@@ -777,3 +777,40 @@ def test_virtual_dataset_served_runs_js_script(served, spark):
         _get(f"{base}/datasets/gen/entities?limit=3&since={token}"))
     assert [e["id"] for e in ents2] == ["v:3", "v:4", "v:5"]
     assert token2 == 6
+
+
+def test_served_surface_under_concurrent_load(served, spark):
+    """ThreadingHTTPServer + Spark driver thread-pool under mixed
+    concurrent reads: 6 threads x 8 requests across entities / changes
+    / query-index / statistics — every response well-formed, zero 5xx
+    (the store's registry locks and the lazily-built query index must
+    hold up)."""
+    import threading
+
+    _, base = served
+    errors: list = []
+
+    def hit(kind, i):
+        try:
+            if kind == 0:
+                page = _get(f"{base}/datasets/d/entities?limit=3")
+                assert page[0]["id"] == "@context"
+            elif kind == 1:
+                page = _get(f"{base}/datasets/d/changes?limit=2")
+                assert page[-1]["id"] == "@continuation"
+            elif kind == 2:
+                code, body = _post(f"{base}/query",
+                                   {"entityId": "e:1"})
+                assert code == 200
+            else:
+                _get(f"{base}/statistics")
+        except Exception as exc:  # noqa: BLE001
+            errors.append((kind, i, exc))
+
+    threads = [threading.Thread(target=hit, args=(n % 4, n))
+               for n in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors[:3]
