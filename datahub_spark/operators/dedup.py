@@ -546,7 +546,8 @@ def remove_duplicate_substrings(df: DataFrame, window: int = 16,
 def semantic_dedup(corpus: DataFrame, threshold_fp: int,
                    n_clusters: int = 16, lloyd_rounds: int = 2,
                    dim: int = 64, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   checkpoint: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning via embedding k-means.
 
@@ -587,7 +588,9 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
     # co-partitions both probe sides.
     n_part = int(members.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    members = members.repartition(n_part, "cl").localCheckpoint(eager=True)
+    members = members.repartition(n_part, "cl")
+    if checkpoint:
+        members = members.localCheckpoint(eager=True)
     l, r = members.alias("l"), members.alias("r")
     # l is removed when a higher-priority (lower affinity) clustermate r
     # sits within the threshold. Deliberately NOT a left-semi with the
@@ -617,8 +620,9 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
     # slim (id, cluster, affinity, flag): lazily checkpoint it so
     # multiple downstream actions (count + filter + join in a cleaning
     # pipeline) run the probe once — at scale this is the persisted
-    # dedup verdict table
-    return out.localCheckpoint(eager=False)
+    # dedup verdict table. checkpoint=False keeps the plan fully lazy
+    # (and inspectable — the perf plan pin uses it).
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def semantic_dedup_oracle(threshold_fp: int, n_clusters: int = 16,

@@ -332,3 +332,21 @@ def test_semantic_dedup_plan_is_cluster_blocked(spark):
     plan = DD.semantic_dedup(
         df, int(0.95 * 10 ** 14))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_probe_is_inner_join_not_semi(spark):
+    """Pin of the r7 3.2x fix: the pair probe carrying the exact-dot
+    threshold must be an INNER equi-join (+ distinct on removed ids),
+    never a LeftSemi — a semi SortMergeJoin evaluates its non-equi
+    condition interpreted per candidate pair (no codegen, per-eval
+    array allocation; measured 737s -> 230s at 100k vectors). Catalyst
+    may push the dot filter back into the join condition — that is
+    fine exactly because the join is Inner."""
+    df = _load_embeddings(spark)
+    plan = DD.semantic_dedup(
+        df, int(0.95 * 10 ** 14), checkpoint=False
+    )._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "aggregate(zip_with" in line and "Join" in line:
+            assert ", Inner," in line, line
+    assert "LeftSemi" not in plan
