@@ -325,3 +325,54 @@ def test_wav_roundtrip_arbitrary_frames(spark, seeds, rate):
         assert r["sample_rate"] == rate
         assert r["n_frames"] == 64 + (len(t) % 512)
         assert r["n_channels"] == 1 and r["sample_width"] == 2
+
+
+# -- WAL ingest equivalence -------------------------------------------------
+
+_wal_entity = st.tuples(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.booleans(),
+    st.sampled_from(["x", "y", ""]),
+)
+_wal_batches = st.lists(
+    st.lists(_wal_entity, min_size=1, max_size=4), min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_wal_batches)
+def test_wal_flush_equals_direct_store(spark, tmp_path_factory, batches):
+    """Arbitrary append batches through the WAL produce EXACTLY the log
+    a single direct store_entities of the concatenation produces (ids,
+    order-of-seq, payloads, tombstones) — durability buffering must not
+    change observable store semantics."""
+    from datahub_spark.script import SCRIPT_OUTPUT_SCHEMA
+    from datahub_spark.store import EntityStore, WalIngest
+
+    ents = [{"id": f"e:{i}", "deleted": d,
+             "props": ({"p:v": v} if v else {})}
+            for batch in batches
+            for (i, d, v) in [t for t in batch]]
+
+    root = tmp_path_factory.mktemp("walprop")
+    es_wal = EntityStore(spark, str(root / "wal_store"))
+    wal = WalIngest(es_wal, "d")
+    off = 0
+    for batch in batches:
+        wal.append(ents[off:off + len(batch)])
+        off += len(batch)
+    wal.flush(skip_unchanged=False)
+    wal.close()
+
+    es_direct = EntityStore(spark, str(root / "direct"))
+    rows = [(e["id"], None, seq, e["deleted"], e["props"], {}, "d")
+            for seq, e in enumerate(ents)]
+    es_direct.store_entities(
+        "d", spark.createDataFrame(rows, SCRIPT_OUTPUT_SCHEMA)
+        .drop("dataset"), skip_unchanged=False)
+
+    def snap(es):
+        return sorted(
+            (r["id"], r["seq"], r["deleted"], dict(r["props"] or {}))
+            for r in es.log(["d"]).collect())
+
+    assert snap(es_wal) == snap(es_direct)
