@@ -165,3 +165,48 @@ def encode_bpe(df: DataFrame, merges: list[dict], text_col: str = "text",
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     return src.mapInPandas(
         run, schema="id long, tokens array<string>, n_tokens long")
+
+
+def bpe_vocab(df: DataFrame, merges: list[dict],
+              text_col: str = "text") -> dict[str, int]:
+    """Token -> id table for a trained merge list: id 0 is reserved for
+    <unk>, then the corpus's distinct characters + the end-of-word
+    marker (sorted — deterministic), then the merged tokens in merge
+    order (their rank IS their position, the GPT-2 convention). One
+    explode + distinct over single characters — bounded by the
+    alphabet, not the corpus."""
+    from datahub_spark.operators.text import normalize
+
+    chars = sorted(
+        r["c"] for r in df.select(
+            F.explode(F.split(normalize(F.col(text_col)), "")).alias("c"))
+        .filter(F.col("c") != "").distinct().collect()
+        if r["c"] != " ")
+    vocab = {"<unk>": 0}
+    for c in chars + [END]:
+        vocab.setdefault(c, len(vocab))
+    for m in merges:
+        vocab.setdefault(m["merged"], len(vocab))
+    return vocab
+
+
+def encode_bpe_ids(df: DataFrame, merges: list[dict],
+                   vocab: dict[str, int], text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-ready tokenization: ``(id, token_ids array<int>,
+    n_tokens)`` — the string tokens of encode_bpe mapped through the
+    vocab (unknown symbols -> 0/<unk>). Same Arrow-batched execution;
+    compose with export.export_shards for tokenized training shards."""
+    tokens = encode_bpe(df, merges, text_col, id_col)
+    unk = vocab.get("<unk>", 0)
+    lookup = dict(vocab)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [[lookup.get(t, unk) for t in toks]
+                   for toks in pdf["tokens"]]
+            yield pd.DataFrame({"id": pdf["id"], "token_ids": ids,
+                                "n_tokens": pdf["n_tokens"]})
+
+    return tokens.mapInPandas(
+        run, schema="id long, token_ids array<int>, n_tokens long")

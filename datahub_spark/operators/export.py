@@ -39,7 +39,8 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
 
 def export_shards(df: DataFrame, path: str, n_shards: int,
                   id_col: str = "doc_id", text_col: str = "text",
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42,
+                  token_count_col: str | None = None) -> DataFrame:
     """Write the corpus as ``path/shard=K/*.parquet`` in reproducible
     shuffled order and return a manifest DataFrame ``(shard, n_docs,
     n_tokens)`` read back from the written files (the manifest reflects
@@ -61,8 +62,11 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
      .sortWithinPartitions("shard", "sort_key", id_col)
      .write.mode("overwrite").partitionBy("shard").parquet(path))
     written = df.sparkSession.read.parquet(path)
+    # tokenized frames (e.g. bpe.encode_bpe_ids output) carry an exact
+    # count column; text frames fall back to the whitespace proxy
+    n_tok = (F.sum(F.col(token_count_col)) if token_count_col
+             else F.sum(token_count_whitespace(F.col(text_col))))
     return (written.groupBy("shard")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum(token_count_whitespace(F.col(text_col)))
-                 .cast("long").alias("n_tokens"))
+                 n_tok.cast("long").alias("n_tokens"))
             .orderBy("shard"))

@@ -5,6 +5,7 @@ corpus, and on the classic low/lower/newest example."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from datahub_spark.operators import bpe as B
 
@@ -117,3 +118,45 @@ def test_train_bpe_property_random_corpora(spark):
         assert B.train_bpe(df, n_merges=4) == _train_model(texts, 4)
 
     inner()
+
+
+def test_bpe_vocab_and_id_encoding(spark):
+    df = spark.createDataFrame(list(enumerate(CORPUS)),
+                               "doc_id long, text string")
+    merges = B.train_bpe(df, n_merges=8)
+    vocab = B.bpe_vocab(df, merges)
+    assert vocab["<unk>"] == 0
+    # chars before merges, merges in rank order
+    ranks = [vocab[m["merged"]] for m in merges]
+    assert ranks == sorted(ranks)
+    enc = {r["id"]: r for r in B.encode_bpe_ids(df, merges, vocab).collect()}
+    toks = {r["id"]: r for r in B.encode_bpe(df, merges).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    for i in enc:
+        assert [inv[t] for t in enc[i]["token_ids"]] == toks[i]["tokens"]
+        assert 0 not in enc[i]["token_ids"]  # nothing unknown in-corpus
+    # unseen character maps to <unk>
+    odd = spark.createDataFrame([(9, "low λ")], "doc_id long, text string")
+    out = B.encode_bpe_ids(odd, merges, vocab).collect()[0]
+    assert 0 in out["token_ids"]
+
+
+def test_tokenize_then_export_shards_end_to_end(spark, tmp_path):
+    """The full training-prep endpoint: BPE-tokenize the corpus to ids,
+    export reproducible shards, read back intact."""
+    from datahub_spark.operators import export as EX
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(100)
+    merges = B.train_bpe(docs, n_merges=6)
+    vocab = B.bpe_vocab(docs, merges)
+    ids = B.encode_bpe_ids(docs, merges, vocab) \
+        .withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "tok_shards")
+    manifest = EX.export_shards(ids, out, n_shards=3,
+                                token_count_col="n_tokens").collect()
+    assert sum(r["n_docs"] for r in manifest) == 100
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    row = back.filter(F.col("doc_id") == ids.first()["doc_id"]).first()
+    assert len(row["token_ids"]) == row["n_tokens"] > 0
