@@ -376,3 +376,58 @@ def test_wal_flush_equals_direct_store(spark, tmp_path_factory, batches):
             for r in es.log(["d"]).collect())
 
     assert snap(es_wal) == snap(es_direct)
+
+
+# -- Gopher rule invariants -------------------------------------------------
+
+_gopher_doc = st.lists(
+    st.sampled_from(["the", "and", "a", "####", "...", "12", "lorem",
+                     "- item", "\n", "…"]),
+    min_size=0, max_size=60).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_gopher_doc, min_size=1, max_size=6))
+def test_gopher_rules_match_python_model(spark, texts):
+    """Every rule boolean == an independent pure-python evaluation of
+    the same integer-exact formulas, on adversarial random docs."""
+    import re
+
+    from datahub_spark.operators.text import GOPHER_STOPWORDS
+    from datahub_spark.operators import text as TX
+
+    def model(t):
+        w = [x for x in " ".join(t.lower().split()).split(" ")]
+        lines = t.split("\n")
+        nt = len(w)
+        tc = sum(len(x) for x in w)
+        nl = len(lines)
+        nhash = t.count("#")
+        nell = (len(t) - len(t.replace("...", ""))) // 3 \
+            + len(t) - len(t.replace("…", ""))
+        nbul = sum(1 for l in lines
+                   if re.match(r"^[-*•‣▪]", l.strip()))
+        nelll = sum(1 for l in lines
+                    if re.search(r"(\.\.\.|…)$", l.rstrip()))
+        nalpha = sum(1 for x in w if re.search("[a-z]", x))
+        padded = " " + " ".join(t.lower().split()) + " "
+        nstop = sum(1 for s in GOPHER_STOPWORDS if f" {s} " in padded)
+        return {
+            "ok_word_count": 50 <= nt <= 100_000,
+            "ok_mean_word_len": 3 * nt <= tc <= 10 * nt,
+            "ok_hash_ratio": nhash * 10 <= nt,
+            "ok_ellipsis_ratio": nell * 10 <= nt,
+            "ok_bullet_lines": nbul * 10 < nl * 9,
+            "ok_ellipsis_lines": nelll * 10 < nl * 3,
+            "ok_alpha_words": nalpha * 5 >= nt * 4,
+            "ok_stopwords": nstop >= 2,
+        }
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in TX.gopher_rules(df).collect()}
+    for i, t in enumerate(texts):
+        want = model(t)
+        for rule, expect in want.items():
+            assert got[i][rule] == expect, (rule, repr(t))
+        assert got[i]["passes_gopher"] == all(want.values())
