@@ -79,16 +79,15 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     Both models are (<= buckets)-row frames joined BROADCAST onto the
     exploded raw corpus; the weight is one per-doc sum. Docs without
     n-grams weigh 0."""
+    # persist the (<= buckets)-row models: each corpus is featurized and
+    # scanned exactly ONCE — the totals below are sums over the models
+    # (every n-gram lands in some bucket), not extra full-corpus passes
     tgt = bucket_model(target, text_col, n, buckets) \
-        .select("bucket", F.col("count").alias("tc"))
+        .select("bucket", F.col("count").alias("tc")).persist()
     rawm = bucket_model(raw, text_col, n, buckets) \
-        .select("bucket", F.col("count").alias("rc"))
-    t_total = target.select(
-        F.sum(F.size(_ngram_buckets(F.col(text_col), n, buckets)))
-    ).collect()[0][0] or 0
-    r_total = raw.select(
-        F.sum(F.size(_ngram_buckets(F.col(text_col), n, buckets)))
-    ).collect()[0][0] or 0
+        .select("bucket", F.col("count").alias("rc")).persist()
+    t_total = tgt.agg(F.sum("tc")).collect()[0][0] or 0
+    r_total = rawm.agg(F.sum("rc")).collect()[0][0] or 0
     t_den = float(t_total + alpha * buckets)
     r_den = float(r_total + alpha * buckets)
 

@@ -673,6 +673,19 @@ def run_query_script(spark: SparkSession, code: str, *,
 # transform.go:578-600)
 # --------------------------------------------------------------------------
 
+def is_js_code(code: str) -> bool:
+    """True when a (possibly base64-encoded) script body is JavaScript.
+
+    The SERVED virtual-dataset path must only ever run the sandboxed JS
+    interpreter — the Python ``exec`` fallback in ScriptVirtualSource is
+    for trusted in-process use and would be remote code execution if
+    reachable from a stored dataset config (the reference confines
+    virtual-dataset transforms to goja, virtualdataset.go)."""
+    from datahub_spark import js as _js
+
+    return _js.looks_like_js(maybe_b64_decode(code))
+
+
 class ScriptVirtualSource:
     """A virtual dataset whose pages are produced by a user script
     defining ``build_entities(params, since, limit)`` that calls

@@ -11,8 +11,8 @@ middlewares/authorization.go doAclCheck semantics):
     is granted when ANY entry matches the path — exact resource or
     trailing-``*`` prefix pattern — with a compatible action. ``read``
     is granted by a read OR write entry ("write implies read",
-    manager.go:499-504); POST/DELETE/PUT require ``write``
-    (authorization.go:73-77). A matching ``deny`` entry does not grant
+    manager.go:499-504); mutating methods (POST/DELETE/PUT/PATCH)
+    require ``write`` (authorization.go:73-77). A matching ``deny`` entry does not grant
     (CheckGranted returns false for it) but — faithfully to the
     reference — does not veto a different granting entry either.
 
@@ -203,7 +203,8 @@ class SecurityManager:
         claims = jwt_verify(auth[7:], self._key)
         if "admin" in (claims.get("roles") or []):
             return claims
-        action = "write" if method in ("POST", "DELETE", "PUT") else "read"
+        action = "write" if method in ("POST", "DELETE", "PUT", "PATCH") \
+            else "read"
         acl = self._acls.get(claims.get("sub", ""))
         if not acl:
             raise ForbiddenError("user does not have permission")

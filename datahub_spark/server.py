@@ -757,9 +757,16 @@ class UdaServer:
         optional JSON body on the GET (the reference forwards any
         request JSON as the params argument); ``since`` is forwarded
         verbatim."""
-        from datahub_spark.script import ScriptVirtualSource
+        from datahub_spark.script import ScriptVirtualSource, is_js_code
 
         code = vcfg.get("Transform") or vcfg.get("transform") or ""
+        # Served transforms run ONLY on the sandboxed JS interpreter —
+        # the Python exec path in ScriptVirtualSource is for trusted
+        # in-process use and must not be reachable from a stored config
+        # (the reference confines these to goja, virtualdataset.go).
+        if not is_js_code(code):
+            return self._error(
+                rq, 400, "virtual dataset transform must be javascript")
         n = int(rq.headers.get("Content-Length", "0"))
         try:
             params = json.loads(rq.rfile.read(n).decode()) if n else {}
@@ -802,10 +809,18 @@ class UdaServer:
                     rq, 400, "invalid proxy configuration provided")
             extra["ProxyDatasetConfig"] = pc
         elif cfg.get("VirtualDatasetConfig") is not None:
+            from datahub_spark.script import is_js_code
+
             vc = cfg["VirtualDatasetConfig"]
-            if not (vc.get("Transform") or vc.get("transform")):
+            code = vc.get("Transform") or vc.get("transform")
+            if not code:
                 return self._error(
                     rq, 400, "invalid virtual dataset configuration provided")
+            # reject non-JS at create time too — the served read path
+            # only runs the sandboxed JS interpreter
+            if not is_js_code(code):
+                return self._error(
+                    rq, 400, "virtual dataset transform must be javascript")
             extra["VirtualDatasetConfig"] = vc
         self.store.create_dataset(
             ds, public_namespaces=cfg.get("publicNamespaces"),

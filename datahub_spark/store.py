@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import uuid
@@ -269,6 +270,8 @@ class EntityStore:
         os.makedirs(self.log_dir, exist_ok=True)
         if not os.path.exists(self.meta_path):
             self._write_meta({"datasets": {}, "counter": 0})
+        else:
+            self._recover_renames()
         # event bus (internal/server/events_test.go): listeners fire after
         # a committed write, with (dataset, recorded); the scheduler wires
         # onchange jobs here. In-process analogue of the dataset topics.
@@ -338,21 +341,55 @@ class EntityStore:
         self._mutate_meta(lambda meta: meta["datasets"].pop(name, None))
         shutil.rmtree(os.path.join(self.log_dir, f"dataset={name}"), ignore_errors=True)
 
+    _SAFE_DATASET_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._~-]*")
+
     def rename_dataset(self, name: str, new_name: str) -> None:
-        """UpdateDataset with a new ID (dsmanager.go:108-110): registry
-        entry and log partition move under the new name atomically with
-        respect to the registry lock."""
-        def mv(meta):
+        """UpdateDataset with a new ID (dsmanager.go:108-110).
+
+        Crash-safe ordering: the registry is committed FIRST (with a
+        ``renamedFrom`` marker), the log partition is moved second, and
+        the marker is cleared last. A crash between the steps leaves the
+        marker in place; ``_recover_renames`` (run on every store open)
+        completes the move from it. Moving before the registry write
+        would strand the data under a name the registry doesn't know."""
+        new_name = (new_name or "").strip()
+        if not self._SAFE_DATASET_NAME.fullmatch(new_name):
+            raise ValueError(f"invalid dataset name: {new_name!r}")
+
+        def step1(meta):
             if name not in meta["datasets"]:
                 raise KeyError(name)
             if new_name in meta["datasets"]:
                 raise ValueError(f"dataset {new_name} already exists")
-            meta["datasets"][new_name] = meta["datasets"].pop(name)
-            src = os.path.join(self.log_dir, f"dataset={name}")
-            if os.path.isdir(src):
-                shutil.move(src, os.path.join(self.log_dir,
-                                              f"dataset={new_name}"))
-        self._mutate_meta(mv)
+            entry = meta["datasets"].pop(name)
+            entry["renamedFrom"] = name
+            meta["datasets"][new_name] = entry
+
+        self._mutate_meta(step1)
+        src = os.path.join(self.log_dir, f"dataset={name}")
+        dst = os.path.join(self.log_dir, f"dataset={new_name}")
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            shutil.move(src, dst)
+        self._mutate_meta(
+            lambda meta: meta["datasets"].get(new_name, {}).pop(
+                "renamedFrom", None))
+
+    def _recover_renames(self) -> None:
+        """Finish any rename whose directory move was interrupted: an
+        entry still carrying ``renamedFrom`` moves its old partition
+        under the new name (if not already moved), then drops the
+        marker. Idempotent; runs under the registry lock."""
+        def fix(meta):
+            for new_name, entry in meta["datasets"].items():
+                old = entry.pop("renamedFrom", None)
+                if not old:
+                    continue
+                src = os.path.join(self.log_dir, f"dataset={old}")
+                dst = os.path.join(self.log_dir, f"dataset={new_name}")
+                if os.path.isdir(src) and not os.path.isdir(dst):
+                    shutil.move(src, dst)
+
+        self._mutate_meta(fix)
 
     def list_datasets(self) -> list[str]:
         return sorted(self._read_meta()["datasets"])
@@ -693,11 +730,23 @@ class WalIngest:
             # interrupted flush (.flushing, .flushing.now, ...) re-enters
             wal_dir = os.path.dirname(self.path)
             base = os.path.basename(self._flushing)
-            paths = sorted(
+            paths = sorted({
                 os.path.join(wal_dir, fn) for fn in os.listdir(wal_dir)
-                if fn.startswith(base))
+                if fn.startswith(base)})
             if os.path.getsize(self.path) > 0:
-                rotated = f"{self._flushing}.{len(paths)}.now"
+                # rotation suffix = max(existing indices)+1, NOT the
+                # count of leftovers: after a crash that removed only
+                # some flushed files, len(paths) could re-target a
+                # surviving name — os.replace would clobber it and the
+                # same spool would enter the read list twice.
+                nxt = 0
+                for fn in paths:
+                    m = re.fullmatch(
+                        re.escape(base) + r"\.(\d+)\.now",
+                        os.path.basename(fn))
+                    if m:
+                        nxt = max(nxt, int(m.group(1)) + 1)
+                rotated = f"{self._flushing}.{nxt}.now"
                 os.replace(self.path, rotated)
                 paths.append(rotated)
             self._fh = open(self.path, "a", encoding="utf-8")

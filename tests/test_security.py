@@ -147,6 +147,26 @@ def test_acl_scoping_read_vs_write(secured):
     assert _req(f"{base}/datasets/secret/entities", token=writer)[0] == 403
 
 
+def test_patch_is_a_write_action(secured):
+    """ADVICE r7 (high): PATCH /datasets/{name} renames the dataset — a
+    mutating operation that must require a write grant, not slip
+    through as a read (authorization.go:73-77 groups all mutating
+    methods under 'write')."""
+    base = secured
+    _, reader = _token(base, "reader", "reader-pw")
+    _, writer = _token(base, "writer", "writer-pw")
+    code, _ = _req(f"{base}/datasets/d", "PATCH", token=reader,
+                   payload={"ID": "d2"})
+    assert code == 403
+    # dataset is untouched by the refused rename
+    assert _req(f"{base}/datasets/d/entities", token=reader)[0] == 200
+    # a write grant allows it (rename within the granted d* prefix)
+    code, _ = _req(f"{base}/datasets/d", "PATCH", token=writer,
+                   payload={"ID": "d2"})
+    assert code == 200
+    assert _req(f"{base}/datasets/d2/entities", token=writer)[0] == 200
+
+
 def test_unsecured_server_stays_open(spark, tmp_path):
     store = S.EntityStore(spark, str(tmp_path / "store2"))
     df = spark.createDataFrame(

@@ -659,11 +659,19 @@ def test_dataset_management_over_http(served, spark):
     assert _post(f"{base}/datasets/px?proxy=true",
                  {"ProxyDatasetConfig": {"remoteUrl": "http://peer/datasets/d"}}
                  )[0] == 200
-    # virtual config validated (datasethandler.go:275-279)
+    # virtual config validated (datasethandler.go:275-279); the served
+    # path only runs the sandboxed JS interpreter, so a Python body is
+    # refused at create time (ADVICE r7: exec() would be RCE)
     assert _post(f"{base}/datasets/vx",
                  {"VirtualDatasetConfig": {}})[0] == 400
+    py_b64 = ("aW1wb3J0IG9zCmRlZiBidWlsZF9lbnRpdGllcyhwYXJhbXMsIHNpbmNlLCBsaW1"
+              "pdCk6CiAgICByZXR1cm4gMAo=")
     assert _post(f"{base}/datasets/vx",
-                 {"VirtualDatasetConfig": {"Transform": "ZnVuYw=="}})[0] == 200
+                 {"VirtualDatasetConfig": {"Transform": py_b64}})[0] == 400
+    js_b64 = ("ZnVuY3Rpb24gYnVpbGRfZW50aXRpZXMocGFyYW1zLCBzaW5jZSwgbGltaXQpIH"
+              "sgcmV0dXJuIDA7IH0=")
+    assert _post(f"{base}/datasets/vx",
+                 {"VirtualDatasetConfig": {"Transform": js_b64}})[0] == 200
 
     # details: core entity shape with items count (datasethandler.go:212)
     details = _get(f"{base}/datasets/d")

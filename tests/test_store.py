@@ -397,3 +397,82 @@ def test_wal_ingest_concurrent_appends(spark, tmp_path):
     wal.flush()
     assert es.log(["hot"]).count() == 80
     wal.close()
+
+
+def test_wal_rotation_never_clobbers_leftover_spool(spark, tmp_path):
+    """ADVICE r7: naming the rotated spool by len(leftovers) can collide
+    with a crash-left '.flushing.1.now' (when '.flushing.0.now' was
+    already removed) — os.replace would clobber it AND list the same
+    path twice, double-reading the new batch. The suffix must be
+    max(existing indices)+1."""
+    import os
+
+    from datahub_spark.store import EntityStore, WalIngest
+
+    root = str(tmp_path / "s")
+    es = EntityStore(spark, root)
+    wal_dir = os.path.join(root, "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    # crash left ONLY index 1 (index 0 was consumed before the crash)
+    with open(os.path.join(wal_dir, "hot.jsonl.flushing.1.now"), "w") as f:
+        f.write('{"id":"e:left","seq":0,"deleted":false,'
+                '"props":{},"refs":{}}\n')
+    w = WalIngest(es, "hot")
+    w.append([{"id": "e:new", "props": {"p:n": "fresh"}}])
+    assert w.flush() is not None
+    rows = es.log(["hot"]).collect()
+    # the leftover survived the rotation and nothing was read twice
+    assert {r["id"] for r in rows} == {"e:left", "e:new"}
+    assert len(rows) == 2
+    assert os.listdir(wal_dir) == ["hot.jsonl"]
+    w.close()
+
+
+def test_rename_dataset_validates_and_survives_crash(spark, tmp_path):
+    """ADVICE r7: rename commits the registry BEFORE moving the log
+    partition (a crash between them must not strand data under an
+    unregistered name), and the new name is validated."""
+    import json
+    import os
+    import shutil
+
+    from datahub_spark.store import EntityStore
+    from tests.entity_fixtures import row
+
+    root = str(tmp_path / "s")
+    es = EntityStore(spark, root)
+    df = spark.createDataFrame([row("e:1", 0, props={"p:n": "one"})],
+                               ENTITY_SCHEMA).drop("dataset")
+    es.store_entities("d", df)
+
+    for bad in ("", "  ", "a/b", "../up", "d name", ".hidden"):
+        try:
+            es.rename_dataset("d", bad)
+            assert False, f"expected ValueError for {bad!r}"
+        except ValueError:
+            pass
+    assert es.list_datasets() == ["d"]  # untouched by refused renames
+
+    # simulate the crash window: registry committed (renamedFrom marker
+    # present) but the directory move never happened
+    with open(es.meta_path) as f:
+        meta = json.load(f)
+    entry = meta["datasets"].pop("d")
+    entry["renamedFrom"] = "d"
+    meta["datasets"]["d2"] = entry
+    with open(es.meta_path, "w") as f:
+        json.dump(meta, f)
+    assert os.path.isdir(os.path.join(es.log_dir, "dataset=d"))
+
+    # a fresh open completes the move from the marker
+    es2 = EntityStore(spark, root)
+    assert es2.list_datasets() == ["d2"]
+    assert not os.path.isdir(os.path.join(es2.log_dir, "dataset=d"))
+    assert {r["id"] for r in es2.log(["d2"]).collect()} == {"e:1"}
+    with open(es2.meta_path) as f:
+        assert "renamedFrom" not in json.load(f)["datasets"]["d2"]
+
+    # the normal path still renames end-to-end
+    es2.rename_dataset("d2", "d3")
+    assert es2.list_datasets() == ["d3"]
+    assert {r["id"] for r in es2.log(["d3"]).collect()} == {"e:1"}
