@@ -229,13 +229,40 @@ def compact_deduplicate(df: DataFrame) -> DataFrame:
 def retention_gc(df: DataFrame, horizon: int) -> DataFrame:
     """Garbage collection (internal/server/garbagecollector.go analogue):
     drop versions recorded <= horizon unless they are the entity's newest
-    version (the current state must survive)."""
-    newest = F.max(_order_key(df)).over(Window.partitionBy("dataset", "id"))
-    return (
-        df.withColumn("_newest", newest)
-        .filter((F.col("recorded") > F.lit(int(horizon))) | (_order_key(df) == F.col("_newest")))
-        .drop("_newest")
+    version (the current state must survive).
+
+    Survivors decompose exactly into (a) rows above the horizon — a
+    pushed-down filter, no shuffle — and (b) each entity's newest row
+    when that row itself is at/below the horizon — the codebase's own
+    ``latest`` max_by HashAggregate. No Window: the previous
+    formulation's max-over-partition shuffled AND sorted every full-width
+    row, the last full-sort in a maintenance path."""
+    horizon = int(horizon)
+    fresh = df.filter(F.col("recorded") > F.lit(horizon))
+    newest_old = latest(df, include_deleted=True) \
+        .filter(F.col("recorded") <= F.lit(horizon))
+    return fresh.unionByName(newest_old)
+
+
+def clean_deleted(df: DataFrame) -> DataFrame:
+    """``Cleandeleted`` (garbagecollector.go:60; scheduler/gc_update.go):
+    purge EVERY version of entities whose latest state is a tombstone —
+    nothing remains to serve for them, so their history is garbage.
+    (The reference's dataset-level purge — entities of datasets in
+    ``store.deletedDatasets`` — is handled eagerly by
+    ``EntityStore.delete_dataset``, which removes the log partition.)
+
+    max_by aggregation over a NARROW (key + deleted flag) projection,
+    then a co-partitioned left_anti join back onto the log — no window
+    sort, and the shuffled aggregate carries 4 small columns, not full
+    rows."""
+    gone = (
+        df.groupBy("dataset", "id")
+        .agg(F.max_by("deleted", _order_key(df)).alias("_latest_deleted"))
+        .filter(F.col("_latest_deleted"))
+        .select("dataset", "id")
     )
+    return df.join(gone, ["dataset", "id"], "left_anti")
 
 
 def dataset_stats(df: DataFrame) -> DataFrame:
@@ -622,12 +649,16 @@ class EntityStore:
         return removed
 
     def compact(self, dataset: str, strategy: str = "deduplicate",
-                gc_horizon: int | None = None) -> None:
+                gc_horizon: int | None = None,
+                clean_deleted_entities: bool = False) -> None:
         """Physical compaction (DOCUMENTATION.md:2349): apply the strategy
         view to the dataset's log and atomically swap the rewritten files
         in. 'deduplicate' drops successive identical versions; a
         gc_horizon additionally drops non-newest versions recorded at or
-        before the horizon. Readers are never exposed to partial state:
+        before the horizon; ``clean_deleted_entities`` additionally purges
+        every version of entities whose latest state is a tombstone
+        (garbagecollector.go Cleandeleted, run by the reference's
+        scheduled_gc). Readers are never exposed to partial state:
         the new files are staged, then the partition directory is swapped
         with two renames."""
         if strategy != "deduplicate":
@@ -636,6 +667,8 @@ class EntityStore:
         compacted = compact_deduplicate(log)
         if gc_horizon is not None:
             compacted = retention_gc(compacted, gc_horizon)
+        if clean_deleted_entities:
+            compacted = clean_deleted(compacted)
         part = os.path.join(self.log_dir, f"dataset={dataset}")
         stage = os.path.join(self.root, f"_compact-{uuid.uuid4().hex}")
         compacted.drop("dataset").write.mode("overwrite").parquet(stage)
