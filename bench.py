@@ -276,10 +276,35 @@ def bench_store_write(spark) -> dict:
         wal.flush(skip_unchanged=False)
         wal_s = time.monotonic() - t0
         wal.close()
+
+        # the same OLTP loop over HTTP (r8): 50 POSTs of 1000 entities
+        # into a wal_writes server + one flush — the served write path,
+        # including JSON serialization and the HTTP round-trips
+        import urllib.request
+
+        from datahub_spark.server import UdaServer
+
+        srv = UdaServer(es, wal_writes=True, wal_flush_entities=10**9)
+        base_url = srv.start()
+        try:
+            t0 = time.monotonic()
+            for i in range(50):
+                body = json.dumps(person_dicts(1000, base=i * 1000)).encode()
+                req = urllib.request.Request(
+                    f"{base_url}/datasets/oltp_http/entities", data=body,
+                    method="POST",
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    assert resp.status == 200
+            srv.flush_wal()
+            http_s = time.monotonic() - t0
+        finally:
+            srv.stop()
         return {
             "eps_bulk_1m": round(1_000_000 / bulk_s),
             "eps_batch_1k": round(10_000 / batch_s),
             "eps_wal_100x1k": round(100_000 / wal_s),
+            "eps_http_wal_50x1k": round(50_000 / http_s),
             "baseline_ref_eps": 22000,
             "baseline_src": "last_bench.txt BenchmarkDatasetStoreEntities-2 ~45ms/1000 on 2 vCPUs",
         }

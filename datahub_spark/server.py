@@ -208,8 +208,23 @@ class UdaServer:
                  default_limit: int = 1000,
                  lease_seconds: float = 3600.0,
                  scheduler=None, content=None, security=None,
-                 metrics=None, providers=None):
+                 metrics=None, providers=None,
+                 wal_writes: bool = False,
+                 wal_flush_entities: int = 10_000):
         self.store = store
+        # WAL-backed served writes (store.WalIngest): plain POST
+        # /entities appends to a per-dataset fsync-durable spool and
+        # returns — the LSM answer to Spark's fixed per-commit job cost
+        # on high-frequency small writes. Visibility: pending rows are
+        # folded into ONE store transaction when (a) the pending count
+        # reaches wal_flush_entities, (b) the dataset is read over HTTP
+        # (read-your-writes), (c) a fullsync starts, or (d) the server
+        # stops. Durability is per-POST either way.
+        self.wal_writes = bool(wal_writes)
+        self.wal_flush_entities = int(wal_flush_entities)
+        self._wals: dict[str, object] = {}
+        self._wal_pending: dict[str, int] = {}
+        self._wal_lock = threading.Lock()
         self.nsmgr = nsmgr or NamespaceManager()
         self.default_limit = default_limit
         self.leases = FullSyncLease(lease_seconds)
@@ -272,6 +287,47 @@ class UdaServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        self.flush_wal()
+        with self._wal_lock:
+            for w in self._wals.values():
+                w.close()
+            self._wals.clear()
+
+    # -- WAL-backed served writes ------------------------------------------
+
+    def _wal_for(self, ds: str):
+        from datahub_spark.store import WalIngest
+
+        with self._wal_lock:
+            w = self._wals.get(ds)
+            if w is None:
+                w = self._wals[ds] = WalIngest(self.store, ds)
+                self._wal_pending[ds] = 0
+            return w
+
+    def flush_wal(self, ds: str | None = None) -> dict[str, int]:
+        """Fold pending served writes into store transactions (one per
+        dataset). Returns {dataset: recorded} for datasets that had
+        pending rows."""
+        with self._wal_lock:
+            names = [ds] if ds is not None else list(self._wals)
+            wals = [(n, self._wals[n]) for n in names if n in self._wals]
+        out: dict[str, int] = {}
+        for name, w in wals:
+            recorded = w.flush()
+            with self._wal_lock:
+                self._wal_pending[name] = 0
+            if recorded is not None:
+                out[name] = recorded
+        if out:
+            self.invalidate_query_index()
+        return out
+
+    def _ensure_visible(self, ds: str) -> None:
+        """Read-your-writes for WAL-backed serving: any HTTP read of a
+        dataset first flushes its pending spool (no-op when empty)."""
+        if self.wal_writes and ds in self._wals:
+            self.flush_wal(ds)
 
     # -- helpers ----------------------------------------------------------
 
@@ -359,6 +415,7 @@ class UdaServer:
                 # datasethandler.go:212-225 GetDatasetDetails: the
                 # dataset's core registry entity (items = entity count)
                 ds = unquote(parts[1])
+                self._ensure_visible(ds)
                 cfg = self.store.dataset_config(ds)
                 if cfg is None:
                     return self._error(rq, 404, f"dataset {ds} not found")
@@ -441,6 +498,10 @@ class UdaServer:
                 return self._reply(rq, 200, item)
             if len(parts) == 3 and parts[0] == "datasets":
                 ds, verb = parts[1], parts[2]
+                # read-your-writes: commit any pending WAL spool first
+                # (also registers a dataset whose first writes are
+                # still WAL-only)
+                self._ensure_visible(ds)
                 if ds not in self.store.list_datasets():
                     return self._error(rq, 404, f"dataset {ds} not found")
                 cfg = self.store.dataset_config(ds) or {}
@@ -1167,26 +1228,37 @@ class UdaServer:
     # LocalRelation before the next is accumulated
     BODY_CHUNK_ROWS = 10_000
 
+    def _iter_entities(self, rq):
+        """Streamed body -> iterator of normalized entity dicts
+        (@context/@continuation skipped, refs listified, props
+        stringified) — shared by the DataFrame and the WAL write
+        paths."""
+        n = int(rq.headers.get("Content-Length", "0"))
+        for obj in iter_json_array(rq.rfile, n):
+            oid = obj.get("id") if isinstance(obj, dict) else None
+            if oid in ("@context", "@continuation") or oid is None:
+                continue
+            yield {
+                "id": oid,
+                "recorded": obj.get("recorded"),
+                "seq": obj.get("seq", 0),
+                "deleted": bool(obj.get("deleted", False)),
+                "props": {k: (None if v is None else str(v))
+                          for k, v in (obj.get("props") or {}).items()},
+                "refs": {k: (v if isinstance(v, list) else [v])
+                         for k, v in (obj.get("refs") or {}).items()},
+            }
+
     def _parse_body(self, rq):
         """Streamed body -> iterator of DataFrame chunks (each at most
         BODY_CHUNK_ROWS rows). The server process never holds the whole
         body, the whole decoded object tree, or the whole row list —
         the reference's streamparser.go contract."""
-        n = int(rq.headers.get("Content-Length", "0"))
         spark = self.store.spark
         rows = []
-        for obj in iter_json_array(rq.rfile, n):
-            oid = obj.get("id") if isinstance(obj, dict) else None
-            if oid in ("@context", "@continuation") or oid is None:
-                continue
-            refs = {
-                k: (v if isinstance(v, list) else [v])
-                for k, v in (obj.get("refs") or {}).items()
-            }
-            props = {k: (None if v is None else str(v))
-                     for k, v in (obj.get("props") or {}).items()}
-            rows.append((oid, obj.get("recorded"), obj.get("seq", 0),
-                         bool(obj.get("deleted", False)), props, refs, None))
+        for e in self._iter_entities(rq):
+            rows.append((e["id"], e["recorded"], e["seq"], e["deleted"],
+                         e["props"], e["refs"], None))
             if len(rows) >= self.BODY_CHUNK_ROWS:
                 # nullable schema: recorded left NULL by the wire is
                 # stamped at commit (store_entities), like the
@@ -1215,12 +1287,46 @@ class UdaServer:
             # parsing its (possibly huge) payload.
             session = None
             if fs_start:
+                # pending WAL rows must commit BEFORE the fullsync's
+                # tombstone diff sees the prior state
+                self._ensure_visible(ds)
                 session = FullSyncSession(self.store, ds)
                 self.leases.start(ds, fs_id, session)
             elif self.leases.active(ds):
                 if fs_id == "" and not fs_end:
                     return self._error(rq, 409, "fullsync is ongoing")
                 session = self.leases.refresh(ds, fs_id)
+            elif self.wal_writes and not fs_end:
+                # WAL fast path for plain writes: raw dicts straight to
+                # the fsync-durable spool — no DataFrame, no Spark job
+                # on the request path (reference OLTP shape,
+                # dataset_benchmark_test.go)
+                wal = self._wal_for(ds)
+                count = 0
+                batch: list = []
+                try:
+                    for e in self._iter_entities(rq):
+                        batch.append(e)
+                        if len(batch) >= self.BODY_CHUNK_ROWS:
+                            wal.append(batch)
+                            count += len(batch)
+                            batch = []
+                except ValueError as exc:
+                    # whole-request atomicity is per-flush; a malformed
+                    # tail leaves prior chunks spooled but unflushed —
+                    # same at-least-once contract as WAL crash replay
+                    return self._error(
+                        rq, 400, f"malformed entity batch: {exc}")
+                if batch:
+                    wal.append(batch)
+                    count += len(batch)
+                with self._wal_lock:
+                    self._wal_pending[ds] = \
+                        self._wal_pending.get(ds, 0) + count
+                    pending = self._wal_pending[ds]
+                if pending >= self.wal_flush_entities:
+                    self.flush_wal(ds)
+                return self._reply(rq, 200, {})
             # streamed chunks: a fullsync session appends each chunk as
             # it parses (its complete() unions them); a plain write
             # unions the chunk plans and commits ONCE — same atomicity

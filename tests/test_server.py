@@ -822,3 +822,68 @@ def test_served_surface_under_concurrent_load(served, spark):
     for t in threads:
         t.join()
     assert errors == [], errors[:3]
+
+
+def test_wal_served_writes_equal_direct_store(spark, tmp_path):
+    """r7 verdict item 7: with wal_writes=True, N small POSTs append to
+    an fsync-durable spool (no Spark job per request) and one flush
+    commits them — the resulting store state equals writing the same
+    batches directly. Reads force the flush (read-your-writes), and an
+    explicit flush_wal() also works."""
+    store = S.EntityStore(spark, str(tmp_path / "walsrv"))
+    srv = UdaServer(store, wal_writes=True, wal_flush_entities=10_000)
+    base = srv.start()
+    try:
+        for i in range(5):
+            code, _ = _post(f"{base}/datasets/hot/entities", [
+                {"id": f"e:{i * 2}", "props": {"p:n": str(i * 2)},
+                 "refs": {"p:r": [f"e:{i * 2 + 1}"]}},
+                {"id": f"e:{i * 2 + 1}", "props": {"p:n": str(i * 2 + 1)}},
+            ])
+            assert code == 200
+        # durable but not yet committed (below the flush threshold)
+        assert not store.has_data("hot")
+        recs = srv.flush_wal()
+        assert "hot" in recs
+        rows = {r["id"]: r for r in store.log(["hot"]).collect()}
+        assert set(rows) == {f"e:{i}" for i in range(10)}
+        assert rows["e:0"]["props"]["p:n"] == "0"
+        assert rows["e:0"]["refs"]["p:r"] == ["e:1"]
+        # append order preserved across POSTs
+        assert rows["e:0"]["seq"] < rows["e:5"]["seq"] < rows["e:9"]["seq"]
+
+        # equal to a direct store of the same batches
+        direct = S.EntityStore(spark, str(tmp_path / "direct"))
+        direct.store_entities("hot", _entities(spark, [
+            (f"e:{i}", None, i, False, {"p:n": str(i)},
+             {"p:r": [f"e:{i + 1}"]} if i % 2 == 0 else {}, None)
+            for i in range(10)]).drop("dataset"))
+        a = {(r["id"], str(r["props"]), str(r["refs"]), r["deleted"])
+             for r in store.log(["hot"]).collect()}
+        b = {(r["id"], str(r["props"]), str(r["refs"]), r["deleted"])
+             for r in direct.log(["hot"]).collect()}
+        assert a == b
+
+        # read-your-writes: a GET flushes pending spool rows
+        assert _post(f"{base}/datasets/hot/entities",
+                     [{"id": "e:99", "props": {"p:n": "99"}}])[0] == 200
+        page = _get(f"{base}/datasets/hot/entities?limit=100")
+        _, ents, _ = _split(page)
+        assert "e:99" in {e["id"] for e in ents}
+    finally:
+        srv.stop()
+
+
+def test_wal_served_writes_autoflush_threshold(spark, tmp_path):
+    """Crossing wal_flush_entities commits without an explicit flush."""
+    store = S.EntityStore(spark, str(tmp_path / "walsrv2"))
+    srv = UdaServer(store, wal_writes=True, wal_flush_entities=6)
+    base = srv.start()
+    try:
+        for i in range(3):  # 3 posts x 2 entities = 6 -> autoflush
+            assert _post(f"{base}/datasets/hot/entities", [
+                {"id": f"e:{i}a"}, {"id": f"e:{i}b"}])[0] == 200
+        assert store.has_data("hot")
+        assert store.log(["hot"]).count() == 6
+    finally:
+        srv.stop()
