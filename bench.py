@@ -80,9 +80,10 @@ PINNED_MEDIANS = {
 BUDGETS = {k: round(2 * v, 1) for k, v in PINNED_MEDIANS.items()}
 HEADLINERS = list(BUDGETS)
 
-# scale-decade leg: the three most expensive plan shapes (wide agg,
-# multi-edge join+agg, shingle/LSH pipeline) measured one decade up
-X100_HEADLINERS = ["query_aggregate", "parts_per_nation", "dedup_minhash"]
+# scale-decade leg: ALL headliners measured one decade up (r8 — the r7
+# leg covered only the top-3 plan shapes; the judge asked for full
+# coverage so every decade ratio is evidence, not extrapolation)
+X100_HEADLINERS = HEADLINERS
 
 
 def main() -> None:
