@@ -114,10 +114,21 @@ class DatahubInstance:
         if config.security_enabled:
             # ADMIN_USERNAME/ADMIN_PASSWORD bootstrap the root client
             # (config.go:86-87, security/manager.go's admin user)
-            self.security = SecurityManager(
-                admin_client_id=config.admin_username or "admin",
-                admin_client_secret=config.admin_password or None,
-                node_id=config.node_id)
+            if config.auth_middleware == "opa":
+                # middlewares/opa.go: the allow decision comes from the
+                # configured OPA endpoint, one POST per request
+                from datahub_spark.security import OpaSecurityManager
+                self.security = OpaSecurityManager(
+                    opa_endpoint=config.opa_endpoint,
+                    allow_network=True,
+                    admin_client_id=config.admin_username or "admin",
+                    admin_client_secret=config.admin_password or None,
+                    node_id=config.node_id)
+            else:
+                self.security = SecurityManager(
+                    admin_client_id=config.admin_username or "admin",
+                    admin_client_secret=config.admin_password or None,
+                    node_id=config.node_id)
         # login providers for outgoing connections (app.go wires
         # security.NewTokenProviders; persisted like the reference's
         # store-backed ProviderManager)

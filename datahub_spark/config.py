@@ -91,6 +91,7 @@ class Config:
     gc_on_startup: bool = True             # GC_ON_STARTUP
     fullsync_lease_timeout: float = 3600.0  # FULLSYNC_LEASE_TIMEOUT (1h)
     auth_middleware: str = "noop"          # AUTHORIZATION_MIDDLEWARE
+    opa_endpoint: str = ""                 # OPA_ENDPOINT (config.go:138)
     admin_username: str = ""               # ADMIN_USERNAME
     admin_password: str = ""               # ADMIN_PASSWORD
     node_id: str = "anonymous-node"        # NODE_ID
@@ -104,16 +105,17 @@ class Config:
     @property
     def security_enabled(self) -> bool:
         # middleware.go:111,129 — "noop" disables; "local"/"on" enable
-        # the local client/ACL manager. "opa" additionally consults an
-        # external OPA endpoint this engine does not deploy with.
-        return self.auth_middleware in ("local", "on")
+        # the local client/ACL manager; "opa" enables it with the ALLOW
+        # decision delegated to the configured OPA endpoint
+        # (security.OpaSecurityManager).
+        return self.auth_middleware in ("local", "on", "opa")
 
 
 _UNUSED_KEYS = (
     "DD_AGENT_HOST", "SECRETS_MANAGER", "TOKEN_WELL_KNOWN",
     "TOKEN_AUDIENCE", "TOKEN_ISSUER", "DL_JWT_CLIENT_ID",
     "DL_JWT_CLIENT_SECRET", "DL_JWT_AUDIENCE", "DL_JWT_GRANT_TYPE",
-    "DL_JWT_ENDPOINT", "OPA_ENDPOINT", "BLOCK_CACHE_SIZE",
+    "DL_JWT_ENDPOINT", "BLOCK_CACHE_SIZE",
     "VALUE_LOG_FILE_SIZE", "MAX_COMPACTION_LEVELS", "FLATTEN_ON_START",
     "BACKUP_USE_RSYNC", "BACKUP_SOURCE_LOCATION",
     "SECURITY_STORAGE_LOCATION",
@@ -139,11 +141,14 @@ def load_config(config_file: str | None = None,
 
     home = os.path.expanduser("~") or "/tmp"
     middleware = get("AUTHORIZATION_MIDDLEWARE", "noop")
-    if middleware == "opa":
+    opa_endpoint = get("OPA_ENDPOINT", "")
+    if middleware == "opa" and not opa_endpoint:
         raise ValueError(
-            "AUTHORIZATION_MIDDLEWARE=opa requires an external OPA "
-            "endpoint; this engine supports 'noop' (open) and 'local'/'on' "
-            "(Bearer-token + local ACLs, datahub_spark.security)")
+            "AUTHORIZATION_MIDDLEWARE=opa requires OPA_ENDPOINT "
+            "(middlewares/opa.go posts each request's {method, path, "
+            "token, scopes} to {endpoint}/v1/data/datahub/authz/allow); "
+            "without it use 'noop' (open) or 'local'/'on' (Bearer-token "
+            "+ local ACLs, datahub_spark.security)")
 
     lease = get("FULLSYNC_LEASE_TIMEOUT")
     slow = get("SLOW_LOG_THRESHOLD")
@@ -157,6 +162,7 @@ def load_config(config_file: str | None = None,
         gc_on_startup=_parse_bool(get("GC_ON_STARTUP"), True),
         fullsync_lease_timeout=parse_duration(lease) if lease else 3600.0,
         auth_middleware=middleware,
+        opa_endpoint=opa_endpoint,
         admin_username=get("ADMIN_USERNAME", ""),
         admin_password=get("ADMIN_PASSWORD", ""),
         node_id=get("NODE_ID", "anonymous-node"),

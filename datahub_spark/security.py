@@ -212,3 +212,64 @@ class SecurityManager:
             if check_granted(ac, path, action):
                 return claims
         raise ForbiddenError("user does not have permission")
+
+
+class OpaSecurityManager(SecurityManager):
+    """AUTHORIZATION_MIDDLEWARE=opa (middlewares/opa.go): tokens are
+    still node-issued and verified locally, but the ALLOW decision is
+    delegated to an Open Policy Agent endpoint — one POST per request to
+    ``{endpoint}/v1/data/datahub/authz/allow`` with the reference's
+    input shape {method, path, token, scopes} (opa.go:48-70); a false
+    ``result`` is 403 ("user has no access to resource"). The admin
+    role does NOT bypass: with OPA configured, policy is the single
+    authority, as in the reference.
+
+    ``allow_network`` must be set by the embedder (the app config path
+    does); it exists so a stored config can never make the server call
+    out by default — same gate as the HTTP sources."""
+
+    OPA_TIMEOUT_SECONDS = 1.0  # opa.go:121 (1000ms httpclient timeout)
+
+    def __init__(self, opa_endpoint: str, allow_network: bool = False,
+                 **kwargs):
+        super().__init__(**kwargs)
+        if not opa_endpoint:
+            raise ValueError("OpaSecurityManager needs an OPA endpoint")
+        self.opa_endpoint = opa_endpoint.rstrip("/")
+        self.allow_network = allow_network
+
+    def _opa_allow(self, method: str, path: str, token: str,
+                   scopes: list) -> bool:
+        import urllib.request
+
+        if not self.allow_network:
+            raise ForbiddenError(
+                "OPA authorization requires network access "
+                "(allow_network=False)")
+        body = json.dumps({"input": {
+            "method": method, "path": path,
+            "token": token, "scopes": scopes,
+        }}).encode()
+        req = urllib.request.Request(
+            f"{self.opa_endpoint}/v1/data/datahub/authz/allow",
+            data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(
+                    req, timeout=self.OPA_TIMEOUT_SECONDS) as resp:
+                answer = json.loads(resp.read().decode() or "{}")
+        except Exception as exc:  # opa.go:59-61 — any failure is 403
+            raise ForbiddenError(f"opa query failed: {exc}") from exc
+        return bool(answer.get("result"))
+
+    def authorize(self, authorization_header: str | None,
+                  method: str, path: str) -> dict:
+        auth = authorization_header or ""
+        if not auth.startswith("Bearer ") or len(auth) <= 7:
+            raise AuthError("missing bearer token")
+        token = auth[7:]
+        claims = jwt_verify(token, self._key)
+        scopes = claims.get("roles") or []
+        if not self._opa_allow(method, path, token, scopes):
+            raise ForbiddenError("user has no access to resource")
+        return claims

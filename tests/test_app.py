@@ -84,9 +84,16 @@ def test_duration_parsing():
     assert cfg.slow_log_threshold == 0.25
 
 
-def test_opa_middleware_rejected_loudly():
-    with pytest.raises(ValueError, match="opa"):
+def test_opa_middleware_requires_endpoint():
+    """AUTHORIZATION_MIDDLEWARE=opa without OPA_ENDPOINT fails loudly
+    (config.go:137-138 defaults OPA_ENDPOINT empty; opa.go needs it);
+    with an endpoint it loads and enables security."""
+    with pytest.raises(ValueError, match="OPA_ENDPOINT"):
         load_config(env={"AUTHORIZATION_MIDDLEWARE": "opa"})
+    cfg = load_config(env={"AUTHORIZATION_MIDDLEWARE": "opa",
+                           "OPA_ENDPOINT": "http://localhost:1111"})
+    assert cfg.security_enabled
+    assert cfg.opa_endpoint == "http://localhost:1111"
 
 
 def test_unused_reference_keys_surface_on_extras():

@@ -179,3 +179,91 @@ def test_unsecured_server_stays_open(spark, tmp_path):
         assert _req(f"{base}/datasets")[0] == 200
     finally:
         srv.stop()
+
+
+def test_opa_authorizer_delegates_allow_decision(spark, tmp_path):
+    """middlewares/opa.go e2e against a stub OPA: the server posts
+    {method, path, token, scopes} to /v1/data/datahub/authz/allow and
+    obeys the boolean result — false is 403 ('user has no access to
+    resource'), and the admin role does NOT bypass policy. Token
+    validation stays local (a bad token is 401 without any OPA call)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from datahub_spark.security import OpaSecurityManager
+
+    seen: list[dict] = []
+    allow = {"value": True}
+
+    class StubOpa(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            body = json.loads(self.rfile.read(n).decode())
+            seen.append((self.path, body))
+            data = json.dumps({"result": allow["value"]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    opa_httpd = ThreadingHTTPServer(("127.0.0.1", 0), StubOpa)
+    threading.Thread(target=opa_httpd.serve_forever, daemon=True).start()
+    opa_url = f"http://127.0.0.1:{opa_httpd.server_address[1]}"
+
+    store = S.EntityStore(spark, str(tmp_path / "opastore"))
+    df = spark.createDataFrame(
+        [("e:1", None, 0, False, {"p:name": "one"}, None, None)],
+        SCRIPT_OUTPUT_SCHEMA).drop("dataset")
+    store.store_entities("d", df)
+    sec = OpaSecurityManager(opa_url, allow_network=True,
+                             admin_client_secret="admin-pw")
+    sec.add_client("client", "client-pw")
+    srv = UdaServer(store, security=sec)
+    base = srv.start()
+    try:
+        _, tok = _token(base, "client", "client-pw")
+        assert tok
+        # policy says yes
+        assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 200
+        path, body = seen[-1]
+        assert path == "/v1/data/datahub/authz/allow"
+        assert body["input"]["method"] == "GET"
+        assert body["input"]["path"] == "/datasets/d/entities"
+        assert body["input"]["scopes"] == ["client"]
+        assert body["input"]["token"] == tok
+        # policy says no — 403 even for admin (OPA is the authority)
+        allow["value"] = False
+        assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 403
+        _, admin_tok = _token(base, "admin", "admin-pw")
+        assert _req(f"{base}/datasets/d/entities",
+                    token=admin_tok)[0] == 403
+        # invalid token is 401 locally, no OPA round-trip
+        n_calls = len(seen)
+        assert _req(f"{base}/datasets/d/entities",
+                    token="garbage.garbage.garbage")[0] == 401
+        assert len(seen) == n_calls
+    finally:
+        srv.stop()
+        opa_httpd.shutdown()
+        opa_httpd.server_close()
+
+
+def test_opa_authorizer_network_gate_and_outage(spark, tmp_path):
+    """allow_network=False refuses without calling out; an unreachable
+    OPA endpoint is 403 (opa.go:59-61 maps any query failure to 403)."""
+    from datahub_spark.security import ForbiddenError, OpaSecurityManager
+
+    sec = OpaSecurityManager("http://127.0.0.1:9", allow_network=False,
+                             admin_client_secret="pw")
+    tok = sec.issue_token("admin", "pw")
+    with pytest.raises(ForbiddenError, match="network"):
+        sec.authorize(f"Bearer {tok}", "GET", "/datasets")
+    sec2 = OpaSecurityManager("http://127.0.0.1:9", allow_network=True,
+                              admin_client_secret="pw")
+    tok2 = sec2.issue_token("admin", "pw")
+    with pytest.raises(ForbiddenError, match="opa query failed"):
+        sec2.authorize(f"Bearer {tok2}", "GET", "/datasets")
