@@ -150,14 +150,22 @@ def test_bucketed_ann_recall_vs_bruteforce(spark):
     ivf = {(r["query_id"], r["neighbor_id"])
            for r in SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4,
                                 lloyd_rounds=2, dim=64).collect()}
+    mp = {(r["query_id"], r["neighbor_id"])
+          for r in SIM.ann_lsh(q, emb, k=5, n_planes=6, dim=64,
+                               bands=8, probe_bits=6).collect()}
     r_lsh1 = len(exact & lsh1) / len(exact)
     r_lsh4 = len(exact & lsh4) / len(exact)
+    r_mp = len(exact & mp) / len(exact)
     r_ivf = len(exact & ivf) / len(exact)
     # measured on this corpus: pin floors under the observed values so
     # a bucketing regression (wrong plane fold, broken probe) trips;
     # multi-band probing must deliver a real recall lift over one band
     assert r_lsh4 >= 2 * r_lsh1, (r_lsh1, r_lsh4)
     assert r_lsh4 >= 0.2, r_lsh4
+    # multi-probe (Hamming-1 query fan-out) is the product recall
+    # config: measured 0.904 at bands=8/probe_bits=6 — pin well above
+    # the r7 complaint threshold (recall@5 >= 0.6)
+    assert r_mp >= 0.8, r_mp
     assert r_ivf >= 0.5, r_ivf
 
 
