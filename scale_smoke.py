@@ -153,31 +153,33 @@ def main() -> None:
     timings["dsir_select_100k_of_1m"] = round(time.monotonic() - t0, 2)
     assert n_picked == 100_000, n_picked
 
-    # SemDeDup at 100k vectors: 20k groups of 5 near-identical vectors.
-    # Four heavy coords per group in DISJOINT index ranges (mixed-radix
-    # over 16*16*16*11 = 45056 directions, injective for g < 45056 —
-    # disjoint ranges so no coord ever shadows another): worst-case
-    # cross-group cosine (three of four coords shared) is 2.0/2.16 =
-    # 0.926 < tau, within-group (all four shared, tiny variant coord)
-    # ~0.9988 >= tau. n_clusters=256 bounds within-cluster pair fan-out
-    # — the SemDeDup scale premise exercised for real.
-    n_vecs = 100_000
-    g = (F.col("id") / 5).cast("long")
-    c1 = g % 16
-    c2 = 16 + (g / 16).cast("long") % 16
-    c3 = 32 + (g / 256).cast("long") % 16
-    c4 = 48 + (g / 4096).cast("long") % 11
-    variant = F.col("id") % 5
+    # SemDeDup at 1M vectors / n_clusters=1024 (r8 — one decade above
+    # the r7 100k/256 leg, exercising "n_clusters grows with the
+    # corpus" for real): 200k groups of 5 near-identical vectors. Six
+    # heavy coords per group in DISJOINT 9-slot index ranges
+    # (mixed-radix over 9^6 = 531441 directions, injective for
+    # g < 531441): worst-case cross-group cosine (five of six coords
+    # shared, the 0.5-weight coord differing) is 3.30/3.55 = 0.930 <
+    # tau, within-group (all six shared, tiny variant coord) ~0.9993 >=
+    # tau. Ids are laid out group-major (vec_id % n_groups = group) so
+    # the first n_clusters init centroids are n_clusters DISTINCT
+    # directions.
+    n_vecs = 1_000_000
+    n_groups = 200_000
+    n_clusters = 1024
+    g = F.col("id") % n_groups
+    weights = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5]
+    coords = [9 * j + (g / (9 ** j)).cast("long") % 9 for j in range(6)]
+    variant = (F.col("id") / n_groups).cast("long")
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
-        lambda i: (
-            F.when(i == c1, 1.0)
-            .when(i == c2, 0.8)
-            .when(i == c3, 0.6)
-            .when(i == c4, 0.4)
-            .when(i == variant + 59, 0.05)
-            .otherwise(0.0)
-        ),
+        # ranges are disjoint (coords in [0,54), variant in [59,64)),
+        # so at most one when() fires; each carries otherwise(0.0) —
+        # a bare when() is NULL when false and would poison the sum
+        lambda i: sum(
+            (F.when(i == c, w).otherwise(0.0)
+             for c, w in zip(coords, weights)),
+            F.when(i == variant + 59, 0.05).otherwise(0.0)),
     )
     # L2-normalize: the fixed-point threshold is cosine*1e14 for UNIT
     # vectors (similarity.dot_long contract) — unnormalized payloads
@@ -189,16 +191,23 @@ def main() -> None:
     vecs = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"), vec.alias("embedding"))
     t0 = time.monotonic()
-    sd = DD.semantic_dedup(vecs, int(0.95 * 10 ** 14), n_clusters=256,
-                           lloyd_rounds=1, dim=64)
+    sd = DD.semantic_dedup(vecs, int(0.95 * 10 ** 14),
+                           n_clusters=n_clusters,
+                           lloyd_rounds=1, dim=64, probe="blas")
     row = sd.filter(F.col("keep")).agg(
-        F.countDistinct((F.col("vec_id") / 5).cast("long")).alias("g"),
+        F.countDistinct(F.col("vec_id") % n_groups).alias("g"),
         F.count(F.lit(1)).alias("k")).collect()[0]
     n_groups_kept, n_kept = row["g"], row["k"]
-    timings["semantic_dedup_100k_vecs"] = round(time.monotonic() - t0, 2)
+    # the per-cluster pair-probe bound: record the biggest cluster and
+    # the total pair count sum(c_i^2) the probe actually paid — the
+    # quantity that must stay ~N * c_avg as both N and n_clusters grow
+    cstats = sd.groupBy("cl").count().agg(
+        F.max("count").alias("cmax"),
+        F.sum(F.col("count") * F.col("count")).alias("pairs")).collect()[0]
+    timings["semantic_dedup_1m_vecs_1024cl"] = round(time.monotonic() - t0, 2)
     # every 5-variant group must keep at least one member, and the
     # pruning must actually bite (variants are mutual near-dups)
-    assert n_groups_kept == n_vecs // 5, n_groups_kept
+    assert n_groups_kept == n_groups, n_groups_kept
     assert n_kept < n_vecs, n_kept
 
     print(json.dumps({
@@ -208,11 +217,14 @@ def main() -> None:
                  "boilerplate_segments_dropped": int(n_dropped_segs),
                  "bigram_total": int(n_bigrams_total),
                  "dsir_picked": int(n_picked),
-                 "semantic_kept": int(n_kept)},
+                 "semantic_kept": int(n_kept),
+                 "semantic_max_cluster": int(cstats["cmax"]),
+                 "semantic_pair_probe_total": int(cstats["pairs"])},
         "sec": timings,
         "n_versions": n_versions,
         "n_docs": n_docs,
         "n_vecs": n_vecs,
+        "n_semantic_clusters": n_clusters,
     }))
 
 

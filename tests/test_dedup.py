@@ -350,3 +350,16 @@ def test_semantic_dedup_probe_is_inner_join_not_semi(spark):
         if "aggregate(zip_with" in line and "Join" in line:
             assert ", Inner," in line, line
     assert "LeftSemi" not in plan
+
+
+def test_semantic_dedup_blas_probe_matches_join_probe(spark):
+    """probe='blas' (per-cluster int64 matmul in applyInPandas) must be
+    value-identical to the graded join probe: same int64 dots, same
+    (aff, cid) priority ordering, same removal rule."""
+    emb = _load_embeddings(spark)
+    tau = int(0.93 * 10 ** 14)
+    a = sorted((r["vec_id"], r["cl"], r["keep"]) for r in
+               DD.semantic_dedup(emb, tau, probe="join").collect())
+    b = sorted((r["vec_id"], r["cl"], r["keep"]) for r in
+               DD.semantic_dedup(emb, tau, probe="blas").collect())
+    assert a == b
