@@ -490,24 +490,17 @@ def duplicate_window_starts(df: DataFrame, window: int = 16,
     (never pairs); the duplicated-key set comes from one md5-keyed
     HashAggregate with map-side countDistinct partials; membership is a
     shuffle equi-join on the md5 key (NOT broadcast by default — on a
-    crawl-scale corpus the duplicated-window set is itself large)."""
-    from datahub_spark.operators.text import words
+    crawl-scale corpus the duplicated-window set is itself large).
 
-    w = words(F.col(text_col))
-    starts = F.when(
-        F.size(w) >= window,
-        F.sequence(F.lit(0), F.size(w) - window),
-    ).otherwise(F.array().cast("array<int>"))
+    The window strings come from the zip_with shingle builder
+    (positional multiset) + posexplode, so each exploded row carries
+    ONE gram, not the document's whole word array re-sliced per
+    position (the allocation pattern the r8 minhash fix removed)."""
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(starts).alias("start"),
-        w.alias("_w"),
-    ).select(
-        "id", "start",
-        F.md5(F.array_join(
-            F.slice(F.col("_w"), F.col("start") + 1, window), " "))
-        .alias("gram_key"),
-    )
+        F.posexplode(shingles(F.col(text_col), window, distinct=False))
+        .alias("start", "gram"),
+    ).select("id", "start", F.md5("gram").alias("gram_key"))
     dup_keys = (grams.groupBy("gram_key")
                 .agg(F.countDistinct("id").alias("n_docs"))
                 .filter(F.col("n_docs") >= int(min_docs))
