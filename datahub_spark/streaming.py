@@ -225,3 +225,41 @@ def stream_dedup_exact(stream_df: DataFrame, ts_micros_col: str,
             .withWatermark("_ts", watermark)
             .dropDuplicatesWithinWatermark([digest_col])
             .drop("_ts"))
+
+
+def stream_dedup_minhash(stream_df: DataFrame, ts_micros_col: str,
+                         text_col: str = "text", k: int = 12, n: int = 3,
+                         watermark: str = "1 hour",
+                         sig_col: str = "_sig") -> DataFrame:
+    """Streaming NEAR-duplicate suppression: keep the first document per
+    minhash SIGNATURE within the watermark — the ingest-time twin of
+    the batch MinHash pipeline, for feeds that re-post lightly edited
+    copies (boilerplate re-crawls, syndicated articles).
+
+    The state key is the full k-value signature (operators.dedup.
+    minhash_signature values, md5-folded to one key), so two documents
+    collide only when ALL k minhashes agree — a high-Jaccard match
+    (P = J^k). Single dropDuplicatesWithinWatermark: one state store,
+    bounded by rate x watermark like stream_dedup_exact. The banded
+    ANY-of-b-bands semantics (catches moderate Jaccard) needs one state
+    lookup per band per doc and a cross-band conjunction — two chained
+    stateful operators; that regime is the BATCH lsh_candidates
+    operator's job downstream, by design."""
+    from datahub_spark.operators.dedup import shingles
+
+    sh = shingles(F.col(text_col), n, distinct=False)
+    mins = []
+    for i in range((k + 1) // 2):
+        digest = F.transform(
+            sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        for half, pos in ((0, 1), (1, 16)):
+            if 2 * i + half < k:
+                mins.append(F.array_min(F.transform(
+                    digest, lambda d, p=pos: F.substring(d, p, 15))))
+    sig = F.md5(F.concat_ws("|", *mins))
+    return (stream_df
+            .withColumn("_ts", F.timestamp_micros(F.col(ts_micros_col)))
+            .withColumn(sig_col, sig)
+            .withWatermark("_ts", watermark)
+            .dropDuplicatesWithinWatermark([sig_col])
+            .drop("_ts"))

@@ -201,3 +201,30 @@ def test_stream_dedup_exact_keeps_first_within_watermark(spark, tmp_path):
     surviving_ids = {i for i, _ in got}
     assert 3 in surviving_ids
     assert len(surviving_ids & {1, 2, 4}) == 1
+
+
+def test_stream_dedup_minhash_suppresses_signature_twins(spark, tmp_path):
+    """Near-identical docs (same word trigram set -> same minhash
+    signature) collapse to one survivor; genuinely different docs all
+    pass. Signature values match the batch minhash_signature family
+    (same md5-keyed hashes, string-min formulation)."""
+    path = str(tmp_path / "mfeed")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, 1_000_000, base),
+        (2, 2_000_000, base.upper() + "  "),     # normalizes identical
+        (3, 3_000_000, "an entirely different document about spark"),
+        (4, 4_000_000, base),                    # third copy
+    ]
+    spark.createDataFrame(rows, "doc_id long, us long, text string") \
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    out = ST.run_available_now(
+        ST.stream_dedup_minhash(stream, "us"), output_mode="append")
+    got = sorted((r["doc_id"], r["_sig"]) for r in out.collect())
+    assert len(got) == 2
+    ids = {i for i, _ in got}
+    assert 3 in ids and len(ids & {1, 2, 4}) == 1
+    # cross-check: the two survivors carry distinct signatures
+    assert len({s for _, s in got}) == 2
