@@ -733,6 +733,12 @@ class WalIngest:
         self._fh = open(self.path, "a", encoding="utf-8")
         self._seq = 0
         self._mu = threading.Lock()
+        # serializes whole flushes (rotation + fold + removal) without
+        # blocking appends: two concurrent flush() calls would list the
+        # same rotated spools, double-read them, and race on os.remove
+        # (the served path can trigger this — a reader's
+        # read-your-writes flush racing the autoflush threshold)
+        self._flush_mu = threading.Lock()
 
     def append(self, entities: list[dict]) -> None:
         """Durably append a batch: one buffered write + one fsync.
@@ -756,7 +762,13 @@ class WalIngest:
     def flush(self, skip_unchanged: bool = True) -> int | None:
         """Fold the pending spool (plus any crash-left ``.flushing``
         file) into one atomic store transaction. Returns the commit's
-        ``recorded`` tick, or None when nothing was pending."""
+        ``recorded`` tick, or None when nothing was pending.
+        Thread-safe against concurrent flushes AND concurrent appends
+        (appends only block for the brief rotation window)."""
+        with self._flush_mu:
+            return self._flush_locked(skip_unchanged)
+
+    def _flush_locked(self, skip_unchanged: bool) -> int | None:
         with self._mu:
             self._fh.close()
             # crash recovery: ANY leftover rotated spool from an earlier

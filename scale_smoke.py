@@ -188,8 +188,13 @@ def main() -> None:
     norm = F.sqrt(F.aggregate(raw, F.lit(0.0),
                               lambda acc, v: acc + v * v))
     vec = F.transform(raw, lambda v: (v / norm).cast("float"))
+    # checkpoint the constructed corpus: the interpreted HOF expression
+    # is expensive per evaluation and the Lloyd loop's bounded-model
+    # collects would otherwise re-derive it once per pass — a real
+    # corpus is a parquet scan, which this stands in for
     vecs = spark.range(n_vecs).select(
-        F.col("id").alias("vec_id"), vec.alias("embedding"))
+        F.col("id").alias("vec_id"), vec.alias("embedding")) \
+        .localCheckpoint(eager=True)
     t0 = time.monotonic()
     sd = DD.semantic_dedup(vecs, int(0.95 * 10 ** 14),
                            n_clusters=n_clusters,

@@ -531,3 +531,35 @@ def test_compact_clean_deleted_entities_rewrites_partition(spark, tmp_path):
     es.store_entities("d", spark.createDataFrame(
         [("live", False, {"a": "2"}, {})], schema), skip_unchanged=False)
     assert es.log(["d"]).count() == 2
+
+
+def test_wal_concurrent_flushes_ingest_once(spark, tmp_path):
+    """Two flushes racing (the served path: a reader's read-your-writes
+    flush vs the autoflush threshold) must not double-read a spool or
+    crash removing it — flush is serialized on its own lock while
+    appends stay unblocked."""
+    import threading
+
+    from datahub_spark.store import EntityStore, WalIngest
+
+    es = EntityStore(spark, str(tmp_path / "s"))
+    wal = WalIngest(es, "hot")
+    wal.append([{"id": f"e:{i}", "props": {"p:n": str(i)}}
+                for i in range(50)])
+    errs: list = []
+
+    def do_flush():
+        try:
+            wal.flush()
+        except Exception as exc:  # noqa: BLE001 — the test records it
+            errs.append(exc)
+
+    threads = [threading.Thread(target=do_flush) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    rows = es.log(["hot"]).collect()
+    assert len(rows) == 50  # ingested exactly once
+    wal.close()
