@@ -56,22 +56,21 @@ import sys
 import time
 
 # Measured n=5 medians at repl=10 of sf0.1 (effective sf1) on local[32],
-# round 6 — the committed evidence behind the budgets (the r5 budgets
-# were provisional; these are from a green end-to-end run, total 11.878s).
+# round 8 — the committed evidence behind the budgets (a clean
+# end-to-end run, total 10.746s; dedup_minhash re-pinned after the
+# zip_with shingle fix won the r7 data-drift regression back:
+# 2.32s vs the r6 pin 3.496 on HEAVIER regenerated documents).
 PINNED_MEDIANS = {
-    "query_aggregate": 2.622,
-    "traverse_incoming": 0.926,
-    "changes_latest_only": 1.292,
-    "dedup_minhash": 3.496,
-    "ann_topk": 0.779,
-    # r7: text_quality merged with text_lang_id into text_signals
-    # (lang_id join quality on doc_id); median re-pinned from a clean
-    # r7 run at the same repl=10 derived scale
-    "text_signals": 1.064,
-    "parts_per_nation": 2.130,
+    "query_aggregate": 1.575,
+    "traverse_incoming": 1.016,
+    "changes_latest_only": 1.079,
+    "dedup_minhash": 2.316,
+    "ann_topk": 0.902,
+    "text_signals": 1.194,
+    "parts_per_nation": 1.824,
     # 150k entities through the bundled JS interpreter inside
-    # mapInPandas (~108k entities/s) — the scripted escape-hatch path
-    "js_transform": 1.391,
+    # mapInPandas (~150k entities/s) — the scripted escape-hatch path
+    "js_transform": 0.840,
 }
 # regression budgets = ~2x the pinned medians: wide enough for machine
 # noise (observed min-max spread is ~1.5x), tight enough that a
@@ -154,7 +153,7 @@ def main() -> None:
         "min_max": spreads,
         "budgets": BUDGETS,
         "budget_basis": {"pinned_medians": PINNED_MEDIANS,
-                         "pinned_at": "r6 sf0.1x10 local[32] n=5; text_signals re-pinned r7 (clean n=5 run, same scale)"},
+                         "pinned_at": "r8 sf0.1x10 local[32] n=5 (clean end-to-end run, total 10.746s)"},
         "budget_ok": not over,
         "over_budget": over,
         "x100": x100,
