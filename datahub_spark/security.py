@@ -217,12 +217,15 @@ class SecurityManager:
 class OpaSecurityManager(SecurityManager):
     """AUTHORIZATION_MIDDLEWARE=opa (middlewares/opa.go): tokens are
     still node-issued and verified locally, but the ALLOW decision is
-    delegated to an Open Policy Agent endpoint — one POST per request to
+    delegated to an Open Policy Agent endpoint — a POST to
     ``{endpoint}/v1/data/datahub/authz/allow`` with the reference's
     input shape {method, path, token, scopes} (opa.go:48-70); a false
-    ``result`` is 403 ("user has no access to resource"). The admin
-    role does NOT bypass: with OPA configured, policy is the single
-    authority, as in the reference.
+    ``result`` is 403 ("user has no access to resource"). For
+    dataset-scoped paths a second policy query (opa.go:73-80,
+    ``.../authz/datasets``) yields the permitted dataset set — list,
+    or map with ``{"*": true}`` = all — enforced against the path and
+    returned on the claims. The admin role does NOT bypass: with OPA
+    configured, policy is the single authority, as in the reference.
 
     ``allow_network`` must be set by the embedder (the app config path
     does); it exists so a stored config can never make the server call
@@ -238,8 +241,8 @@ class OpaSecurityManager(SecurityManager):
         self.opa_endpoint = opa_endpoint.rstrip("/")
         self.allow_network = allow_network
 
-    def _opa_allow(self, method: str, path: str, token: str,
-                   scopes: list) -> bool:
+    def _opa_query(self, rule: str, method: str, path: str, token: str,
+                   scopes: list) -> dict:
         import urllib.request
 
         if not self.allow_network:
@@ -251,16 +254,32 @@ class OpaSecurityManager(SecurityManager):
             "token": token, "scopes": scopes,
         }}).encode()
         req = urllib.request.Request(
-            f"{self.opa_endpoint}/v1/data/datahub/authz/allow",
+            f"{self.opa_endpoint}/v1/data/datahub/authz/{rule}",
             data=body, method="POST",
             headers={"Content-Type": "application/json"})
         try:
             with urllib.request.urlopen(
                     req, timeout=self.OPA_TIMEOUT_SECONDS) as resp:
-                answer = json.loads(resp.read().decode() or "{}")
+                return json.loads(resp.read().decode() or "{}")
         except Exception as exc:  # opa.go:59-61 — any failure is 403
             raise ForbiddenError(f"opa query failed: {exc}") from exc
-        return bool(answer.get("result"))
+
+    @staticmethod
+    def _parse_datasets(answer: dict) -> list[str]:
+        """parseDatasetsFromOpaBody (opa.go:86-116): the result is
+        either a dataset-name list, or a map — {"*": true} grants all,
+        any other non-empty map grants its keys."""
+        result = answer.get("result")
+        if isinstance(result, list):
+            return [d for d in result if isinstance(d, str)]
+        if isinstance(result, dict):
+            if result.get("*") is True:
+                return ["*"]
+            if result:
+                return sorted(result)
+        raise ForbiddenError(
+            "failed to parse OPA response as either dataset list or "
+            "admin privilege map")
 
     def authorize(self, authorization_header: str | None,
                   method: str, path: str) -> dict:
@@ -270,6 +289,19 @@ class OpaSecurityManager(SecurityManager):
         token = auth[7:]
         claims = jwt_verify(token, self._key)
         scopes = claims.get("roles") or []
-        if not self._opa_allow(method, path, token, scopes):
+        if not bool(self._opa_query("allow", method, path, token,
+                                    scopes).get("result")):
             raise ForbiddenError("user has no access to resource")
+        # second policy query (doOpaCheck, opa.go:73-80): the permitted
+        # dataset set, enforced here for dataset-scoped paths and
+        # returned on the claims (the reference stores it in request
+        # context for its handlers)
+        parts = path.strip("/").split("/")
+        claims = dict(claims)
+        if parts and parts[0] == "datasets" and len(parts) >= 2:
+            datasets = self._parse_datasets(
+                self._opa_query("datasets", method, path, token, scopes))
+            if "*" not in datasets and parts[1] not in datasets:
+                raise ForbiddenError("user has no access to resource")
+            claims["datasets"] = datasets
         return claims

@@ -194,6 +194,7 @@ def test_opa_authorizer_delegates_allow_decision(spark, tmp_path):
 
     seen: list[dict] = []
     allow = {"value": True}
+    datasets = {"value": ["*"]}
 
     class StubOpa(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -203,7 +204,9 @@ def test_opa_authorizer_delegates_allow_decision(spark, tmp_path):
             n = int(self.headers.get("Content-Length", "0"))
             body = json.loads(self.rfile.read(n).decode())
             seen.append((self.path, body))
-            data = json.dumps({"result": allow["value"]}).encode()
+            result = datasets["value"] if self.path.endswith("/datasets") \
+                else allow["value"]
+            data = json.dumps({"result": result}).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
@@ -227,14 +230,26 @@ def test_opa_authorizer_delegates_allow_decision(spark, tmp_path):
     try:
         _, tok = _token(base, "client", "client-pw")
         assert tok
-        # policy says yes
+        # policy says yes: one allow query, then the datasets query for
+        # the dataset-scoped path (doOpaCheck, opa.go:48-80)
         assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 200
-        path, body = seen[-1]
-        assert path == "/v1/data/datahub/authz/allow"
+        (allow_path, body), (ds_path, _) = seen[-2], seen[-1]
+        assert allow_path == "/v1/data/datahub/authz/allow"
+        assert ds_path == "/v1/data/datahub/authz/datasets"
         assert body["input"]["method"] == "GET"
         assert body["input"]["path"] == "/datasets/d/entities"
         assert body["input"]["scopes"] == ["client"]
         assert body["input"]["token"] == tok
+        # permitted-datasets scoping: a list without 'd' refuses the
+        # path even though allow passed; a map {"*": true} grants all;
+        # a map of names grants its keys
+        datasets["value"] = ["other"]
+        assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 403
+        datasets["value"] = {"d": {}}
+        assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 200
+        datasets["value"] = {"*": True}
+        assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 200
+        datasets["value"] = ["*"]
         # policy says no — 403 even for admin (OPA is the authority)
         allow["value"] = False
         assert _req(f"{base}/datasets/d/entities", token=tok)[0] == 403
