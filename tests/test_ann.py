@@ -209,3 +209,34 @@ def test_cluster_embeddings_operator(spark):
     sizes = {r["cl"]: r["n"] for r in
              members.groupBy("cl").agg(F.count("*").alias("n")).collect()}
     assert sum(sizes.values()) == len(rows)
+
+
+def test_quantized_ivf_index_probe_recall(spark, tmp_path):
+    """save_ivf_index(quantize=True) stores int8 codes + per-vector
+    scale (~8x less index IO per probe); the asymmetric probe must rank
+    nearly identically to the full-precision probe on the real
+    embeddings — recall@5 floor pinned."""
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 25)
+    full_path = str(tmp_path / "ivf_full")
+    q8_path = str(tmp_path / "ivf_q8")
+    SIM.save_ivf_index(emb, full_path, n_clusters=16, lloyd_rounds=2,
+                       dim=64)
+    SIM.save_ivf_index(emb, q8_path, n_clusters=16, lloyd_rounds=2,
+                       dim=64, quantize=True)
+    # schema: codes + scale, no full-precision vectors on disk
+    import pyspark.sql.types as T
+    inv = spark.read.parquet(f"{q8_path}/inverted")
+    assert "cv" not in inv.columns
+    assert isinstance(inv.schema["q"].dataType.elementType, T.ByteType)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.ann_ivf_probe(spark, full_path, q, k=5,
+                                        n_probe=4).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.ann_ivf_probe(spark, q8_path, q, k=5,
+                                        n_probe=4).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
