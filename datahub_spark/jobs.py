@@ -757,6 +757,9 @@ class Job:
     job_type: str = "incremental"  # or "fullsync"
     on_error: ErrorHandler = field(default_factory=ErrorHandler)
     paused: bool = False
+    # set by JobRunner.kill (KillJob, scheduler.go:402): a cancelled
+    # run must not retry through its reRun handler
+    cancelled: bool = False
     # optional metrics.Metrics — jobs.count on start, jobs.success /
     # jobs.error with the run's wall-time on completion (job.go:114-144)
     metrics: object = None
@@ -919,7 +922,8 @@ class Job:
                 self._metric("jobs.success", started)
                 return result
             except Exception:
-                if self.on_error.kind == "reRun" and attempts <= self.on_error.max_retries:
+                if not self.cancelled and self.on_error.kind == "reRun" \
+                        and attempts <= self.on_error.max_retries:
                     if self.on_error.retry_delay_s:
                         time.sleep(self.on_error.retry_delay_s)
                     continue
@@ -1308,12 +1312,35 @@ class JobRunner:
         self._threads: list[threading.Thread] = []
         self._results: list[dict] = []
         self._mu = threading.Lock()
+        self._running: dict[str, "Job"] = {}
+
+    @staticmethod
+    def _job_spark(job: "Job"):
+        for path in (("sink", "store", "spark"), ("source", "store", "spark"),
+                     ("source", "spark")):
+            obj = job
+            for attr in path:
+                obj = getattr(obj, attr, None)
+                if obj is None:
+                    break
+            else:
+                return obj
+        return None
 
     def submit(self, job: "Job") -> bool:
         if job.paused or not self.raffle.borrow(job):
             return False
 
         def work():
+            # tag this worker thread's Spark actions with a per-job
+            # group so kill() can cancel them mid-run (PySpark pins
+            # Python threads to JVM threads, so the group is job-local)
+            spark = self._job_spark(job)
+            if spark is not None:
+                spark.sparkContext.setJobGroup(
+                    f"job-{job.job_id}", f"datahub job {job.job_id}", True)
+            with self._mu:
+                self._running[job.job_id] = job
             try:
                 res = job.run(self.state)
                 with self._mu:
@@ -1322,11 +1349,30 @@ class JobRunner:
                 with self._mu:
                     self._results.append({"id": job.job_id, "error": f"{type(e).__name__}: {e}"})
             finally:
+                with self._mu:
+                    self._running.pop(job.job_id, None)
                 self.raffle.give_back(job)
 
         t = threading.Thread(target=work, name=f"job-{job.job_id}", daemon=True)
         self._threads.append(t)
         t.start()
+        return True
+
+    def kill(self, job_id: str) -> bool:
+        """KillJob (scheduler.go:402): cancel a RUNNING job's Spark
+        actions via its job group; the interrupted action raises in the
+        worker thread and the run reports as errored (the cancelled
+        flag suppresses reRun retries). Returns False when the job is
+        not currently running — the reference returns 200 either way,
+        so callers treat this as best-effort."""
+        with self._mu:
+            job = self._running.get(job_id)
+        if job is None:
+            return False
+        job.cancelled = True
+        spark = self._job_spark(job)
+        if spark is not None:
+            spark.sparkContext.cancelJobGroup(f"job-{job_id}")
         return True
 
     def join(self) -> list[dict]:

@@ -402,12 +402,38 @@ class UdaServer:
             return False
 
     def _route_get(self, rq) -> None:
+        u = urlparse(rq.path)
+        parts = [p for p in u.path.split("/") if p]
+        if parts == ["health"]:
+            # NewStatusHandler (web.go:136): plain "UP", and the auth
+            # middleware skips /health (middleware.go:43-44)
+            data = b"UP"
+            rq.send_response(200)
+            rq.send_header("Content-Type", "text/plain")
+            rq.send_header("Content-Length", str(len(data)))
+            rq.end_headers()
+            rq.wfile.write(data)
+            return
         if not self._authorize(rq):
             return
         try:
-            u = urlparse(rq.path)
-            parts = [p for p in u.path.split("/") if p]
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if not parts:
+                # ServiceInfo (web.go:139-143)
+                port = self._httpd.server_address[1] if self._httpd else 0
+                return self._reply(rq, 200, {
+                    "name": "DataHub", "location": f"server:{port}"})
+            if parts == ["query", "namespace"]:
+                # queryNamespacePrefix (queryhandler.go:94-109):
+                # expansion URI -> its registered prefix, 404 when absent
+                expansion = q.get("expansion", "")
+                try:
+                    prefix = self.nsmgr.get_prefix(expansion)
+                except Exception:
+                    return self._error(
+                        rq, 404, "problem mapping namespace prefix")
+                return self._reply(rq, 200, {
+                    "prefix": prefix, "expansion": expansion})
             if parts == ["datasets"]:
                 names = sorted(self.store.list_datasets())
                 return self._reply(rq, 200, [{"Name": n} for n in names])
@@ -1079,6 +1105,17 @@ class UdaServer:
             job.paused = False
         elif op == "reset":
             sched.state.set_token(job_id, 0)
+        elif op == "reset_meta":
+            # jobsResetMeta (joboperationhandler.go:102): clear the
+            # job's tracked-dependency metadata; our analogue is the
+            # MultiSource per-dependency watermarks
+            sched.state.set_dep_tokens(job_id, {})
+        elif op == "kill":
+            # jobsKill (joboperationhandler.go:59): best-effort cancel
+            # of a running job's Spark actions; 200 either way, like
+            # the reference
+            if self._runner is not None:
+                self._runner.kill(job_id)
         elif op == "run":
             if self._runner is None:
                 self._runner = JobRunner(sched.state)

@@ -626,3 +626,52 @@ def test_tabular_sink_flattens_props(spark, tmp_path):
     TabularSink(out, prop_cols=["p:name"], mode="overwrite").write(df)
     assert set(spark.read.parquet(out).columns) == {"id", "recorded",
                                                     "deleted", "name"}
+
+
+def test_job_runner_kill_cancels_running_spark_actions(spark, tmp_path):
+    """KillJob (scheduler.go:402): kill() cancels the running job's
+    Spark job group mid-action; the run errors promptly instead of
+    finishing, and the cancelled flag suppresses reRun retries."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    class SlowSource:
+        def __init__(self, spark):
+            self.spark = spark
+
+        def read(self, since=0):
+            @F.udf(LongType())
+            def slow(x):
+                time.sleep(0.25)
+                return x
+
+            return (self.spark.range(400).repartition(8)
+                    .select(slow("id").alias("id")))
+
+    class CountSink:
+        def write(self, df):
+            # sum over the UDF column so the slow UDF cannot be pruned
+            df.agg(F.sum("id")).collect()
+
+    state = J.JobState(str(tmp_path / "state.json"))
+    runner = J.JobRunner(state)
+    job = J.Job("slow", SlowSource(spark), CountSink(),
+                on_error=J.ErrorHandler(kind="reRun", max_retries=3))
+    t0 = time.monotonic()
+    assert runner.submit(job)
+    # wait until the Spark action is actually RUNNING (cancelJobGroup
+    # only cancels active jobs), then kill; a full run takes ~12s
+    tracker = spark.sparkContext.statusTracker()
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and not tracker.getActiveJobsIds():
+        time.sleep(0.1)
+    assert runner.kill("slow")
+    results = runner.join()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 9, elapsed
+    assert len(results) == 1 and "error" in results[0]
+    assert job.cancelled
+    # kill on a non-running job is a no-op False
+    assert runner.kill("slow") is False

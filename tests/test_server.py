@@ -347,6 +347,13 @@ def test_jobs_api_over_http(spark, tmp_path):
         _put(f"{base}/job/wire-job/resume")
         _put(f"{base}/job/wire-job/reset")
         assert state.token("wire-job") == 0
+        # reset_meta clears MultiSource dependency watermarks
+        # (joboperationhandler.go:102 ResetJobMeta analogue)
+        state.set_dep_tokens("wire-job", {"dep": 7})
+        assert _put(f"{base}/job/wire-job/reset_meta")[0] == 200
+        assert state.dep_tokens("wire-job") == {}
+        # kill on a non-running job is 200 (best-effort, like KillJob)
+        assert _put(f"{base}/job/wire-job/kill")[0] == 200
         # delete unregisters
         req = urllib.request.Request(f"{base}/jobs/wire-job",
                                      method="DELETE")
@@ -887,3 +894,22 @@ def test_wal_served_writes_autoflush_threshold(spark, tmp_path):
         assert store.log(["hot"]).count() == 6
     finally:
         srv.stop()
+
+
+def test_health_root_and_namespace_query(served):
+    """NewStatusHandler (web.go:136-143) + queryNamespacePrefix
+    (queryhandler.go:94-109): /health is plain 'UP', / is the service
+    info object, /query/namespace maps an expansion URI to its prefix
+    (404 when unregistered)."""
+    _, base = served
+    with urllib.request.urlopen(f"{base}/health", timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.read() == b"UP"
+    info = _get(f"{base}/")
+    assert info["name"] == "DataHub" and info["location"].startswith("server:")
+    from urllib.parse import quote
+
+    exp = "http://example.io/schema/"
+    got = _get(f"{base}/query/namespace?expansion={quote(exp, safe='')}")
+    assert got == {"prefix": "p", "expansion": exp}
+    assert _req_status(f"{base}/query/namespace?expansion=nope")[0] == 404
