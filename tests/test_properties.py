@@ -431,3 +431,41 @@ def test_gopher_rules_match_python_model(spark, texts):
         for rule, expect in want.items():
             assert got[i][rule] == expect, (rule, repr(t))
         assert got[i]["passes_gopher"] == all(want.values())
+
+
+def _model_retention(log, horizon):
+    newest = {}
+    for (i, r, s, d, v) in log:
+        if i not in newest or (r, s) > (newest[i][1], newest[i][2]):
+            newest[i] = (i, r, s)
+    keep = {(i, r, s) for (i, r, s, d, v) in log if r > horizon}
+    keep |= set(newest.values())
+    return keep
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_strategy, st.integers(min_value=0, max_value=6))
+def test_retention_gc_survivor_set_matches_model(spark, log, horizon):
+    """Exact survivor set (not just latest-invariance): rows above the
+    horizon plus each entity's newest row, nothing else."""
+    df = _df(spark, log, "d")
+    got = {(r["id"], r["recorded"], r["seq"])
+           for r in S.retention_gc(df, horizon).collect()}
+    assert got == _model_retention(log, horizon), f"h={horizon} log={log}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_strategy)
+def test_clean_deleted_matches_model(spark, log):
+    """Cleandeleted property: an entity's entire history survives iff
+    its latest version is live; no partial purges, no collateral."""
+    df = _df(spark, log, "d")
+    got = {(r["id"], r["recorded"], r["seq"])
+           for r in S.clean_deleted(df).collect()}
+    latest = {}
+    for (i, r, s, d, v) in log:
+        if i not in latest or (r, s) > (latest[i][0], latest[i][1]):
+            latest[i] = (r, s, d)
+    live = {i for i, t in latest.items() if not t[2]}
+    want = {(i, r, s) for (i, r, s, d, v) in log if i in live}
+    assert got == want, f"log={log}"
