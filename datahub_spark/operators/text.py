@@ -192,7 +192,12 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "url": r"https?://[^\s]+",
+    # after url (an address inside a URL is scrubbed as part of the URL;
+    # counts are taken on the ORIGINAL text for every kind, so ordering
+    # only affects the scrub, identically in both engines)
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
     "phone": r"\+[0-9][0-9() -]{7,}[0-9]",
+    "card": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
 }
 
 

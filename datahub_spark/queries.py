@@ -1364,12 +1364,18 @@ def q_parts_per_nation(spark, sf_dir):
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
            CAST(len(regexp_extract_all(text, '\+[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b')) AS BIGINT) AS n_card,
            regexp_replace(
              regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               'https?://[^\s]+', '<URL>', 'g'),
-             '\+[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+               '\+[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b', '<CARD>', 'g') AS scrubbed
     FROM documents
     """,
 )

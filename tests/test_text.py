@@ -69,10 +69,17 @@ def test_fingerprint_is_normalization_invariant(spark):
 
 
 def test_pii_scrub_redacts_all_kinds(spark):
-    df = _docs(spark, [(1, "mail a@b.io or visit https://x.y/z or call +1 (555) 123-4567 now")])
-    r = TX.pii_scrub(df).collect()[0]
+    df = _docs(spark, [
+        (1, "mail a@b.io or visit https://x.y/z or call +1 (555) 123-4567 now"),
+        (2, "host 10.0.42.7 billed to 4111 1111-1111 1111 today"),
+    ])
+    out = {r["doc_id"]: r for r in TX.pii_scrub(df).collect()}
+    r = out[1]
     assert (r["n_email"], r["n_url"], r["n_phone"]) == (1, 1, 1)
     assert r["scrubbed"] == "mail <EMAIL> or visit <URL> or call <PHONE> now"
+    r2 = out[2]
+    assert (r2["n_ipv4"], r2["n_card"]) == (1, 1)
+    assert r2["scrubbed"] == "host <IPV4> billed to <CARD> today"
 
 
 def test_stratified_sample_deterministic_and_stable_under_growth(spark):
