@@ -790,7 +790,15 @@ class UdaServer:
                         "values: deduplication")
                 if r["dataset"] not in self.store.list_datasets():
                     return self._error(rq, 404, "no such dataset")
-                self.store.compact(r["dataset"], strategy="deduplicate")
+                # engine extras beyond the reference's single strategy:
+                # gcHorizon folds retention GC into the rewrite,
+                # cleanDeleted purges latest-tombstoned entities
+                # (garbagecollector.go Cleandeleted) in the same pass
+                gc_h = r.get("gcHorizon")
+                self.store.compact(
+                    r["dataset"], strategy="deduplicate",
+                    gc_horizon=int(gc_h) if gc_h is not None else None,
+                    clean_deleted_entities=bool(r.get("cleanDeleted")))
                 self.invalidate_query_index()
                 return self._reply(rq, 200, {})
             self._error(rq, 404, "not found")

@@ -396,6 +396,16 @@ def test_content_and_compaction_over_http(spark, tmp_path):
         code, _ = _post(f"{base}/compact",
                         {"dataset": "d", "strategy": "bogus"})
         assert code == 400
+        # engine extra: cleanDeleted purges latest-tombstoned entities
+        # in the same rewrite (Cleandeleted over the wire)
+        store.store_entities("d", _entities(spark, [
+            ("e:1", None, 0, True, {}, None, None),
+        ]).drop("dataset"), skip_unchanged=False)
+        code, _ = _post(f"{base}/compact",
+                        {"dataset": "d", "strategy": "deduplication",
+                         "cleanDeleted": True})
+        assert code == 200
+        assert store.log(["d"]).count() == 0
     finally:
         srv.stop()
 
