@@ -696,3 +696,78 @@ def semantic_dedup_oracle(threshold_fp: int, n_clusters: int = 16,
            ) AS keep
     FROM mem l
     """
+
+
+def save_minhash_index(docs: DataFrame, path: str, k: int = 12, n: int = 3,
+                       bands: int = 4, rows_per_band: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Persist the corpus's LSH band table — the index an INCREMENTAL
+    corpus build dedups new batches against (continuous crawl
+    ingestion: filter_novel each batch, append the survivors here).
+
+    On-disk shape: ``(band, key, id)`` parquet partitioned by band, so
+    a probe prunes to its band partitions and the equi-join on (band,
+    key) is the only work. Keys are the same md5-folded minhash band
+    keys the batch pipeline uses (minhash_signature + lsh_candidates
+    hash family), so index and ad-hoc runs agree."""
+    sig = minhash_signature(docs, k=k, n=n, text_col=text_col,
+                            id_col=id_col)
+    banded = _band_keys(sig, bands, rows_per_band, id_col)
+    (banded.repartition("band")
+     .write.mode("overwrite").partitionBy("band").parquet(path))
+
+
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int,
+               id_col: str) -> DataFrame:
+    """(id, band, key) band rows for a signature frame — the exploded
+    form both lsh_candidates and the persisted index build on."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("key")))
+    return (sig.select(F.col(id_col).alias("id"),
+                       F.explode(F.array(*band_cols)).alias("bk"))
+            .select("id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+
+
+def filter_novel(new_docs: DataFrame, index_path: str, k: int = 12,
+                 n: int = 3, bands: int = 4, rows_per_band: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 update_index: bool = False) -> DataFrame:
+    """Incremental near-dup filtering: keep only the documents of a new
+    batch that collide with NEITHER the persisted corpus index NOR an
+    earlier (lower-id) novel member of the same batch — the
+    first-copy-wins contract of the batch keeper rule, extended across
+    corpus generations. ``update_index=True`` appends the survivors'
+    band rows, so the next batch dedups against corpus + this batch.
+
+    Scale shape: one signature pass over the BATCH only (never the
+    corpus), an equi-join against the index on (band, key), and the
+    batch-internal LSH candidate pairs — all linear in batch size; the
+    corpus participates only through its (pruned) band partitions."""
+    spark = new_docs.sparkSession
+    sig = minhash_signature(new_docs, k=k, n=n, text_col=text_col,
+                            id_col=id_col)
+    batch_bands = _band_keys(sig, bands, rows_per_band, id_col) \
+        .localCheckpoint(eager=True)  # signature pipeline runs ONCE
+    index = spark.read.parquet(index_path).select("band", "key")
+    vs_corpus = (batch_bands.join(index, ["band", "key"], "left_semi")
+                 .select("id").distinct())
+    # within-batch: keep the lowest id of each candidate group
+    pairs = lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band,
+                           id_col=id_col)
+    vs_batch = pairs.select(F.col("id_b").alias("id")).distinct()
+    dup_ids = vs_corpus.unionByName(vs_batch).distinct()
+    novel = new_docs.join(dup_ids.withColumnRenamed("id", id_col),
+                          id_col, "left_anti")
+    if update_index:
+        novel_bands = batch_bands.join(
+            novel.select(F.col(id_col).alias("id")), "id", "left_semi")
+        (novel_bands.repartition("band")
+         .write.mode("append").partitionBy("band").parquet(index_path))
+    return novel

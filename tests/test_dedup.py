@@ -363,3 +363,46 @@ def test_semantic_dedup_blas_probe_matches_join_probe(spark):
     b = sorted((r["vec_id"], r["cl"], r["keep"]) for r in
                DD.semantic_dedup(emb, tau, probe="blas").collect())
     assert a == b
+
+
+# -- incremental novelty filtering (persisted LSH index) -------------------
+
+def test_incremental_novelty_filter_roundtrip(spark, tmp_path):
+    """Continuous-ingestion workflow: batch B dedups against the
+    persisted index of corpus A — near-dups of A are dropped, novel
+    docs survive, within-batch near-dup groups keep their lowest id;
+    update_index=True makes the NEXT batch see B's survivors too."""
+    idx = str(tmp_path / "lsh_index")
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill nearby all day")
+    other = ("entirely different prose about distributed analytics "
+             "engines processing immense corpora with columnar scans "
+             "and vectorized joins at scale")
+    corpus_a = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string")
+    DD.save_minhash_index(corpus_a, idx)
+
+    third = ("a third unrelated document describing mountain weather "
+             "patterns and the slow drift of glacial ice over granite "
+             "valleys through the centuries")
+    batch_b = spark.createDataFrame(
+        [(10, base.upper()),          # near-dup of corpus doc 1
+         (11, third),                 # novel
+         (12, third + " extra"),      # near-dup of 11 (within batch)
+         ], "doc_id long, text string")
+    novel = DD.filter_novel(batch_b, idx, update_index=True)
+    assert sorted(r["doc_id"] for r in novel.collect()) == [11]
+
+    # the updated index now rejects re-posts of batch B's survivor
+    batch_c = spark.createDataFrame(
+        [(20, third),                 # dup of indexed 11
+         (21, "completely fresh content on deep sea vents and the "
+              "chemosynthetic ecosystems thriving without sunlight "
+              "far below the surface")],
+        "doc_id long, text string")
+    novel_c = DD.filter_novel(batch_c, idx)
+    assert sorted(r["doc_id"] for r in novel_c.collect()) == [21]
+
+    # index stays partitioned by band (probe prunes partitions)
+    import os
+    assert any(d.startswith("band=") for d in os.listdir(idx))
