@@ -748,3 +748,47 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         *[v.alias(k) for k, v in rules.items()],
         passes.alias("passes_gopher"),
     )
+
+
+def domain_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 quality_col: str | None = None) -> DataFrame:
+    """Per-domain corpus statistics — the curation view crawl pipelines
+    rank and cap sources with: for every linked host, how many
+    documents reference it, how many links it receives, and (when a
+    quality column is provided) the mean quality of the documents that
+    cite it, as exact integer fixed-point e4 (sum*10000 div n — no
+    float, engine-portable ties).
+
+    One explode of the per-doc distinct host list (linear in links) ->
+    one HashAggregate keyed on host. Returns ``(domain, n_docs,
+    n_links, [mean_quality_e4])`` — n_docs counts citing documents,
+    n_links total occurrences across the corpus."""
+    hosts_all = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_PATTERN), 1),
+        F.lower)
+    cols = [F.col(id_col).alias("id"), hosts_all.alias("_hs")]
+    if quality_col is not None:
+        cols.append(F.col(quality_col).cast("long").alias("_q"))
+    ex = df.select(*cols).select(
+        "id", *(["_q"] if quality_col is not None else []),
+        F.explode("_hs").alias("domain"))
+    aggs = [
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+    ]
+    if quality_col is not None:
+        # mean over CITING DOCUMENTS (distinct ids), not link
+        # occurrences: aggregate per (domain, id) first
+        per_doc = ex.groupBy("domain", "id").agg(
+            F.first("_q").alias("_q"), F.count(F.lit(1)).alias("_links"))
+        return per_doc.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_links").cast("long").alias("n_links"),
+            F.sum("_q").cast("long").alias("_qs"),
+        ).selectExpr(
+            "domain", "n_docs", "n_links",
+            # round-half-up(1e4 * sum(q) / n_docs), pure integers
+            "(20000 * _qs + n_docs) div (2 * n_docs) as mean_quality_e4",
+        )
+    return ex.groupBy("domain").agg(*aggs)

@@ -631,3 +631,48 @@ def test_gopher_rules_duckdb_parity(spark):
     # construction — the word-count rule shows real variance instead)
     n_wc = got.filter(F.col("ok_word_count")).count()
     assert 0 < n_wc < docs.count()
+
+
+def test_domain_stats_counts_and_mean_quality(spark):
+    """Per-domain curation stats: n_docs counts citing documents,
+    n_links total occurrences, mean quality over documents exact e4
+    (DuckDB-parity checked in-suite)."""
+    import duckdb
+
+    rows = [
+        (1, "see https://a.io/x and https://a.io/y plus http://b.co", 80),
+        (2, "only https://A.IO/z here", 60),
+        (3, "nothing linked", 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    got = {r["domain"]: r for r in
+           TX.domain_stats(df, quality_col="q").collect()}
+    assert set(got) == {"a.io", "b.co"}
+    assert (got["a.io"]["n_docs"], got["a.io"]["n_links"]) == (2, 3)
+    assert got["a.io"]["mean_quality_e4"] == 700000  # mean(80,60)*1e4
+    assert (got["b.co"]["n_docs"], got["b.co"]["n_links"]) == (1, 1)
+    assert got["b.co"]["mean_quality_e4"] == 800000
+
+    # DuckDB parity on the real documents table (no quality column)
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    mine = sorted((r["domain"], r["n_docs"], r["n_links"]) for r in
+                  TX.domain_stats(docs).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_SMALL}/documents.parquet')")
+    want = sorted(map(tuple, con.execute(r"""
+        WITH h AS (
+          SELECT doc_id,
+                 lower(x[1]) AS domain
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(
+                         text, 'https?://([A-Za-z0-9.-]+)', 1)) AS u
+                FROM documents) t(doc_id, u),
+               LATERAL (SELECT [u]) s(x))
+        SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM h GROUP BY domain
+    """).fetchall()))
+    assert mine == want
