@@ -112,6 +112,11 @@ class DatahubInstance:
             os.path.join(config.store_location, "content"))
         self.security = None
         if config.security_enabled:
+            # node RSA keypair, loaded or generated at the security
+            # storage location (manager.go:204-257) -> RS256 tokens
+            from datahub_spark.security import NodeKeys
+            node_keys = NodeKeys(config.security_storage_location) \
+                if config.security_storage_location else None
             # ADMIN_USERNAME/ADMIN_PASSWORD bootstrap the root client
             # (config.go:86-87, security/manager.go's admin user)
             if config.auth_middleware == "opa":
@@ -123,12 +128,12 @@ class DatahubInstance:
                     allow_network=True,
                     admin_client_id=config.admin_username or "admin",
                     admin_client_secret=config.admin_password or None,
-                    node_id=config.node_id)
+                    node_id=config.node_id, node_keys=node_keys)
             else:
                 self.security = SecurityManager(
                     admin_client_id=config.admin_username or "admin",
                     admin_client_secret=config.admin_password or None,
-                    node_id=config.node_id)
+                    node_id=config.node_id, node_keys=node_keys)
         # login providers for outgoing connections (app.go wires
         # security.NewTokenProviders; persisted like the reference's
         # store-backed ProviderManager)

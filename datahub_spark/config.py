@@ -95,6 +95,7 @@ class Config:
     admin_username: str = ""               # ADMIN_USERNAME
     admin_password: str = ""               # ADMIN_PASSWORD
     node_id: str = "anonymous-node"        # NODE_ID
+    security_storage_location: str = ""    # SECURITY_STORAGE_LOCATION
     jobs_max_incremental: int = 10         # JOBS_MAX_INCREMENTAL
     jobs_max_fullsync: int = 10            # JOBS_MAX_FULLSYNC
     slow_log_threshold: float = 1.0        # SLOW_LOG_THRESHOLD (1s)
@@ -118,7 +119,6 @@ _UNUSED_KEYS = (
     "DL_JWT_ENDPOINT", "BLOCK_CACHE_SIZE",
     "VALUE_LOG_FILE_SIZE", "MAX_COMPACTION_LEVELS", "FLATTEN_ON_START",
     "BACKUP_USE_RSYNC", "BACKUP_SOURCE_LOCATION",
-    "SECURITY_STORAGE_LOCATION",
 )
 
 
@@ -166,6 +166,11 @@ def load_config(config_file: str | None = None,
         admin_username=get("ADMIN_USERNAME", ""),
         admin_password=get("ADMIN_PASSWORD", ""),
         node_id=get("NODE_ID", "anonymous-node"),
+        # config.go:147 default {home}/datahubsecurity; holds the node
+        # RSA keypair files (node_key / node_key.pub) + client registry
+        security_storage_location=get(
+            "SECURITY_STORAGE_LOCATION",
+            os.path.join(home, "datahubsecurity")),
         jobs_max_incremental=int(get("JOBS_MAX_INCREMENTAL", "10")),
         jobs_max_fullsync=int(get("JOBS_MAX_FULLSYNC", "10")),
         slow_log_threshold=parse_duration(slow) if slow else 1.0,

@@ -610,3 +610,51 @@ def cluster_embeddings(corpus: DataFrame, n_clusters: int = 16,
          / F.col("_mn")).alias("aff"),
     )
     return members, centroids
+
+
+def cluster_balanced_sample(corpus: DataFrame, per_cluster: int,
+                            n_clusters: int = 16, lloyd_rounds: int = 2,
+                            dim: int = 64, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            order: str = "hash", seed: int = 42,
+                            members: DataFrame | None = None) -> DataFrame:
+    """Diversity-preserving corpus selection: cap every semantic
+    cluster at ``per_cluster`` members, so over-represented topics
+    (boilerplate-heavy crawl clusters) stop dominating the training
+    mix — the cluster-rebalancing step of D4 (Tirumala et al. 2023,
+    arXiv:2308.12284, which composes SemDeDup with cluster-based
+    diversification) on the same deterministic k-means substrate
+    SemDeDup and the IVF index share.
+
+    ``order`` picks WHICH members survive, deterministically:
+      * ``"hash"``       — seeded xxhash64 of the id: an unbiased,
+        growth-stable uniform draw per cluster;
+      * ``"diverse"``    — ascending centroid affinity: keep the least
+        prototypical members (D4's heuristic — prototypes are already
+        over-represented);
+      * ``"prototypical"`` — descending affinity: keep the purest
+        exemplars (for seed-corpus curation).
+
+    Plan shape: cluster assignment is the kmeans broadcast matmul
+    (no shuffle on the corpus), then ONE keyed shuffle on ``cl`` for
+    the per-cluster rank window — bounded per-task by cluster size,
+    which the kmeans contract keeps near n/k — and a semi-join back to
+    the full rows. Pass ``members`` (from cluster_embeddings) to reuse
+    an existing assignment instead of re-clustering."""
+    if members is None:
+        members, _ = cluster_embeddings(
+            corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
+    if order == "hash":
+        key = F.xxhash64(F.col("cid"), F.lit(int(seed)))
+        ordering = [key.asc(), F.col("cid").asc()]
+    elif order == "diverse":
+        ordering = [F.col("aff").asc(), F.col("cid").asc()]
+    elif order == "prototypical":
+        ordering = [F.col("aff").desc(), F.col("cid").asc()]
+    else:
+        raise ValueError(f"unknown order {order!r}")
+    w = Window.partitionBy("cl").orderBy(*ordering)
+    kept = (members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(per_cluster))
+            .select(F.col("cid").alias(id_col)))
+    return corpus.join(kept, id_col, "left_semi")

@@ -145,26 +145,64 @@ class ClientCredentialsProvider:
 
 
 class NodeBearerProvider:
-    """nodeprovider.go: sign a short-lived JWT with the local node's
-    key (via SecurityManager) — no token-service round trip."""
+    """nodebearer (nodeprovider.go). With an ``endpoint`` configured
+    this is the reference's NodeJwtBearerProvider round trip
+    (nodeprovider.go:82-129): mint a 1-minute RS256 client assertion
+    with the local node key (CreateJWTForTokenRequest), POST the OAuth2
+    JWT-bearer grant to the REMOTE node's token endpoint, cache the
+    returned access token until its exp. Without an endpoint it signs a
+    local token directly — same-node auth without a round trip."""
 
-    def __init__(self, security_manager, audience_cfg: dict | None):
+    REFRESH_MARGIN_S = 30.0
+
+    def __init__(self, security_manager, audience_cfg: dict | None,
+                 endpoint_cfg: dict | None = None):
         self._sm = security_manager
         self._audience = audience_cfg
+        self._endpoint = endpoint_cfg
+        self._token: str | None = None
+        self._expires_at = 0.0
+
+    def _remote_exchange(self, endpoint: str) -> str:
+        from datahub_spark.security import jwt_unverified_claims
+
+        audience = load_value(self._audience) or endpoint
+        assertion = self._sm.create_jwt_for_token_request(audience)
+        form = {
+            "grant_type": "client_credentials",
+            "client_assertion_type":
+                "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "client_assertion": assertion,
+        }
+        req = urllib.request.Request(
+            endpoint, data=urllib.parse.urlencode(form).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            body = json.loads(resp.read().decode())
+        self._token = body["access_token"]
+        # cache until the token's own exp (nodeprovider.go:66-80); the
+        # remote validates it again anyway, so claims are read unverified
+        exp = jwt_unverified_claims(self._token).get("exp")
+        self._expires_at = float(exp) if exp else time.time() + 900
+        return self._token
 
     def bearer_token(self) -> str:
-        from datahub_spark.security import jwt_sign
-
+        endpoint = load_value(self._endpoint)
+        if endpoint:
+            if self._token is None or \
+                    time.time() >= self._expires_at - self.REFRESH_MARGIN_S:
+                return self._remote_exchange(endpoint)
+            return self._token
         now = int(time.time())
         aud = load_value(self._audience) or f"node:{self._sm.node_id}"
-        return jwt_sign({
+        return self._sm._sign_claims({
             "sub": f"node:{self._sm.node_id}",
             "roles": ["admin"],
             "iss": f"node:{self._sm.node_id}",
             "aud": aud,
             "iat": now,
             "exp": now + self._sm.TOKEN_TTL_SECONDS,
-        }, self._sm._key)
+        })
 
     def authorize(self, req: urllib.request.Request) -> None:
         req.add_header("Authorization", f"Bearer {self.bearer_token()}")
@@ -245,7 +283,7 @@ class ProviderStore:
         elif kind == "nodebearer":
             if self._sm is None:
                 raise ValueError("nodebearer provider needs a SecurityManager")
-            inst = NodeBearerProvider(self._sm, cfg.audience)
+            inst = NodeBearerProvider(self._sm, cfg.audience, cfg.endpoint)
         else:
             inst = BasicProvider(load_value(cfg.user), load_value(cfg.password))
         self._instances[key] = inst

@@ -937,14 +937,26 @@ class UdaServer:
                 return self._error(rq, 400, "unsupported grant_type")
             creds = {"client_id": form.get("client_id", ""),
                      "client_secret": form.get("client_secret", "")}
+            # node-to-node JWT-bearer assertion (securityhandler.go:
+            # 85-116 / nodeprovider.go:87-90): client_assertion_type +
+            # client_assertion instead of id/secret
+            if form.get("client_assertion_type") == \
+                    "urn:ietf:params:oauth:grant-type:jwt-bearer":
+                creds = {"client_assertion": form.get(
+                    "client_assertion", "")}
         else:
             try:
                 creds = json.loads(body) if body else {}
             except json.JSONDecodeError:
                 return self._error(rq, 400, "malformed credentials")
         try:
-            token = self.security.issue_token(
-                creds.get("client_id", ""), creds.get("client_secret", ""))
+            if creds.get("client_assertion"):
+                token = self.security.exchange_client_assertion(
+                    creds["client_assertion"])
+            else:
+                token = self.security.issue_token(
+                    creds.get("client_id", ""),
+                    creds.get("client_secret", ""))
         except AuthError as exc:
             return self._error(rq, 401, str(exc))
         self._reply(rq, 200, {"access_token": token,

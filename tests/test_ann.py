@@ -240,3 +240,58 @@ def test_quantized_ivf_index_probe_recall(spark, tmp_path):
                                         n_probe=4).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_cluster_balanced_sample(spark):
+    """cluster_balanced_sample: per-cluster cap enforced, selection
+    deterministic, all three orderings valid, rows preserved intact."""
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    members, _ = SIM.cluster_embeddings(emb, n_clusters=8,
+                                        lloyd_rounds=1, dim=64)
+    sizes = {r["cl"]: r["n"] for r in
+             members.groupBy("cl").agg(F.count("*").alias("n")).collect()}
+    cap = 10
+    kept = SIM.cluster_balanced_sample(emb, cap, members=members)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every cluster contributes min(size, cap)
+    expected_n = sum(min(n, cap) for n in sizes.values())
+    assert len(kept_ids) == expected_n
+    by_cl = {r["cid"]: r["cl"] for r in members.collect()}
+    per_cl = {}
+    for vid in kept_ids:
+        per_cl[by_cl[vid]] = per_cl.get(by_cl[vid], 0) + 1
+    assert all(v <= cap for v in per_cl.values())
+    assert set(per_cl) == {cl for cl, n in sizes.items() if n > 0}
+    # deterministic: same inputs -> same selection
+    again = {r["vec_id"] for r in SIM.cluster_balanced_sample(
+        emb, cap, members=members).select("vec_id").collect()}
+    assert again == kept_ids
+    # full schema preserved
+    assert set(kept.columns) == set(emb.columns)
+
+    # "diverse" keeps the LOWEST-affinity members of each cluster
+    div = SIM.cluster_balanced_sample(emb, 3, members=members,
+                                      order="diverse")
+    div_ids = {r["vec_id"] for r in div.select("vec_id").collect()}
+    aff = {(r["cl"], r["cid"]): r["aff"] for r in members.collect()}
+    for cl in per_cl:
+        in_cl = sorted(((a, cid) for (c, cid), a in aff.items()
+                        if c == cl))
+        expect = {cid for _, cid in in_cl[:3]}
+        got = {cid for (c, cid) in aff if c == cl and cid in div_ids}
+        assert got == expect, cl
+    # prototypical keeps the HIGHEST-affinity members instead
+    proto = SIM.cluster_balanced_sample(emb, 3, members=members,
+                                        order="prototypical")
+    proto_ids = {r["vec_id"] for r in proto.select("vec_id").collect()}
+    for cl in per_cl:
+        in_cl = sorted(((-a, cid) for (c, cid), a in aff.items()
+                        if c == cl))
+        expect = {cid for _, cid in in_cl[:3]}
+        got = {cid for (c, cid) in aff if c == cl and cid in proto_ids}
+        assert got == expect, cl
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SIM.cluster_balanced_sample(emb, 3, members=members, order="nope")
