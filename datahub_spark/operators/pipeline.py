@@ -6,6 +6,8 @@ apply them (C4/Pile/CCNet-style):
   2. exact-substring span removal (cross-doc duplicated spans cut)
   3. quality floor         (drop low-scoring documents)
   3b. Gopher rule set      (Rae et al. 2021 hard filters, r7)
+  3c. quality classifier   (trained NB model keeps positive-side docs,
+                            the GPT-3/CCNet classifier stage, r8)
   4. bigram-LM floor       (drop gibberish: high novel-bigram ratio /
                             low conditional familiarity, r7)
   5. exact dedup           (keep one copy per content digest)
@@ -52,6 +54,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  span_dedup: dict | None = None,
                  quality_floor_centi: int | None = None,
                  gopher: bool = False,
+                 classifier: dict | None = None,
                  lm_floor: dict | None = None,
                  near_dup: dict | None = None,
                  embeddings: DataFrame | None = None,
@@ -106,6 +109,23 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             .filter(F.col("passes_gopher")).select(id_col)
         cur = cur.join(keep, id_col)
         note("gopher")
+    if classifier is not None:
+        # model-based quality floor (classify.py): pass a fitted
+        # ``model`` LLR table, or ``positive``/``negative`` seed frames
+        # to train one here
+        from datahub_spark.operators import classify as CL
+        model = classifier.get("model")
+        if model is None:
+            model = CL.train_quality_classifier(
+                classifier["positive"], classifier["negative"],
+                text_col=text_col,
+                vocab_size=classifier.get("vocab_size", 50_000),
+                alpha=classifier.get("alpha", 1))
+        cur = CL.classifier_filter(
+            cur, model, text_col=text_col, id_col=id_col,
+            prior_e4=classifier.get("prior_e4", 0),
+            threshold_e4=classifier.get("threshold_e4", 0))
+        note("classifier")
     if lm_floor is not None:
         top_k = lm_floor.get("top_k", 50_000)
         bt = TX.build_bigram_table(cur, text_col, top_k=top_k)

@@ -162,3 +162,27 @@ def test_clean_corpus_dsir_stage(spark):
     import pytest
     with pytest.raises(ValueError, match="target"):
         P.clean_corpus(docs, dsir={"n_keep": 2})
+
+
+def test_clean_corpus_classifier_stage(spark):
+    """r8 stage: the NB quality classifier trains on seed corpora
+    inside the compositor and keeps the positive side."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pos = docs.filter(F.col("lang") == "en").limit(150)
+    neg = docs.filter(F.col("lang") != "en").limit(150)
+    out, counts = P.clean_corpus(
+        docs, classifier={"positive": pos, "negative": neg,
+                          "vocab_size": 2000},
+        with_counts=True)
+    total = docs.count()
+    assert 0 < counts["classifier"] < total
+    assert out.count() == counts["classifier"]
+    assert set(out.columns) == set(docs.columns)
+
+    # pre-fitted model path gives the identical survivor set
+    from datahub_spark.operators import classify as CL
+    model = CL.train_quality_classifier(pos, neg, vocab_size=2000)
+    again = P.clean_corpus(docs, classifier={"model": model})
+    assert again.count() == counts["classifier"]
