@@ -153,6 +153,33 @@ def main() -> None:
     timings["dsir_select_100k_of_1m"] = round(time.monotonic() - t0, 2)
     assert n_picked == 100_000, n_picked
 
+    # NB quality classifier at the same 1M-doc volume (r8): train on
+    # 800k docs (pos = variants 0/1, neg = variants 2/3), score all 1M.
+    # Invariants are EXACT by construction: every template token occurs
+    # twice in each class (its 5 docs split 2/2/1), so its smoothed LLR
+    # is identically 0 — class signal lives only in the 5 variant
+    # tokens, whose 200k-count dominance guarantees them a vocab slot.
+    # Training = one explode+HashAggregate over 6.4M tokens; scoring =
+    # broadcast join + per-doc agg over 8M tokens.
+    from datahub_spark.operators import classify as CL
+
+    t0 = time.monotonic()
+    vcol = (F.col("doc_id") / 200_000).cast("long")
+    model = CL.train_quality_classifier(
+        docs.filter(vcol < 2), docs.filter((vcol >= 2) & (vcol < 4)),
+        vocab_size=50_000)
+    feats = CL.classifier_features(docs, model)
+    crow = feats.agg(
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(((F.col("id") / 200_000).cast("long") == 4).cast("long")
+              * F.col("score_e4")).alias("v4_score_sum")).collect()[0]
+    timings["nb_classifier_train_score_1m_docs"] = \
+        round(time.monotonic() - t0, 2)
+    # exactly the 400k positive-variant docs classify positive, and
+    # held-out variant-4 docs (template tokens only) score exactly 0
+    assert crow["kept"] == 400_000, crow["kept"]
+    assert crow["v4_score_sum"] == 0, crow["v4_score_sum"]
+
     # SemDeDup at 1M vectors / n_clusters=1024 (r8 — one decade above
     # the r7 100k/256 leg, exercising "n_clusters grows with the
     # corpus" for real): 200k groups of 5 near-identical vectors. Six
@@ -222,6 +249,7 @@ def main() -> None:
                  "boilerplate_segments_dropped": int(n_dropped_segs),
                  "bigram_total": int(n_bigrams_total),
                  "dsir_picked": int(n_picked),
+                 "classifier_kept": int(crow["kept"]),
                  "semantic_kept": int(n_kept),
                  "semantic_max_cluster": int(cstats["cmax"]),
                  "semantic_pair_probe_total": int(cstats["pairs"])},

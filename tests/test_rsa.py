@@ -289,3 +289,36 @@ def test_unverified_claims_is_routing_only():
     assert claims == {"sub": "x"}
     with pytest.raises(AuthError):
         jwt_unverified_claims("garbage")
+
+
+# -- property tests --------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=4096))
+def test_property_sign_verify_roundtrip(msg):
+    priv, pub = _PROP_KEYS
+    sig = rsa.sign_sha256(msg, priv)
+    assert rsa.verify_sha256(msg, sig, pub)
+    assert not rsa.verify_sha256(msg + b"x", sig, pub)
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.dictionaries(st.text(min_size=1, max_size=8),
+                       st.one_of(st.text(max_size=16), st.integers(
+                           min_value=-2**31, max_value=2**31)),
+                       max_size=6))
+def test_property_jwt_rs256_claims_roundtrip(claims):
+    priv, _ = _PROP_KEYS
+    nk_pubs = [priv.public_key]
+    tok = jwt_sign_rs256(dict(claims, exp=2**40), priv)
+    out = jwt_verify_rs256(tok, nk_pubs)
+    assert out == dict(claims, exp=2**40)
+
+
+_PROP_KEYS = rsa.generate_keypair(BITS)
