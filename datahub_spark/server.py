@@ -528,7 +528,8 @@ class UdaServer:
                 # (also registers a dataset whose first writes are
                 # still WAL-only)
                 self._ensure_visible(ds)
-                if ds not in self.store.list_datasets():
+                if ds not in self.store.list_datasets() \
+                        and ds != S.CORE_DATASET:
                     return self._error(rq, 404, f"dataset {ds} not found")
                 cfg = self.store.dataset_config(ds) or {}
                 if "ProxyDatasetConfig" in cfg and verb in ("entities",

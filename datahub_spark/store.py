@@ -57,6 +57,51 @@ def _root_lock(root: str) -> threading.Lock:
 
 _VERSION_ORDER = ("recorded", "seq")
 
+# the dataset-catalog meta-dataset (dsmanager.go:31): every dataset
+# lifecycle event is an entity version in this dataset, so catalog
+# metadata is queryable and syncable like any other dataset
+CORE_DATASET = "core.Dataset"
+
+
+def _append_dataset_event(meta: dict, name: str, entry: dict,
+                          tick: int, deleted: bool = False) -> None:
+    """Record a dataset lifecycle event in the registry sidecar (inside
+    the _mutate_meta critical section — atomic with the registry change
+    it describes). The ``core.Dataset`` log is materialized from these
+    events on read (core_dataset_log); the catalog is driver-bounded by
+    nature, so the event list stays tiny at any corpus scale."""
+    cfg = {k: v for k, v in (entry or {}).items()
+           if k != "renamedFrom" and v}
+    meta.setdefault("dataset_events", []).append({
+        "name": name, "recorded": tick, "deleted": bool(deleted),
+        "cfg": cfg,
+    })
+
+
+def _dataset_event_row(ev: dict, seq: int) -> tuple:
+    """One core.Dataset entity version (NewDatasetEntity,
+    dsmanager.go:60-93): id ``core:{name}``, rdf:type of dataset /
+    proxy-dataset / virtual-dataset, config mirrored into props."""
+    cfg = ev.get("cfg") or {}
+    props = {"core:name": ev["name"], "core:items": "0"}
+    ds_type = "core:dataset"
+    proxy = cfg.get("ProxyDatasetConfig") or {}
+    if proxy.get("remoteUrl") or proxy.get("RemoteUrl"):
+        ds_type = "core:proxy-dataset"
+        for k, v in proxy.items():
+            props[f"core:{k[0].lower()}{k[1:]}"] = str(v)
+    virtual = cfg.get("VirtualDatasetConfig") or {}
+    if virtual.get("transform") or virtual.get("Transform"):
+        ds_type = "core:virtual-dataset"
+        props["core:transform"] = str(
+            virtual.get("transform") or virtual.get("Transform"))
+    public = cfg.get("publicNamespaces") or []
+    if public:
+        props["core:publicNamespaces"] = json.dumps(public)
+    return (f"core:{ev['name']}", int(ev["recorded"]), int(seq),
+            bool(ev["deleted"]), props, {"rdf:type": [ds_type]},
+            CORE_DATASET)
+
 # NULL-seq rows backfill above this base (callers are expected to use
 # small explicit seqs; the driver data's event ids are far below it)
 _SEQ_NULL_BASE = 1 << 33
@@ -349,24 +394,61 @@ class EntityStore:
                 os.close(fd)  # releases the flock
 
     def create_dataset(self, name: str, public_namespaces: list[str] | None = None,
-                       config: dict | None = None) -> None:
+                       config: dict | None = None,
+                       _tick: int | None = None) -> None:
         """Register a dataset; ``config`` carries the reference's
         CreateDatasetConfig extras (ProxyDatasetConfig /
-        VirtualDatasetConfig, dsmanager.go:102-106) in the registry."""
+        VirtualDatasetConfig, dsmanager.go:102-106) in the registry.
+        A NEW registration also appends a create event to the
+        ``core.Dataset`` meta-log (dsmanager.go:150-160). ``_tick``
+        (internal) records the event at an already-allocated
+        transaction tick — a dataset implicitly created by a data write
+        shares that write's tick, like the reference's single txn —
+        instead of allocating a fresh one."""
         entry = {"publicNamespaces": public_namespaces or []}
         if config:
             entry.update(config)
-        self._mutate_meta(
-            lambda meta: meta["datasets"].setdefault(name, entry)
-        )
+
+        def step(meta):
+            if name in meta["datasets"] or name == CORE_DATASET:
+                return None
+            meta["datasets"][name] = entry
+            if _tick is None:
+                meta["counter"] += 1
+                tick = meta["counter"]
+            else:
+                tick = _tick
+            _append_dataset_event(meta, name, entry, tick)
+            return tick
+
+        tick = self._mutate_meta(step)
+        if tick is not None:
+            self._emit([CORE_DATASET], tick)
 
     def dataset_config(self, name: str) -> dict | None:
         """The registry entry for ``name`` (None when unknown)."""
         return self._read_meta()["datasets"].get(name)
 
     def delete_dataset(self, name: str) -> None:
-        self._mutate_meta(lambda meta: meta["datasets"].pop(name, None))
+        """Unregister + drop the log partition; tombstones the dataset's
+        ``core.Dataset`` entity (dsmanager.go:280-289). Deleting the
+        meta-dataset itself is refused (dsmanager.go:242-244)."""
+        if name == CORE_DATASET:
+            raise ValueError(f"cannot delete {CORE_DATASET}")
+
+        def step(meta):
+            entry = meta["datasets"].pop(name, None)
+            if entry is None:
+                return None
+            meta["counter"] += 1
+            _append_dataset_event(meta, name, entry, meta["counter"],
+                                  deleted=True)
+            return meta["counter"]
+
+        tick = self._mutate_meta(step)
         shutil.rmtree(os.path.join(self.log_dir, f"dataset={name}"), ignore_errors=True)
+        if tick is not None:
+            self._emit([CORE_DATASET], tick)
 
     _SAFE_DATASET_NAME = re.compile(r"[A-Za-z0-9][A-Za-z0-9._~-]*")
 
@@ -383,16 +465,27 @@ class EntityStore:
         if not self._SAFE_DATASET_NAME.fullmatch(new_name):
             raise ValueError(f"invalid dataset name: {new_name!r}")
 
+        if name == CORE_DATASET:
+            raise ValueError(f"cannot update {CORE_DATASET}")
+
         def step1(meta):
             if name not in meta["datasets"]:
                 raise KeyError(name)
-            if new_name in meta["datasets"]:
+            if new_name in meta["datasets"] or new_name == CORE_DATASET:
                 raise ValueError(f"dataset {new_name} already exists")
             entry = meta["datasets"].pop(name)
             entry["renamedFrom"] = name
             meta["datasets"][new_name] = entry
+            # core entity follows the rename: tombstone the old id, then
+            # recreate under the new one (dsmanager.go:209-233)
+            meta["counter"] += 1
+            _append_dataset_event(meta, name, entry, meta["counter"],
+                                  deleted=True)
+            meta["counter"] += 1
+            _append_dataset_event(meta, new_name, entry, meta["counter"])
+            return meta["counter"]
 
-        self._mutate_meta(step1)
+        tick = self._mutate_meta(step1)
         src = os.path.join(self.log_dir, f"dataset={name}")
         dst = os.path.join(self.log_dir, f"dataset={new_name}")
         if os.path.isdir(src) and not os.path.isdir(dst):
@@ -400,6 +493,7 @@ class EntityStore:
         self._mutate_meta(
             lambda meta: meta["datasets"].get(new_name, {}).pop(
                 "renamedFrom", None))
+        self._emit([CORE_DATASET], tick)
 
     def _recover_renames(self) -> None:
         """Finish any rename whose directory move was interrupted: an
@@ -506,6 +600,12 @@ class EntityStore:
         ``unionByName(allowMissingColumns=True)``) are coalesced to the
         transaction tick / a fresh seq / False — a null version key would
         make the row invisible to changes(since) and watermark aggregates."""
+        if CORE_DATASET in dataset_entities:
+            # the meta-log is derived from registry lifecycle events;
+            # physical appends would be invisible to its reads
+            raise ValueError(
+                f"{CORE_DATASET} is maintained by the store and cannot "
+                "be written directly")
         rec = recorded if recorded is not None else self.next_recorded()
         staged: list[tuple[str, str]] = []
         stage_root = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
@@ -552,7 +652,7 @@ class EntityStore:
                     if fn.endswith(".parquet"):
                         os.replace(os.path.join(stage, fn), os.path.join(dest, f"{rec}-{fn}"))
             for ds_name in dataset_entities:
-                self.create_dataset(ds_name)
+                self.create_dataset(ds_name, _tick=rec)
         finally:
             shutil.rmtree(stage_root, ignore_errors=True)
         self._emit(list(dataset_entities), rec)
@@ -560,7 +660,31 @@ class EntityStore:
 
     # -- reads -----------------------------------------------------------------
 
+    def core_dataset_log(self) -> DataFrame:
+        """The ``core.Dataset`` meta-log as an entity change DataFrame:
+        one version per recorded lifecycle event (create / rename
+        tombstone+create / delete tombstone), plus synthesized tick-0
+        creates for datasets registered before event tracking existed.
+        Composes with latest()/changes()/paging/jobs like any dataset."""
+        meta = self._read_meta()
+        events = list(meta.get("dataset_events") or [])
+        seen = {ev["name"] for ev in events}
+        for name in sorted(meta["datasets"]):
+            if name not in seen and name != CORE_DATASET:
+                events.append({"name": name, "recorded": 0,
+                               "deleted": False,
+                               "cfg": meta["datasets"][name]})
+        rows = [_dataset_event_row(ev, i) for i, ev in enumerate(events)]
+        return self.spark.createDataFrame(rows, ENTITY_SCHEMA)
+
     def log(self, datasets: list[str] | None = None) -> DataFrame:
+        # the meta-dataset is served from the registry's event list when
+        # addressed explicitly; whole-log scans stay purely physical so
+        # analytics over the stored corpus never mix in catalog rows
+        if datasets and CORE_DATASET in datasets:
+            phys = [d for d in datasets if d != CORE_DATASET]
+            core = self.core_dataset_log()
+            return core.unionByName(self.log(phys)) if phys else core
         df = (
             self.spark.read.schema(ENTITY_SCHEMA)
             .option("basePath", self.log_dir)

@@ -563,3 +563,79 @@ def test_wal_concurrent_flushes_ingest_once(spark, tmp_path):
     rows = es.log(["hot"]).collect()
     assert len(rows) == 50  # ingested exactly once
     wal.close()
+
+
+# -- core.Dataset meta-log (dsmanager.go) ----------------------------------
+
+def test_core_dataset_lifecycle_log(spark, tmp_path):
+    """Dataset lifecycle events are entity versions in core.Dataset
+    (dsmanager.go:150-160 create, :209-233 rename = tombstone + new,
+    :280-289 delete = tombstone), queryable like any dataset."""
+    es = S.EntityStore(spark, str(tmp_path / "s"))
+    fired = []
+    es.add_listener(lambda ds, rec: fired.append((ds, rec)))
+    es.create_dataset("people")
+    es.create_dataset("people")  # idempotent: no second version
+    es.create_dataset(
+        "prox", config={"ProxyDatasetConfig": {"remoteUrl": "http://r/x"}})
+    es.rename_dataset("people", "humans")
+    es.delete_dataset("prox")
+
+    log = es.log([S.CORE_DATASET])
+    hist = sorted(((r["id"], r["deleted"]) for r in log.collect()))
+    assert hist == [("core:humans", False), ("core:people", False),
+                    ("core:people", True), ("core:prox", False),
+                    ("core:prox", True)]
+    # latest view: only the live catalog
+    live = {r["id"]: r for r in S.latest(log).collect()}
+    assert set(live) == {"core:humans"}
+    assert live["core:humans"]["props"]["core:name"] == "humans"
+    assert live["core:humans"]["refs"]["rdf:type"] == ["core:dataset"]
+    # proxy config mirrored into props + type (NewDatasetEntity)
+    prox = [r for r in log.collect() if r["id"] == "core:prox"][0]
+    assert prox["refs"]["rdf:type"] == ["core:proxy-dataset"]
+    assert prox["props"]["core:remoteUrl"] == "http://r/x"
+    # incremental sync shape: changes-since sees exactly the later events
+    assert S.changes(log, since=2).count() == 3
+    # onchange listeners fired for every catalog commit
+    assert [ds for ds, _ in fired] == [S.CORE_DATASET] * 4
+
+
+def test_core_dataset_guards_and_backfill(spark, tmp_path):
+    import pytest
+
+    es = S.EntityStore(spark, str(tmp_path / "s"))
+    es.create_dataset("d")
+    with pytest.raises(ValueError, match="cannot delete"):
+        es.delete_dataset(S.CORE_DATASET)
+    with pytest.raises(ValueError, match="cannot update"):
+        es.rename_dataset(S.CORE_DATASET, "x")
+    with pytest.raises(ValueError, match="already exists"):
+        es.rename_dataset("d", S.CORE_DATASET)
+    with pytest.raises(ValueError, match="cannot be written"):
+        es.execute_transaction({S.CORE_DATASET: es.log(["d"])})
+    # a pre-event-tracking registry (no dataset_events) still yields a
+    # synthesized create at tick 0 for every registered dataset
+    meta = es._read_meta()
+    meta.pop("dataset_events", None)
+    es._write_meta(meta)
+    rows = es.log([S.CORE_DATASET]).collect()
+    assert [(r["id"], r["recorded"], r["deleted"]) for r in rows] == \
+        [("core:d", 0, False)]
+
+
+def test_core_dataset_as_job_source(spark, tmp_path):
+    """A job can source the catalog itself — the node-metadata sync the
+    reference uses core.Dataset for."""
+    from datahub_spark import jobs as J
+
+    es = S.EntityStore(spark, str(tmp_path / "s"))
+    es.create_dataset("a")
+    es.create_dataset("b")
+    src = J.DatasetSource(es, S.CORE_DATASET)
+    first = src.read(since=0)
+    assert {r["id"] for r in first.collect()} == {"core:a", "core:b"}
+    wm = first.agg(F.max("recorded")).collect()[0][0]
+    es.create_dataset("c")
+    incr = src.read(since=wm)
+    assert {r["id"] for r in incr.collect()} == {"core:c"}
