@@ -37,6 +37,7 @@ import json
 import os
 import threading
 import time
+from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -1095,6 +1096,18 @@ class UdaServer:
         if parts == ["jobs", "_", "history"]:
             return self._reply(rq, 200, {
                 jid: sched.state.history(jid) for jid in sched.jobs})
+        if parts == ["jobs", "_", "status"]:
+            # jobsListStatus (jobshandler.go:109-111): JobStatus rows
+            # for every currently-running job (scheduler.go:328-348)
+            running = self._runner.raffle.running_jobs() \
+                if self._runner is not None else {}
+            return self._reply(rq, 200, [
+                {"jobId": jid,
+                 "jobTitle": (self._job_configs.get(jid) or {}).get(
+                     "title", jid),
+                 "started": datetime.fromtimestamp(
+                     st["started"], timezone.utc).isoformat()}
+                for jid, st in sorted(running.items())])
         if len(parts) == 2 and parts[0] == "jobs":
             cfg = self._job_configs.get(parts[1])
             if cfg is None:

@@ -338,6 +338,15 @@ def test_jobs_api_over_http(spark, tmp_path):
         hist = _get(f"{base}/jobs/_/history")["wire-job"]
         assert hist and hist[0]["id"] == "wire-job"
         assert _get(f"{base}/job/wire-job/status") == {"state": "Stopped"}
+        # jobsListStatus (jobshandler.go:109): idle -> [], running ->
+        # JobStatus rows {jobId, jobTitle, started}
+        assert _get(f"{base}/jobs/_/status") == []
+        assert srv._runner.raffle.borrow(sched.jobs["wire-job"])
+        try:
+            (st,) = _get(f"{base}/jobs/_/status")
+            assert st["jobId"] == "wire-job" and "started" in st
+        finally:
+            srv._runner.raffle.give_back(sched.jobs["wire-job"])
         lin = _get(f"{base}/lineage")
         assert any(e.get("from") == "src" or e.get("source") == "src"
                    or "src" in json.dumps(e) for e in lin)
