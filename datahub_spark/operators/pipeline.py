@@ -3,6 +3,8 @@ the verified operators, in the order production training-data pipelines
 apply them (C4/Pile/CCNet-style):
 
   1. boilerplate removal   (cross-doc repeated segments cut)
+  1b. paragraph dedup      (global first-copy-wins paragraph removal,
+                            the Dolma stage, r8)
   2. exact-substring span removal (cross-doc duplicated spans cut)
   3. quality floor         (drop low-scoring documents)
   3b. Gopher rule set      (Rae et al. 2021 hard filters, r7)
@@ -10,6 +12,8 @@ apply them (C4/Pile/CCNet-style):
                             the GPT-3/CCNet classifier stage, r8)
   4. bigram-LM floor       (drop gibberish: high novel-bigram ratio /
                             low conditional familiarity, r7)
+  4b. CCNet bucket keep    (head/middle/tail perplexity tertiles,
+                            keep the named buckets, r8)
   5. exact dedup           (keep one copy per content digest)
   6. near-dup cluster keeper (MinHash+LSH -> connected components ->
                               keep each cluster's min-id representative)
@@ -51,11 +55,13 @@ def _replace_text(cur: DataFrame, rewritten: DataFrame, id_col: str,
 def clean_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", *,
                  boilerplate: dict | None = None,
+                 paragraph_dedup: dict | None = None,
                  span_dedup: dict | None = None,
                  quality_floor_centi: int | None = None,
                  gopher: bool = False,
                  classifier: dict | None = None,
                  lm_floor: dict | None = None,
+                 ppl_keep: dict | None = None,
                  near_dup: dict | None = None,
                  embeddings: DataFrame | None = None,
                  semantic: dict | None = None,
@@ -93,6 +99,12 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         rw = TX.remove_boilerplate(cur, text_col, id_col, **boilerplate)
         cur = _replace_text(cur, rw, id_col, text_col, id_col, "clean_text")
         note("boilerplate")
+    if paragraph_dedup is not None:
+        # global first-copy-wins paragraph dedup (Dolma order: right
+        # after boilerplate, before span-level rewriting)
+        rw = TX.paragraph_dedup(cur, text_col, id_col, **paragraph_dedup)
+        cur = _replace_text(cur, rw, id_col, text_col, id_col, "clean_text")
+        note("paragraph_dedup")
     if span_dedup is not None:
         rw = DD.remove_duplicate_substrings(
             cur, id_col=id_col, text_col=text_col, **span_dedup)
@@ -139,6 +151,18 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         ).select(F.col("id").alias(id_col))
         cur = cur.join(keep, id_col)
         note("lm_floor")
+    if ppl_keep is not None:
+        # CCNet head/middle/tail selection (Wenzek et al. 2020): keep
+        # the named buckets; per-group cutoffs via ``by`` (CCNet does
+        # per-language), or precomputed ``cutoffs`` for reproducibility
+        pb = TX.perplexity_buckets(
+            cur, text_col=text_col, id_col=id_col,
+            by=ppl_keep.get("by"), cutoffs=ppl_keep.get("cutoffs"))
+        keep = pb.filter(F.col("bucket").isin(
+            list(ppl_keep.get("keep", ("head", "middle"))))) \
+            .select(F.col("id").alias(id_col))
+        cur = cur.join(keep, id_col)
+        note("ppl_buckets")
     # exact dedup always precedes near-dup when either dedup runs:
     # identical copies would otherwise bloat LSH buckets for nothing
     if near_dup is not None:

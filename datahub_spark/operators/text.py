@@ -363,6 +363,136 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text",
                      .alias("dropped_segments")))
 
 
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    delimiter: str | None = None,
+                    window: int | None = None,
+                    min_words: int = 1,
+                    joiner: str | None = None) -> DataFrame:
+    """Global paragraph-level deduplication, first-copy-wins (the
+    Dolma/RefinedWeb paragraph-dedup stage; C4's three-sentence-span
+    analogue). Where ``remove_boilerplate`` drops EVERY occurrence of a
+    cross-document repeat, this keeps exactly ONE — the occurrence with
+    the lexicographically smallest ``(doc_id, pos)`` — and removes the
+    rest, including repeats inside a single document.
+
+    ``min_words`` exempts short segments (headings, "Introduction")
+    from global dedup — they repeat naturally and carry no duplication
+    signal; exempt segments are always kept.
+
+    Returns ``(doc_id, clean_text, kept_segments, dropped_segments)``
+    over the full document spine (empty docs surface with '').
+
+    Scale shape: segment explode (map-side, codegen) -> ONE narrow
+    HashAggregate per md5 key computing the winning occurrence with
+    ``min_by`` (no sort window) -> keyed equi-join of winners back onto
+    the segments (both sides hash-partitioned on seg_key — the winner
+    table is corpus-sized, so it is NOT broadcast by design) -> one
+    per-document reassembly groupBy. Three keyed shuffles, all linear
+    in corpus tokens; no pairwise join anywhere."""
+    if joiner is None:
+        joiner = delimiter if delimiter is not None else " "
+    segs = segment_table(df, text_col, id_col,
+                         delimiter=delimiter, window=window)
+    segs = segs.withColumn(
+        "seg_key", F.md5(normalize(F.col("segment")))
+    ).withColumn(
+        "exempt", F.size(words(F.col("segment"))) < int(min_words))
+    # winner per key: smallest (doc_id, pos) among non-exempt
+    # occurrences — min_by over a narrow struct, map-side combinable
+    occ = F.struct(F.col(id_col).alias("win_id"),
+                   F.col("pos").alias("win_pos"))
+    winners = (segs.filter(~F.col("exempt"))
+               .groupBy("seg_key")
+               .agg(F.min(occ).alias("win"))
+               .select("seg_key", "win.win_id", "win.win_pos"))
+    marked = (segs.join(winners, "seg_key", "left")
+              .withColumn(
+                  "keep",
+                  F.col("exempt") |
+                  ((F.col(id_col) == F.col("win_id")) &
+                   (F.col("pos") == F.col("win_pos")))))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("keep"),
+                                F.col("segment"))))
+    out = (marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda x: x["keep"]),
+                lambda x: x["segment"]),
+            joiner).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+         .cast("long").alias("kept_segments"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+         .cast("long").alias("dropped_segments"),
+    ))
+    return (df.select(id_col).join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_segments", F.lit(0)).cast("long")
+                     .alias("kept_segments"),
+                    F.coalesce("dropped_segments", F.lit(0)).cast("long")
+                     .alias("dropped_segments")))
+
+
+def perplexity_buckets(df: DataFrame, bigram_table: DataFrame | None = None,
+                       vocab: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id", *,
+                       by: str | None = None,
+                       cutoffs: dict | tuple | None = None,
+                       accuracy: int = 10000) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    rank documents by language-model familiarity and split into thirds —
+    ``head`` (most LM-familiar, cleanest), ``middle``, ``tail`` (likely
+    noise/OCR garbage). The LM signal is ``cond_familiarity_e4`` from
+    ``bigram_lm_features`` (integer-exact mean P(w2|w1) — our rational
+    stand-in for KenLM perplexity; HIGHER = more familiar, so head is
+    the top tertile).
+
+    ``by`` groups the cutoffs (CCNet computes them per language);
+    ``cutoffs`` overrides computation with precomputed thresholds —
+    a ``(hi, lo)`` tuple globally or ``{group: (hi, lo)}`` with ``by``
+    (score >= hi -> head, >= lo -> middle, else tail). When None they
+    are derived with ``percentile_approx([2/3, 1/3], accuracy)`` —
+    the sketch-based single-pass cutoff estimate that holds at corpus
+    scale where exact per-group percentiles would need a full sort.
+
+    Returns ``(id, [group], score_e4, bucket)``. Scale shape: the LM
+    scoring shuffles (see bigram_lm_features); cutoffs are one tiny
+    aggregate collected to a broadcast map; bucketing itself is a
+    map-only expression."""
+    feats = bigram_lm_features(df, bigram_table, vocab, text_col, id_col) \
+        .select("id", F.col("cond_familiarity_e4").alias("score_e4"))
+    cols = [F.col(id_col).alias("id")] + ([F.col(by)] if by else [])
+    scored = df.select(*cols).join(feats, "id", "left") \
+        .withColumn("score_e4", F.coalesce("score_e4", F.lit(0).cast("long")))
+
+    if cutoffs is None:
+        pct = F.percentile_approx("score_e4", [2.0 / 3.0, 1.0 / 3.0],
+                                  int(accuracy))
+        if by:
+            cut_rows = scored.groupBy(by).agg(pct.alias("c")).collect()
+            cutoffs = {r[by]: (r["c"][0], r["c"][1]) for r in cut_rows}
+        else:
+            c = scored.agg(pct.alias("c")).collect()[0]["c"]
+            cutoffs = (c[0], c[1])
+
+    if by:
+        if not isinstance(cutoffs, dict):
+            raise ValueError("per-group bucketing needs {group: (hi, lo)}")
+        hi = F.create_map(*[F.lit(x) for g, (h, _) in sorted(cutoffs.items())
+                            for x in (g, int(h))])[F.col(by)]
+        lo = F.create_map(*[F.lit(x) for g, (_, l) in sorted(cutoffs.items())
+                            for x in (g, int(l))])[F.col(by)]
+    else:
+        hi, lo = F.lit(int(cutoffs[0])), F.lit(int(cutoffs[1]))
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("score_e4") >= hi, F.lit("head"))
+         .when(F.col("score_e4") >= lo, F.lit("middle"))
+         .otherwise(F.lit("tail")))
+
+
 def sample_to_token_budget(df: DataFrame, strata_col: str,
                            budgets: dict[str, int],
                            id_col: str = "doc_id",

