@@ -539,6 +539,55 @@ def sample_to_token_budget(df: DataFrame, strata_col: str,
                              seed=seed, default_rate=default_rate)
 
 
+def mixture_budgets(df: DataFrame, strata_col: str, total_tokens: int,
+                    alpha: float = 1.0, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    token_counts: DataFrame | None = None) -> dict[str, int]:
+    """Temperature-scaled domain mixture (the mT5/XLM-R alpha-sampling
+    rule, Xue et al. 2021 §3.3: p_s ∝ t_s^alpha): turn ONE corpus-level
+    token budget into per-domain budgets for ``sample_to_token_budget``.
+    ``alpha=1`` keeps natural proportions; ``alpha -> 0`` flattens
+    toward uniform (upweighting low-resource domains — the reason the
+    rule exists); published recipes use 0.3 (mT5) / 0.7 (XLM-R).
+
+    One narrow groupBy(strata) aggregate collected to the driver
+    (bounded by domain count, never corpus size); the power/normalize
+    arithmetic is driver-side over that tiny table. A domain's budget
+    is capped at its actual token mass — alpha-flattening cannot
+    up-sample beyond what a domain has (the standard no-replacement
+    reading) — and leftover budget from capped domains is
+    redistributed over the uncapped ones in proportion to their
+    scaled weights, iterating until stable (<= n_domains rounds)."""
+    if token_counts is not None:
+        counted = df.select(F.col(id_col), F.col(strata_col)).join(
+            token_counts.select(F.col("id").alias(id_col), "n_tokens"),
+            id_col)
+        grouped = counted.groupBy(F.col(strata_col).alias("s")) \
+            .agg(F.sum("n_tokens").alias("t"))
+    else:
+        grouped = df.groupBy(F.col(strata_col).alias("s")) \
+            .agg(F.sum(token_count_whitespace(F.col(text_col))).alias("t"))
+    totals = {r["s"]: int(r["t"]) for r in grouped.collect() if r["t"]}
+    if not totals:
+        return {}
+    weights = {s: float(t) ** float(alpha) for s, t in totals.items()}
+    budgets: dict[str, int] = {}
+    remaining, pool = int(total_tokens), dict(weights)
+    while pool and remaining > 0:
+        wsum = sum(pool.values())
+        share = {s: remaining * w / wsum for s, w in pool.items()}
+        capped = {s for s in pool if share[s] >= totals[s]}
+        if not capped:  # water level below every cap: final split
+            for s in pool:
+                budgets[s] = int(share[s])
+            break
+        for s in capped:  # fill to cap, re-level the rest
+            budgets[s] = totals[s]
+            remaining -= totals[s]
+            del pool[s]
+    return budgets
+
+
 def chunk_documents(df: DataFrame, max_tokens: int, stride: int | None = None,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

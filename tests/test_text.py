@@ -372,6 +372,35 @@ def test_perplexity_buckets_computed_tertiles(spark):
     out.unpersist()
 
 
+def test_mixture_budgets_alpha_sampling(spark):
+    """mT5 alpha-sampling (p_s ∝ t_s^alpha): alpha=1 natural
+    proportions, alpha=0 uniform, caps at each domain's actual mass
+    with leftover water-filled onto uncapped domains."""
+    # web: 8 docs x 10 tokens = 80; code: 2 docs x 10 = 20
+    rows = [(i, "t " * 10, "web") for i in range(8)] + \
+           [(i + 100, "t " * 10, "code") for i in range(2)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string")
+    # natural proportions
+    b1 = TX.mixture_budgets(df, "source", 50, alpha=1.0)
+    assert b1 == {"web": 40, "code": 10}
+    # flat: uniform split upweights the small domain
+    b0 = TX.mixture_budgets(df, "source", 30, alpha=0.0)
+    assert b0 == {"web": 15, "code": 15}
+    # cap + redistribute: uniform wants 30/30 but code holds only 20;
+    # the leftover 10 water-fills back onto web
+    bc = TX.mixture_budgets(df, "source", 60, alpha=0.0)
+    assert bc == {"code": 20, "web": 40}
+    # budget above the corpus: every domain capped at its mass
+    ball = TX.mixture_budgets(df, "source", 1000, alpha=0.3)
+    assert ball == {"web": 80, "code": 20}
+    # composes with sample_to_token_budget end-to-end
+    out = TX.sample_to_token_budget(df, "source", b0, seed=7)
+    kept = out.groupBy("source").count().collect()
+    assert {r["source"] for r in kept} <= {"web", "code"}
+
+
 def test_sample_to_token_budget_rates_derived_from_totals(spark):
     # web: 4 docs x 5 tokens = 20; code: 2 docs x 5 tokens = 10
     rows = [(i, "w1 w2 w3 w4 w5", "web") for i in range(4)] + \
