@@ -114,6 +114,23 @@ def main() -> None:
     timings["boilerplate_1m_docs"] = round(time.monotonic() - t0, 2)
     assert n_dropped_segs == n_docs, n_dropped_segs  # segment [0..3] per doc
 
+    # global paragraph dedup (first-copy-wins) at the same volume. With
+    # window=4 each doc splits into segment0 = the 4 template-shared
+    # tokens (5 occurrences per template) and segment1 = tokens 4..7
+    # including the variant token (unique per doc). Exactly the 4
+    # non-winner copies of segment0 per template are dropped, and the
+    # winner is the template's variant-0 doc (smallest doc_id).
+    t0 = time.monotonic()
+    pd_ = TX.paragraph_dedup(docs, window=4)
+    prow = pd_.agg(
+        F.sum("dropped_segments").alias("dropped"),
+        F.sum(F.when((F.col("doc_id") < 200_000)
+                     & (F.col("kept_segments") == 2), 1)
+              .otherwise(0)).alias("winners_intact")).collect()[0]
+    timings["paragraph_dedup_1m_docs"] = round(time.monotonic() - t0, 2)
+    assert prow["dropped"] == 4 * 200_000, prow["dropped"]
+    assert prow["winners_intact"] == 200_000, prow["winners_intact"]
+
     # bigram-LM familiarity at the same 1M-doc volume: corpus-trained
     # bigram + unigram tables (untrained mode = two extra keyed
     # shuffles), integer-exact conditionals. 8 tokens/doc -> exactly 7
@@ -211,17 +228,23 @@ def main() -> None:
     # L2-normalize: the fixed-point threshold is cosine*1e14 for UNIT
     # vectors (similarity.dot_long contract) — unnormalized payloads
     # would inflate raw dots and make merely-coord-sharing groups
-    # "similar" (the bug this leg's first run caught)
-    norm = F.sqrt(F.aggregate(raw, F.lit(0.0),
+    # "similar" (the bug this leg's first run caught).
+    # TWO checkpoints, deliberately: the raw construction is an
+    # interpreted HOF expression, and normalizing in the same
+    # projection makes Catalyst inline that construction into BOTH the
+    # norm fold and every element's divide — O(64^2 · chain) per row,
+    # ~30 min for the corpus (measured). Materializing (raw, norm)
+    # first makes the normalize pass read plain attribute references.
+    # A real corpus is a parquet scan, which the checkpoint stands for.
+    norm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0),
                               lambda acc, v: acc + v * v))
-    vec = F.transform(raw, lambda v: (v / norm).cast("float"))
-    # checkpoint the constructed corpus: the interpreted HOF expression
-    # is expensive per evaluation and the Lloyd loop's bounded-model
-    # collects would otherwise re-derive it once per pass — a real
-    # corpus is a parquet scan, which this stands in for
-    vecs = spark.range(n_vecs).select(
-        F.col("id").alias("vec_id"), vec.alias("embedding")) \
-        .localCheckpoint(eager=True)
+    raw_df = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), raw.alias("raw")) \
+        .withColumn("nrm", norm).localCheckpoint(eager=True)
+    vecs = raw_df.select(
+        "vec_id",
+        F.transform("raw", lambda v: (v / F.col("nrm")).cast("float"))
+        .alias("embedding")).localCheckpoint(eager=True)
     t0 = time.monotonic()
     sd = DD.semantic_dedup(vecs, int(0.95 * 10 ** 14),
                            n_clusters=n_clusters,
@@ -248,6 +271,7 @@ def main() -> None:
                  "span_words_removed": int(n_removed),
                  "boilerplate_segments_dropped": int(n_dropped_segs),
                  "bigram_total": int(n_bigrams_total),
+                 "paragraph_segments_dropped": int(prow["dropped"]),
                  "dsir_picked": int(n_picked),
                  "classifier_kept": int(crow["kept"]),
                  "semantic_kept": int(n_kept),
