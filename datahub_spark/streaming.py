@@ -18,6 +18,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -225,6 +226,42 @@ def stream_dedup_exact(stream_df: DataFrame, ts_micros_col: str,
             .withWatermark("_ts", watermark)
             .dropDuplicatesWithinWatermark([digest_col])
             .drop("_ts"))
+
+
+def stream_decontaminate(stream_df: DataFrame, benchmark_df: DataFrame,
+                         n: int = 8, text_col: str = "text",
+                         flag_col: str = "contaminated") -> DataFrame:
+    """Streaming benchmark decontamination — flag documents in a live
+    feed that share a word n-gram with any benchmark/eval document (the
+    ingest-time twin of operators.dedup.decontaminate, so eval leakage
+    is caught BEFORE it lands in the corpus).
+
+    The benchmark's distinct n-gram set is computed ONCE at plan-build
+    time (batch side) and ships to executors inside an Arrow-batched
+    pandas UDF — the same "benchmark side is small and curated by
+    construction" contract the batch operator's broadcast join relies
+    on (GPT-3 appendix C scale: eval sets, not corpora). The stream
+    side is map-only and STATELESS: no watermark, no state store, works
+    in append mode, and survives any feed rate — each doc is checked
+    against the set in isolation.
+
+    Returns the stream with ``flag_col`` added; filter on ``~flag`` to
+    clean, or fork the flagged rows to an audit sink."""
+    from datahub_spark.operators.dedup import shingles
+
+    bench = frozenset(
+        r["sh"] for r in benchmark_df
+        .select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct().collect())
+
+    @pandas_udf("boolean")
+    def hit(grams: pd.Series) -> pd.Series:
+        return pd.Series([
+            any(g in bench for g in gs) if gs is not None else False
+            for gs in grams])
+
+    return stream_df.withColumn(
+        flag_col, hit(shingles(F.col(text_col), n)))
 
 
 def stream_dedup_minhash(stream_df: DataFrame, ts_micros_col: str,

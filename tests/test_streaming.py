@@ -203,6 +203,35 @@ def test_stream_dedup_exact_keeps_first_within_watermark(spark, tmp_path):
     assert len(surviving_ids & {1, 2, 4}) == 1
 
 
+def test_stream_decontaminate_flags_benchmark_overlap(spark, tmp_path):
+    """Stream-side decontamination agrees with the batch operator:
+    docs sharing an n-gram with the benchmark are flagged, clean docs
+    pass; stateless (append mode, no watermark)."""
+    eval_text = "the secret benchmark question about turtles and rivers"
+    path = str(tmp_path / "feed")
+    rows = [
+        (1, f"intro words then {eval_text} trailing text"),
+        (2, "a perfectly ordinary document with no overlap at all"),
+        (3, eval_text),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(path)
+    bench = spark.createDataFrame([(100, eval_text)],
+                                  "doc_id long, text string")
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    out = ST.run_available_now(
+        ST.stream_decontaminate(stream, bench, n=8),
+        output_mode="append")
+    got = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # parity with the batch operator on the same data
+    from datahub_spark.operators import dedup as DD
+    batch = {r["id"]: r["contaminated"] for r in DD.decontaminate(
+        spark.read.parquet(path), bench, n=8).collect()}
+    assert batch == got
+
+
 def test_stream_dedup_minhash_suppresses_signature_twins(spark, tmp_path):
     """Near-identical docs (same word trigram set -> same minhash
     signature) collapse to one survivor; genuinely different docs all
