@@ -480,7 +480,9 @@ def dequantize_embeddings(df: DataFrame, q_col: str = "q",
 def save_ivf_index(corpus: DataFrame, path: str, n_clusters: int = 16,
                    lloyd_rounds: int = 2, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   quantize: bool = False) -> None:
+                   quantize: bool = False,
+                   pq_m: int | None = None, pq_ksub: int = 16,
+                   pq_rounds: int = 2) -> None:
     """Persist the IVF index the docstrings keep promising: the
     inverted file lands as parquet PARTITIONED BY cluster id (one
     directory per cluster — the on-disk shape of an inverted file on a
@@ -494,10 +496,27 @@ def save_ivf_index(corpus: DataFrame, path: str, n_clusters: int = 16,
     to read per probe. Scoring then runs ASYMMETRIC — exact int64 dot
     of the full-precision query against the codes, scaled once per
     vector — deterministic, with recall measured and pinned in
-    test_ann.py."""
+    test_ann.py.
+
+    ``pq_m=<m>`` stores PQ codes instead (FAISS's IVF-PQ shape): m
+    BYTES per vector — the deepest compression tier. Probing scores
+    asymmetrically through exact int64 ADC lookup tables; the per-
+    subspace codebooks land beside the index in ``pq_books``."""
     inverted, centroids = kmeans_inverted(
         corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
-    if quantize:
+    if pq_m is not None:
+        books = train_pq(corpus, m=pq_m, ksub=pq_ksub,
+                         lloyd_rounds=pq_rounds, dim=dim,
+                         id_col=id_col, vec_col=vec_col)
+        codes = encode_pq(corpus, books, id_col, vec_col) \
+            .withColumnRenamed(id_col, "cid")
+        inverted = inverted.join(codes, "cid").drop("cv")
+        corpus.sparkSession.createDataFrame(
+            [(s, c, books[s][c]) for s in range(len(books))
+             for c in range(len(books[s]))],
+            "s int, code int, m array<long>",
+        ).write.mode("overwrite").parquet(f"{path}/pq_books")
+    elif quantize:
         # codes derived from the fixed-point vector: q = round(cv * 127
         # / max|cv|), per-vector dequant scale back to the FIXED-POINT
         # domain (q * q_scale ≈ cv), so probe scores stay comparable to
@@ -551,7 +570,48 @@ def ann_ivf_probe(spark, path: str, queries: DataFrame, k: int = 5,
                         .distinct().collect()})
     raw = spark.read.parquet(f"{path}/inverted") \
         .filter(F.col("cl").isin(probed_cls))
-    if "q" in raw.columns:
+    if "codes" in raw.columns:
+        # PQ index: asymmetric ADC scoring — each candidate costs m
+        # exact int64 LUT lookups; codes never decode back to vectors.
+        # The LUT tensor (nq x m x ksub longs) rides the closure like
+        # kmeans' centroid matrix; candidates stay IVF-pruned.
+        brows = spark.read.parquet(f"{path}/pq_books").collect()
+        m = max(r["s"] for r in brows) + 1
+        ksub = max(r["code"] for r in brows) + 1
+        b = np.zeros((m, ksub, len(brows[0]["m"])), dtype=np.int64)
+        for r in brows:
+            b[r["s"], r["code"]] = r["m"]
+        dsub = b.shape[2]
+        qrows = q.collect()
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qv"] for r in qrows], dtype=np.int64)
+        lut = np.stack([Q[:, s * dsub:(s + 1) * dsub] @ b[s].T
+                        for s in range(m)])
+        qidx = {int(qid): i for i, qid in enumerate(qids)}
+
+        def adc(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                qi = np.array([qidx[int(x)] for x in pdf["query_id"]])
+                S = lut[0][qi, C[:, 0]]
+                for s in range(1, m):
+                    S = S + lut[s][qi, C[:, s]]
+                yield pd.DataFrame({"query_id": pdf["query_id"],
+                                    "neighbor_id": pdf["neighbor_id"],
+                                    "dot_fp": S})
+
+        scored = (
+            probes.drop("qv")
+            .join(raw.select(F.col("cid").alias("neighbor_id"),
+                             "codes", "cl"), "cl")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes")
+            .mapInPandas(adc,
+                         schema="query_id long, neighbor_id long, dot_fp long")
+        )
+    elif "q" in raw.columns:
         # quantized index: asymmetric scoring — exact int64 dot of the
         # full-precision query against the int8 codes, rescaled to the
         # fixed-point domain per vector (round for a deterministic,
@@ -658,3 +718,187 @@ def cluster_balanced_sample(corpus: DataFrame, per_cluster: int,
             .filter(F.col("_rn") <= int(per_cluster))
             .select(F.col("cid").alias(id_col)))
     return corpus.join(kept, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the vector-compression tier below int8.
+#
+# IVF answers "which fraction of the corpus do I read"; PQ answers "how
+# many bytes per vector once I'm reading". A dim-64 float32 embedding is
+# 256 bytes; int8 quantization gets 64; PQ with m=8 subspaces of 256
+# codes each gets EIGHT bytes — at 100 TB of raw vectors that is the
+# difference between an index that fits the hot tier and one that
+# doesn't (Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ shape).
+#
+# Same exactness discipline as the rest of this file: vectors are
+# fixed-point int64, per-subspace codebooks are trained by the SAME
+# deterministic Lloyd recipe as kmeans_inverted (first-k init, exact
+# int64 L2 assignment with lowest-code tie-break, integer-mean updates
+# rounded half away from zero), and ADC scoring is an exact int64
+# lookup-table sum — so codes, scores, and rankings are bit-identical
+# to the numpy reference model pinned in test_ann.py.
+# ---------------------------------------------------------------------------
+
+
+def _pq_int_mean(s: int, n: int) -> int:
+    """Integer mean rounded half away from zero — the driver-side twin
+    of _int_mean_exprs (same formula, Python ints)."""
+    sign = -1 if s < 0 else 1
+    return sign * ((2 * abs(s) + n) // (2 * n))
+
+
+def _pq_assign_codes(vectors: DataFrame, books: np.ndarray,
+                     keep_cv: bool) -> DataFrame:
+    """Nearest-codebook-entry per subspace, vectorized: one int64
+    distance matrix per (batch, subspace) in an Arrow-batched
+    mapInPandas — the PQ twin of kmeans_inverted.assign(). Exact:
+    ||v-c||^2 = v.v + c.c - 2 v.c in int64 (|element| <= 4e7, dsub <=
+    64 -> |dist| < 2^63), argmin returns the FIRST minimum = lowest
+    code on ties."""
+    m, ksub, dsub = books.shape
+    # exact int64: |element| <= 4e7 -> c.c <= dsub * 1.6e15 << 2^63
+    cnorm = (books * books).sum(axis=2)
+
+    schema = ("cid long, cv array<long>, codes array<tinyint>" if keep_cv
+              else "cid long, codes array<tinyint>")
+
+    def fn(it):
+        for pdf in it:
+            V = np.array(pdf["cv"].tolist(), dtype=np.int64)
+            codes = np.empty((len(V), m), dtype=np.int8)
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                # -2*V.C + C.C suffices for argmin (v.v is constant/row)
+                d = cnorm[s][None, :] - 2 * (Vs @ books[s].T)
+                codes[:, s] = d.argmin(axis=1)
+            out = {"cid": pdf["cid"], "codes": list(codes)}
+            if keep_cv:
+                out["cv"] = pdf["cv"]
+            yield pd.DataFrame(out)
+
+    return vectors.mapInPandas(fn, schema=schema)
+
+
+def train_pq(corpus: DataFrame, m: int = 8, ksub: int = 16,
+             lloyd_rounds: int = 2, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Train per-subspace PQ codebooks. Returns ``books[s][c]`` = the
+    fixed-point centroid of code ``c`` in subspace ``s`` (m lists of
+    ksub lists of dim/m ints — plain literals, embeddable in plans and
+    oracles like planes_fixed()).
+
+    Deterministic Lloyd per subspace, all subspaces in ONE corpus pass
+    per round: assignment is the _pq_assign_codes matmul (no shuffle),
+    the update is one groupBy((subspace, code)) over exploded
+    subvectors — a bounded m*ksub-row model table, collected and
+    integer-mean-rounded on the driver exactly like the BPE pair
+    counts. Initial codebook c of subspace s = subvector s of the c-th
+    corpus vector by id (first-k init, kmeans_inverted's recipe).
+    Empty codes keep their previous centroid."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if ksub > 128:
+        raise ValueError("ksub > 128 does not fit tinyint codes")
+    dsub = dim // m
+    fx = corpus.select(F.col(id_col).alias("cid"),
+                       fixed_vec(F.col(vec_col)).alias("cv")).cache()
+
+    init = fx.orderBy("cid").limit(ksub).collect()
+    books = np.array(
+        [[r["cv"][s * dsub:(s + 1) * dsub] for r in init] for s in range(m)],
+        dtype=np.int64)  # (m, ksub, dsub)
+    if books.shape[1] < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub}")
+
+    sub_exprs = [
+        F.struct(F.lit(s).alias("s"),
+                 F.col("codes")[s].cast("int").alias("code"),
+                 F.slice("cv", s * dsub + 1, dsub).alias("sv"))
+        for s in range(m)
+    ]
+    for _ in range(lloyd_rounds):
+        assigned = _pq_assign_codes(fx, books, keep_cv=True)
+        sums = (
+            assigned.select(F.explode(F.array(*sub_exprs)).alias("e"))
+            .select("e.s", "e.code", "e.sv")
+            .groupBy("s", "code")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(dsub)])
+        ).collect()
+        nxt = books.copy()
+        for r in sums:
+            nxt[r["s"], r["code"]] = [
+                _pq_int_mean(r[f"s{i}"], r["n"]) for i in range(dsub)]
+        books = nxt
+    fx.unpersist()
+    return [[list(map(int, c)) for c in book] for book in books]
+
+
+def encode_pq(corpus: DataFrame, books: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every corpus vector as m tinyint codes (m BYTES per
+    vector on disk). One mapInPandas pass, no shuffle; the codes column
+    is the persistable PQ index payload."""
+    b = np.array(books, dtype=np.int64)
+    fx = corpus.select(F.col(id_col).alias("cid"),
+                       fixed_vec(F.col(vec_col)).alias("cv"))
+    return (_pq_assign_codes(fx, b, keep_cv=False)
+            .select(F.col("cid").alias(id_col), "codes"))
+
+
+def ann_pq_adc(queries: DataFrame, codes: DataFrame, books: list,
+               k: int = 5, id_col: str = "vec_id",
+               code_col: str = "codes",
+               vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the full-precision query is
+    scored against PQ codes through a per-query lookup table
+    LUT[s][c] = <q_s, books[s][c]> (exact int64), so each corpus
+    vector costs m table lookups + adds — never a decode back to
+    floats. score_fp approximates dot_fp in the same fixed-point^2
+    domain.
+
+    Scale shape: the query side is small by contract (same as
+    ann_bruteforce — it is collected to build the LUT tensor, nq*m*ksub
+    longs); the corpus-codes side streams through ONE Arrow-batched
+    mapInPandas emitting only each batch's per-query top-k (<= nq*k
+    rows per batch — a partial top-k is lossless for a global top-k
+    under the same total order), then one keyed window finishes the
+    ranking. No shuffle touches the corpus itself."""
+    m, ksub, dsub = (len(books), len(books[0]), len(books[0][0]))
+    b = np.array(books, dtype=np.int64)
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           fixed_vec(F.col(vec_col)).alias("qv")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    # LUT[s] : (nq, ksub) exact int64 subspace dots
+    lut = np.stack([Q[:, s * dsub:(s + 1) * dsub] @ b[s].T
+                    for s in range(m)])
+
+    def fn(it):
+        for pdf in it:
+            C = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+            nid = pdf["cid"].to_numpy()
+            # S : (nq, batch) = sum_s LUT[s][:, code_s]
+            S = lut[0][:, C[:, 0]]
+            for s in range(1, m):
+                S = S + lut[s][:, C[:, s]]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                keep = nid != qids[qi]
+                sq, nq_ = S[qi][keep], nid[keep]
+                top = np.lexsort((nq_, -sq))[:k]
+                out_q.extend([qids[qi]] * len(top))
+                out_n.extend(nq_[top])
+                out_s.extend(sq[top])
+            yield pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                                "neighbor_id": np.array(out_n, dtype=np.int64),
+                                "score_fp": np.array(out_s, dtype=np.int64)})
+
+    cand = codes.select(F.col(id_col).alias("cid"), code_col).mapInPandas(
+        fn, schema="query_id long, neighbor_id long, score_fp long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score_fp"))

@@ -295,3 +295,123 @@ def test_cluster_balanced_sample(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         SIM.cluster_balanced_sample(emb, 3, members=members, order="nope")
+
+
+# --- product quantization -------------------------------------------------
+
+
+def _pq_numpy_model(v, m, ksub, rounds):
+    """Reference PQ trainer mirroring train_pq bit-for-bit: fixed-point
+    vectors, first-k init, exact int64 L2 argmin (lowest code on ties),
+    integer-mean updates rounded half away from zero."""
+    vfx = np.round(v.astype(np.float32).astype(np.float64) * 1e7).astype(np.int64)
+    n, dim = vfx.shape
+    dsub = dim // m
+    books = np.stack([
+        np.array([vfx[c, s * dsub:(s + 1) * dsub] for c in range(ksub)])
+        for s in range(m)
+    ])
+
+    def assign(bk):
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            Vs = vfx[:, s * dsub:(s + 1) * dsub]
+            d = (bk[s] * bk[s]).sum(axis=1)[None, :] - 2 * (Vs @ bk[s].T)
+            codes[:, s] = d.argmin(axis=1)
+        return codes
+
+    for _ in range(rounds):
+        codes = assign(books)
+        nxt = books.copy()
+        for s in range(m):
+            for c in range(ksub):
+                mem = vfx[codes[:, s] == c, s * dsub:(s + 1) * dsub]
+                if len(mem):
+                    tot = mem.sum(axis=0)
+                    nxt[s, c] = [
+                        (-1 if t < 0 else 1) * ((2 * abs(int(t)) + len(mem))
+                                                // (2 * len(mem)))
+                        for t in tot]
+        books = nxt
+    return books, assign(books), vfx
+
+
+def test_pq_train_encode_match_numpy_model(spark):
+    df, v = _emb(spark, n=40, dim=8)
+    books = SIM.train_pq(df, m=2, ksub=4, lloyd_rounds=2, dim=8)
+    ref_books, ref_codes, _ = _pq_numpy_model(v, m=2, ksub=4, rounds=2)
+    assert np.array_equal(np.array(books, dtype=np.int64), ref_books)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in SIM.encode_pq(df, books).collect()}
+    for i in range(40):
+        assert got[i] == list(ref_codes[i]), i
+
+
+def test_pq_adc_matches_numpy_and_recalls(spark):
+    df, v = _emb(spark, n=60, dim=8, seed=11)
+    books = SIM.train_pq(df, m=4, ksub=8, lloyd_rounds=2, dim=8)
+    codes = SIM.encode_pq(df, books)
+    qs = df.filter("vec_id < 5")
+    got = SIM.ann_pq_adc(qs, codes, books, k=5)
+    rows = got.collect()
+
+    # numpy model: ADC score = sum_s <q_s, centroid[code_s]>
+    ref_books, ref_codes, vfx = _pq_numpy_model(v, m=4, ksub=8, rounds=2)
+    dsub = 2
+    for q in range(5):
+        lut = np.stack([vfx[q, s * dsub:(s + 1) * dsub] @ ref_books[s].T
+                        for s in range(4)])
+        scores = np.array([lut[np.arange(4), ref_codes[i]].sum()
+                           for i in range(60)])
+        order = [i for i in np.lexsort((np.arange(60), -scores)) if i != q][:5]
+        mine = [(r["neighbor_id"], r["score_fp"]) for r in rows
+                if r["query_id"] == q]
+        assert [m_[0] for m_ in mine] == order, q
+        for nid, s_fp in mine:
+            assert s_fp == scores[nid], (q, nid)
+
+    # quality: ADC top-5 overlaps exact top-5 (codes are 4 bytes vs 32)
+    exact = SIM.ann_bruteforce(qs, df, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    hit = sum((r["query_id"], r["neighbor_id"]) in ex for r in rows)
+    assert hit / len(ex) >= 0.5, hit / len(ex)
+
+
+def test_pq_rejects_bad_shapes(spark):
+    df, _ = _emb(spark, n=10, dim=8)
+    import pytest
+    with pytest.raises(ValueError):
+        SIM.train_pq(df, m=3, ksub=4, dim=8)   # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        SIM.train_pq(df, m=2, ksub=200, dim=8)  # > tinyint
+    with pytest.raises(ValueError):
+        SIM.train_pq(df, m=2, ksub=16, dim=8)  # corpus < ksub
+
+
+def test_pq_ivf_index_full_probe_equals_adc(spark, tmp_path):
+    """IVF-PQ persisted index, probed with n_probe = n_clusters (no
+    candidate pruned), must reproduce ann_pq_adc over the same codes
+    bit-for-bit — proves the index stores exactly the encode_pq codes
+    and the probe scores exactly the ADC LUT sum."""
+    df, v = _emb(spark, n=60, dim=8, seed=13)
+    path = str(tmp_path / "ivfpq")
+    SIM.save_ivf_index(df, path, n_clusters=4, dim=8, pq_m=4, pq_ksub=8)
+    qs = df.filter("vec_id < 5")
+    got = SIM.ann_ivf_probe(spark, path, qs, k=5, n_probe=4)
+
+    books = SIM.train_pq(df, m=4, ksub=8, lloyd_rounds=2, dim=8)
+    codes = SIM.encode_pq(df, books)
+    want = SIM.ann_pq_adc(qs, codes, books, k=5) \
+        .withColumnRenamed("score_fp", "dot_fp")
+    wrows = want.collect()
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, wrows))
+    assert g == w
+
+    # pruned probe still returns true ADC scores (a subset of clusters
+    # survives, so compare against the FULL score table, k=all)
+    pruned = SIM.ann_ivf_probe(spark, path, qs, k=5, n_probe=2)
+    full = SIM.ann_pq_adc(qs, codes, books, k=60).collect()
+    allsc = {(r["query_id"], r["neighbor_id"]): r["score_fp"] for r in full}
+    for r in pruned.collect():
+        assert allsc[(r["query_id"], r["neighbor_id"])] == r["dot_fp"]
