@@ -8,7 +8,7 @@ expressible in DuckDB SQL for the correctness oracle. Hashing uses md5
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/marker heuristic.
@@ -261,6 +261,52 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
         ).cast("long")
         return df.filter(h < bound)
     raise ValueError(f"stratified_sample: unknown method {method!r}")
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", strata_col: str | None = None,
+                    seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — pick exactly ``k`` rows
+    with inclusion probability proportional to ``weight_col``
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir", in the exponential-clocks form: each row draws
+    ``key = -ln(u) / w`` from a uniform u and the k SMALLEST keys win;
+    P(row i first) = w_i / sum(w) exactly). The training-data use:
+    draw a fixed-size corpus slice biased toward high quality scores /
+    DSIR importance weights instead of a hard threshold.
+
+    Deterministic like stratified_sample: u comes from the md5 of the
+    document id with a fixed seed (engine-portable — the DuckDB oracle
+    reproduces the selection bit-for-bit), so the draw is reproducible
+    and growth-stable (adding documents never flips an existing key).
+    Rows with null or non-positive weight are excluded outright.
+
+    Scale shape: keys are map-side built-ins; the global variant is
+    ``orderBy(key).limit(k)`` which Spark executes as
+    TakeOrderedAndProject — per-partition partial top-k then a k-row
+    merge on the driver, NO global sort shuffle (plan-pinned).
+    ``strata_col`` switches to k-per-stratum via one keyed rank
+    window."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(":"), F.lit(str(seed)))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60, exact doubles in both engines
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    keyed = (df.filter(F.col(weight_col).isNotNull()
+                       & (F.col(weight_col).cast("double") > 0))
+             .withColumn("_wsk", key))
+    if strata_col is None:
+        return (keyed.orderBy(F.col("_wsk").asc(), F.col(id_col).asc())
+                .limit(int(k)).drop("_wsk"))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_wsk").asc(), F.col(id_col).asc())
+    return (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k)).drop("_rn", "_wsk"))
 
 
 def segment_table(df: DataFrame, text_col: str = "text",

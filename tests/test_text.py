@@ -827,3 +827,52 @@ def test_domain_stats_counts_and_mean_quality(spark):
         FROM h GROUP BY domain
     """).fetchall()))
     assert mine == want
+
+
+def test_weighted_sample_duckdb_parity_and_plan(spark):
+    """A-ES weighted sampling: the DuckDB oracle reproduces the exact
+    selection (same md5-derived u, same -ln(u)/w keys); the global
+    variant's plan is TakeOrderedAndProject — per-partition partial
+    top-k, no global sort shuffle."""
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = TX.weighted_sample(docs, k=25, weight_col="n_chars", seed=7) \
+        .select("doc_id")
+    sql = """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT + 1)
+                 / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    ORDER BY k, doc_id LIMIT 25
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+    assert "TakeOrderedAndProject" in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_sample_properties(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # exact k; stable under repartitioning
+    a = sorted(r["doc_id"] for r in
+               TX.weighted_sample(docs, 10, "n_chars").collect())
+    b = sorted(r["doc_id"] for r in
+               TX.weighted_sample(docs.repartition(13), 10, "n_chars").collect())
+    assert len(a) == 10 and a == b
+
+    # an overwhelming weight is always selected; nonpositive never is
+    from pyspark.sql import functions as F
+    w = docs.withColumn("w", F.when(F.col("doc_id") == a[0], F.lit(1e12))
+                        .when(F.col("doc_id") == a[1], F.lit(-1.0))
+                        .otherwise(F.lit(1e-12)))
+    picked = {r["doc_id"] for r in TX.weighted_sample(w, 3, "w").collect()}
+    assert a[0] in picked and a[1] not in picked
+
+    # per-stratum variant: exactly k per stratum, deterministic
+    per = TX.weighted_sample(docs, 5, "n_chars", strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              per.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts and all(v == 5 for v in counts.values()), counts
