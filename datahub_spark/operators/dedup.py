@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -771,3 +773,108 @@ def filter_novel(new_docs: DataFrame, index_path: str, k: int = 12,
         (novel_bands.repartition("band")
          .write.mode("append").partitionBy("band").parquet(index_path))
     return novel
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter novelty: constant-memory history-wide membership.
+#
+# The third dedup tier. dropDuplicatesWithinWatermark bounds state by
+# TIME (recent horizon); the persisted LSH index (filter_novel) is
+# exact-by-collision but costs an equi-join against index partitions;
+# a Bloom filter compresses the ENTIRE corpus history into a fixed
+# bitmap that rides along as a map-side filter — no join, no state
+# store, stream-safe. One-sided error: a true duplicate is ALWAYS
+# caught (no false negatives), a novel document is dropped with
+# probability ~(1 - e^{-kn/m})^k (classic Bloom FPR) — the right trade
+# for ingest dedup, where losing 0.1% of novel docs is cheap and
+# letting dups through is not. Sizing: m/n = 10 bits/key at k = 7
+# gives ~1% FPR; 1e9 historical digests fit a 1.25 GB bitmap. Beyond
+# ~1e10 keys, shard the filter or fall back to filter_novel's index
+# join.
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(col: Column, m_bits: int, hashes: int) -> Column:
+    """The k bit positions of a document's normalized content digest:
+    pmod(xxhash64(normalize(text), seed_i), m). Computed JVM-side in
+    codegen on BOTH the build and probe paths, so Python never hashes —
+    the probe UDF only gathers bits."""
+    return F.array(*[
+        F.pmod(F.xxhash64(normalize(col), F.lit(i)), F.lit(int(m_bits)))
+        for i in range(int(hashes))
+    ])
+
+
+def build_bloom(df: DataFrame, m_bits: int = 1 << 20, hashes: int = 7,
+                text_col: str = "text") -> "np.ndarray":
+    """Fold a corpus into a Bloom bitmap, returned as an int64 word
+    array of length m_bits/64. Plan shape: positions explode -> ONE
+    groupBy(word_idx).agg(bit_or) with map-side partial ORs — the
+    shuffle carries at most m/64 rows regardless of corpus size — then
+    a bounded collect (the bitmap IS a model table, like centroids)."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(bloom_positions(F.col(text_col), m_bits, hashes))
+    words = (
+        df.select(pos.alias("p"))
+        .select(F.expr("p div 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS LONG), "
+                       "CAST(pmod(p, 64) AS INT))").alias("bit"))
+        .groupBy("w").agg(F.bit_or("bit").alias("word"))
+    ).collect()
+    out = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in words:
+        out[r["w"]] = r["word"]
+    return out
+
+
+def save_bloom(spark, words, path: str, hashes: int) -> None:
+    """Persist the bitmap as (word_idx, word) parquet rows plus a meta
+    row — readable by any engine, appendable by OR-merge."""
+    m_bits = len(words) * 64
+    rows = [(int(i), int(w)) for i, w in enumerate(words) if w]
+    spark.createDataFrame(rows or [(0, 0)], "w long, word long") \
+        .write.mode("overwrite").parquet(f"{path}/words")
+    spark.createDataFrame([(int(m_bits), int(hashes))],
+                          "m_bits long, hashes long") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bloom(spark, path: str):
+    """Load (words, hashes) back; sparse rows re-densify."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    out = np.zeros(meta["m_bits"] // 64, dtype=np.int64)
+    for r in spark.read.parquet(f"{path}/words").collect():
+        out[r["w"]] |= r["word"]
+    return out, int(meta["hashes"])
+
+
+def filter_novel_bloom(df: DataFrame, words, hashes: int = 7,
+                       text_col: str = "text",
+                       flag_col: str | None = None) -> DataFrame:
+    """Drop every document whose digest is (probably) already in the
+    corpus bitmap. Works identically on batch and STREAMING frames —
+    the whole check is map-side (positions in codegen, bit gather in
+    one Arrow-batched UDF over the closure-shipped bitmap), stateless,
+    append-mode safe. No false negatives: a document whose content was
+    folded into the bitmap never survives. ``flag_col`` returns the
+    frame with a boolean instead of filtering (audit mode)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(words, dtype=np.int64)
+    m_bits = len(W) * 64
+
+    @pandas_udf("boolean")
+    def maybe_member(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        P = np.stack(pos.to_numpy()).astype(np.int64)
+        bits = (W[P >> 6] >> (P & 63)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    hit = maybe_member(bloom_positions(F.col(text_col), m_bits, hashes))
+    if flag_col is not None:
+        return df.withColumn(flag_col, hit)
+    return df.filter(~hit)

@@ -406,3 +406,55 @@ def test_incremental_novelty_filter_roundtrip(spark, tmp_path):
     # index stays partitioned by band (probe prunes partitions)
     import os
     assert any(d.startswith("band=") for d in os.listdir(idx))
+
+
+# --- bloom-filter novelty ---------------------------------------------------
+
+
+def _bloom_docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    corpus = _bloom_docs(spark, [f"historical document {i}" for i in range(500)])
+    words = DD.build_bloom(corpus, m_bits=1 << 16, hashes=7)
+
+    # every member (any normalization variant of it) is always caught
+    members = _bloom_docs(spark, [f"Historical   DOCUMENT {i}" for i in range(500)], 1000)
+    assert DD.filter_novel_bloom(members, words, hashes=7).count() == 0
+
+    # novel docs mostly survive: FPR well under a loose 5% at 500 keys
+    # in 2^16 bits (theoretical ~(1-e^{-7*500/65536})^7 ~ 1e-9)
+    novel = _bloom_docs(spark, [f"fresh document {i}" for i in range(500)], 2000)
+    kept = DD.filter_novel_bloom(novel, words, hashes=7).count()
+    assert kept >= 475, kept
+
+    # flag mode returns all rows with the membership boolean
+    flagged = DD.filter_novel_bloom(members, words, hashes=7, flag_col="dup")
+    assert flagged.count() == 500
+    assert flagged.filter("dup").count() == 500
+
+
+def test_bloom_save_load_roundtrip_and_streaming(spark, tmp_path):
+    import numpy as np
+    from datahub_spark import streaming as ST
+
+    corpus = _bloom_docs(spark, [f"doc {i}" for i in range(100)])
+    words = DD.build_bloom(corpus, m_bits=1 << 12, hashes=5)
+    DD.save_bloom(spark, words, str(tmp_path / "bloom"), hashes=5)
+    words2, hashes2 = DD.load_bloom(spark, str(tmp_path / "bloom"))
+    assert hashes2 == 5 and np.array_equal(words, words2)
+
+    # the same operator is stream-safe: stateless map-side filter
+    src = tmp_path / "feed"
+    src.mkdir()
+    mix = _bloom_docs(spark, ["doc 3", "doc 7", "brand new A", "brand new B"], 500)
+    mix.write.mode("overwrite").parquet(str(src / "batch0"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src / "*")))
+    out = ST.run_available_now(
+        DD.filter_novel_bloom(stream, words2, hashes=5),
+        query_name="bloomq", output_mode="append")
+    assert sorted(r["text"] for r in out.collect()) == ["brand new A", "brand new B"]
