@@ -309,6 +309,81 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
             .filter(F.col("_rn") <= int(k)).drop("_rn", "_wsk"))
 
 
+def assign_splits(df: DataFrame, fractions: dict[str, float],
+                  id_col: str = "doc_id", seed: int = 42,
+                  split_col: str = "split",
+                  group_col: str | None = None,
+                  method: str = "xxhash64") -> DataFrame:
+    """Deterministic train/val/test fold assignment. Each row (or each
+    GROUP, when ``group_col`` is set) hashes to a uniform u in [0, 1)
+    and lands in the fold whose cumulative-fraction interval contains
+    u — so folds are disjoint by construction, exactly reproducible,
+    and growth-stable (adding documents never moves an existing one
+    across folds, unlike any sort- or count-based splitter).
+    ``fractions`` maps fold name -> fraction; they must sum to <= 1,
+    and rows hashing past the last boundary get null (dropped by the
+    caller or used as a holdout).
+
+    ``group_col`` is the leakage guard: hash THE GROUP KEY, so every
+    member of a group (same domain, same dup-cluster, same user) lands
+    in the same fold — eval leakage via near-duplicate train/test
+    siblings is a split-time bug, not just a dedup-time one (Lee et
+    al. 2022 measure the inflation). Fully map-side either way; the
+    ``method`` options match stratified_sample ("xxhash64" cheapest,
+    "md5" engine-portable for the oracle)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    key = F.col(group_col) if group_col else F.col(id_col)
+    if method == "xxhash64":
+        u = (F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(1 << 52))
+             .cast("double") / F.lit(float(1 << 52)))
+    elif method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(":"),
+                               F.lit(str(seed)))),
+                1, 15),
+            16, 10,
+        ).cast("long")
+        u = h.cast("double") / F.lit(float(1 << 60))
+    else:
+        raise ValueError(f"assign_splits: unknown method {method!r}")
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + float(frac)
+        expr = F.when((u >= F.lit(lo)) & (u < F.lit(hi)),
+                      F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_by_duplicate_cluster(df: DataFrame, pairs: DataFrame,
+                               fractions: dict[str, float],
+                               id_col: str = "doc_id", seed: int = 42,
+                               split_col: str = "split",
+                               method: str = "xxhash64") -> DataFrame:
+    """Leakage-safe splitting: near-duplicate documents must not
+    straddle train/test. ``pairs`` is any candidate-pair frame (MinHash
+    LSH, SimHash, embedding near-dup); its connected components become
+    the split groups, every clustered document inherits its component's
+    fold, and unclustered documents hash on their own id — the
+    split-time counterpart of decontamination (which guards against
+    EXTERNAL benchmarks; this guards the split against ITSELF).
+
+    Plan: connected_components (bounded pointer-jumping rounds) + one
+    broadcast-or-shuffled left join of the component labels, then the
+    map-side fold hash on coalesce(component, id)."""
+    from datahub_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    joined = df.join(comp, id_col, "left")         .withColumn("_grp", F.coalesce(F.col("component").cast("string"),
+                                       F.col(id_col).cast("string")))
+    return assign_splits(joined, fractions, id_col=id_col, seed=seed,
+                         split_col=split_col, group_col="_grp",
+                         method=method).drop("component", "_grp")
+
+
 def segment_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", *, delimiter: str | None = None,
                   window: int | None = None) -> DataFrame:

@@ -876,3 +876,55 @@ def test_weighted_sample_properties(spark):
     counts = {r["lang"]: r["n"] for r in
               per.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts and all(v == 5 for v in counts.values()), counts
+
+
+def test_assign_splits_duckdb_parity_and_rules(spark):
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = TX.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7, method="md5").select("doc_id", "split")
+    sql = """
+    SELECT doc_id,
+           CASE WHEN u >= 0.9 AND u < 1.0 THEN 'test'
+                WHEN u >= 0.8 AND u < 0.9 THEN 'val'
+                WHEN u >= 0.0 AND u < 0.8 THEN 'train' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS u
+          FROM documents)
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+
+    # folds are disjoint + exhaustive at sum=1; stable under repartition
+    rows = got.collect()
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    again = {r["doc_id"]: r["split"] for r in TX.assign_splits(
+        docs.repartition(9), {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7, method="md5").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+    # fractions > 1 rejected; sub-1 leaves a null holdout
+    import pytest
+    with pytest.raises(ValueError):
+        TX.assign_splits(docs, {"a": 0.7, "b": 0.4})
+    hold = TX.assign_splits(docs, {"train": 0.5}, seed=7)
+    assert hold.filter("split IS NULL").count() > 0
+
+
+def test_split_by_duplicate_cluster_no_leakage(spark):
+    # 0-1-2 chained near-dups + 3-4 pair + 5,6 singletons: every
+    # cluster must land whole in one fold, for any seed
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(7)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long")
+    for seed in (1, 2, 3):
+        out = TX.split_by_duplicate_cluster(
+            docs, pairs, {"train": 0.5, "test": 0.5}, seed=seed)
+        folds = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(folds) == 7
+        assert folds[0] == folds[1] == folds[2], folds
+        assert folds[3] == folds[4], folds
