@@ -265,6 +265,48 @@ def main() -> None:
     assert n_groups_kept == n_groups, n_groups_kept
     assert n_kept < n_vecs, n_kept
 
+    # PQ at 1M vectors (r8): train m=8/ksub=128 codebooks (one Lloyd
+    # round = 2 corpus passes), encode to 8 BYTES/vector (32x under
+    # float32), ADC-probe 8 queries over the full million. Exactness
+    # invariant: the probe's top-1 score must equal the driver-side
+    # numpy ADC score of the query's own nearest-by-construction
+    # sibling (same group, shared codes put it in the argmax set).
+    from datahub_spark.operators import similarity as SIM2
+    import numpy as _np
+
+    t0 = time.monotonic()
+    books = SIM2.train_pq(vecs, m=8, ksub=128, lloyd_rounds=1, dim=64)
+    codes = SIM2.encode_pq(vecs, books).localCheckpoint(eager=True)
+    timings["pq_train_encode_1m"] = round(time.monotonic() - t0, 2)
+    qs = vecs.filter(F.col("vec_id") < 8)
+    t0 = time.monotonic()
+    top = SIM2.ann_pq_adc(qs, codes, books, k=5).collect()
+    timings["pq_adc_probe_1m"] = round(time.monotonic() - t0, 2)
+    b = _np.array(books, dtype=_np.int64)
+    top1 = {r["query_id"]: (r["neighbor_id"], r["score_fp"])
+            for r in top if r["rank"] == 1}
+    need = [int(n) for n, _ in top1.values()] + \
+        [qid + n_groups for qid in range(8)]
+    crows = {r["vec_id"]: list(r["codes"]) for r in codes.filter(
+        F.col("vec_id").isin(need)).collect()}
+    qfx = {r["vec_id"]: _np.round(
+        _np.array(r["embedding"], dtype=_np.float32)
+        .astype(_np.float64) * 1e7).astype(_np.int64)
+           for r in qs.collect()}
+
+    def adc_ref(qid, nid):
+        return sum(int(qfx[qid][s * 8:(s + 1) * 8] @ b[s][crows[nid][s]])
+                   for s in range(8))
+
+    for qid in range(8):
+        nid, s_top = top1[qid]
+        # distributed ADC == driver numpy ADC, bit-for-bit, at 1M rows
+        assert s_top == adc_ref(qid, int(nid)), (qid, nid)
+        # a same-group sibling can never beat the reported maximum
+        assert s_top >= adc_ref(qid, qid + n_groups), qid
+    n_code_rows = codes.count()
+    assert n_code_rows == n_vecs, n_code_rows
+
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
                  "dup_cluster_keepers": n_keepers,
@@ -276,7 +318,8 @@ def main() -> None:
                  "classifier_kept": int(crow["kept"]),
                  "semantic_kept": int(n_kept),
                  "semantic_max_cluster": int(cstats["cmax"]),
-                 "semantic_pair_probe_total": int(cstats["pairs"])},
+                 "semantic_pair_probe_total": int(cstats["pairs"]),
+                 "pq_code_rows": int(n_code_rows)},
         "sec": timings,
         "n_versions": n_versions,
         "n_docs": n_docs,
