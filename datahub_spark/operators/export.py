@@ -70,3 +70,73 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  n_tok.cast("long").alias("n_tokens"))
             .orderBy("shard"))
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   id_col: str = "doc_id",
+                   count_col: str | None = None,
+                   text_col: str = "text",
+                   partitions: int | None = None) -> DataFrame:
+    """Sequence-packing manifest: lay the corpus out as ONE virtual
+    token stream (documents in ascending-id order) and cut it every
+    ``max_tokens`` — the GPT-style packing that trains on fixed-length
+    sequences with zero padding, documents straddling cuts by design
+    (Brown et al. 2020 appendix B; the loader masks cross-doc attention
+    if it wants to). Returns one row per (document, sequence) piece:
+
+      (doc_id, seq_id, doc_from, doc_to, seq_off)
+
+    — tokens [doc_from, doc_to) of the document land in sequence
+    ``seq_id`` at offset ``seq_off``; every sequence except the last is
+    exactly full by construction. Token counts come from ``count_col``
+    (e.g. real BPE counts via bpe.token_counts) or default to the
+    whitespace proxy; zero/negative-count documents are skipped.
+
+    Scale shape — a global running sum WITHOUT a global sort shuffle:
+    range-repartition by id (ordered, non-overlapping ranges), cumsum
+    inside each partition via one keyed window, then per-partition
+    totals (a bounded #partitions-row model table) collect into prefix
+    offsets that broadcast-join back. The result is invariant to WHERE
+    the range boundaries land, so sampling nondeterminism in the range
+    partitioner cannot change the packing. The straddle explode emits
+    ceil(n/max_tokens)+1 rows per document at most."""
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences: max_tokens must be > 0")
+    n = (F.col(count_col).cast("long") if count_col
+         else token_count_whitespace(F.col(text_col)).cast("long"))
+    base = df.select(F.col(id_col), n.alias("_n")).filter(F.col("_n") > 0)
+    if partitions:
+        base = base.repartitionByRange(partitions, F.col(id_col))
+    else:
+        base = base.repartitionByRange(F.col(id_col))
+    from pyspark.sql import Window
+
+    keyed = base.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = keyed.withColumn("_cum", F.sum("_n").over(w))
+    totals = sorted(
+        local.groupBy("_pid").agg(F.max("_cum").alias("t")).collect(),
+        key=lambda r: r["_pid"])
+    prefix, acc = [], 0
+    for r in totals:
+        prefix.append((r["_pid"], acc))
+        acc += r["t"]
+    spark = df.sparkSession
+    pre = spark.createDataFrame(prefix or [(0, 0)], "_pid int, _off long")
+    C = int(max_tokens)
+    g = (local.join(F.broadcast(pre), "_pid")
+         .withColumn("_s", F.col("_off") + F.col("_cum") - F.col("_n")))
+    seq = F.explode(F.sequence(
+        F.expr("_s div " + str(C)),
+        F.expr(f"(_s + _n - 1) div {C}"))).alias("seq_id")
+    out = g.select(F.col(id_col), "_s", "_n", seq)
+    lo = F.greatest(F.col("_s"), F.col("seq_id") * C)
+    hi = F.least(F.col("_s") + F.col("_n"), (F.col("seq_id") + 1) * C)
+    return out.select(
+        id_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("_s")).cast("long").alias("doc_from"),
+        (hi - F.col("_s")).cast("long").alias("doc_to"),
+        (lo - F.col("seq_id") * C).cast("long").alias("seq_off"),
+    )

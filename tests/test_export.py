@@ -71,3 +71,74 @@ def test_export_shards_every_doc_exactly_once(spark, tmp_path):
     per = written.groupBy("doc_id").agg(
         F.countDistinct("shard").alias("n")).filter("n > 1").count()
     assert per == 0
+
+
+def test_pack_sequences_duckdb_parity(spark):
+    """Packing manifest equals a single-window SQL formulation (global
+    cumsum ORDER BY doc_id) — proving the two-phase distributed cumsum
+    is exactly the sequential one."""
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    C = 1000
+    got = EX.pack_sequences(docs, C, count_col="n_chars", partitions=7)
+    sql = f"""
+    WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n
+               FROM documents WHERE n_chars > 0),
+    g AS (SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM c),
+    e AS (SELECT doc_id, n, s,
+                 unnest(range(CAST(s // {C} AS BIGINT),
+                              CAST((s + n - 1) // {C} + 1 AS BIGINT))) AS seq
+          FROM g)
+    SELECT doc_id, CAST(seq AS BIGINT) AS seq_id,
+           CAST(GREATEST(s, seq*{C}) - s AS BIGINT) AS doc_from,
+           CAST(LEAST(s + n, (seq+1)*{C}) - s AS BIGINT) AS doc_to,
+           CAST(GREATEST(s, seq*{C}) - seq*{C} AS BIGINT) AS seq_off
+    FROM e
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 250) for i in range(200)], "doc_id long, n long")
+    C = 128
+    out = EX.pack_sequences(docs, C, count_col="n", partitions=5).collect()
+    total = sum(1 + (i * 37) % 250 for i in range(200))
+    # every sequence except the last is exactly full; pieces tile each
+    # sequence contiguously from offset 0; all doc tokens are covered
+    per_seq = {}
+    per_doc = {}
+    for r in out:
+        per_seq.setdefault(r["seq_id"], []).append(r)
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 < r["doc_to"] - r["doc_from"] <= C
+    last = max(per_seq)
+    for sid, pieces in per_seq.items():
+        pieces.sort(key=lambda r: r["seq_off"])
+        covered = sum(p["doc_to"] - p["doc_from"] for p in pieces)
+        assert pieces[0]["seq_off"] == 0
+        for a, b in zip(pieces, pieces[1:]):
+            assert a["seq_off"] + a["doc_to"] - a["doc_from"] == b["seq_off"]
+        assert covered == (C if sid != last else total - last * C), sid
+    for did, pieces in per_doc.items():
+        pieces.sort(key=lambda r: r["doc_from"])
+        assert pieces[0]["doc_from"] == 0
+        n = 1 + (did * 37) % 250
+        assert pieces[-1]["doc_to"] == n
+        for a, b in zip(pieces, pieces[1:]):
+            assert a["doc_to"] == b["doc_from"]
+
+    # invariant to the partition count (the range-boundary independence)
+    again = sorted(map(tuple, EX.pack_sequences(
+        docs, C, count_col="n", partitions=2).collect()))
+    assert again == sorted(map(tuple, out))
+
+    # zero-count docs are skipped; bad capacity rejected
+    import pytest
+    with pytest.raises(ValueError):
+        EX.pack_sequences(docs, 0, count_col="n")
