@@ -226,3 +226,58 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             seed=seed)
         note("token_budget")
     return (cur, counts) if with_counts else cur
+
+
+def prepare_training_data(df: DataFrame, out_dir: str, *,
+                          clean: dict | None = None,
+                          splits: dict[str, float] | None = None,
+                          dup_pairs: DataFrame | None = None,
+                          max_tokens: int | None = None,
+                          count_col: str | None = None,
+                          n_shards: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          seed: int = 42):
+    """The whole pipeline, corpus in -> training artifacts out:
+
+      1. clean_corpus (all its stages, pass-through config),
+      2. leakage-safe train/val/test fold assignment — when
+         ``dup_pairs`` is given (any candidate-pair frame), duplicate
+         clusters travel whole via split_by_duplicate_cluster,
+      3. per-fold reproducible shard export under
+         ``out_dir/<fold>/shard=K/``,
+      4. optionally a sequence-packing manifest for the TRAIN fold at
+         ``out_dir/pack_manifest`` (``max_tokens`` set; ``count_col``
+         carries real tokenizer counts, e.g. bpe.token_counts output
+         joined on, else the whitespace proxy).
+
+    Returns ``{"folds": {name: shard-manifest DataFrame}, "packing":
+    manifest-DataFrame-or-None, "out_dir": out_dir}``. Every stage is
+    the already-tested operator; this function owns only the
+    composition, like clean_corpus itself (its model: one lazy plan per
+    fold, writes are the only actions)."""
+    from datahub_spark.operators import export as EX
+
+    cur = clean_corpus(df, text_col=text_col, id_col=id_col, seed=seed,
+                       **(clean or {}))
+    fr = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if dup_pairs is not None:
+        folded = TX.split_by_duplicate_cluster(
+            cur, dup_pairs, fr, id_col=id_col, seed=seed)
+    else:
+        folded = TX.assign_splits(cur, fr, id_col=id_col, seed=seed)
+    manifests = {}
+    for fold in fr:
+        part = folded.filter(F.col("split") == fold).drop("split")
+        manifests[fold] = EX.export_shards(
+            part, f"{out_dir}/{fold}", n_shards,
+            id_col=id_col, text_col=text_col, seed=seed,
+            token_count_col=count_col)
+    packing = None
+    if max_tokens is not None:
+        train = folded.filter(F.col("split") == "train")
+        packing = EX.pack_sequences(train, max_tokens, id_col=id_col,
+                                    count_col=count_col, text_col=text_col)
+        packing.write.mode("overwrite").parquet(f"{out_dir}/pack_manifest")
+        packing = df.sparkSession.read.parquet(f"{out_dir}/pack_manifest")
+    return {"folds": manifests, "packing": packing, "out_dir": out_dir}

@@ -214,3 +214,62 @@ def test_clean_corpus_classifier_stage(spark):
     model = CL.train_quality_classifier(pos, neg, vocab_size=2000)
     again = P.clean_corpus(docs, classifier={"model": model})
     assert again.count() == counts["classifier"]
+
+
+def test_prepare_training_data_end_to_end(spark, tmp_path):
+    """Corpus in -> cleaned, leakage-safe folds, shards on disk, pack
+    manifest — the full prepare path on the real documents table."""
+    import os
+    from datahub_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # near-dup pairs from the real LSH path drive the leakage guard
+    sig = DD.minhash_signature(docs, k=6, n=3)
+    pairs = DD.lsh_candidates(sig, bands=2, rows_per_band=3)
+    out = str(tmp_path / "train_data")
+    res = P.prepare_training_data(
+        docs, out,
+        clean={"quality_floor_centi": 1000},
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        dup_pairs=pairs,
+        max_tokens=512,
+        n_shards=3,
+        seed=11,
+    )
+    # every fold written with 3 shard dirs; folds are disjoint and
+    # cover the cleaned corpus
+    fold_ids = {}
+    for fold in ("train", "val", "test"):
+        assert any(e.startswith("shard=")
+                   for e in os.listdir(f"{out}/{fold}"))
+        man = {r["shard"]: r["n_docs"] for r in res["folds"][fold].collect()}
+        back = spark.read.parquet(f"{out}/{fold}")
+        assert back.count() == sum(man.values())
+        fold_ids[fold] = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert not (fold_ids["train"] & fold_ids["val"])
+    assert not (fold_ids["train"] & fold_ids["test"])
+    cleaned = P.clean_corpus(docs, quality_floor_centi=1000)
+    assert sum(len(v) for v in fold_ids.values()) == cleaned.count()
+
+    # leakage guard: both ends of every dup pair (that survived
+    # cleaning) sit in the same fold
+    alive = fold_ids["train"] | fold_ids["val"] | fold_ids["test"]
+    def fold_of(i):
+        return next(f for f, s in fold_ids.items() if i in s)
+    leaked = [
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+        if r["id_a"] in alive and r["id_b"] in alive
+        and fold_of(r["id_a"]) != fold_of(r["id_b"])]
+    assert not leaked, leaked
+
+    # pack manifest: covers exactly the train fold's whitespace tokens
+    pk = res["packing"]
+    assert pk is not None
+    assert {r["doc_id"] for r in pk.select("doc_id").distinct().collect()} \
+        <= fold_ids["train"]
+    covered = pk.agg(F.sum(F.col("doc_to") - F.col("doc_from"))).collect()[0][0]
+    from datahub_spark.operators.text import token_count_whitespace
+    want = (spark.read.parquet(f"{out}/train")
+            .agg(F.sum(token_count_whitespace(F.col("text")))).collect()[0][0])
+    assert covered == want
