@@ -1,0 +1,128 @@
+"""Temporal operators: as-of join and time-bucket rollups.
+
+The as-of join ("latest right row at or before each left row's time")
+is the canonical operator Spark's join vocabulary lacks — the
+entity-enrichment twin of the store's point-in-time view (store.py
+as_of), generalized to any keyed, timestamped frame: enrich events
+with the profile/price/config that was current WHEN the event
+happened.
+
+Scale design — the union + carry-forward shape, NOT a range join:
+a naive formulation (`l JOIN r ON key AND r.ts <= l.ts` + max-per-row)
+explodes to |matches| rows per left row before pruning; a per-key
+sort-merge with an interval condition is not an equi-join and falls
+off Spark's hash paths. Instead both sides union into one stream
+tagged by side, ONE keyed shuffle sorts each key's timeline once, and
+a running `last(right_value, ignorenulls)` window carries the most
+recent right row onto every left row — cost is one shuffle + one
+window over |L| + |R| rows, independent of match fan-out. This is the
+standard distributed as-of reformulation (kdb/Flink temporal joins use
+the same timeline merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance: str | None = None) -> DataFrame:
+    """For every left row, attach the right row with the same key and
+    the greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``,
+    inclusive) or the least ``right_ts`` >= ``left_ts`` ("forward").
+    Unmatched left rows keep nulls. ``value_cols`` defaults to every
+    right column except the keys and timestamp; the matched timestamp
+    is returned as ``_asof_ts``.
+
+    ``tolerance`` bounds the staleness of a match as a SQL expression
+    appended to the matched timestamp: a backward match survives only
+    if ``left_ts <= _asof_ts + tolerance`` (e.g. ``"INTERVAL 1 HOUR"``
+    for timestamps, ``"3600"`` for numeric epochs); forward matches
+    mirror it.
+
+    Deterministic ties: several right rows on the same (key, ts)
+    resolve to the greatest value struct (the timeline orders right
+    rows by their values last, and the carry-forward keeps the last
+    seen). Right rows never multiply left rows — the output has
+    exactly one row per left row."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    vcols = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_ts]
+    rv = F.struct(F.col(right_ts).alias("_asof_ts"),
+                  *[F.col(c) for c in vcols])
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        rv.alias("_rv"),
+        F.lit(None).cast(
+            left.select(lrow.alias("x")).schema["x"].dataType
+        ).alias("_lrow"),
+    )
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(
+            right.select(rv.alias("x")).schema["x"].dataType
+        ).alias("_rv"),
+        lrow.alias("_lrow"),
+    )
+    u = r_side.unionByName(l_side)
+    order = ([F.col("_t").asc(), F.col("_tag").asc(), F.col("_rv").asc()]
+             if direction == "backward" else
+             [F.col("_t").desc(), F.col("_tag").asc(), F.col("_rv").desc()])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = F.last("_rv", ignorenulls=True).over(w)
+    out = (u.withColumn("_m", carried)
+           .filter(F.col("_tag") == 1))
+    if tolerance is not None:
+        in_tol = (F.col("_t") <= F.col("_m._asof_ts") + F.expr(tolerance)
+                  if direction == "backward" else
+                  F.col("_t") >= F.col("_m._asof_ts") - F.expr(tolerance))
+        out = out.withColumn(
+            "_m", F.when(in_tol, F.col("_m")))
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        F.col("_m._asof_ts").alias("_asof_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in vcols],
+    )
+
+
+_TRUNCS = {"year", "quarter", "month", "week", "day",
+           "hour", "minute", "second"}
+
+
+def rollup_time(df: DataFrame, ts_col: str = "ts", every: str = "hour",
+                group_cols: list[str] | None = None,
+                value_col: str = "value") -> DataFrame:
+    """Time-bucketed rollup (the hypertable continuous-aggregate
+    shape): one date_trunc bucket column + optional group columns ->
+    exact counts and fixed-point value sums per bucket. ONE
+    HashAggregate with map-side partials — the bucket column is
+    map-side, so at 100 TB this is a single keyed shuffle whose key
+    count is bounded by buckets x groups, not rows.
+
+    Money-style doubles sum in cents (exact longs, engine-portable —
+    an IEEE double sum is shuffle-order-dependent in its last ulp);
+    min/max stay exact on doubles."""
+    if every not in _TRUNCS:
+        raise ValueError(f"rollup_time: unsupported bucket {every!r}")
+    groups = [F.date_trunc(every, F.col(ts_col)).alias("bucket")] + [
+        F.col(c) for c in (group_cols or [])]
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    return (df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("value_cents"),
+        F.min(F.col(value_col)).alias("value_min"),
+        F.max(F.col(value_col)).alias("value_max"),
+    ))

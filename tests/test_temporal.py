@@ -1,0 +1,104 @@
+"""As-of join + time rollups: DuckDB parity (native ASOF JOIN as the
+oracle) and deterministic-tie / tolerance / direction semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datahub_spark.operators import temporal as TP
+from tests.oracle import compare
+
+
+def test_asof_join_duckdb_parity_on_events(spark):
+    """Enrich every event with the user's profile score current at the
+    event time — Spark's union/carry-forward == DuckDB's native ASOF
+    JOIN, over the real events table."""
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    # synthetic profile updates: 4 per user, unique (user_id, ts)
+    profiles = (spark.range(200)
+                .select((F.col("id") % 50).alias("user_id"),
+                        F.timestamp_micros(
+                            (F.lit(1704067200000000)
+                             + (F.col("id") / 50).cast("long")
+                             * 86400000000 * 7
+                             + (F.col("id") % 50) * 1000000)
+                        ).alias("ts"),
+                        (F.col("id") * 37 % 1000).alias("score")))
+    got = TP.asof_join(events, profiles, on="user_id",
+                       value_cols=["score"]) \
+        .select("event_id", "_asof_ts", "score")
+    profiles.createOrReplaceTempView("_profiles_tmp")
+    prof_rows = ", ".join(
+        f"({r['user_id']}, TIMESTAMP '{r['ts']}', {r['score']})"
+        for r in profiles.collect())
+    sql = f"""
+    WITH p(user_id, pts, score) AS (VALUES {prof_rows})
+    SELECT e.event_id, p.pts AS _asof_ts, p.score
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.pts
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 4), (2, 7), (3, 9)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (2, 8, "c")], "k long, ts long, v string")
+
+    # backward: greatest right ts <= left ts, equal ts matches;
+    # no right row at all -> nulls; one output row per left row
+    out = {(r["k"], r["ts"]): (r["_asof_ts"], r["v"])
+           for r in TP.asof_join(left, right, on="k").collect()}
+    assert len(out) == 4
+    assert out[(1, 10)] == (10, "b")
+    assert out[(1, 4)] == (None, None)
+    assert out[(2, 7)] == (None, None)
+    assert out[(3, 9)] == (None, None)
+
+    # forward: least right ts >= left ts
+    fwd = {(r["k"], r["ts"]): (r["_asof_ts"], r["v"])
+           for r in TP.asof_join(left, right, on="k",
+                                 direction="forward").collect()}
+    assert fwd[(1, 4)] == (5, "a")
+    assert fwd[(1, 10)] == (10, "b")
+    assert fwd[(2, 7)] == (8, "c")
+    assert fwd[(3, 9)] == (None, None)
+
+    # tolerance: stale matches null out
+    tol = {(r["k"], r["ts"]): r["v"]
+           for r in TP.asof_join(left, right, on="k",
+                                 tolerance="2").collect()}
+    assert tol[(1, 10)] == "b"      # exact-time match survives
+    assert tol[(1, 4)] is None
+
+    # deterministic ties: duplicate right (k, ts) resolves to the
+    # greatest value struct
+    dup = spark.createDataFrame(
+        [(1, 5, "x"), (1, 5, "z"), (1, 5, "y")], "k long, ts long, v string")
+    got = TP.asof_join(left.filter("ts = 10"), dup, on="k").collect()
+    assert got[0]["v"] == "z"
+
+    # right rows never multiply left rows
+    assert TP.asof_join(left, dup, on="k").count() == left.count()
+
+
+def test_rollup_time_duckdb_parity(spark):
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    got = TP.rollup_time(events, "ts", "day", ["event_type"])
+    sql = """
+    SELECT date_trunc('day', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events GROUP BY 1, 2
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+
+    import pytest
+    with pytest.raises(ValueError):
+        TP.rollup_time(events, "ts", "fortnight")
