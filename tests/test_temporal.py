@@ -102,3 +102,43 @@ def test_rollup_time_duckdb_parity(spark):
     import pytest
     with pytest.raises(ValueError):
         TP.rollup_time(events, "ts", "fortnight")
+
+
+def test_range_join_duckdb_parity_and_plan(spark):
+    """Binned range join == DuckDB's BETWEEN join over the events
+    table; the plan contains no cartesian/nested-loop node."""
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    tiers = spark.createDataFrame(
+        [("purchase", 0.0, 50.0, "small"),
+         ("purchase", 50.0, 150.0, "mid"),
+         ("purchase", 150.0, 1e6, "large"),
+         ("error", 100.0, 200.0, "bad")],
+        "event_type string, lo double, hi double, tier string")
+    got = TP.range_join(events, tiers, "value", on="event_type",
+                        bin_width=100.0) \
+        .select("event_id", "tier")
+    tier_rows = ", ".join(
+        f"('{r['event_type']}', {r['lo']}, {r['hi']}, '{r['tier']}')"
+        for r in tiers.collect())
+    sql = f"""
+    WITH t(event_type, lo, hi, tier) AS (VALUES {tier_rows})
+    SELECT e.event_id, t.tier
+    FROM events e JOIN t ON e.event_type = t.event_type
+                        AND e.value BETWEEN t.lo AND t.hi
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+    # boundary inclusivity + exactly-once per qualifying pair
+    pts = spark.createDataFrame([(1, 50.0, "purchase")],
+                                "event_id long, value double, event_type string")
+    hits = TP.range_join(pts, tiers, "value", on="event_type",
+                         bin_width=10.0).collect()
+    assert sorted(r["tier"] for r in hits) == ["mid", "small"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        TP.range_join(pts, tiers, "value", bin_width=0)
