@@ -902,3 +902,40 @@ def ann_pq_adc(queries: DataFrame, codes: DataFrame, books: list,
     return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "score_fp"))
+
+
+def ann_two_stage(spark, path: str, queries: DataFrame,
+                  corpus: DataFrame, k: int = 5, rerank_factor: int = 4,
+                  n_probe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval — the production ANN shape (FAISS/ScaNN):
+    a cheap COARSE pass over the compressed persisted index
+    (ann_ivf_probe: partition-pruned IVF, int8 or PQ codes) shortlists
+    ``k * rerank_factor`` candidates per query, then an exact
+    fixed-point RERANK scores only the shortlist against the
+    full-precision vectors. The corpus is touched twice but both
+    passes are narrow: the coarse pass reads n_probe clusters of
+    codes, the rerank semi-joins the shortlist ids against the vector
+    table (an equi-join that prunes to nq * k * rerank_factor rows) —
+    never a broadcast of the corpus or a crossJoin.
+
+    Larger ``rerank_factor`` trades coarse-pass recall for rerank
+    cost; the exact scores guarantee the FINAL ranking of whatever the
+    shortlist contains is the true one (ranking invariance pinned in
+    test_ann.py)."""
+    short = ann_ivf_probe(spark, path, queries, k=k * rerank_factor,
+                          n_probe=n_probe, id_col=id_col,
+                          vec_col=vec_col) \
+        .select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       fixed_vec(F.col(vec_col)).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      fixed_vec(F.col(vec_col)).alias("_cv"))
+    scored = (short.join(c, "neighbor_id").join(q, "query_id")
+              .select("query_id", "neighbor_id",
+                      dot_long(F.col("_qv"), F.col("_cv")).alias("dot_fp")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fp").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "dot_fp"))

@@ -164,3 +164,34 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
         (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) <= F.col(hi_col)))
     return joined.drop("_bin")
+
+
+def sessionize(df: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap: str = "INTERVAL 30 MINUTE",
+               session_col: str = "session_id") -> DataFrame:
+    """Batch sessionization — the historical twin of
+    streaming.sessionize's state-store windows: events of a key belong
+    to one session while consecutive gaps stay <= ``gap`` (SQL interval
+    for timestamps, or a numeric-literal string for epoch longs). The
+    session id is ``<key>#<epoch-or-value of the session's first
+    event>`` — deterministic, stable under reprocessing, and identical
+    to what the streaming operator would have assigned.
+
+    Plan: ONE keyed shuffle (window by key ordered by ts) computing the
+    lag gap and a running sum of session-start flags — no self-join, no
+    explode; cost linear in events."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = (prev.isNull()
+                   | (F.col(ts_col) > prev + F.expr(gap))).cast("long")
+    wsum = (Window.partitionBy(key_col).orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seq = F.sum(new_session).over(wsum)
+    start = F.first(F.col(ts_col)).over(
+        Window.partitionBy(key_col, seq).orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_seq", seq)
+            .withColumn(session_col,
+                        F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                                 start.cast("string")))
+            .drop("_seq"))

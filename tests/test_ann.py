@@ -415,3 +415,29 @@ def test_pq_ivf_index_full_probe_equals_adc(spark, tmp_path):
     allsc = {(r["query_id"], r["neighbor_id"]): r["score_fp"] for r in full}
     for r in pruned.collect():
         assert allsc[(r["query_id"], r["neighbor_id"])] == r["dot_fp"]
+
+
+def test_two_stage_retrieval_exact_rerank(spark, tmp_path):
+    """Coarse PQ shortlist + exact rerank: with a full probe and a
+    shortlist covering the corpus, two-stage == brute force exactly;
+    at tighter budgets every returned score is still the EXACT dot
+    (rerank guarantees score truth regardless of shortlist quality)."""
+    df, v = _emb(spark, n=60, dim=8, seed=17)
+    path = str(tmp_path / "idx")
+    SIM.save_ivf_index(df, path, n_clusters=4, dim=8, pq_m=4, pq_ksub=8)
+    qs = df.filter("vec_id < 4")
+
+    full = SIM.ann_two_stage(spark, path, qs, df, k=5,
+                             rerank_factor=12, n_probe=4)
+    exact = SIM.ann_bruteforce(qs, df, k=5)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, exact.collect()))
+
+    tight = SIM.ann_two_stage(spark, path, qs, df, k=5,
+                              rerank_factor=2, n_probe=2)
+    truth = {(r["query_id"], r["neighbor_id"]): r["dot_fp"]
+             for r in SIM.ann_bruteforce(qs, df, k=60).collect()}
+    rows = tight.collect()
+    assert rows
+    for r in rows:
+        assert truth[(r["query_id"], r["neighbor_id"])] == r["dot_fp"]

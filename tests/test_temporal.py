@@ -142,3 +142,41 @@ def test_range_join_duckdb_parity_and_plan(spark):
     import pytest
     with pytest.raises(ValueError):
         TP.range_join(pts, tiers, "value", bin_width=0)
+
+
+def test_sessionize_batch_duckdb_parity(spark):
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    got = TP.sessionize(events, gap="INTERVAL 30 MINUTE") \
+        .select("event_id", "session_id")
+    sql = """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT event_id, user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS seq
+      FROM g
+    )
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) || '#' ||
+           CAST(MIN(ts) OVER (PARTITION BY user_id, seq) AS VARCHAR)
+           AS session_id
+    FROM s
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+
+    # gap semantics on a synthetic long: 3 events, gap 10 -> the third
+    # (delta 11) starts a new session
+    df = spark.createDataFrame(
+        [(1, 0), (1, 10), (1, 21), (2, 5)], "user_id long, ts long")
+    out = {(r["user_id"], r["ts"]): r["session_id"]
+           for r in TP.sessionize(df, gap="10").collect()}
+    assert out[(1, 0)] == out[(1, 10)] == "1#0"
+    assert out[(1, 21)] == "1#21"
+    assert out[(2, 5)] == "2#5"
