@@ -1,0 +1,91 @@
+"""Graph analytics over edge frames: deterministic PageRank.
+
+Web-corpus curation ranks domains by link-graph centrality (the
+Common-Crawl-style domain ranking used to weight or floor crawl
+sources); the store's ``refs`` maps and the dedup candidate graphs
+produce the same (src, dst) edge shape. PySpark has no GraphX binding,
+so this is the DataFrame re-expression: each iteration is one
+equi-join (ranks onto edge sources) + one HashAggregate (contributions
+per destination) + one left join back onto the node set — all keyed
+shuffles, no collect, no driver-side graph.
+
+Exactness discipline (matches the rest of the repo): ranks are
+fixed-point e9 LONGS, contributions use integer division, and the
+damping multiply is ``(85 * s) div 100`` — bit-identical across
+engines and shuffle schedules, so the DuckDB oracle (unrolled CTEs)
+hash-matches instead of agreeing "to within float noise".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_ONE = 1_000_000_000  # fixed-point 1.0
+_BASE = 150_000_000       # (1 - d) with d = 0.85
+
+
+def pagerank(edges: DataFrame, rounds: int = 3,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank with damping 0.85 over a directed edge frame; returns
+    ``(id, rank_e9)`` for every node appearing as source or
+    destination. Uses the "1.0 per node" convention (ranks sum to ~N,
+    not 1): init rank_e9 = 1e9, then per round
+
+        rank(v) = 0.15 + 0.85 * sum over in-edges (u, v) of
+                  rank(u) div out_degree(u)
+
+    in exact integer arithmetic. Parallel edges contribute once each
+    (pass a pre-deduped frame for simple-graph semantics); dangling
+    nodes keep contributing nothing (their mass decays, the standard
+    non-normalizing treatment). Fixed ``rounds``: each is one
+    rank-onto-src equi-join + one per-dst HashAggregate + one left
+    join onto the node set — linear in edges, bounded-round like
+    connected_components."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(deg, "src")
+    ranks = nodes.withColumn("rank_e9", F.lit(RANK_ONE).cast("long"))
+    for _ in range(int(rounds)):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", F.expr("rank_e9 div _d").alias("_c"))
+            .groupBy("dst").agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select("id",
+                    (F.lit(_BASE)
+                     + F.expr("(85 * coalesce(_s, 0L)) div 100"))
+                    .cast("long").alias("rank_e9"))
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(rounds: int = 3,
+                        edges_cte: str = "e") -> str:
+    """DuckDB CTE chain computing exactly pagerank() over a CTE named
+    ``edges_cte`` with (src, dst) columns — Lloyd-style unroll, same
+    integer arithmetic. Returns SQL selecting (id, rank_e9)."""
+    parts = [
+        f"nodes AS (SELECT src AS id FROM {edges_cte} "
+        f"UNION SELECT dst FROM {edges_cte})",
+        f"deg AS (SELECT src, COUNT(*) AS d FROM {edges_cte} GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    cur = "r0"
+    for i in range(int(rounds)):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS id, SUM({cur}.r // deg.d) AS s "
+            f"FROM {edges_cte} e JOIN {cur} ON e.src = {cur}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)")
+        parts.append(
+            f"r{i + 1} AS (SELECT n.id, CAST(150000000 + "
+            f"(85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN s{i} ON n.id = s{i}.id)")
+        cur = f"r{i + 1}"
+    ctes = ",\n    ".join(parts)
+    return f"WITH {ctes}\nSELECT id, r AS rank_e9 FROM {cur}"
