@@ -1,0 +1,153 @@
+"""Full-text retrieval: BM25 scoring over a distributed inverted index.
+
+The text-side counterpart of similarity.py's vector stack: build a
+term -> postings index once, persist it parquet-partitioned by a term
+hash bucket, and answer keyword queries by reading ONLY the query
+terms' buckets (partition pruning — the same "touch 4/256ths of the
+index" story as the IVF probe). Corpus selection pipelines use it to
+pull topic slices ("find the medical docs") and to seed
+quality-classifier positives from keyword sets.
+
+Determinism: BM25 mixes exact integers (tf, df, dl, N) with IEEE
+doubles (the ln in idf). Per-term scores are computed from exact
+integer inputs in a fixed expression; the per-document SUM folds in a
+DETERMINISTIC order (terms sorted, array fold — not a float SUM whose
+shuffle order varies), so scores are bit-identical run to run and to
+the pinned python reference model.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datahub_spark.operators.text import words
+
+
+def build_text_index(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens): postings = (term, doc_id, tf) from ONE
+    explode + HashAggregate; doclens = (doc_id, dl). Normalized
+    tokenization (text.words). Map-side partial counts; no sort."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(words(F.col(text_col))).alias("term")) \
+        .filter(F.col("term") != "")
+    postings = toks.groupBy("term", "doc_id") \
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    doclens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(words(F.col(text_col)), lambda w: w != ""))
+        .cast("long").alias("dl"))
+    return postings, doclens
+
+
+def save_text_index(docs: DataFrame, path: str, buckets: int = 64,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> None:
+    """Persist the inverted index partitioned by a term hash bucket
+    (``pmod(xxhash64(term), buckets)``): a query's scan prunes to its
+    terms' buckets only. Doc lengths + corpus stats land beside it."""
+    postings, doclens = build_text_index(docs, text_col, id_col)
+    (postings
+     .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
+                 .cast("int"))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings"))
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("total_len"))
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _bm25_score(k1: float, b: float, n_docs: int, total_len: int):
+    """Per-(term, doc) BM25 score column from exact integer inputs.
+    The tf normalization is an exact integer rational scaled through
+    by 1000 * total_len (avgdl = total_len / n_docs stays rational):
+      norm = tf*S / (tf*S + k1*S*(1-b) + k1*b*1000*dl*n_docs)
+    with S = 1000 * total_len; idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    One IEEE divide + ln + multiply per posting, same fixed expression
+    everywhere."""
+    S = 1000 * int(total_len)
+    c1 = int(round(k1 * S * (1 - b)))          # k1*(1-b) scaled
+    c2 = int(round(k1 * b * 1000 * n_docs))    # k1*b*N scaled (per dl)
+    num = F.col("tf") * F.lit(S)
+    den = num + F.lit(c1) + F.lit(c2) * F.col("dl")
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    return idf * num.cast("double") / den.cast("double")
+
+
+def bm25_search(spark, path: str, query: list[str], k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                buckets: int = 64) -> DataFrame:
+    """Top-k documents for a bag of query terms against a persisted
+    index. Plan: the postings scan carries a ``bucket IN (...)``
+    PARTITION filter + a pushed ``term IN (...)`` predicate (only the
+    query terms' buckets are opened — pinned in test_retrieval.py);
+    df per term is a tiny broadcast aggregate of the survivors; the
+    per-doc sum folds term scores in sorted-term order (sort_array of
+    structs -> aggregate), so the total is deterministic; final top-k
+    is TakeOrderedAndProject. Ties break on doc_id."""
+    terms = sorted({t for t in (w.strip().lower() for w in query) if t})
+    if not terms:
+        raise ValueError("bm25_search: empty query")
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, total_len = int(st["n_docs"]), int(st["total_len"])
+    tb = sorted({
+        int(r["b"]) for r in spark.createDataFrame(
+            [(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(buckets))
+                .cast("int").alias("b")).collect()})
+    post = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(tb))
+            .filter(F.col("term").isin(terms)))
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl = spark.read.parquet(f"{path}/doclens")
+    scored = (post.join(F.broadcast(df_t), "term").join(dl, "doc_id")
+              .withColumn("_s", _bm25_score(k1, b, n_docs, total_len)))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.aggregate(
+                   F.sort_array(F.collect_list(
+                       F.struct("term", "_s"))),
+                   F.lit(0.0),
+                   lambda acc, x: acc + x["_s"]).alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_terms")))
+    return (per_doc
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k)))
+
+
+def bm25_reference_model(postings_rows, doclens_rows, query, k=10,
+                         k1=1.2, b=0.75):
+    """Driver-side reference: identical arithmetic, identical fold
+    order. postings_rows = [(term, doc_id, tf)], doclens_rows =
+    [(doc_id, dl)]. Returns [(doc_id, score, n_terms)] top-k."""
+    terms = sorted({t for t in (w.strip().lower() for w in query) if t})
+    dls = dict(doclens_rows)
+    n_docs, total_len = len(dls), sum(dls.values())
+    S = 1000 * total_len
+    c1 = round(k1 * S * (1 - b))
+    c2 = round(k1 * b * 1000 * n_docs)
+    df = {}
+    for t, d, tf in postings_rows:
+        if t in terms:
+            df[t] = df.get(t, 0) + 1
+    per_doc: dict = {}
+    for t, d, tf in postings_rows:
+        if t not in terms:
+            continue
+        num = tf * S
+        den = num + c1 + c2 * dls[d]
+        idf = math.log(1.0 + (float(n_docs) - df[t] + 0.5) / (df[t] + 0.5))
+        per_doc.setdefault(d, []).append((t, idf * float(num) / float(den)))
+    out = []
+    for d, pairs in per_doc.items():
+        acc = 0.0
+        for _, s in sorted(pairs):
+            acc = acc + s
+        out.append((d, acc, len(pairs)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]

@@ -1,0 +1,61 @@
+"""BM25 retrieval: reference-model exactness, partition pruning,
+ranking sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datahub_spark.operators import retrieval as RT
+
+
+def test_bm25_matches_reference_model_exactly(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    path = str(tmp_path / "tix")
+    RT.save_text_index(docs, path, buckets=16)
+    query = ["spark", "merge", "window"]
+    got = RT.bm25_search(spark, path, query, k=15, buckets=16).collect()
+
+    postings, doclens = RT.build_text_index(docs)
+    want = RT.bm25_reference_model(
+        [(r["term"], r["doc_id"], r["tf"]) for r in postings.collect()],
+        [(r["doc_id"], r["dl"]) for r in doclens.collect()],
+        query, k=15)
+    assert [(r["doc_id"], r["score"], r["n_terms"]) for r in got] == want
+    assert want and want[0][1] > 0
+
+
+def test_bm25_partition_pruning_and_semantics(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana cherry"),
+         (3, "apple apple apple apple"),
+         (4, "durian elderberry fig grape hazelnut")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    RT.save_text_index(docs, path, buckets=8)
+
+    res = RT.bm25_search(spark, path, ["apple"], k=10, buckets=8)
+    rows = res.collect()
+    # only docs containing the term; higher tf (vs length) ranks first
+    assert [r["doc_id"] for r in rows] == [3, 1]
+
+    # the postings scan prunes to the query terms' buckets
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan and "PartitionFilters: [" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert pf, plan
+
+    # multi-term union + rare-term dominance: 'cherry' (df=1) outweighs
+    # 'apple' (df=2) at equal tf
+    both = RT.bm25_search(spark, path, ["apple", "cherry"], k=10,
+                          buckets=8).collect()
+    assert {r["doc_id"] for r in both} == {1, 2, 3}
+    d2 = next(r for r in both if r["doc_id"] == 2)
+    d1 = next(r for r in both if r["doc_id"] == 1)
+    assert d2["n_terms"] == 1 and d1["n_terms"] == 1
+
+    with pytest.raises(ValueError):
+        RT.bm25_search(spark, path, ["  ", ""], k=5)
