@@ -17,11 +17,18 @@ cannot (r7 re-check, per round-6 review):
   width/height/bpp and exact per-channel means (``decode_bmp_meta``);
   ``resize_bmp`` is a real nearest-neighbour resample that re-encodes
   a valid BMP. ``synthesize_bmp`` writes genuine BMPs for tests.
-* **JPEG/PNG/video codecs** — need PIL/opencv/ffmpeg, none of which
-  exist in this container and nothing may be installed; those paths
-  raise ``NotImplementedError`` naming the absent library. The batch
-  plumbing (schema, Arrow batching, fan-out shape) is shared with the
-  real paths, so swapping a library-backed decoder in is one function.
+* **PNG images** (r8) — REAL decode with stdlib ``zlib`` + ``struct``:
+  CRC-verified chunk walk, IDAT inflate, all five scanline filters
+  unfiltered (None/Sub/Up/Average/Paeth) for the 8-bit truecolor
+  non-interlaced profile; the encoder writes genuine PNGs (None or Sub
+  filtered) so decode round-trips and cross-checks bit-for-bit against
+  the BMP path on identical pixels.
+* **JPEG/video codecs** — genuinely need PIL/opencv/ffmpeg, none of
+  which exist in this container and nothing may be installed; those
+  paths raise ``NotImplementedError`` naming the absent library. The
+  batch plumbing (schema, Arrow batching, fan-out shape) is shared with
+  the real paths, so swapping a library-backed decoder in is one
+  function.
 
 Decode bodies are per-row Python inside ``mapInPandas`` — that is the
 contract for opaque-binary decode (the work is intrinsically
@@ -380,10 +387,18 @@ def _real_feature(mime: str, payload: bytes) -> list[float]:
                 sum(p[0] for r in rows for p in r) / n,
                 sum(p[1] for r in rows for p in r) / n,
                 sum(p[2] for r in rows for p in r) / n]
+    elif mime == "image/png":
+        w, h, depth, rows = _png_decode(payload)
+        n = w * h
+        head = [float(w), float(h), float(depth * 3),
+                sum(p[0] for r in rows for p in r) / n,
+                sum(p[1] for r in rows for p in r) / n,
+                sum(p[2] for r in rows for p in r) / n]
     else:
         raise NotImplementedError(
             f"real decode for {mime!r} needs PIL/opencv/ffmpeg — absent in "
-            "this container; stdlib decoders cover audio/wav and image/bmp")
+            "this container; stdlib decoders cover audio/wav, image/bmp "
+            "and image/png")
     return head + [0.0] * (FEATURE_DIM - len(head))
 
 
@@ -454,3 +469,161 @@ def resize_stub(media: DataFrame, width: int = 224, height: int = 224) -> DataFr
     """Backwards-compatible alias: real resize exists for BMP payloads
     (``resize_bmp``); anything else still gates on the absent libs."""
     return resize_bmp(media, width, height)
+
+
+# --- PNG (real stdlib decode: zlib + struct) --------------------------------
+#
+# r8 re-check of the "PNG needs PIL" gate: it doesn't. PNG's container
+# is chunks + CRC32 (struct/zlib), compression is DEFLATE (zlib), and
+# the only per-pixel work is the five scanline filters — all stdlib.
+# Supported profile: 8-bit truecolor (color type 2), non-interlaced —
+# the profile the encoder writes; palette/alpha/16-bit/Adam7 still
+# raise with the profile named (those are breadth, not a library gap).
+
+import zlib
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _png_encode(width: int, height: int, pixel, filter_type: int = 0) -> bytes:
+    """Real 8-bit truecolor non-interlaced PNG. ``pixel(x, y) ->
+    (r, g, b)``. ``filter_type`` 0 (None) or 1 (Sub) — Sub exists so
+    tests can prove the decoder's unfiltering against a second
+    encoder-side filter, not just the identity one."""
+    if filter_type not in (0, 1):
+        raise ValueError("filter_type must be 0 (None) or 1 (Sub)")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(filter_type)
+        prev = (0, 0, 0)
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            if filter_type == 0:
+                raw += bytes((r, g, b))
+            else:  # Sub: delta vs the pixel to the left
+                raw += bytes(((r - prev[0]) & 0xFF, (g - prev[1]) & 0xFF,
+                              (b - prev[2]) & 0xFF))
+            prev = (r, g, b)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_decode(payload: bytes):
+    """Parse chunks (CRC-verified), inflate IDAT, unfilter every
+    scanline (all five PNG filters: None/Sub/Up/Average/Paeth).
+    Returns (width, height, bit_depth, rows) with rows[y][x] =
+    (r, g, b) top-down."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG profile depth={depth} color={color} interlace={interlace}"
+            " not supported (8-bit truecolor non-interlaced only)")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    rows, prev = [], bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ft == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter {ft} invalid")
+        rows.append([(line[3 * x], line[3 * x + 1], line[3 * x + 2])
+                     for x in range(w)])
+        prev = line
+    return w, h, depth, rows
+
+
+def synthesize_png(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", width: int = 16,
+                   height: int = 12, filter_type: int = 0) -> DataFrame:
+    """Media table whose payloads are REAL PNGs (same deterministic
+    text-derived pixels as synthesize_bmp, so the two formats
+    cross-check)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+
+                def pixel(x, y, d=digest):
+                    i = (y * 31 + x) % len(d)
+                    return d[i], d[(i + 5) % len(d)], d[(i + 11) % len(d)]
+
+                payload = _png_encode(width, height, pixel, filter_type)
+                rows.append((int(doc_id), payload,
+                             {"mime": "image/png", "n_bytes": len(payload),
+                              "width": width, "height": height}))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_png_meta(media: DataFrame) -> DataFrame:
+    """Real PNG decode over Arrow batches (same output schema as
+    decode_bmp_meta, bpp = bit depth x channels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, depth, rows = _png_decode(bytes(payload))
+                n = w * h
+                out.append({"doc_id": int(doc_id), "width": w, "height": h,
+                            "bpp": depth * 3,
+                            "mean_r": sum(p[0] for r in rows for p in r) / n,
+                            "mean_g": sum(p[1] for r in rows for p in r) / n,
+                            "mean_b": sum(p[2] for r in rows for p in r) / n})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=BMP_META_SCHEMA)
