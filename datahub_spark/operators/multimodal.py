@@ -332,26 +332,33 @@ def decode_bmp_meta(media: DataFrame) -> DataFrame:
 
 
 def resize_bmp(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Real image resize (nearest neighbour) producing valid BMP payloads
-    of the target dimensions — decode, resample, re-encode, all stdlib.
-    Non-BMP mimes raise: JPEG/PNG resize needs PIL/opencv (absent)."""
+    """Real image resize (nearest neighbour) producing valid payloads of
+    the target dimensions — decode, resample, re-encode, all stdlib.
+    BMP and PNG (r8) payloads resize for real, staying in their own
+    format; JPEG/video mimes raise (PIL/opencv absent)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                if meta["mime"] != "image/bmp":
+                mime = meta["mime"]
+                if mime == "image/bmp":
+                    sw, sh, _, px = _bmp_decode(bytes(payload))
+                    enc = _bmp_encode
+                elif mime == "image/png":
+                    sw, sh, _, px = _png_decode(bytes(payload))
+                    enc = _png_encode
+                else:
                     raise NotImplementedError(
-                        f"resize for {meta['mime']} needs PIL/opencv, absent "
-                        "in this container; only BMP decodes stdlib-side")
-                sw, sh, _, px = _bmp_decode(bytes(payload))
+                        f"resize for {mime} needs PIL/opencv, absent in "
+                        "this container; BMP and PNG decode stdlib-side")
 
                 def pixel(x, y, px=px, sw=sw, sh=sh):
                     return px[y * sh // height][x * sw // width]
 
-                out = _bmp_encode(width, height, pixel)
+                out = enc(width, height, pixel)
                 rows.append((int(doc_id), out,
-                             {"mime": "image/bmp", "n_bytes": len(out),
+                             {"mime": mime, "n_bytes": len(out),
                               "width": width, "height": height}))
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
 

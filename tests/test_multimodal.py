@@ -227,3 +227,22 @@ def test_png_real_feature_dispatch(spark):
     assert feats[0]["mime"] == "image/png"
     f = feats[0]["feature"]
     assert f[0] == 16.0 and f[1] == 12.0 and f[2] == 24.0
+
+
+def test_resize_png_real(spark):
+    """resize keeps PNG payloads genuine PNGs and equals a driver-side
+    nearest-neighbour resample bit-for-bit."""
+    import datahub_spark.operators.multimodal as MM
+    docs = spark.createDataFrame([(1, "abc"), (2, "xyz")],
+                                 "doc_id long, text string")
+    media = MM.synthesize_png(docs, width=16, height=12)
+    out = {r["doc_id"]: bytes(r["payload"])
+           for r in MM.resize_bmp(media, width=8, height=6).collect()}
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for did, payload in out.items():
+        w, h, _, rows = MM._png_decode(payload)
+        assert (w, h) == (8, 6)
+        sw, sh, _, spx = MM._png_decode(src[did])
+        want = MM._png_encode(
+            8, 6, lambda x, y: spx[y * sh // 6][x * sw // 8])
+        assert payload == want

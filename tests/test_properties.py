@@ -469,3 +469,45 @@ def test_clean_deleted_matches_model(spark, log):
     live = {i for i, t in latest.items() if not t[2]}
     want = {(i, r, s) for (i, r, s, d, v) in log if i in live}
     assert got == want, f"log={log}"
+
+
+# --- asof_join vs a bisect reference model (r8) -----------------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1, max_size=12),
+    st.lists(  # right: (key, ts, value) with unique (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 99)),
+        min_size=0, max_size=12,
+        unique_by=lambda t: (t[0], t[1])),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_asof_join_matches_bisect_model(spark, data):
+    import bisect
+    from datahub_spark.operators.temporal import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "lid long, k long, ts long")
+    right = (spark.createDataFrame(rrows, "k long, ts long, v long")
+             if rrows else
+             spark.createDataFrame([], "k long, ts long, v long"))
+
+    by_key: dict = {}
+    for k, t, v in sorted(rrows):
+        by_key.setdefault(k, []).append((t, v))
+    def model(k, t):
+        tl = by_key.get(k, [])
+        i = bisect.bisect_right([x[0] for x in tl], t)
+        return tl[i - 1] if i else (None, None)
+
+    got = {r["lid"]: (r["_asof_ts"], r["v"])
+           for r in asof_join(left, right, on="k").collect()}
+    assert len(got) == len(lrows)
+    for i, (k, t) in enumerate(lrows):
+        assert got[i] == model(k, t), (i, k, t)
