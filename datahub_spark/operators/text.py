@@ -8,6 +8,7 @@ expressible in DuckDB SQL for the correctness oracle. Hashing uses md5
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1092,3 +1093,37 @@ def domain_stats(df: DataFrame, text_col: str = "text",
             "(20000 * _qs + n_docs) div (2 * n_docs) as mean_quality_e4",
         )
     return ex.groupBy("domain").agg(*aggs)
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      out_col: str | None = None,
+                      form: str = "NFKC",
+                      strip_controls: bool = True) -> DataFrame:
+    """Unicode normalization for crawl text: apply a stdlib
+    ``unicodedata`` normal form (NFKC by default — folds fullwidth
+    forms, ligatures, compatibility variants the way C4/CCNet
+    pipelines do before tokenization) and optionally drop
+    control/format characters (Cc/Cf except tab and newline). Runs as
+    ONE Arrow-batched pandas UDF — the documented slow path, because
+    no Spark built-in exposes normal forms; everything around it stays
+    JVM-side. Deterministic: same stdlib tables on every executor."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+
+    def clean(s: str) -> str:
+        s = unicodedata.normalize(form, s)
+        if strip_controls:
+            s = "".join(
+                ch for ch in s
+                if ch in "\t\n" or unicodedata.category(ch) not in ("Cc", "Cf"))
+        return s
+
+    @pandas_udf("string")
+    def norm(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: clean(s) if s is not None else None)
+
+    return df.withColumn(out_col or text_col, norm(F.col(text_col)))

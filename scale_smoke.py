@@ -62,6 +62,36 @@ def main() -> None:
     n_rel = Q.related(log, starts, "p:parent", inverse=True).count()
     timings["inverse_traversal_1k_starts"] = round(time.monotonic() - t0, 2)
 
+    # temporal operators at volume (r8): 20M events / 500k users
+    # as-of-joined against 2M profile updates, then sessionized.
+    # Events are deterministic (user, ts) pairs; profiles update every
+    # 1000 ticks, so the expected match is computable per event:
+    # _asof_ts = the largest multiple of 1000 <= ts for that user.
+    from datahub_spark.operators import temporal as TP
+
+    n_events = 20_000_000
+    n_users = 500_000
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") * 7919) % 4000).alias("ts"))
+    prof = spark.range(2_000_000).select(
+        (F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") / n_users).cast("long") * 1000).alias("ts"),
+        F.col("id").alias("score"))
+    t0 = time.monotonic()
+    joined = TP.asof_join(ev, prof, on="user_id", value_cols=["score"])
+    bad = joined.filter(
+        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
+    timings["asof_join_20m_events"] = round(time.monotonic() - t0, 2)
+    assert bad == 0, bad
+    t0 = time.monotonic()
+    n_sessions = (TP.sessionize(ev, key_col="user_id", ts_col="ts",
+                                gap="1000")
+                  .select("session_id").distinct().count())
+    timings["sessionize_20m_events"] = round(time.monotonic() - t0, 2)
+    assert n_sessions >= n_users, n_sessions
+
     # the LLM-pipeline hot path at volume: 1M synthetic docs (5 near-dup
     # variants per 200k templates) through shingle -> minhash -> LSH
     # banding -> connected components -> cluster keepers. Generated

@@ -928,3 +928,34 @@ def test_split_by_duplicate_cluster_no_leakage(spark):
         assert len(folds) == 7
         assert folds[0] == folds[1] == folds[2], folds
         assert folds[3] == folds[4], folds
+
+
+def test_normalize_unicode(spark):
+    import unicodedata
+    docs = spark.createDataFrame(
+        [(1, "ﬁ ｆｕｌｌ​ｗｉｄｔｈ ①"),   # ligature, fullwidth, ZWSP
+         (2, "tab\tand\nnewline kept\x07bell dropped"),
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in TX.normalize_unicode(docs).collect()}
+    assert out[1] == "fi fullwidth 1"       # NFKC folds, Cf (ZWSP) dropped
+    assert out[2] == "tab\tand\nnewline keptbell dropped"
+    assert out[3] is None
+
+    # NFC keeps compatibility characters; out_col leaves source intact
+    kept = TX.normalize_unicode(docs, form="NFC", out_col="norm") \
+        .filter("doc_id = 1").collect()[0]
+    assert "ﬁ" in kept["norm"] and kept["text"].startswith("ﬁ")
+
+    import pytest
+    with pytest.raises(ValueError):
+        TX.normalize_unicode(docs, form="NFX")
+
+    # parity with the stdlib model on the documents table (identity on
+    # ASCII corpora is itself the invariant worth pinning)
+    sf = "/root/testdata/sf0.001"
+    real = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    norm = TX.normalize_unicode(real).collect()
+    for r in norm:
+        assert r["text"] == unicodedata.normalize("NFKC", r["text"])
