@@ -308,6 +308,8 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
 
         def fn(it):
             for pdf in it:
+                if not len(pdf):
+                    continue
                 V = np.array(pdf["cv"].tolist(), dtype=np.int64)
                 s = (V @ M.T).astype(np.float64) / mn
                 best = s.argmax(axis=1)
@@ -765,6 +767,8 @@ def _pq_assign_codes(vectors: DataFrame, books: np.ndarray,
 
     def fn(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             V = np.array(pdf["cv"].tolist(), dtype=np.int64)
             codes = np.empty((len(V), m), dtype=np.int8)
             for s in range(m):
@@ -877,6 +881,8 @@ def ann_pq_adc(queries: DataFrame, codes: DataFrame, books: list,
 
     def fn(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             C = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
             nid = pdf["cid"].to_numpy()
             # S : (nq, batch) = sum_s LUT[s][:, code_s]

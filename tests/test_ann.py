@@ -441,3 +441,15 @@ def test_two_stage_retrieval_exact_rerank(spark, tmp_path):
     assert rows
     for r in rows:
         assert truth[(r["query_id"], r["neighbor_id"])] == r["dot_fp"]
+
+
+def test_pq_handles_empty_partitions(spark):
+    """More partitions than rows -> empty Arrow batches flow through
+    every PQ mapInPandas (assignment, encode, ADC probe)."""
+    df, _ = _emb(spark, n=10, dim=8, seed=23)
+    sparse = df.repartition(32)
+    books = SIM.train_pq(sparse, m=2, ksub=4, lloyd_rounds=1, dim=8)
+    codes = SIM.encode_pq(sparse, books).repartition(32)
+    assert codes.count() == 10
+    got = SIM.ann_pq_adc(df.filter("vec_id < 2"), codes, books, k=3)
+    assert got.count() == 6
