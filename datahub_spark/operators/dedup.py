@@ -878,3 +878,27 @@ def filter_novel_bloom(df: DataFrame, words, hashes: int = 7,
     if flag_col is not None:
         return df.withColumn(flag_col, hit)
     return df.filter(~hit)
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                include_unchanged: bool = False) -> DataFrame:
+    """Snapshot diff between two corpus generations by content digest:
+    ``(doc_id, status)`` with status in added / removed / changed (and
+    unchanged when asked). The audit step between incremental builds —
+    what did this crawl/cleaning-config change actually touch? One
+    full-outer equi-join on the id, digests compared map-side; no
+    text shuffles (only id + 32-byte digests move)."""
+    o = old.select(F.col(id_col).alias("id"),
+                   content_digest(F.col(text_col)).alias("_od"))
+    n = new.select(F.col(id_col).alias("id"),
+                   content_digest(F.col(text_col)).alias("_nd"))
+    j = o.join(n, "id", "full_outer")
+    status = (F.when(F.col("_od").isNull(), F.lit("added"))
+              .when(F.col("_nd").isNull(), F.lit("removed"))
+              .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    out = j.select(F.col("id").alias(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -458,3 +458,37 @@ def test_bloom_save_load_roundtrip_and_streaming(spark, tmp_path):
         DD.filter_novel_bloom(stream, words2, hashes=5),
         query_name="bloomq", output_mode="append")
     assert sorted(r["text"] for r in out.collect()) == ["brand new A", "brand new B"]
+
+
+def test_corpus_diff_duckdb_parity(spark):
+    from tests.oracle import compare
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    old = docs.filter("doc_id % 7 != 0")               # some removed
+    new = (docs.filter("doc_id % 5 != 0")              # some added back
+           .withColumn("text", F.when(F.col("doc_id") % 11 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))     # some changed
+    got = DD.corpus_diff(old, new)
+    sql = """
+    WITH o AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+               FROM documents WHERE doc_id % 7 <> 0),
+    n AS (SELECT doc_id, md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+           ), '\\s+', ' ', 'g'))) AS d
+          FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.d <> n.d THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.d <> n.d THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """
+    ok, msg = compare(got, sql, sf)
+    assert ok, msg
+    stats = {r["status"] for r in got.collect()}
+    assert stats == {"added", "removed", "changed"}
