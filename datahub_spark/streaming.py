@@ -90,6 +90,33 @@ def windowed_counts(stream_df: DataFrame, ts_micros_col: str, group_col: str,
     )
 
 
+def windowed_rollup(stream_df: DataFrame, ts_micros_col: str,
+                    group_col: str, value_col: str = "value",
+                    window: str = "1 hour",
+                    watermark: str = "1 hour") -> DataFrame:
+    """The streaming twin of temporal.rollup_time: tumbling event-time
+    windows with a watermark, producing the SAME measure set (count,
+    exact cent sum, min, max) per (window, group) — so a continuous
+    rollup can backfill from the batch operator and keep extending from
+    the live feed with identical semantics. Finalized windows emit once
+    (append mode); state drops past the watermark."""
+    with_ts = stream_df.withColumn(
+        "_ts", F.timestamp_micros(F.col(ts_micros_col)))
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    agg = (
+        with_ts.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("_w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(cents).alias("value_cents"),
+             F.min(F.col(value_col)).alias("value_min"),
+             F.max(F.col(value_col)).alias("value_max"))
+    )
+    return agg.select(
+        F.unix_micros(F.col("_w.start")).alias("window_start"),
+        group_col, "n", "value_cents", "value_min", "value_max",
+    )
+
+
 # output/state schemas for stateful_user_totals
 _TOTALS_OUT = "id long, n_events long, total_cents long"
 _TOTALS_STATE = "n long, cents long"

@@ -511,3 +511,64 @@ def test_asof_join_matches_bisect_model(spark, data):
     assert len(got) == len(lrows)
     for i, (k, t) in enumerate(lrows):
         assert got[i] == model(k, t), (i, k, t)
+
+
+# --- range_join vs a nested-loop model (r8) ---------------------------------
+
+range_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+             min_size=1, max_size=10),          # points: (key, p)
+    st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50),
+                       st.integers(0, 60), st.integers(0, 999)),
+             min_size=0, max_size=8),           # ranges: (key, lo, width, tag)
+    st.sampled_from([1, 3, 7, 25]),             # bin width
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(range_strategy)
+def test_range_join_matches_nested_loop_model(spark, data):
+    from datahub_spark.operators.temporal import range_join
+
+    prows, rraw, bw = data
+    rrows = [(k, lo, lo + wdt, tag) for k, lo, wdt, tag in rraw]
+    points = spark.createDataFrame(
+        [(i, k, p) for i, (k, p) in enumerate(prows)],
+        "pid long, k long, p long")
+    ranges = (spark.createDataFrame(rrows, "k long, lo long, hi long, tag long")
+              if rrows else
+              spark.createDataFrame([], "k long, lo long, hi long, tag long"))
+    got = sorted((r["pid"], r["tag"]) for r in
+                 range_join(points, ranges, "p", on="k",
+                            bin_width=bw).collect())
+    want = sorted(
+        (i, tag)
+        for i, (k, p) in enumerate(prows)
+        for (rk, lo, hi, tag) in rrows
+        if rk == k and lo <= p <= hi)
+    assert got == want
+
+
+# --- pack_sequences vs a sequential model (r8) ------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=25),
+       st.sampled_from([1, 64, 1000]),
+       st.sampled_from([1, 3, 9]))
+def test_pack_sequences_matches_sequential_model(spark, counts, cap, parts):
+    from datahub_spark.operators.export import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(counts)], "doc_id long, n long")
+    got = sorted(map(tuple, pack_sequences(
+        df, cap, count_col="n", partitions=parts).collect()))
+    want, s = [], 0
+    for i, n in enumerate(counts):
+        if n <= 0:
+            continue
+        for seq in range(s // cap, (s + n - 1) // cap + 1):
+            lo, hi = max(s, seq * cap), min(s + n, (seq + 1) * cap)
+            want.append((i, seq, lo - s, hi - s, lo - seq * cap))
+        s += n
+    assert got == sorted(want)

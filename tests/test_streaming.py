@@ -257,3 +257,29 @@ def test_stream_dedup_minhash_suppresses_signature_twins(spark, tmp_path):
     assert 3 in ids and len(ids & {1, 2, 4}) == 1
     # cross-check: the two survivors carry distinct signatures
     assert len({s for _, s in got}) == 2
+
+
+def test_windowed_rollup_matches_batch_rollup(spark, tmp_path):
+    """Streaming rollup == temporal.rollup_time over the same events —
+    the backfill-then-extend contract."""
+    from datahub_spark.operators import temporal as TP
+
+    path = str(tmp_path / "ev_roll")
+    rows = [(i, 3_600_000_000 * (i % 3) + i * 1000, f"t{i % 2}",
+             round(1.5 * i, 2)) for i in range(30)]
+    spark.createDataFrame(
+        rows, "event_id long, us long, event_type string, value double") \
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema)
+    got = ST.run_available_now(
+        ST.windowed_rollup(stream, "us", "event_type", window="1 hour"),
+        output_mode="complete")
+
+    batch = spark.read.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.col("us")))
+    want = TP.rollup_time(batch, "ts", "hour", ["event_type"]) \
+        .select(F.unix_micros("bucket").alias("window_start"),
+                "event_type", "n", "value_cents", "value_min", "value_max")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
