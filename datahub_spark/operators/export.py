@@ -40,7 +40,9 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
 def export_shards(df: DataFrame, path: str, n_shards: int,
                   id_col: str = "doc_id", text_col: str = "text",
                   seed: int = 42,
-                  token_count_col: str | None = None) -> DataFrame:
+                  token_count_col: str | None = None,
+                  order_col: str | None = None,
+                  ascending: bool = True) -> DataFrame:
     """Write the corpus as ``path/shard=K/*.parquet`` in reproducible
     shuffled order and return a manifest DataFrame ``(shard, n_docs,
     n_tokens)`` read back from the written files (the manifest reflects
@@ -51,8 +53,18 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
     skew handling is needed by construction) -> sortWithinPartitions on
     the in-shard hash key (local sort, no extra exchange) ->
     partitionBy(shard) parquet write. Reading shard 0..N-1 in order and
-    each shard top-to-bottom reproduces one fixed global permutation."""
+    each shard top-to-bottom reproduces one fixed global permutation.
+
+    ``order_col`` switches the in-shard order from the hash permutation
+    to that column (curriculum export: easy-to-hard by a quality or
+    perplexity score when ``ascending``, reversed otherwise; each shard
+    spans the full difficulty range since placement stays hash-uniform,
+    so a loader interleaving shards still sees the curriculum)."""
     assigned = assign_shards(df, n_shards, id_col, seed)
+    if order_col is not None:
+        assigned = assigned.withColumn(
+            "sort_key",
+            F.col(order_col) if ascending else -F.col(order_col))
     # the local sort leads with the partition column: FileFormatWriter
     # must cluster rows by partition dirs before writing and would
     # otherwise insert its own (unstable) sort on `shard`, scrambling

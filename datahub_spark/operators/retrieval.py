@@ -151,3 +151,29 @@ def bm25_reference_model(postings_rows, doclens_rows, query, k=10,
         out.append((d, acc, len(pairs)))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[:k]
+
+
+def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Incremental index growth — the BM25 twin of the minhash index's
+    filter_novel(update_index=True): append the NEW batch's postings
+    into the bucket partitions and fold its lengths into doclens and
+    the corpus stats. Only the batch is tokenized; existing postings
+    are never rewritten (append-mode partitioned write). Caller
+    contract: the batch's doc ids are new (dedup upstream), or
+    postings would double-count."""
+    postings, doclens = build_text_index(docs, text_col, id_col)
+    (postings
+     .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
+                 .cast("int"))
+     .repartition("bucket")
+     .write.mode("append").partitionBy("bucket").parquet(f"{path}/postings"))
+    spark = docs.sparkSession
+    merged = spark.read.parquet(f"{path}/doclens").unionByName(doclens)
+    merged.localCheckpoint(eager=True) \
+        .write.mode("overwrite").parquet(f"{path}/doclens")
+    (spark.read.parquet(f"{path}/doclens")
+     .agg(F.count(F.lit(1)).alias("n_docs"),
+          F.sum("dl").alias("total_len"))
+     .write.mode("overwrite").parquet(f"{path}/stats"))

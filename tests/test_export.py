@@ -142,3 +142,30 @@ def test_pack_sequences_invariants(spark):
     import pytest
     with pytest.raises(ValueError):
         EX.pack_sequences(docs, 0, count_col="n")
+
+
+def test_export_shards_curriculum_order(spark, tmp_path):
+    """order_col switches in-shard order to the score column (easy ->
+    hard), preserving hash placement."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float((i * 37) % 100)) for i in range(60)],
+        "doc_id long, text string, difficulty double")
+    path = str(tmp_path / "cur")
+    EX.export_shards(docs, path, 3, order_col="difficulty")
+    back = spark.read.parquet(path)
+    import pyarrow.parquet as pq
+    import glob
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        rows = pq.read_table(d).to_pandas()
+        diffs = list(rows["difficulty"])
+        assert diffs == sorted(diffs), d
+    # placement unchanged vs the hash export (same shard per doc)
+    path2 = str(tmp_path / "hash")
+    EX.export_shards(docs, path2, 3)
+    a = {r["doc_id"]: r["shard"] for r in back.select(
+        "doc_id", F.input_file_name().alias("f")).withColumn(
+        "shard", F.regexp_extract("f", r"shard=(\d+)", 1)).collect()}
+    b = {r["doc_id"]: r["shard"] for r in spark.read.parquet(path2).select(
+        "doc_id", F.input_file_name().alias("f")).withColumn(
+        "shard", F.regexp_extract("f", r"shard=(\d+)", 1)).collect()}
+    assert a == b

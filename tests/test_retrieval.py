@@ -59,3 +59,22 @@ def test_bm25_partition_pruning_and_semantics(spark, tmp_path):
 
     with pytest.raises(ValueError):
         RT.bm25_search(spark, path, ["  ", ""], k=5)
+
+
+def test_update_text_index_equals_full_rebuild(spark, tmp_path):
+    """Index built on half the corpus then updated with the other half
+    answers every query exactly like an index built on the whole."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    a, b = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+
+    inc = str(tmp_path / "inc")
+    RT.save_text_index(a, inc, buckets=8)
+    RT.update_text_index(b, inc, buckets=8)
+    full = str(tmp_path / "full")
+    RT.save_text_index(docs, full, buckets=8)
+
+    for q in (["spark"], ["merge", "window"], ["vector", "slow", "agg"]):
+        gi = RT.bm25_search(spark, inc, q, k=10, buckets=8).collect()
+        gf = RT.bm25_search(spark, full, q, k=10, buckets=8).collect()
+        assert sorted(map(tuple, gi)) == sorted(map(tuple, gf)), q
