@@ -371,7 +371,8 @@ def resize_bmp(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in embed for opaque payloads whose codec has
-    no stdlib decoder (JPEG/PNG/video — PIL/ffmpeg absent here)."""
+    no stdlib decoder (JPEG/video — PIL/ffmpeg absent here; WAV/BMP/PNG
+    have real decoders behind real_decode=True)."""
     acc, feats = 0, []
     for i, b in enumerate(payload[:FEATURE_DIM]):
         acc = (acc * 31 + b) & 0x7FFFFFFF
