@@ -195,3 +195,37 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
                         F.concat(F.col(key_col).cast("string"), F.lit("#"),
                                  start.cast("string")))
             .drop("_seq"))
+
+
+def materialize_rollup(new_events: DataFrame, path: str,
+                       ts_col: str = "ts", every: str = "hour",
+                       group_cols: list[str] | None = None,
+                       value_col: str = "value") -> DataFrame:
+    """Continuous-aggregate maintenance (the hypertable refresh): fold
+    a NEW batch of events into a persisted rollup table without
+    re-reading history. Works because every rollup measure is
+    decomposable — counts and cent-sums add, mins min, maxes max — so
+    the merge is rollup(new) unioned with the stored table and
+    re-aggregated PER BUCKET KEY: cost is |stored buckets| +
+    |new buckets|, never the raw history. Returns the merged frame
+    (also written back to ``path``). First call bootstraps the table.
+
+    At 100 TB of history this is the only viable shape: the raw events
+    are touched exactly once, when they arrive; every refresh after
+    that works on the bounded bucket table."""
+    spark = new_events.sparkSession
+    fresh = rollup_time(new_events, ts_col, every, group_cols, value_col)
+    groups = ["bucket"] + list(group_cols or [])
+    try:
+        old = spark.read.parquet(path)
+        both = old.unionByName(fresh)
+    except Exception:
+        both = fresh
+    merged = (both.groupBy(*groups)
+              .agg(F.sum("n").cast("long").alias("n"),
+                   F.sum("value_cents").cast("long").alias("value_cents"),
+                   F.min("value_min").alias("value_min"),
+                   F.max("value_max").alias("value_max")))
+    merged.localCheckpoint(eager=True) \
+        .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -180,3 +180,29 @@ def test_sessionize_batch_duckdb_parity(spark):
     assert out[(1, 0)] == out[(1, 10)] == "1#0"
     assert out[(1, 21)] == "1#21"
     assert out[(2, 5)] == "2#5"
+
+
+def test_materialize_rollup_incremental_equals_batch(spark, tmp_path):
+    """Two incremental refreshes == one batch rollup over everything —
+    the continuous-aggregate contract; history is never re-read."""
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    a, b = events.filter("event_id % 2 = 0"), events.filter("event_id % 2 = 1")
+    path = str(tmp_path / "rollup")
+    TP.materialize_rollup(a, path, every="day", group_cols=["event_type"])
+    got = TP.materialize_rollup(b, path, every="day",
+                                group_cols=["event_type"])
+    want = TP.rollup_time(events, "ts", "day", ["event_type"])
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_asof_join_composite_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 10)], "k long, sub string, ts long")
+    right = spark.createDataFrame(
+        [(1, "x", 5, "vx"), (1, "y", 7, "vy"), (1, "y", 11, "late")],
+        "k long, sub string, ts long, v string")
+    out = {(r["k"], r["sub"]): r["v"]
+           for r in TP.asof_join(left, right, on=["k", "sub"]).collect()}
+    assert out == {(1, "x"): "vx", (1, "y"): "vy"}
