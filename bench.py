@@ -31,6 +31,7 @@ Headliners (SURVEY.md §6) cover the main plan shapes:
   parts_per_nation    multi-edge broadcast join + aggregate
   js_transform        scripted escape hatch (JS interpreter in
                       mapInPandas, Arrow batch round-trip)
+  asof_enrich         as-of join timeline merge (keyed window carry)
 Each query is forced with a noop write (full execution, no driver
 collect bottleneck); time is wall-clock per query, value = total.
 
@@ -71,6 +72,10 @@ PINNED_MEDIANS = {
     # 150k entities through the bundled JS interpreter inside
     # mapInPandas (~150k entities/s) — the scripted escape-hatch path
     "js_transform": 0.840,
+    # 1M events as-of-enriched with each user's last signup (the
+    # union+carry-forward timeline join) — pinned r8 third session,
+    # n=5 median on the same derived x10 dir
+    "asof_enrich": 1.159,
 }
 # regression budgets = ~2x the pinned medians: wide enough for machine
 # noise (observed min-max spread is ~1.5x), tight enough that a
@@ -83,6 +88,22 @@ HEADLINERS = list(BUDGETS)
 # leg covered only the top-3 plan shapes; the judge asked for full
 # coverage so every decade ratio is evidence, not extrapolation)
 X100_HEADLINERS = HEADLINERS
+
+
+def _q_asof_enrich(spark, sf_dir):
+    """Bench-only headliner (outside the driver's capped 50-key graded
+    window): enrich every event with the user's most recent signup
+    value — temporal.asof_join's tagged-union carry-forward over the
+    full events table."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    su = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value"))
+    return asof_join(ev.select("event_id", "user_id", "ts"), su,
+                     on="user_id", value_cols=["signup_value"])
 
 
 def main() -> None:
@@ -120,10 +141,13 @@ def main() -> None:
 
     from datahub_spark.queries import QUERIES
 
+    queries = dict(QUERIES)
+    queries["asof_enrich"] = _q_asof_enrich
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in HEADLINERS:
-        fn = QUERIES[name]
+        fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
         samples = []
         for _ in range(runs):
@@ -170,6 +194,8 @@ def bench_x100(spark, base_dir: str, x10_timings: dict) -> dict:
     from datahub_spark.derive import ensure_derived
     from datahub_spark.queries import QUERIES
 
+    queries = dict(QUERIES)
+    queries["asof_enrich"] = _q_asof_enrich
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_X100_REPL", "100"))
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_X100_RUNS", "3")))
     t0 = time.monotonic()
@@ -179,7 +205,7 @@ def bench_x100(spark, base_dir: str, x10_timings: dict) -> dict:
 
     timings, spreads = {}, {}
     for name in X100_HEADLINERS:
-        fn = QUERIES[name]
+        fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
