@@ -794,6 +794,31 @@ def filter_novel(new_docs: DataFrame, index_path: str, k: int = 12,
 # ---------------------------------------------------------------------------
 
 
+# capacity guard: the bitmap is a MODEL table that rides to executors
+# whole. 2^33 bits = 1 GiB ≈ 8.6e8 keys at 10 bits/key (~1% FPR at
+# k=7); past that, per-executor memory and broadcast time stop being
+# "free" and the persisted LSH index (filter_novel) — whose corpus
+# state stays partitioned on disk and is probed by a pruned equi-join
+# — is the right tier. Capacity table (10 bits/key, k=7, ~1% FPR):
+#   m_bits 2^27 = 16 MiB  ->  ~1.3e7 keys
+#   m_bits 2^30 = 128 MiB ->  ~1.1e8 keys
+#   m_bits 2^33 = 1 GiB   ->  ~8.6e8 keys   (BLOOM_MAX_BITS)
+BLOOM_MAX_BITS = 1 << 33
+
+
+def _check_bloom_size(m_bits: int, who: str) -> None:
+    if m_bits % 64:
+        raise ValueError(f"{who}: m_bits must be a multiple of 64")
+    if m_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"{who}: m_bits={m_bits} exceeds BLOOM_MAX_BITS="
+            f"{BLOOM_MAX_BITS} (a {m_bits >> 33} GiB-plus bitmap per "
+            "executor). Beyond ~8.6e8 historical keys use the "
+            "persisted LSH index tier (dedup.filter_novel), whose "
+            "state stays partitioned on disk instead of shipping to "
+            "every executor.")
+
+
 def bloom_positions(col: Column, m_bits: int, hashes: int) -> Column:
     """The k bit positions of a document's normalized content digest:
     pmod(xxhash64(normalize(text), seed_i), m). Computed JVM-side in
@@ -811,9 +836,10 @@ def build_bloom(df: DataFrame, m_bits: int = 1 << 20, hashes: int = 7,
     array of length m_bits/64. Plan shape: positions explode -> ONE
     groupBy(word_idx).agg(bit_or) with map-side partial ORs — the
     shuffle carries at most m/64 rows regardless of corpus size — then
-    a bounded collect (the bitmap IS a model table, like centroids)."""
-    if m_bits % 64:
-        raise ValueError("m_bits must be a multiple of 64")
+    a bounded collect (the bitmap IS a model table, like centroids).
+    Sizes past BLOOM_MAX_BITS are rejected (see the capacity table
+    above) — that regime belongs to the LSH index tier."""
+    _check_bloom_size(m_bits, "build_bloom")
     pos = F.explode(bloom_positions(F.col(text_col), m_bits, hashes))
     words = (
         df.select(pos.alias("p"))
@@ -855,23 +881,32 @@ def filter_novel_bloom(df: DataFrame, words, hashes: int = 7,
     """Drop every document whose digest is (probably) already in the
     corpus bitmap. Works identically on batch and STREAMING frames —
     the whole check is map-side (positions in codegen, bit gather in
-    one Arrow-batched UDF over the closure-shipped bitmap), stateless,
-    append-mode safe. No false negatives: a document whose content was
-    folded into the bitmap never survives. ``flag_col`` returns the
-    frame with a boolean instead of filtering (audit mode)."""
+    one Arrow-batched UDF over the bitmap), stateless, append-mode
+    safe. No false negatives: a document whose content was folded into
+    the bitmap never survives. ``flag_col`` returns the frame with a
+    boolean instead of filtering (audit mode).
+
+    The bitmap ships via ``sparkContext.broadcast`` — torrent-
+    distributed ONCE per executor, not serialized into every task
+    closure (at 1 GiB and thousands of task launches the closure path
+    is the difference between one 1 GiB transfer per executor and one
+    per task). Sizes past BLOOM_MAX_BITS are rejected up front."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     W = np.asarray(words, dtype=np.int64)
     m_bits = len(W) * 64
+    _check_bloom_size(m_bits, "filter_novel_bloom")
+    bc = df.sparkSession.sparkContext.broadcast(W)
 
     @pandas_udf("boolean")
     def maybe_member(pos: pd.Series) -> pd.Series:
         if not len(pos):
             return pd.Series([], dtype=bool)
+        Wx = bc.value
         P = np.stack(pos.to_numpy()).astype(np.int64)
-        bits = (W[P >> 6] >> (P & 63)) & 1
+        bits = (Wx[P >> 6] >> (P & 63)) & 1
         return pd.Series(bits.all(axis=1))
 
     hit = maybe_member(bloom_positions(F.col(text_col), m_bits, hashes))

@@ -61,17 +61,23 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
     spans the full difficulty range since placement stays hash-uniform,
     so a loader interleaving shards still sees the curriculum)."""
     assigned = assign_shards(df, n_shards, id_col, seed)
-    if order_col is not None:
-        assigned = assigned.withColumn(
-            "sort_key",
-            F.col(order_col) if ascending else -F.col(order_col))
+    # curriculum order sorts the column directionally instead of
+    # negating it (negation breaks on timestamps/strings and leaked
+    # the negated value into the written sort_key column)
+    okey = (F.col("sort_key").asc() if order_col is None
+            else (F.col(order_col).asc() if ascending
+                  else F.col(order_col).desc()))
     # the local sort leads with the partition column: FileFormatWriter
     # must cluster rows by partition dirs before writing and would
     # otherwise insert its own (unstable) sort on `shard`, scrambling
-    # the in-shard hash order this export promises
+    # the in-shard hash order this export promises; the helper
+    # sort_key is projected away AFTER the sort (a projection keeps
+    # row order and the plan's shard-prefix ordering, so the writer
+    # still skips its own sort)
     (assigned
      .repartition(n_shards, F.col("shard"))
-     .sortWithinPartitions("shard", "sort_key", id_col)
+     .sortWithinPartitions(F.col("shard").asc(), okey, F.col(id_col).asc())
+     .drop("sort_key")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
     written = df.sparkSession.read.parquet(path)
     # tokenized frames (e.g. bpe.encode_bpe_ids output) carry an exact
@@ -126,7 +132,14 @@ def pack_sequences(df: DataFrame, max_tokens: int,
     keyed = base.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(id_col) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = keyed.withColumn("_cum", F.sum("_n").over(w))
+    # materialization barrier: `local` is executed twice (totals
+    # collect below, then the joined frame) and repartitionByRange
+    # SAMPLES its input — a nondeterministic upstream could land rows
+    # in different _pid ranges on the second run, silently shifting
+    # sequences against the collected prefix offsets. Checkpointing
+    # pins ONE partitioning for both reads.
+    local = keyed.withColumn("_cum", F.sum("_n").over(w)) \
+        .localCheckpoint(eager=True)
     totals = sorted(
         local.groupBy("_pid").agg(F.max("_cum").alias("t")).collect(),
         key=lambda r: r["_pid"])

@@ -26,7 +26,10 @@ _BASE = 150_000_000       # (1 - d) with d = 0.85
 
 
 def pagerank(edges: DataFrame, rounds: int = 3,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             checkpoint_every: int = 8,
+             tol_e9: int | None = None,
+             redistribute_dangling: bool = False) -> DataFrame:
     """PageRank with damping 0.85 over a directed edge frame; returns
     ``(id, rank_e9)`` for every node appearing as source or
     destination. Uses the "1.0 per node" convention (ranks sum to ~N,
@@ -36,32 +39,71 @@ def pagerank(edges: DataFrame, rounds: int = 3,
                   rank(u) div out_degree(u)
 
     in exact integer arithmetic. Parallel edges contribute once each
-    (pass a pre-deduped frame for simple-graph semantics); dangling
-    nodes keep contributing nothing (their mass decays, the standard
-    non-normalizing treatment). Fixed ``rounds``: each is one
-    rank-onto-src equi-join + one per-dst HashAggregate + one left
-    join onto the node set — linear in edges, bounded-round like
-    connected_components."""
+    (pass a pre-deduped frame for simple-graph semantics); by default
+    dangling nodes contribute nothing (their mass decays, the
+    non-normalizing treatment the DuckDB oracle unrolls);
+    ``redistribute_dangling=True`` switches to the classical Brin-Page
+    treatment — each round the dangling nodes' pooled mass is shared
+    uniformly, ``rank(v) += 0.85 * (dangling_sum div N)`` in the same
+    integer arithmetic (one 1-value aggregate per round over the
+    bounded rank frame).
+
+    Iteration hygiene (the connected_components dance): each round is
+    one rank-onto-src equi-join + one per-dst HashAggregate + one left
+    join onto the node set — linear in edges — and every
+    ``checkpoint_every`` rounds the rank frame localCheckpoints,
+    truncating the O(rounds)-deep lineage that would otherwise cliff
+    the planner past ~20 rounds. ``tol_e9`` adds an early stop:
+    at each checkpoint the max per-node |delta| since the previous
+    checkpoint is probed (one bounded aggregate; no per-round action)
+    and iteration ends once it is <= ``tol_e9`` (e9 fixed-point
+    units, e.g. 1000 = 1e-6)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
              .distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ed = e.join(deg, "src")
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.withColumn("rank_e9", F.lit(RANK_ONE).cast("long"))
-    for _ in range(int(rounds)):
+    ck = max(1, int(checkpoint_every))
+    prev_ck = None
+    for i in range(int(rounds)):
         contrib = (
             ed.join(ranks.withColumnRenamed("id", "src"), "src")
             .select("dst", F.expr("rank_e9 div _d").alias("_c"))
             .groupBy("dst").agg(F.sum("_c").alias("_s"))
         )
+        if redistribute_dangling:
+            # dangling pool: total rank minus rank held by nodes WITH
+            # out-edges; each node receives dangling div N pre-damping
+            dang = (ranks.join(deg.withColumnRenamed("src", "id"),
+                               "id", "left_anti")
+                    .agg(F.sum("rank_e9")).collect()[0][0]) or 0
+            share = int(dang) // int(n_nodes)
+        else:
+            share = 0
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select("id",
                     (F.lit(_BASE)
-                     + F.expr("(85 * coalesce(_s, 0L)) div 100"))
+                     + F.expr(f"(85 * (coalesce(_s, 0L) + {share})) div 100"))
                     .cast("long").alias("rank_e9"))
         )
+        last = i == int(rounds) - 1
+        if (i + 1) % ck == 0 or last:
+            ranks = ranks.localCheckpoint(eager=True)
+            if tol_e9 is not None and not last:
+                if prev_ck is not None:
+                    delta = (ranks.alias("n")
+                             .join(prev_ck.alias("o"), "id")
+                             .agg(F.max(F.abs(F.col("n.rank_e9")
+                                              - F.col("o.rank_e9"))))
+                             .collect()[0][0])
+                    if delta is not None and delta <= int(tol_e9):
+                        return ranks
+                prev_ck = ranks
     return ranks
 
 

@@ -20,9 +20,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datahub_spark.fsio import parquet_atomic_overwrite
 from datahub_spark.operators.text import words
 
 
@@ -80,6 +81,87 @@ def _bm25_score(k1: float, b: float, n_docs: int, total_len: int):
     return idf * num.cast("double") / den.cast("double")
 
 
+class Bm25Index:
+    """Cached handle over a persisted index — the serving shape. Pays
+    the stats read ONCE at open (the r8 bm25_search paid a stats
+    collect per query), memoizes term->bucket hashes across calls, and
+    scores N queries in ONE pass over ONE pruned postings scan
+    (``search_many``) instead of N scans."""
+
+    def __init__(self, spark, path: str, buckets: int = 64):
+        self.spark, self.path, self.buckets = spark, path, int(buckets)
+        st = spark.read.parquet(f"{path}/stats").collect()[0]
+        self.n_docs, self.total_len = int(st["n_docs"]), int(st["total_len"])
+        self._bucket_of: dict[str, int] = {}
+
+    def _buckets_for(self, terms: list[str]) -> list[int]:
+        """term -> bucket via the SAME xxhash64 the writer used; one
+        bounded Spark job per batch for the not-yet-cached terms."""
+        missing = [t for t in terms if t not in self._bucket_of]
+        if missing:
+            for r in (self.spark.createDataFrame(
+                    [(t,) for t in missing], "term string")
+                    .select("term",
+                            F.pmod(F.xxhash64("term"), F.lit(self.buckets))
+                            .cast("int").alias("b")).collect()):
+                self._bucket_of[r["term"]] = int(r["b"])
+        return sorted({self._bucket_of[t] for t in terms})
+
+    def search(self, query: list[str], k: int = 10,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """Single-query top-k: (doc_id, score, n_terms)."""
+        out = self.search_many({"q": query}, k, k1, b)
+        return out.select("doc_id", "score", "n_terms") \
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+    def search_many(self, queries: dict[str, list[str]], k: int = 10,
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """Top-k per query in ONE pass: (query_id, doc_id, score,
+        n_terms, rank). The postings scan is pruned to the UNION of
+        the queries' buckets/terms (partition filter + pushed IN);
+        per-term df aggregates once over the survivors (df is a term
+        property, so sharing the scan cannot change it); a tiny
+        broadcast (query_id, term) frame fans postings out to the
+        queries that asked for each term; the per-(query, doc) fold
+        runs in sorted-term order exactly like the single-query path,
+        so ``search_many(qs)[q] == search(qs[q])`` bit-for-bit (pinned
+        in test_retrieval.py). Per-query top-k is one rank window over
+        (query_id), ties on doc_id."""
+        norm: dict[str, list[str]] = {}
+        for qid, q in queries.items():
+            terms = sorted({t for t in (w.strip().lower() for w in q) if t})
+            if not terms:
+                raise ValueError(f"bm25: empty query {qid!r}")
+            norm[qid] = terms
+        all_terms = sorted({t for ts in norm.values() for t in ts})
+        tb = self._buckets_for(all_terms)
+        spark = self.spark
+        post = (spark.read.parquet(f"{self.path}/postings")
+                .filter(F.col("bucket").isin(tb))
+                .filter(F.col("term").isin(all_terms)))
+        df_t = post.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"))
+        dl = spark.read.parquet(f"{self.path}/doclens")
+        qt = spark.createDataFrame(
+            [(qid, t) for qid, ts in sorted(norm.items()) for t in ts],
+            "query_id string, term string")
+        scored = (post.join(F.broadcast(df_t), "term")
+                  .join(dl, "doc_id")
+                  .withColumn("_s", _bm25_score(k1, b, self.n_docs,
+                                                self.total_len))
+                  .join(F.broadcast(qt), "term"))
+        per = (scored.groupBy("query_id", "doc_id")
+               .agg(F.aggregate(
+                   F.sort_array(F.collect_list(F.struct("term", "_s"))),
+                   F.lit(0.0),
+                   lambda acc, x: acc + x["_s"]).alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_terms")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (per.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= int(k)))
+
+
 def bm25_search(spark, path: str, query: list[str], k: int = 10,
                 k1: float = 1.2, b: float = 0.75,
                 buckets: int = 64) -> DataFrame:
@@ -90,34 +172,10 @@ def bm25_search(spark, path: str, query: list[str], k: int = 10,
     df per term is a tiny broadcast aggregate of the survivors; the
     per-doc sum folds term scores in sorted-term order (sort_array of
     structs -> aggregate), so the total is deterministic; final top-k
-    is TakeOrderedAndProject. Ties break on doc_id."""
-    terms = sorted({t for t in (w.strip().lower() for w in query) if t})
-    if not terms:
-        raise ValueError("bm25_search: empty query")
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_docs, total_len = int(st["n_docs"]), int(st["total_len"])
-    tb = sorted({
-        int(r["b"]) for r in spark.createDataFrame(
-            [(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(buckets))
-                .cast("int").alias("b")).collect()})
-    post = (spark.read.parquet(f"{path}/postings")
-            .filter(F.col("bucket").isin(tb))
-            .filter(F.col("term").isin(terms)))
-    df_t = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dl = spark.read.parquet(f"{path}/doclens")
-    scored = (post.join(F.broadcast(df_t), "term").join(dl, "doc_id")
-              .withColumn("_s", _bm25_score(k1, b, n_docs, total_len)))
-    per_doc = (scored.groupBy("doc_id")
-               .agg(F.aggregate(
-                   F.sort_array(F.collect_list(
-                       F.struct("term", "_s"))),
-                   F.lit(0.0),
-                   lambda acc, x: acc + x["_s"]).alias("score"),
-                   F.count(F.lit(1)).cast("long").alias("n_terms")))
-    return (per_doc
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(int(k)))
+    is ordered-limit. Ties break on doc_id. One-shot convenience over
+    ``Bm25Index`` — a serving loop should hold the handle instead."""
+    return (Bm25Index(spark, path, buckets)
+            .search(query, k, k1, b).limit(int(k)))
 
 
 def bm25_reference_model(postings_rows, doclens_rows, query, k=10,
@@ -170,9 +228,12 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
      .repartition("bucket")
      .write.mode("append").partitionBy("bucket").parquet(f"{path}/postings"))
     spark = docs.sparkSession
+    # stage + rename swap (fsio): the merge reads the path it
+    # replaces, so the old doclens generation must outlive the write —
+    # and survive a crash mid-way (localCheckpoint pinned the merge in
+    # executor storage, which dies with an executor)
     merged = spark.read.parquet(f"{path}/doclens").unionByName(doclens)
-    merged.localCheckpoint(eager=True) \
-        .write.mode("overwrite").parquet(f"{path}/doclens")
+    parquet_atomic_overwrite(merged, f"{path}/doclens")
     (spark.read.parquet(f"{path}/doclens")
      .agg(F.count(F.lit(1)).alias("n_docs"),
           F.sum("dl").alias("total_len"))

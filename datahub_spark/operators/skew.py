@@ -23,17 +23,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_src(df: DataFrame, id_col: str | None, use_mid: bool):
+    """Deterministic salt source: xxhash64 of ``id_col`` when given,
+    else of EVERY column — same input rows get the same salts on every
+    run, so salted results are re-run-stable (pinned in test_skew.py).
+    ``use_mid=True`` opts into the old monotonically-increasing-id
+    spread: perfectly uniform even over identical rows, but tied to
+    partition layout and NOT stable across runs — an explicit choice,
+    no longer the silent default."""
+    if use_mid:
+        return F.monotonically_increasing_id()
+    if id_col:
+        return F.xxhash64(F.col(id_col))
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
 def salted_join(skewed: DataFrame, other: DataFrame,
                 on: list[str] | str, salt: int = 8,
                 how: str = "inner",
-                id_col: str | None = None) -> DataFrame:
+                id_col: str | None = None,
+                use_mid: bool = False) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys are spread over ``salt``
     shuffle partitions. The salt on the skewed side is a deterministic
-    hash of ``id_col`` (or a uniform spread of the whole row via
-    monotonically-increasing id when omitted — still correct, not
-    re-run-stable); ``other`` is exploded x``salt`` (size its smaller
-    side!). Result equals the plain join exactly — each skewed row
-    carries ONE salt value and meets the single matching replica.
+    hash of ``id_col`` (or of the whole row when omitted — re-run
+    stable either way; pass ``use_mid=True`` explicitly for the
+    partition-layout spread); ``other`` is exploded x``salt`` (size
+    its smaller side!). Result equals the plain join exactly — each
+    skewed row carries ONE salt value and meets the single matching
+    replica.
 
     ``how`` supports inner/left (the shapes where the skewed side is
     the probe side)."""
@@ -42,8 +59,7 @@ def salted_join(skewed: DataFrame, other: DataFrame,
     if salt < 1:
         raise ValueError("salted_join: salt must be >= 1")
     keys = [on] if isinstance(on, str) else list(on)
-    src = (F.xxhash64(F.col(id_col)) if id_col
-           else F.monotonically_increasing_id())
+    src = _salt_src(skewed, id_col, use_mid)
     s = skewed.withColumn("_salt", F.pmod(src, F.lit(salt)).cast("int"))
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
@@ -51,15 +67,20 @@ def salted_join(skewed: DataFrame, other: DataFrame,
 
 
 def salted_count(df: DataFrame, on: list[str] | str,
-                 salt: int = 16, count_col: str = "n") -> DataFrame:
+                 salt: int = 16, count_col: str = "n",
+                 id_col: str | None = None,
+                 use_mid: bool = False) -> DataFrame:
     """Two-phase count for hot group keys: groupBy(key, salt) partials
     then groupBy(key) finals — the hot key's rows spread over ``salt``
     reducers in phase one instead of landing on a single task. Equal to
-    a plain count exactly."""
+    a plain count exactly; the salt is the deterministic row hash
+    (identical rows share a salt value, which only narrows phase-one
+    spread when the hot key's rows are literal duplicates — pass
+    ``use_mid=True`` for those)."""
     keys = [on] if isinstance(on, str) else list(on)
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.monotonically_increasing_id(), F.lit(int(salt))).cast("int"))
+        F.pmod(_salt_src(df, id_col, use_mid), F.lit(int(salt))).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count(F.lit(1)).alias("_pc"))
     return partial.groupBy(*keys).agg(

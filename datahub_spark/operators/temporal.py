@@ -25,12 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datahub_spark.fsio import fs_exists, parquet_atomic_overwrite
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: list[str] | None = None,
               direction: str = "backward",
-              tolerance: str | None = None) -> DataFrame:
+              tolerance: str | None = None,
+              hot_chunk: float | None = None) -> DataFrame:
     """For every left row, attach the right row with the same key and
     the greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``,
     inclusive) or the least ``right_ts`` >= ``left_ts`` ("forward").
@@ -45,10 +48,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     mirror it.
 
     Deterministic ties: several right rows on the same (key, ts)
-    resolve to the greatest value struct (the timeline orders right
-    rows by their values last, and the carry-forward keeps the last
-    seen). Right rows never multiply left rows — the output has
-    exactly one row per left row."""
+    resolve to the greatest value struct in BOTH directions (the
+    timeline orders right rows ascending by value within a timestamp,
+    and the carry-forward keeps the last seen). Right rows never
+    multiply left rows — the output has exactly one row per left row.
+
+    Skew (``hot_chunk``): the default plan windows over
+    ``partitionBy(key)``, so ONE pathological hot key (the null/guest
+    user at web scale) serializes its whole |L|+|R| timeline into a
+    single sorted task — and AQE cannot split a window partition.
+    Passing ``hot_chunk`` (a time width: SECONDS for timestamp
+    columns, native units for numerics) switches to the time-chunked
+    carry: the timeline windows over ``(key, floor(t/chunk))`` —
+    bounded tasks no matter how hot the key — each chunk also computes
+    its FINAL carried right value, a bounded per-(key, chunk) summary
+    table carries values ACROSS chunks with a second (tiny) window,
+    and a (key, chunk)-keyed equi-join folds the boundary carry back
+    into rows whose local carry found nothing. Results are identical
+    to the default plan (pinned in tests); cost is one extra shuffle
+    over the summary + the join, worth it only when a key's timeline
+    outgrows a task."""
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
@@ -77,14 +96,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         lrow.alias("_lrow"),
     )
     u = r_side.unionByName(l_side)
+    # _rv ascends within a timestamp in BOTH directions: the carry
+    # keeps the last row seen, so the greatest value struct wins ties
     order = ([F.col("_t").asc(), F.col("_tag").asc(), F.col("_rv").asc()]
              if direction == "backward" else
-             [F.col("_t").desc(), F.col("_tag").asc(), F.col("_rv").desc()])
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = F.last("_rv", ignorenulls=True).over(w)
-    out = (u.withColumn("_m", carried)
-           .filter(F.col("_tag") == 1))
+             [F.col("_t").desc(), F.col("_tag").asc(), F.col("_rv").asc()])
+    if hot_chunk is None:
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+               .filter(F.col("_tag") == 1))
+    else:
+        if float(hot_chunk) <= 0:
+            raise ValueError("asof_join: hot_chunk must be > 0")
+        u = u.withColumn(
+            "_ck", F.floor(F.col("_t").cast("double") / float(hot_chunk))
+            .cast("long"))
+        wp = Window.partitionBy(*keys, "_ck").orderBy(*order)
+        run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        full = wp.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+        local = (u.withColumn("_ml", F.last("_rv", ignorenulls=True).over(run))
+                 .withColumn("_mf", F.last("_rv", ignorenulls=True).over(full)))
+        # bounded summary: one row per populated (key, chunk); _mf is
+        # constant within the group, so any_value is value-deterministic
+        summ = local.groupBy(*keys, "_ck").agg(
+            F.any_value("_mf").alias("_cf"))
+        ck_order = (F.col("_ck").asc() if direction == "backward"
+                    else F.col("_ck").desc())
+        wc = (Window.partitionBy(*keys).orderBy(ck_order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = summ.withColumn(
+            "_cin", F.last("_cf", ignorenulls=True).over(wc)) \
+            .select(*keys, "_ck", "_cin")
+        out = (local.join(carry, keys + ["_ck"])
+               .withColumn("_m", F.coalesce(F.col("_ml"), F.col("_cin")))
+               .filter(F.col("_tag") == 1))
     if tolerance is not None:
         in_tol = (F.col("_t") <= F.col("_m._asof_ts") + F.expr(tolerance)
                   if direction == "backward" else
@@ -216,16 +263,21 @@ def materialize_rollup(new_events: DataFrame, path: str,
     spark = new_events.sparkSession
     fresh = rollup_time(new_events, ts_col, every, group_cols, value_col)
     groups = ["bucket"] + list(group_cols or [])
-    try:
-        old = spark.read.parquet(path)
-        both = old.unionByName(fresh)
-    except Exception:
+    # bootstrap ONLY on true absence: a transient read failure
+    # (permissions, corrupted footer) must raise, not silently
+    # overwrite the whole persisted history with just this batch
+    if fs_exists(spark, path):
+        both = spark.read.parquet(path).unionByName(fresh)
+    else:
         both = fresh
     merged = (both.groupBy(*groups)
               .agg(F.sum("n").cast("long").alias("n"),
                    F.sum("value_cents").cast("long").alias("value_cents"),
                    F.min("value_min").alias("value_min"),
                    F.max("value_max").alias("value_max")))
-    merged.localCheckpoint(eager=True) \
-        .write.mode("overwrite").parquet(path)
+    # stage-write + rename swap (fsio): the merged plan reads `path`,
+    # so the old generation must survive until the stage is complete —
+    # and survive a crash at ANY step, which localCheckpoint (executor
+    # -pinned) did not guarantee
+    parquet_atomic_overwrite(merged, path)
     return spark.read.parquet(path)

@@ -492,3 +492,22 @@ def test_corpus_diff_duckdb_parity(spark):
     assert ok, msg
     stats = {r["status"] for r in got.collect()}
     assert stats == {"added", "removed", "changed"}
+
+
+def test_bloom_size_guard(spark):
+    """r9: bitmaps past BLOOM_MAX_BITS are rejected up front with a
+    pointer at the LSH-index tier — the closure/broadcast would be a
+    multi-GiB per-executor payload."""
+    import numpy as np
+    import pytest
+    corpus = _bloom_docs(spark, ["doc"])
+    with pytest.raises(ValueError, match="filter_novel"):
+        DD.build_bloom(corpus, m_bits=DD.BLOOM_MAX_BITS * 2, hashes=7)
+    # the probe path guards too (a bitmap loaded from elsewhere)
+    with pytest.raises(ValueError, match="filter_novel"):
+        DD.filter_novel_bloom(
+            corpus, np.zeros((DD.BLOOM_MAX_BITS * 2) // 64,
+                             dtype=np.int64), hashes=7)
+    # non-multiple-of-64 still rejected
+    with pytest.raises(ValueError, match="multiple of 64"):
+        DD.build_bloom(corpus, m_bits=100, hashes=7)

@@ -169,3 +169,26 @@ def test_export_shards_curriculum_order(spark, tmp_path):
         "doc_id", F.input_file_name().alias("f")).withColumn(
         "shard", F.regexp_extract("f", r"shard=(\d+)", 1)).collect()}
     assert a == b
+
+
+def test_export_shards_descending_and_non_numeric_order(spark, tmp_path):
+    """r9: descending curriculum sorts directionally (no value
+    negation — works on strings/timestamps) and the helper sort_key
+    column is no longer leaked into the written shards."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", chr(97 + (i * 7) % 26)) for i in range(60)],
+        "doc_id long, text string, grade string")
+    path = str(tmp_path / "desc")
+    EX.export_shards(docs, path, 2, order_col="grade", ascending=False)
+    import glob
+    import pyarrow.parquet as pq
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        t = pq.read_table(d)
+        assert "sort_key" not in t.column_names
+        grades = list(t.to_pandas()["grade"])
+        assert grades == sorted(grades, reverse=True), d
+    # hash export drops the helper too
+    path2 = str(tmp_path / "hash")
+    EX.export_shards(docs, path2, 2)
+    for d in glob.glob(f"{path2}/shard=*"):
+        assert "sort_key" not in pq.read_table(d).column_names

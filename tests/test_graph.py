@@ -42,3 +42,66 @@ def test_pagerank_structure(spark):
         [(1, 2), (2, 3), (3, 1)], "src long, dst long")
     rc = {x["id"]: x["rank_e9"] for x in G.pagerank(cyc, rounds=4).collect()}
     assert len(set(rc.values())) == 1
+
+
+def _pagerank_model(edge_list, rounds, redistribute=False):
+    """Driver-side integer reference: same e9 fixed-point arithmetic."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    out = {}
+    for u, _ in edge_list:
+        out[u] = out.get(u, 0) + 1
+    r = {v: 1_000_000_000 for v in nodes}
+    for _ in range(rounds):
+        s = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            s[v] += r[u] // out[u]
+        share = 0
+        if redistribute:
+            dang = sum(r[v] for v in nodes if v not in out)
+            share = dang // len(nodes)
+        r = {v: 150_000_000 + (85 * (s[v] + share)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_50_rounds_checkpointed(spark):
+    """r9 hardening: 50 rounds with lineage truncation completes and
+    matches the pure-python integer model exactly (the unroll oracle
+    would be a 100-CTE SQL; the model is the same arithmetic)."""
+    import random
+    rng = random.Random(7)
+    edge_list = sorted({(rng.randrange(40), rng.randrange(40))
+                        for _ in range(160)})
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["rank_e9"]
+           for r in G.pagerank(edges, rounds=50,
+                               checkpoint_every=5).collect()}
+    assert got == _pagerank_model(edge_list, 50)
+
+
+def test_pagerank_convergence_stop(spark):
+    """tol_e9 stops early once ranks are stable — and the early result
+    equals the full-round result (the fixed point is reached)."""
+    edge_list = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    full = {r["id"]: r["rank_e9"]
+            for r in G.pagerank(edges, rounds=60,
+                                checkpoint_every=4).collect()}
+    stopped = {r["id"]: r["rank_e9"]
+               for r in G.pagerank(edges, rounds=60, checkpoint_every=4,
+                                   tol_e9=0).collect()}
+    assert stopped == full
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """redistribute_dangling shares the dangling pool uniformly each
+    round — matches the python model; totals stay (nearly) conserved
+    instead of decaying."""
+    edge_list = [(1, 2), (2, 3), (1, 3)]   # node 3 dangles
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["rank_e9"]
+           for r in G.pagerank(edges, rounds=6,
+                               redistribute_dangling=True).collect()}
+    assert got == _pagerank_model(edge_list, 6, redistribute=True)
+    decayed = {r["id"]: r["rank_e9"]
+               for r in G.pagerank(edges, rounds=6).collect()}
+    assert sum(got.values()) > sum(decayed.values())

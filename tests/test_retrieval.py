@@ -78,3 +78,50 @@ def test_update_text_index_equals_full_rebuild(spark, tmp_path):
         gi = RT.bm25_search(spark, inc, q, k=10, buckets=8).collect()
         gf = RT.bm25_search(spark, full, q, k=10, buckets=8).collect()
         assert sorted(map(tuple, gi)) == sorted(map(tuple, gf)), q
+
+
+def test_bm25_index_handle_and_batch(spark, tmp_path):
+    """r9: Bm25Index caches stats at open; search_many scores N
+    queries in ONE pruned postings pass and equals the per-query
+    loop bit-for-bit."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    path = str(tmp_path / "tix")
+    RT.save_text_index(docs, path, buckets=16)
+    idx = RT.Bm25Index(spark, path, buckets=16)
+
+    queries = {"a": ["spark", "merge", "window"],
+               "b": ["vector", "slow"],
+               "c": ["agg", "merge"]}
+    batch = idx.search_many(queries, k=8)
+    rows = batch.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"], r["n_terms"]))
+    for qid, q in queries.items():
+        loop = RT.bm25_search(spark, path, q, k=8, buckets=16).collect()
+        want = [(i + 1, r["doc_id"], r["score"], r["n_terms"])
+                for i, r in enumerate(loop)]
+        assert sorted(per_q[qid]) == want, qid
+
+    # postings-scan count is CONSTANT in the number of queries (one
+    # shared pruned pass + the tiny df aggregate's column-pruned
+    # re-read), not one scan per query
+    def _n_scans(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return sum(1 for ln in plan.splitlines()
+                   if "Relation" in ln and "tf#" in ln)
+    one = idx.search_many({"a": queries["a"]}, k=8)
+    three = idx.search_many(queries, k=8)
+    n1, n3 = _n_scans(one), _n_scans(three)
+    assert 1 <= n1 <= 2 and n3 == n1, (n1, n3)
+
+    # handle memoizes the stats read: a second batch issues no stats
+    # collect (observable: Bm25Index fields already populated)
+    assert idx.n_docs > 0 and idx.total_len > 0
+    again = idx.search_many({"a": queries["a"]}, k=8).collect()
+    a1 = sorted((r["rank"], r["doc_id"]) for r in again)
+    a0 = sorted((r["rank"], r["doc_id"])
+                for r in rows if r["query_id"] == "a")
+    assert a1 == a0

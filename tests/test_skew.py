@@ -55,3 +55,35 @@ def test_salted_count_and_hot_keys(spark):
     assert hot[0]["k"] == 7 and hot[0]["share_e4"] >= 8900
     # nothing else holds 5%+... except the residual keys at ~1.4% each
     assert all(r["k"] == 7 for r in hot)
+
+
+def test_salt_is_rerun_and_layout_stable(spark):
+    """r9: the default salt derives from row content (xxhash64 over
+    all columns), so the same input gets the same salt assignment on
+    every run and under ANY partition layout — the property the old
+    monotonically_increasing_id default could not give."""
+    df = _skewed(spark)
+    salted = lambda d: {r["row_id"]: r["_salt"] for r in d.withColumn(
+        "_salt", F.pmod(SK._salt_src(d, None, False), F.lit(8)).cast("int"))
+        .select("row_id", "_salt").collect()}
+    a = salted(df)
+    b = salted(df)
+    assert a == b
+    # repartitioning the input moves no salt assignment
+    c = salted(df.repartition(17))
+    assert c == a
+    # the salted join itself is run-to-run identical row-for-row
+    other = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(8)], "k long, name string")
+    r1 = sorted(map(tuple, SK.salted_join(df, other, on="k").collect()))
+    r2 = sorted(map(tuple, SK.salted_join(df, other, on="k").collect()))
+    assert r1 == r2
+    # salted_count with the deterministic default still equals plain
+    plain = {(r["k"],): r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {(r["k"],): r["n"] for r in SK.salted_count(df, "k").collect()}
+    assert got == plain
+    # the MID path stays available behind the explicit flag
+    got_mid = {(r["k"],): r["n"]
+               for r in SK.salted_count(df, "k", use_mid=True).collect()}
+    assert got_mid == plain

@@ -206,3 +206,125 @@ def test_asof_join_composite_keys(spark):
     out = {(r["k"], r["sub"]): r["v"]
            for r in TP.asof_join(left, right, on=["k", "sub"]).collect()}
     assert out == {(1, "x"): "vx", (1, "y"): "vy"}
+
+
+def _skewed_timeline(spark):
+    """One hot key holding ~50% of events + 60 cold keys; right side
+    has updates for every key including the hot one."""
+    ev = spark.range(40_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(1 + F.col("id") % 60).alias("k"),
+        (F.col("id") * 13 % 100_000).alias("ts"),
+        F.col("id").alias("event_id"))
+    prof = spark.range(600).select(
+        (F.col("id") % 61).alias("k"),
+        (F.col("id") * 977 % 100_000).alias("ts"),
+        (F.col("id") * 7 % 1000).alias("score"))
+    return ev, prof
+
+
+def test_asof_join_hot_chunk_equals_plain(spark):
+    """The time-chunked carry (skew mitigation) is bit-identical to
+    the single-window plan, both directions, with tolerance."""
+    ev, prof = _skewed_timeline(spark)
+    for direction in ("backward", "forward"):
+        for tol in (None, "5000"):
+            plain = sorted(map(tuple, TP.asof_join(
+                ev, prof, on="k", value_cols=["score"],
+                direction=direction, tolerance=tol).collect()))
+            chunked = sorted(map(tuple, TP.asof_join(
+                ev, prof, on="k", value_cols=["score"],
+                direction=direction, tolerance=tol,
+                hot_chunk=1000.0).collect()))
+            assert chunked == plain, (direction, tol)
+    # degenerate chunk widths still agree (everything in one chunk /
+    # one row per chunk)
+    plain = sorted(map(tuple, TP.asof_join(
+        ev, prof, on="k", value_cols=["score"]).collect()))
+    for width in (1e9, 1.0):
+        got = sorted(map(tuple, TP.asof_join(
+            ev, prof, on="k", value_cols=["score"],
+            hot_chunk=width).collect()))
+        assert got == plain, width
+    import pytest
+    with pytest.raises(ValueError):
+        TP.asof_join(ev, prof, on="k", hot_chunk=0)
+
+
+def test_asof_join_hot_chunk_timestamps(spark):
+    """hot_chunk on real timestamp columns (chunk width in seconds):
+    parity against the plain plan on the events table."""
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    profiles = (spark.range(200)
+                .select((F.col("id") % 50).alias("user_id"),
+                        F.timestamp_micros(
+                            (F.lit(1704067200000000)
+                             + (F.col("id") / 50).cast("long")
+                             * 86400000000 * 7
+                             + (F.col("id") % 50) * 1000000)
+                        ).alias("ts"),
+                        (F.col("id") * 37 % 1000).alias("score")))
+    plain = sorted(map(tuple, TP.asof_join(
+        events, profiles, on="user_id", value_cols=["score"])
+        .select("event_id", "_asof_ts", "score").collect()))
+    chunked = sorted(map(tuple, TP.asof_join(
+        events, profiles, on="user_id", value_cols=["score"],
+        hot_chunk=86400.0 * 3)
+        .select("event_id", "_asof_ts", "score").collect()))
+    assert chunked == plain
+
+
+def test_asof_join_forward_tie_greatest(spark):
+    """Duplicate right (k, ts) resolves to the GREATEST value struct
+    in the forward direction too (r9: forward previously kept the
+    smallest, contradicting the documented contract)."""
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    dup = spark.createDataFrame(
+        [(1, 5, "x"), (1, 5, "z"), (1, 5, "y")], "k long, ts long, v string")
+    got = TP.asof_join(left, dup, on="k", direction="forward").collect()
+    assert got[0]["v"] == "z"
+    chunked = TP.asof_join(left, dup, on="k", direction="forward",
+                           hot_chunk=2.0).collect()
+    assert chunked[0]["v"] == "z"
+
+
+def test_materialize_rollup_read_errors_raise(spark, tmp_path):
+    """A persisted-but-unreadable rollup must RAISE, not silently
+    bootstrap-and-overwrite history (r9: the bare-except bootstrap
+    would have discarded the whole aggregate)."""
+    import pytest
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    path = str(tmp_path / "rollup")
+    # path exists but holds garbage, not parquet
+    import os
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "w") as f:
+        f.write("not parquet at all")
+    with pytest.raises(Exception):
+        TP.materialize_rollup(events, path, every="day")
+    # the garbage is untouched (nothing overwrote the path)
+    with open(os.path.join(path, "part-00000.parquet")) as f:
+        assert f.read() == "not parquet at all"
+
+
+def test_atomic_overwrite_failed_write_keeps_old(spark, tmp_path):
+    """parquet_atomic_overwrite: a crash DURING the stage write (plan
+    raises mid-execution) leaves the previous generation intact and
+    readable — the crash-between-steps contract."""
+    import pytest
+    from datahub_spark.fsio import parquet_atomic_overwrite
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(x):
+        raise RuntimeError("simulated executor crash")
+
+    bad = spark.range(5).select(boom("id").alias("id"))
+    with pytest.raises(Exception):
+        parquet_atomic_overwrite(bad, path)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == \
+        list(range(10))
