@@ -2,13 +2,22 @@
 
 entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
-queries()     — every implemented operator from SURVEY.md §2 (50 as of
-                round 3, pinned to the driver's 50-entry grading
-                window), (spark, sf_dir) -> DataFrame.
+queries()     — every implemented operator from SURVEY.md §2, pinned
+                to the driver's 50-entry grading window. Rotated in r9
+                onto the r8 operator wave: ten new graded keys
+                (asof_join, range_join, rollup_time, sessionize,
+                pagerank, bm25_topk, paragraph_dedup, pack_sequences,
+                data_splits, domain_stats) plus the A-ES weighted
+                sampler folded into sample_select; ten long-green keys
+                merged into wider unions (mode-tagged) to free the
+                slots — every retired surface still grades inside its
+                merged key and keeps its unit/parity tests.
 oracle_sql()  — DuckDB-equivalent SQL per query: 50 of 50 — every
                 entry value-hash verifiable, including both approximate
-                ANN variants (int64 fixed-point reformulation) and the
-                multimodal path (md5-digest features).
+                ANN variants (int64 fixed-point reformulation), the
+                multimodal path (md5-digest features), native ASOF
+                JOIN, and a BM25 whose sorted-term float fold is
+                bit-reproduced in SQL.
 """
 
 from __future__ import annotations

@@ -32,6 +32,14 @@ Headliners (SURVEY.md §6) cover the main plan shapes:
   js_transform        scripted escape hatch (JS interpreter in
                       mapInPandas, Arrow batch round-trip)
   asof_enrich         as-of join timeline merge (keyed window carry)
+  pagerank_orders     fixed-point iterative joins (3 PageRank rounds)
+  text_suite          ALL per-doc text signals in one zero-join staged
+                      projection (the graded text_signals key's shape)
+(traverse_incoming / changes_latest_only / ann_topk / the narrow
+text_signals were graded keys until the r9 window rotation merged them
+into wider unions; the bench keeps the original narrow queries as
+local functions so their pinned medians stay comparable round over
+round.)
 Each query is forced with a noop write (full execution, no driver
 collect bottleneck); time is wall-clock per query, value = total.
 
@@ -76,6 +84,15 @@ PINNED_MEDIANS = {
     # union+carry-forward timeline join) — pinned r8 third session,
     # n=5 median on the same derived x10 dir
     "asof_enrich": 1.159,
+    # 3 fixed-point PageRank rounds over 1.5M order->customer edges
+    # (iterative join+agg with lineage truncation) — pinned r9, n=5
+    # median on the same derived x10 dir
+    "pagerank_orders": 4.444,
+    # the full per-doc signal suite (lang + quality + counts +
+    # fingerprint + repetition + PII rewrite) over 500k docs in one
+    # zero-join staged projection — pinned r9; the narrow
+    # text_signals pin above stays for round-over-round continuity
+    "text_suite": 6.061,
 }
 # regression budgets = ~2x the pinned medians: wide enough for machine
 # noise (observed min-max spread is ~1.5x), tight enough that a
@@ -104,6 +121,117 @@ def _q_asof_enrich(spark, sf_dir):
         "user_id", "ts", F.col("value").alias("signup_value"))
     return asof_join(ev.select("event_id", "user_id", "ts"), su,
                      on="user_id", value_cols=["signup_value"])
+
+
+def _q_pagerank_orders(spark, sf_dir):
+    """Bench headliner (r9): fixed-point iteration — 3 PageRank rounds
+    over the orders->customer edge frame (graph.pagerank; per round one
+    equi-join + one HashAggregate + one left join). The plan shape no
+    other headliner exercises: bounded iterative joins with lineage
+    truncation."""
+    from datahub_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return pagerank(orders.selectExpr("o_orderkey AS src",
+                                      "o_custkey AS dst"), rounds=3)
+
+
+# The r9 grading-window rotation merged three graded keys into wider
+# unions (traverse_incoming -> traverse_edges, changes_latest_only ->
+# changes_since, ann_topk -> ann_bucketed). The bench keeps the
+# ORIGINAL narrow queries as local functions so the r1-r8 pinned
+# medians stay comparable round over round — same operators, same
+# plans, just no longer the graded surface.
+def _q_traverse_incoming(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datahub_spark import ingest
+    from datahub_spark import query as Q
+    from datahub_spark import store as S
+
+    ds = ingest.tpch_entities(spark, sf_dir)
+    log = ds["customer"].unionByName(ds["supplier"]).unionByName(ds["nation"])
+    starts = S.latest(ds["nation"], single_version=True).select("id")
+    rel = Q.related(log, starts, "p:nation", inverse=True,
+                    single_version=True)
+    return rel.select(
+        "start_id",
+        F.col("related.id").alias("related_id"),
+        F.col("related.dataset").alias("related_dataset"),
+    )
+
+
+def _q_changes_latest_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datahub_spark import ingest
+    from datahub_spark import store as S
+    from datahub_spark.queries import T_MID
+
+    user = ingest.user_log(spark, sf_dir, since_us=T_MID)
+    return S.changes(user, since=T_MID, latest_only=True).select(
+        "id", "recorded", "deleted",
+        F.col("props")["p:event_type"].alias("event_type"),
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datahub_spark import ingest
+    from datahub_spark.operators import similarity as SIM
+
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("_cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                SIM.dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fp").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "neighbor_id", "dot_fp"))
+
+
+def _q_text_signals_narrow(spark, sf_dir):
+    """The pre-r9 text_signals surface (lang-ID join quality) — kept
+    for pin continuity; the graded key is now the full suite."""
+    from datahub_spark import ingest
+    from datahub_spark.operators import text as TX
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.lang_id_table(docs).join(TX.quality_features(docs), "doc_id")
+
+
+def _q_text_suite(spark, sf_dir):
+    """r9 headliner: EVERY per-doc text signal (lang, quality, counts,
+    fingerprint, repetition, PII scrub incl. rewritten text) in one
+    zero-join zero-shuffle staged projection — the graded text_signals
+    key's new shape. ~4x the narrow query's work per row, all of it
+    map-side."""
+    from datahub_spark import ingest
+    from datahub_spark.operators import text as TX
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.text_suite(docs)
+
+
+_BENCH_LOCAL = {
+    "asof_enrich": _q_asof_enrich,
+    "pagerank_orders": _q_pagerank_orders,
+    "traverse_incoming": _q_traverse_incoming,
+    "changes_latest_only": _q_changes_latest_only,
+    "ann_topk": _q_ann_topk,
+    "text_signals": _q_text_signals_narrow,
+    "text_suite": _q_text_suite,
+}
 
 
 def main() -> None:
@@ -142,7 +270,7 @@ def main() -> None:
     from datahub_spark.queries import QUERIES
 
     queries = dict(QUERIES)
-    queries["asof_enrich"] = _q_asof_enrich
+    queries.update(_BENCH_LOCAL)
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -177,7 +305,7 @@ def main() -> None:
         "min_max": spreads,
         "budgets": BUDGETS,
         "budget_basis": {"pinned_medians": PINNED_MEDIANS,
-                         "pinned_at": "r8 sf0.1x10 local[32] n=5 (clean end-to-end run, total 10.746s)"},
+                         "pinned_at": "r8 sf0.1x10 local[32] n=5 (r9 pins for pagerank_orders/text_suite from the r9 clean run)"},
         "budget_ok": not over,
         "over_budget": over,
         "x100": x100,
@@ -195,7 +323,7 @@ def bench_x100(spark, base_dir: str, x10_timings: dict) -> dict:
     from datahub_spark.queries import QUERIES
 
     queries = dict(QUERIES)
-    queries["asof_enrich"] = _q_asof_enrich
+    queries.update(_BENCH_LOCAL)
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_X100_REPL", "100"))
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_X100_RUNS", "3")))
     t0 = time.monotonic()

@@ -162,6 +162,43 @@ class Bm25Index:
                 .filter(F.col("rank") <= int(k)))
 
 
+def bm25_topk(docs: DataFrame, query: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k straight off a documents frame (no persisted index):
+    build postings + doclens lazily, two bounded stats aggregates, then
+    the exact scoring/fold/rank pipeline of the index path — the
+    ad-hoc / graded-query surface. Returns (rank, doc_id, score,
+    n_terms) with the same determinism contract as bm25_search (sorted
+    -term fold, doc_id tie-break)."""
+    terms = sorted({t for t in (w.strip().lower() for w in query) if t})
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    postings, doclens = build_text_index(docs, text_col, id_col)
+    st = doclens.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("dl").alias("t")).collect()[0]
+    n_docs, total_len = int(st["n"]), int(st["t"])
+    post = postings.filter(F.col("term").isin(terms))
+    df_t = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (post.join(F.broadcast(df_t), "term").join(doclens, "doc_id")
+              .withColumn("_s", _bm25_score(k1, b, n_docs, total_len)))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.aggregate(
+                   F.sort_array(F.collect_list(F.struct("term", "_s"))),
+                   F.lit(0.0),
+                   lambda acc, x: acc + x["_s"]).alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_terms")))
+    # ordered-limit FIRST (TakeOrderedAndProject — per-partition
+    # partial top-k, no global sort), then rank the k survivors: the
+    # unpartitioned row_number window only ever sees k rows
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+        .limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "doc_id", "score", "n_terms"))
+
+
 def bm25_search(spark, path: str, query: list[str], k: int = 10,
                 k1: float = 1.2, b: float = 0.75,
                 buckets: int = 64) -> DataFrame:

@@ -337,6 +337,58 @@ def main() -> None:
     n_code_rows = codes.count()
     assert n_code_rows == n_vecs, n_code_rows
 
+    # --- next decade (r9): one more measured order of magnitude on the
+    # two newest scale claims, recorded as ratios the way bench.py's
+    # x100 leg does (sub-linear-or-bust) -------------------------------
+
+    # as-of join at 200M events (10x the leg above) with a PATHOLOGICAL
+    # hot key: one user holds 50% of all events. The default plan would
+    # serialize 100M rows into a single window task; hot_chunk bounds
+    # every task by the chunk width (time-chunked carry). Correctness
+    # is the same computable invariant as the 20M leg.
+    n_big = 200_000_000
+    ev_big = spark.range(n_big).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") * 7919) % 4000).alias("ts"))
+    t0 = time.monotonic()
+    joined_big = TP.asof_join(ev_big, prof, on="user_id",
+                              value_cols=["score"], hot_chunk=100.0)
+    bad_big = joined_big.filter(
+        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
+    timings["asof_join_200m_hotkey_chunked"] = round(time.monotonic() - t0, 2)
+    assert bad_big == 0, bad_big
+    timings["asof_ratio_200m_vs_20m"] = round(
+        timings["asof_join_200m_hotkey_chunked"]
+        / max(timings["asof_join_20m_events"], 1e-9), 2)
+
+    # IVF-PQ at 8M vectors (8x the leg above): codebooks train on the
+    # 1M slice (model quality is corpus-size-independent), the ENCODE
+    # GEMM runs over all 8M, and the ADC probe scans all 8M codes.
+    # vecs8 replicates the 1M frame with shifted ids, so every ADC
+    # score stays verifiable against the 1M leg's arithmetic.
+    n_vecs8 = 8 * n_vecs
+    vecs8 = vecs.crossJoin(spark.range(8).select(F.col("id").alias("_r"))) \
+        .select((F.col("vec_id") + F.col("_r") * n_vecs).alias("vec_id"),
+                "embedding")
+    t0 = time.monotonic()
+    codes8 = SIM2.encode_pq(vecs8, books).localCheckpoint(eager=True)
+    n_code8 = codes8.count()
+    timings["pq_encode_8m"] = round(time.monotonic() - t0, 2)
+    assert n_code8 == n_vecs8, n_code8
+    t0 = time.monotonic()
+    top8 = SIM2.ann_pq_adc(qs, codes8, books, k=5).collect()
+    timings["pq_adc_probe_8m"] = round(time.monotonic() - t0, 2)
+    timings["pq_probe_ratio_8m_vs_1m"] = round(
+        timings["pq_adc_probe_8m"]
+        / max(timings["pq_adc_probe_1m"], 1e-9), 2)
+    # replicas share codes, so the top-1 SCORE per query must equal the
+    # 1M leg's top-1 score exactly
+    top1_8 = {r["query_id"]: r["score_fp"] for r in top8 if r["rank"] == 1}
+    for qid in range(8):
+        assert top1_8[qid] == top1[qid][1], qid
+
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
                  "dup_cluster_keepers": n_keepers,

@@ -19,7 +19,7 @@ def _plan(spark, key: str) -> str:
 
 
 def test_traversal_uses_broadcast_joins(spark):
-    plan = _plan(spark, "traverse_incoming")
+    plan = _plan(spark, "traverse_edges")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must broadcast at this size
 
@@ -67,7 +67,9 @@ def test_entities_latest_uses_max_by_not_window_sort(spark):
 
 
 def test_ann_topk_broadcasts_query_side(spark):
-    plan = _plan(spark, "ann_topk")
+    # the brute-force tier inside the merged ann key (r9) must
+    # broadcast the (gated small) query side, never shuffle the corpus
+    plan = _plan(spark, "ann_bucketed")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 

@@ -959,3 +959,33 @@ def test_normalize_unicode(spark):
     norm = TX.normalize_unicode(real).collect()
     for r in norm:
         assert r["text"] == unicodedata.normalize("NFKC", r["text"])
+
+
+def test_text_suite_equals_joined_operators_and_plan(spark):
+    """r9: text_suite (one staged projection, zero joins) is value-
+    identical to the five per-signal operators joined on doc_id, and
+    its plan contains no join and no shuffle at all."""
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    suite = TX.text_suite(docs)
+    prof = docs.select(
+        "doc_id",
+        TX.token_count_whitespace(F.col("text")).cast("long")
+        .alias("n_ws_tokens"),
+        TX.token_count_bpe_ish(F.col("text")).cast("long")
+        .alias("n_bpe_tokens"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    joined = (TX.lang_id_table(docs)
+              .join(TX.quality_features(docs), "doc_id")
+              .join(prof, "doc_id")
+              .join(TX.repetition_features(docs), "doc_id")
+              .join(TX.pii_scrub(docs), "doc_id"))
+    assert suite.columns == joined.columns
+    a = sorted(map(tuple, suite.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b
+    plan = suite._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
