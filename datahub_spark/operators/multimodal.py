@@ -23,12 +23,19 @@ cannot (r7 re-check, per round-6 review):
   non-interlaced profile; the encoder writes genuine PNGs (None or Sub
   filtered) so decode round-trips and cross-checks bit-for-bit against
   the BMP path on identical pixels.
-* **JPEG/video codecs** — genuinely need PIL/opencv/ffmpeg, none of
-  which exist in this container and nothing may be installed; those
-  paths raise ``NotImplementedError`` naming the absent library. The
-  batch plumbing (schema, Arrow batching, fan-out shape) is shared with
-  the real paths, so swapping a library-backed decoder in is one
-  function.
+* **JPEG images** (r9) — REAL baseline codec with stdlib ``struct`` +
+  numpy for the 8x8 DCT: Annex K tables, Huffman entropy coding,
+  4:4:4, byte stuffing; encoder + decoder round-trip within JPEG's
+  quantization error (solid blocks exact), and the JVM's
+  ``javax.imageio`` — an independent spec implementation — decodes our
+  encoder's bytes (interop-tested, the openssl-of-JPEG check).
+  Progressive scans, 16-bit DQT, subsampled chroma, and restart
+  intervals raise ``NotImplementedError`` naming the feature.
+* **video codecs** — genuinely need opencv/ffmpeg, neither of which
+  exists in this container and nothing may be installed; those paths
+  raise ``NotImplementedError`` naming the absent library. The batch
+  plumbing (schema, Arrow batching, fan-out shape) is shared with the
+  real paths, so swapping a library-backed decoder in is one function.
 
 Decode bodies are per-row Python inside ``mapInPandas`` — that is the
 contract for opaque-binary decode (the work is intrinsically
@@ -402,11 +409,18 @@ def _real_feature(mime: str, payload: bytes) -> list[float]:
                 sum(p[0] for r in rows for p in r) / n,
                 sum(p[1] for r in rows for p in r) / n,
                 sum(p[2] for r in rows for p in r) / n]
+    elif mime == "image/jpeg":
+        w, h, rows = _jpeg_decode(payload)
+        n = w * h
+        head = [float(w), float(h), 24.0,
+                sum(p[0] for r in rows for p in r) / n,
+                sum(p[1] for r in rows for p in r) / n,
+                sum(p[2] for r in rows for p in r) / n]
     else:
         raise NotImplementedError(
             f"real decode for {mime!r} needs PIL/opencv/ffmpeg — absent in "
-            "this container; stdlib decoders cover audio/wav, image/bmp "
-            "and image/png")
+            "this container; stdlib decoders cover audio/wav, image/bmp, "
+            "image/png and baseline image/jpeg")
     return head + [0.0] * (FEATURE_DIM - len(head))
 
 
@@ -629,6 +643,475 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
                 n = w * h
                 out.append({"doc_id": int(doc_id), "width": w, "height": h,
                             "bpp": depth * 3,
+                            "mean_r": sum(p[0] for r in rows for p in r) / n,
+                            "mean_g": sum(p[1] for r in rows for p in r) / n,
+                            "mean_b": sum(p[2] for r in rows for p in r) / n})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=BMP_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r9): REAL baseline codec — stdlib struct + numpy for the 8x8 DCT.
+#
+# The r8 gate said "JPEG needs PIL"; re-checked r9 and closed for the
+# BASELINE profile the way the PNG gate was closed: sequential DCT,
+# 8-bit, Huffman entropy coding, 4:4:4 (no chroma subsampling), no
+# restart markers — the profile our own encoder emits, so decode
+# round-trips under test. Progressive scans, 16-bit quant tables,
+# subsampled chroma, arithmetic coding and DRI still raise, NAMED.
+# Tables are the public JPEG Annex K defaults; quality scaling is the
+# standard IJG mapping. Lossy by nature: the round-trip contract is a
+# bounded per-channel error (solid blocks reconstruct near-exactly),
+# not bit equality — pinned in test_multimodal.py.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(1 / 8) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _jpeg_qtables(quality: int):
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def scaled(t):
+        return [max(1, min(255, (v * scale + 50) // 100)) for v in t]
+    return scaled(_JPEG_QL), scaled(_JPEG_QC)
+
+
+def _huff_enc_table(bits, vals):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        # pad the final partial byte with 1-bits, per the spec
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            b = self.acc & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
+    """Baseline sequential 4:4:4 JPEG from a pixel(x, y) -> (r, g, b)
+    callback. Annex K Huffman tables, IJG quality scaling."""
+    import numpy as np
+
+    ql, qc = _jpeg_qtables(quality)
+    C = _dct_matrix()
+    qmat = [np.array(ql)[np.argsort(_JPEG_ZZ)].reshape(8, 8),
+            np.array(qc)[np.argsort(_JPEG_ZZ)].reshape(8, 8)]
+    # natural-order quant matrices: table[i] is the ZIGZAG-i entry, so
+    # natural[zz[i]] = table[i]
+    qnat = [np.zeros((8, 8)), np.zeros((8, 8))]
+    for t in range(2):
+        tab = ql if t == 0 else qc
+        flat = np.zeros(64)
+        for i, z in enumerate(_JPEG_ZZ):
+            flat[z] = tab[i]
+        qnat[t] = flat.reshape(8, 8)
+
+    rgb = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            rgb[y, x] = pixel(x, y)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    enc_dc = [_huff_enc_table(_DC_L_BITS, _DC_L_VALS),
+              _huff_enc_table(_DC_C_BITS, _DC_C_VALS)]
+    enc_ac = [_huff_enc_table(_AC_L_BITS, _AC_L_VALS),
+              _huff_enc_table(_AC_C_BITS, _AC_C_VALS)]
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+
+    def cat(v: int) -> int:
+        return 0 if v == 0 else int(v if v > 0 else -v).bit_length()
+
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                t = 0 if ci == 0 else 1
+                plane = planes[ci]
+                blk = np.zeros((8, 8))
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        blk[yy, xx] = plane[sy, sx]
+                F8 = C @ (blk - 128.0) @ C.T
+                qz = np.rint(F8 / qnat[t]).astype(int)
+                zz = [int(qz.flat[z]) for z in _JPEG_ZZ]
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                s = cat(diff)
+                code, ln = enc_dc[t][s]
+                w.put(code, ln)
+                if s:
+                    v = diff if diff > 0 else diff + (1 << s) - 1
+                    w.put(v, s)
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[t][0xF0]
+                        w.put(code, ln)
+                        run -= 16
+                    s = cat(v)
+                    code, ln = enc_ac[t][(run << 4) | s]
+                    w.put(code, ln)
+                    vv = v if v > 0 else v + (1 << s) - 1
+                    w.put(vv, s)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[t][0x00]
+                    w.put(code, ln)
+    w.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HBB", 1, 1, 0)[1:] + b"\x01\x00\x00"
+    for tid, tab in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(tab)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for tc, th, bits, vals in ((0, 0, _DC_L_BITS, _DC_L_VALS),
+                               (1, 0, _AC_L_BITS, _AC_L_VALS),
+                               (0, 1, _DC_C_BITS, _DC_C_VALS),
+                               (1, 1, _AC_C_BITS, _AC_C_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
+                                         (tc << 4) | th) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tdta])
+    out += b"\x00\x3f\x00"
+    out += w.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: truncated after 0xFF")
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError(f"jpeg: marker {nxt:#x} inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_dec_table(bits, vals):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode(payload: bytes):
+    """Decode a BASELINE sequential 8-bit JPEG (the profile our encoder
+    writes). Returns (width, height, rows) with rows of (r, g, b).
+    Progressive / 16-bit quant / subsampled chroma / restart intervals
+    raise NotImplementedError naming the feature."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    width = height = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue
+        ln = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                qtabs[tq] = list(seg[p + 1:p + 65])
+                p += 65
+        elif m == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: subsampled chroma (only 4:4:4 supported)")
+                comps.append((cid, tq))
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: SOF{m - 0xC0} (progressive/extended) — baseline only")
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                huff[(tc, th)] = _huff_dec_table(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals (DRI)")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
+                scomp.append((cs, td_ta >> 4, td_ta & 15))
+            scan = (scomp, payload[pos + ln:])
+            break
+        pos += ln
+    if comps is None or scan is None:
+        raise ValueError("jpeg: missing SOF0/SOS")
+    scomp, entropy = scan
+    C = _dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    rd = _JpegBitReader(entropy)
+    prev_dc = {cs: 0 for cs, _, _ in scomp}
+    planes = {cs: np.zeros((bh * 8, bw * 8)) for cs, _, _ in scomp}
+    qt_of = {cid: tq for cid, tq in comps}
+
+    def decode_sym(table):
+        length, code = 0, 0
+        for _ in range(16):
+            code = (code << 1) | rd.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("jpeg: bad Huffman code")
+
+    def extend(v, s):
+        return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+    for by in range(bh):
+        for bx in range(bw):
+            for cs, td, ta in scomp:
+                zz = [0] * 64
+                s = decode_sym(huff[(0, td)])
+                diff = extend(rd.bits(s), s) if s else 0
+                prev_dc[cs] += diff
+                zz[0] = prev_dc[cs]
+                k = 1
+                while k < 64:
+                    rs = decode_sym(huff[(1, ta)])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC run overflow")
+                    zz[k] = extend(rd.bits(s), s)
+                    k += 1
+                qtab = qtabs[qt_of[cs]]
+                blk = np.zeros(64)
+                for i, z in enumerate(_JPEG_ZZ):
+                    blk[z] = zz[i] * qtab[i]
+                sp = C.T @ blk.reshape(8, 8) @ C + 128.0
+                planes[cs][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = sp
+    ids = [cs for cs, _, _ in scomp]
+    Y = planes[ids[0]][:height, :width]
+    if len(ids) == 3:
+        Cb = planes[ids[1]][:height, :width] - 128.0
+        Cr = planes[ids[2]][:height, :width] - 128.0
+        R = Y + 1.402 * Cr
+        G = Y - 0.344136 * Cb - 0.714136 * Cr
+        B = Y + 1.772 * Cb
+    else:
+        R = G = B = Y
+    rgb = np.stack([R, G, B], axis=-1)
+    rgb = np.clip(np.rint(rgb), 0, 255).astype(int)
+    rows = [[tuple(int(c) for c in rgb[y, x]) for x in range(width)]
+            for y in range(height)]
+    return width, height, rows
+
+
+def synthesize_jpeg(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", width: int = 16,
+                    height: int = 12, quality: int = 90) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEGs (same
+    deterministic text-derived pixels as synthesize_bmp/png, so the
+    formats cross-check within JPEG's quantization error)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+
+                def pixel(x, y, d=digest):
+                    i = (y * 31 + x) % len(d)
+                    return d[i], d[(i + 5) % len(d)], d[(i + 11) % len(d)]
+
+                payload = _jpeg_encode(width, height, pixel, quality)
+                rows.append((int(doc_id), payload,
+                             {"mime": "image/jpeg", "n_bytes": len(payload),
+                              "width": width, "height": height}))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_jpeg_meta(media: DataFrame) -> DataFrame:
+    """Real JPEG decode over Arrow batches (same output schema as
+    decode_bmp_meta; bpp fixed at 24 for the 3-component profile)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = _jpeg_decode(bytes(payload))
+                n = w * h
+                out.append({"doc_id": int(doc_id), "width": w, "height": h,
+                            "bpp": 24,
                             "mean_r": sum(p[0] for r in rows for p in r) / n,
                             "mean_g": sum(p[1] for r in rows for p in r) / n,
                             "mean_b": sum(p[2] for r in rows for p in r) / n})

@@ -347,6 +347,25 @@ def main() -> None:
     # every task by the chunk width (time-chunked carry). Correctness
     # is the same computable invariant as the 20M leg.
     n_big = 200_000_000
+    # leg 1 — scale alone: 200M UNIFORM-key events through the PLAIN
+    # single-window plan; 10x the 20M leg's data, so ~10x time = linear
+    ev_uni = spark.range(n_big).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") * 7919) % 4000).alias("ts"))
+    t0 = time.monotonic()
+    bad_uni = TP.asof_join(ev_uni, prof, on="user_id",
+                           value_cols=["score"]).filter(
+        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
+    timings["asof_join_200m_uniform_plain"] = round(time.monotonic() - t0, 2)
+    assert bad_uni == 0, bad_uni
+    timings["asof_uniform_ratio_200m_vs_20m"] = round(
+        timings["asof_join_200m_uniform_plain"]
+        / max(timings["asof_join_20m_events"], 1e-9), 2)
+
+    # leg 2 — skew: same volume but ONE key holds 50% of all events;
+    # the plain plan would sort 100M rows in a single window task,
+    # hot_chunk bounds every task by the chunk width instead
     ev_big = spark.range(n_big).select(
         F.col("id").alias("event_id"),
         F.when(F.col("id") % 2 == 0, F.lit(0))
@@ -383,11 +402,21 @@ def main() -> None:
     timings["pq_probe_ratio_8m_vs_1m"] = round(
         timings["pq_adc_probe_8m"]
         / max(timings["pq_adc_probe_1m"], 1e-9), 2)
-    # replicas share codes, so the top-1 SCORE per query must equal the
-    # 1M leg's top-1 score exactly
-    top1_8 = {r["query_id"]: r["score_fp"] for r in top8 if r["rank"] == 1}
+    # exactness at 8M: the query's own replicas (same codes, different
+    # ids — NOT removed by the self-filter) carry the maximum possible
+    # ADC score, so every top-5 row must be a self-replica and all
+    # five scores must be EXACTLY equal (ties broken by neighbor id);
+    # and that shared score can never be below the 1M leg's top-1
+    by_q: dict = {}
+    for r in top8:
+        by_q.setdefault(r["query_id"], []).append(r)
     for qid in range(8):
-        assert top1_8[qid] == top1[qid][1], qid
+        rows8 = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert len(rows8) == 5, qid
+        assert len({r["score_fp"] for r in rows8}) == 1, qid
+        for r in rows8:
+            assert r["neighbor_id"] % n_vecs == qid, (qid, r["neighbor_id"])
+        assert rows8[0]["score_fp"] >= top1[qid][1], qid
 
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,

@@ -246,3 +246,116 @@ def test_resize_png_real(spark):
         want = MM._png_encode(
             8, 6, lambda x, y: spx[y * sh // 6][x * sw // 8])
         assert payload == want
+
+
+def test_jpeg_codec_roundtrip_bounded_error():
+    """r9: the baseline JPEG codec is real — solid blocks reconstruct
+    exactly, md5-noise pixels (DCT's worst case) stay inside a bounded
+    per-channel error at q=90, encoding is deterministic, odd
+    dimensions pad and crop correctly."""
+    import hashlib
+    import statistics
+    import datahub_spark.operators.multimodal as MM
+
+    pay = MM._jpeg_encode(16, 12, lambda x, y: (120, 64, 200), quality=90)
+    w, h, rows = MM._jpeg_decode(pay)
+    assert (w, h) == (16, 12)
+    assert max(max(abs(p[0] - 120), abs(p[1] - 64), abs(p[2] - 200))
+               for r in rows for p in r) == 0
+
+    digest = hashlib.md5(b"jpeg codec").digest()
+
+    def pixel(x, y, d=digest):
+        i = (y * 31 + x) % len(d)
+        return d[i], d[(i + 5) % len(d)], d[(i + 11) % len(d)]
+
+    pay2 = MM._jpeg_encode(16, 12, pixel, quality=90)
+    assert pay2 == MM._jpeg_encode(16, 12, pixel, quality=90)
+    w2, h2, rows2 = MM._jpeg_decode(pay2)
+    errs = [max(abs(a - b) for a, b in zip(rows2[y][x], pixel(x, y)))
+            for y in range(12) for x in range(16)]
+    assert max(errs) <= 48 and statistics.mean(errs) <= 16, (
+        max(errs), statistics.mean(errs))
+
+    w3, h3, rows3 = MM._jpeg_decode(MM._jpeg_encode(
+        10, 9, lambda x, y: (x * 20 % 256, y * 25 % 256, 30), quality=95))
+    assert (w3, h3) == (10, 9) and len(rows3) == 9 and len(rows3[0]) == 10
+
+
+def test_jpeg_gates_named():
+    """Unsupported JPEG profiles raise NotImplementedError naming the
+    feature (progressive, 16-bit DQT, subsampled chroma, DRI)."""
+    import struct as st
+    import pytest
+    import datahub_spark.operators.multimodal as MM
+
+    pay = MM._jpeg_encode(8, 8, lambda x, y: (9, 9, 9))
+    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+        MM._jpeg_decode(pay.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # 16-bit quant table: flip the DQT precision nibble
+    i = pay.index(b"\xff\xdb") + 4
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        MM._jpeg_decode(pay[:i] + bytes([pay[i] | 0x10]) + pay[i + 1:])
+    # subsampled chroma: set Y sampling to 2x2 in SOF0
+    j = pay.index(b"\xff\xc0") + 11
+    assert pay[j] == 0x11
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        MM._jpeg_decode(pay[:j] + b"\x22" + pay[j + 1:])
+    # DRI segment injected before SOS
+    k = pay.index(b"\xff\xda")
+    dri = b"\xff\xdd" + st.pack(">HH", 4, 8)
+    with pytest.raises(NotImplementedError, match="restart"):
+        MM._jpeg_decode(pay[:k] + dri + pay[k:])
+
+
+def test_jpeg_spark_decode_equals_driver_and_imageio_interop(spark):
+    """Distributed decode == driver-side decode bit-for-bit; and the
+    JVM's javax.imageio (an INDEPENDENT spec implementation, the
+    openssl-of-JPEG here) decodes our encoder's bytes to channel means
+    within IDCT tolerance — proving the files are real JPEGs, not a
+    private dialect."""
+    import datahub_spark.operators.multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"jpeg doc {i}") for i in range(6)], "doc_id long, text string")
+    media = MM.synthesize_jpeg(docs)
+    got = {r["doc_id"]: r for r in MM.decode_jpeg_meta(media).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"])
+                for r in media.select("doc_id", "payload").collect()}
+    assert set(got) == set(range(6))
+    for i, pay in payloads.items():
+        w, h, rows = MM._jpeg_decode(pay)
+        n = w * h
+        assert (got[i]["width"], got[i]["height"]) == (w, h) == (16, 12)
+        for ch, idx in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+            drv = sum(p[idx] for r in rows for p in r) / n
+            assert got[i][ch] == drv, (i, ch)
+
+    jvm = spark._jvm
+    for i, pay in payloads.items():
+        stream = jvm.java.io.ByteArrayInputStream(bytearray(pay))
+        img = jvm.javax.imageio.ImageIO.read(stream)
+        assert img is not None, "ImageIO rejected our JPEG"
+        assert (img.getWidth(), img.getHeight()) == (16, 12)
+        tot = [0, 0, 0]
+        for y in range(12):
+            for x in range(16):
+                argb = img.getRGB(x, y)
+                tot[0] += (argb >> 16) & 0xFF
+                tot[1] += (argb >> 8) & 0xFF
+                tot[2] += argb & 0xFF
+        for ch, idx in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+            assert abs(got[i][ch] - tot[idx] / 192) <= 3.0, (i, ch)
+
+
+def test_jpeg_real_feature_dispatch(spark):
+    """extract_features(real_decode=True) routes image/jpeg through the
+    real decoder (width/height/bpp land in the head slots)."""
+    import datahub_spark.operators.multimodal as MM
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    feats = MM.extract_features(MM.synthesize_jpeg(docs),
+                                real_decode=True).collect()[0]
+    f = feats["feature"]
+    assert f[0] == 16.0 and f[1] == 12.0 and f[2] == 24.0
+    assert 0.0 <= f[3] <= 255.0
