@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 from datahub_spark.fsio import fs_exists, parquet_atomic_overwrite
 
 
+def _chunk_id(df: DataFrame, col: str, width: float):
+    """floor(t / width) as a long — the time-chunk id for the skew
+    paths. Timestamp flavors (incl. TIMESTAMP_NTZ, which cannot cast
+    to double) go through unix_micros; chunk WIDTH is then seconds.
+    Any monotone mapping works — parity never depends on where the
+    chunk cuts land (pinned with degenerate widths in tests)."""
+    dt = df.schema[col].dataType.simpleString()
+    c = F.col(col)
+    num = (F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+           if dt.startswith("timestamp") else c.cast("double"))
+    return F.floor(num / float(width)).cast("long")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: list[str] | None = None,
@@ -109,9 +122,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     else:
         if float(hot_chunk) <= 0:
             raise ValueError("asof_join: hot_chunk must be > 0")
-        u = u.withColumn(
-            "_ck", F.floor(F.col("_t").cast("double") / float(hot_chunk))
-            .cast("long"))
+        u = u.withColumn("_ck", _chunk_id(u, "_t", float(hot_chunk)))
         wp = Window.partitionBy(*keys, "_ck").orderBy(*order)
         run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         full = wp.rowsBetween(Window.unboundedPreceding,
@@ -215,7 +226,8 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
 
 def sessionize(df: DataFrame, key_col: str = "user_id",
                ts_col: str = "ts", gap: str = "INTERVAL 30 MINUTE",
-               session_col: str = "session_id") -> DataFrame:
+               session_col: str = "session_id",
+               hot_chunk: float | None = None) -> DataFrame:
     """Batch sessionization — the historical twin of
     streaming.sessionize's state-store windows: events of a key belong
     to one session while consecutive gaps stay <= ``gap`` (SQL interval
@@ -226,22 +238,77 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
 
     Plan: ONE keyed shuffle (window by key ordered by ts) computing the
     lag gap and a running sum of session-start flags — no self-join, no
-    explode; cost linear in events."""
-    w = Window.partitionBy(key_col).orderBy(ts_col)
-    prev = F.lag(F.col(ts_col)).over(w)
-    new_session = (prev.isNull()
-                   | (F.col(ts_col) > prev + F.expr(gap))).cast("long")
-    wsum = (Window.partitionBy(key_col).orderBy(ts_col)
+    explode; cost linear in events.
+
+    Skew (``hot_chunk``, same contract as asof_join's): the default
+    plan windows over ``partitionBy(key)``, so one pathological hot
+    key sorts its whole event history in a single task. With
+    ``hot_chunk`` (a time width: SECONDS for timestamps, native units
+    for numerics) sessions build LOCALLY per (key, time-chunk) —
+    bounded tasks — and a bounded per-(key, chunk) summary merges
+    sessions ACROSS chunk boundaries: a chunk's first local session
+    adopts the carried session start when its first event is within
+    ``gap`` of the previous chunk's last event; the carry itself is a
+    second (tiny) window over the summary, with a chunk passing the
+    carry through only when it is single-session AND boundary-
+    connected. Identical output to the default plan (pinned)."""
+    g = F.expr(gap)
+    if hot_chunk is None:
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        prev = F.lag(F.col(ts_col)).over(w)
+        new_session = (prev.isNull()
+                       | (F.col(ts_col) > prev + g)).cast("long")
+        wsum = (Window.partitionBy(key_col).orderBy(ts_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        seq = F.sum(new_session).over(wsum)
+        start = F.first(F.col(ts_col)).over(
+            Window.partitionBy(key_col, seq).orderBy(ts_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    seq = F.sum(new_session).over(wsum)
+        return (df.withColumn("_seq", seq)
+                .withColumn(session_col,
+                            F.concat(F.col(key_col).cast("string"),
+                                     F.lit("#"), start.cast("string")))
+                .drop("_seq"))
+    if float(hot_chunk) <= 0:
+        raise ValueError("sessionize: hot_chunk must be > 0")
+    d = df.withColumn("_ck", _chunk_id(df, ts_col, float(hot_chunk)))
+    wp = Window.partitionBy(key_col, "_ck").orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(wp)
+    new_session = (prev.isNull() | (F.col(ts_col) > prev + g)).cast("long")
+    run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = d.withColumn("_seq", F.sum(new_session).over(run))
     start = F.first(F.col(ts_col)).over(
-        Window.partitionBy(key_col, seq).orderBy(ts_col)
+        Window.partitionBy(key_col, "_ck", "_seq").orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (df.withColumn("_seq", seq)
-            .withColumn(session_col,
-                        F.concat(F.col(key_col).cast("string"), F.lit("#"),
-                                 start.cast("string")))
-            .drop("_seq"))
+    local = local.withColumn("_start", start)
+    # bounded summary: one row per populated (key, chunk)
+    summ = local.groupBy(key_col, "_ck").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.max("_seq").alias("_nsess"),
+        F.max("_start").alias("_last_start"),
+    )
+    wc = Window.partitionBy(key_col).orderBy("_ck")
+    connected = (F.lag("_last_ts").over(wc).isNotNull()
+                 & (F.col("_first_ts") <= F.lag("_last_ts").over(wc) + g))
+    # the carry holds the start of the last session as of each chunk;
+    # a single-session connected chunk passes the previous carry on
+    breaker = ~(connected & (F.col("_nsess") == 1))
+    carried = F.last(
+        F.when(breaker, F.col("_last_start")), ignorenulls=True
+    ).over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    summ = (summ.withColumn("_conn", connected)
+            .withColumn("_carry", carried)
+            .withColumn("_base", F.lag("_carry").over(wc))
+            .select(key_col, "_ck", "_conn", "_base"))
+    out = local.join(summ, [key_col, "_ck"])
+    eff = F.when((F.col("_seq") == 1) & F.col("_conn"), F.col("_base")) \
+        .otherwise(F.col("_start"))
+    return (out.withColumn(
+        session_col,
+        F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                 eff.cast("string")))
+        .drop("_ck", "_seq", "_start", "_conn", "_base"))
 
 
 def materialize_rollup(new_events: DataFrame, path: str,

@@ -328,3 +328,43 @@ def test_atomic_overwrite_failed_write_keeps_old(spark, tmp_path):
         parquet_atomic_overwrite(bad, path)
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == \
         list(range(10))
+
+
+def test_sessionize_hot_chunk_equals_plain(spark):
+    """r9: the time-chunked sessionization (skew mitigation) assigns
+    EXACTLY the ids of the single-window plan — sessions spanning many
+    chunks, multi-session chunks, per-key isolation, numeric and
+    timestamp gaps all included."""
+    # synthetic longs: hot key 0 with long runs + breaks that land on
+    # and off chunk boundaries; cold keys interleaved
+    rows = []
+    t = 0
+    for i in range(400):                 # key 0: gaps of 3 with breaks
+        t += 3 if i % 37 else 50         # break every 37 events
+        rows.append((0, t))
+    for k in range(1, 8):                # cold keys
+        for i in range(25):
+            rows.append((k, k * 1000 + i * (4 if i % 5 else 40)))
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    plain = {(r["user_id"], r["ts"]): r["session_id"]
+             for r in TP.sessionize(df, gap="10").collect()}
+    for width in (7.0, 100.0, 1e9, 1.0):
+        chunked = {(r["user_id"], r["ts"]): r["session_id"]
+                   for r in TP.sessionize(df, gap="10",
+                                          hot_chunk=width).collect()}
+        assert chunked == plain, width
+
+    # timestamp columns on the real events table
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    p = sorted(map(tuple, TP.sessionize(
+        events, gap="INTERVAL 30 MINUTE")
+        .select("event_id", "session_id").collect()))
+    c = sorted(map(tuple, TP.sessionize(
+        events, gap="INTERVAL 30 MINUTE", hot_chunk=3600.0)
+        .select("event_id", "session_id").collect()))
+    assert c == p
+
+    import pytest
+    with pytest.raises(ValueError):
+        TP.sessionize(events, hot_chunk=0)
