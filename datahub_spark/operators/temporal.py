@@ -28,17 +28,24 @@ from pyspark.sql import functions as F
 from datahub_spark.fsio import fs_exists, parquet_atomic_overwrite
 
 
-def _chunk_id(df: DataFrame, col: str, width: float):
-    """floor(t / width) as a long — the time-chunk id for the skew
-    paths. Timestamp flavors (incl. TIMESTAMP_NTZ, which cannot cast
-    to double) go through unix_micros; chunk WIDTH is then seconds.
-    Any monotone mapping works — parity never depends on where the
-    chunk cuts land (pinned with degenerate widths in tests)."""
+def _t_numeric(df: DataFrame, col: str):
+    """The column as an order-preserving double — timestamp flavors
+    (incl. TIMESTAMP_NTZ, which cannot cast to double) go through
+    unix_micros (micro-distinct values stay distinct: current epochs
+    spend ~31 of the 52 mantissa bits, leaving sub-microsecond
+    resolution)."""
     dt = df.schema[col].dataType.simpleString()
     c = F.col(col)
-    num = (F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
-           if dt.startswith("timestamp") else c.cast("double"))
-    return F.floor(num / float(width)).cast("long")
+    return (F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+            if dt.startswith("timestamp") else c.cast("double"))
+
+
+def _chunk_id(df: DataFrame, col: str, width: float):
+    """floor(t / width) as a long — the time-chunk id for the skew
+    paths; chunk WIDTH is seconds for timestamp columns. Any monotone
+    mapping works — parity never depends on where the chunk cuts land
+    (pinned with degenerate widths in tests)."""
+    return F.floor(_t_numeric(df, col) / float(width)).cast("long")
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
@@ -125,14 +132,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         u = u.withColumn("_ck", _chunk_id(u, "_t", float(hot_chunk)))
         wp = Window.partitionBy(*keys, "_ck").orderBy(*order)
         run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        full = wp.rowsBetween(Window.unboundedPreceding,
-                              Window.unboundedFollowing)
-        local = (u.withColumn("_ml", F.last("_rv", ignorenulls=True).over(run))
-                 .withColumn("_mf", F.last("_rv", ignorenulls=True).over(full)))
-        # bounded summary: one row per populated (key, chunk); _mf is
-        # constant within the group, so any_value is value-deterministic
-        summ = local.groupBy(*keys, "_ck").agg(
-            F.any_value("_mf").alias("_cf"))
+        local = u.withColumn(
+            "_ml", F.last("_rv", ignorenulls=True).over(run))
+        # each chunk's FINAL carried value depends on the RIGHT side
+        # only (it is the chunk's last right row in traversal order),
+        # so the summary is a map-side-partial HashAggregate over
+        # r_side alone — NOT a second window over the |L|+|R| union
+        # (which would exchange+sort all rows twice: column pruning
+        # makes the two branches' exchanges non-identical, defeating
+        # ReuseExchange). Traversal-last right row as a struct max:
+        # backward = max(t, rv); forward = max(-t, rv) (least t wins,
+        # greatest rv on ties — matching the window's tie rule).
+        rs = r_side.withColumn("_ck", _chunk_id(r_side, "_t",
+                                                float(hot_chunk)))
+        tn = _t_numeric(rs, "_t")
+        pick = F.struct(
+            (tn if direction == "backward" else -tn).alias("a"),
+            F.col("_rv").alias("b"))
+        rsum = (rs.groupBy(*keys, "_ck")
+                .agg(F.max(pick).alias("_m"))
+                .select(*keys, "_ck", F.col("_m.b").alias("_cf")))
+        # the carry must step over LEFT-only chunks too, so the chunk
+        # table is the distinct (key, chunk) universe of BOTH sides —
+        # a narrow map-side-partial distinct, no sort — with the
+        # rights' finals left-joined on
+        universe = u.select(*keys, "_ck").distinct()
+        summ = universe.join(rsum, keys + ["_ck"], "left")
         ck_order = (F.col("_ck").asc() if direction == "backward"
                     else F.col("_ck").desc())
         wc = (Window.partitionBy(*keys).orderBy(ck_order)
