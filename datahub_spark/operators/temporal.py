@@ -276,7 +276,13 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
     ``gap`` of the previous chunk's last event; the carry itself is a
     second (tiny) window over the summary, with a chunk passing the
     carry through only when it is single-session AND boundary-
-    connected. Identical output to the default plan (pinned)."""
+    connected. Identical output to the default plan (pinned). Honest
+    cost note: unlike asof_join's chunked path (whose summary comes
+    from the right side alone), the chunk summary here needs the local
+    session columns, so the (key, chunk) window pipeline executes
+    twice (once per DAG branch — column pruning defeats exchange
+    reuse); tasks stay bounded either way, which is the point. Prefer
+    the default plan unless a key is genuinely hot."""
     g = F.expr(gap)
     if hot_chunk is None:
         w = Window.partitionBy(key_col).orderBy(ts_col)

@@ -92,6 +92,75 @@ def main() -> None:
     timings["sessionize_20m_events"] = round(time.monotonic() - t0, 2)
     assert n_sessions >= n_users, n_sessions
 
+    # --- next decade (r9): one more measured order of magnitude on the
+    # two newest scale claims, recorded as ratios the way bench.py's
+    # x100 leg does (sub-linear-or-bust) -------------------------------
+
+    # as-of join at 200M events (10x the leg above) with a PATHOLOGICAL
+    # hot key: one user holds 50% of all events. The default plan would
+    # serialize 100M rows into a single window task; hot_chunk bounds
+    # every task by the chunk width (time-chunked carry). Correctness
+    # is the same computable invariant as the 20M leg.
+    n_big = 200_000_000
+    # leg 1 — scale alone: 200M UNIFORM-key events through the PLAIN
+    # single-window plan; 10x the 20M leg's data, so ~10x time = linear
+    ev_uni = spark.range(n_big).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") * 7919) % 4000).alias("ts"))
+    t0 = time.monotonic()
+    bad_uni = TP.asof_join(ev_uni, prof, on="user_id",
+                           value_cols=["score"]).filter(
+        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
+    timings["asof_join_200m_uniform_plain"] = round(time.monotonic() - t0, 2)
+    assert bad_uni == 0, bad_uni
+    timings["asof_uniform_ratio_200m_vs_20m"] = round(
+        timings["asof_join_200m_uniform_plain"]
+        / max(timings["asof_join_20m_events"], 1e-9), 2)
+
+    # leg 2 — skew: same volume but ONE key holds 50% of all events;
+    # the plain plan would sort 100M rows in a single window task,
+    # hot_chunk bounds every task by the chunk width instead
+    ev_big = spark.range(n_big).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % n_users).alias("user_id"),
+        ((F.col("id") * 7919) % 4000).alias("ts"))
+    t0 = time.monotonic()
+    joined_big = TP.asof_join(ev_big, prof, on="user_id",
+                              value_cols=["score"], hot_chunk=100.0)
+    bad_big = joined_big.filter(
+        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
+    timings["asof_join_200m_hotkey_chunked"] = round(time.monotonic() - t0, 2)
+    assert bad_big == 0, bad_big
+    timings["asof_ratio_200m_vs_20m"] = round(
+        timings["asof_join_200m_hotkey_chunked"]
+        / max(timings["asof_join_20m_events"], 1e-9), 2)
+
+    # sessionize under the same pathological skew: the hot key's 100M
+    # events fill every second tick in [0, 4000), so gaps are 2 and the
+    # key must form EXACTLY one session starting at 0; chunked window
+    # tasks stay bounded by the chunk width. Self-consistency on the
+    # whole output: every session's embedded start == its min(ts).
+    t0 = time.monotonic()
+    sess = TP.sessionize(ev_big, key_col="user_id", ts_col="ts",
+                         gap="10", hot_chunk=200.0)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("mn"), F.count(F.lit(1)).alias("n"))
+    stats = per.select(
+        F.sum("n").alias("rows"),
+        F.sum(F.when(F.col("user_id") == 0, 1).otherwise(0)).alias("hot_sessions"),
+        F.sum(F.when(
+            F.col("session_id") != F.concat(
+                F.col("user_id").cast("string"), F.lit("#"),
+                F.col("mn").cast("string")), 1).otherwise(0)).alias("bad_ids"),
+    ).collect()[0]
+    timings["sessionize_200m_hotkey_chunked"] = round(time.monotonic() - t0, 2)
+    assert stats["rows"] == n_big, stats
+    assert stats["hot_sessions"] == 1, stats
+    assert stats["bad_ids"] == 0, stats
+
+
     # the LLM-pipeline hot path at volume: 1M synthetic docs (5 near-dup
     # variants per 200k templates) through shingle -> minhash -> LSH
     # banding -> connected components -> cluster keepers. Generated
@@ -336,51 +405,6 @@ def main() -> None:
         assert s_top >= adc_ref(qid, qid + n_groups), qid
     n_code_rows = codes.count()
     assert n_code_rows == n_vecs, n_code_rows
-
-    # --- next decade (r9): one more measured order of magnitude on the
-    # two newest scale claims, recorded as ratios the way bench.py's
-    # x100 leg does (sub-linear-or-bust) -------------------------------
-
-    # as-of join at 200M events (10x the leg above) with a PATHOLOGICAL
-    # hot key: one user holds 50% of all events. The default plan would
-    # serialize 100M rows into a single window task; hot_chunk bounds
-    # every task by the chunk width (time-chunked carry). Correctness
-    # is the same computable invariant as the 20M leg.
-    n_big = 200_000_000
-    # leg 1 — scale alone: 200M UNIFORM-key events through the PLAIN
-    # single-window plan; 10x the 20M leg's data, so ~10x time = linear
-    ev_uni = spark.range(n_big).select(
-        F.col("id").alias("event_id"),
-        (F.col("id") % n_users).alias("user_id"),
-        ((F.col("id") * 7919) % 4000).alias("ts"))
-    t0 = time.monotonic()
-    bad_uni = TP.asof_join(ev_uni, prof, on="user_id",
-                           value_cols=["score"]).filter(
-        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
-    timings["asof_join_200m_uniform_plain"] = round(time.monotonic() - t0, 2)
-    assert bad_uni == 0, bad_uni
-    timings["asof_uniform_ratio_200m_vs_20m"] = round(
-        timings["asof_join_200m_uniform_plain"]
-        / max(timings["asof_join_20m_events"], 1e-9), 2)
-
-    # leg 2 — skew: same volume but ONE key holds 50% of all events;
-    # the plain plan would sort 100M rows in a single window task,
-    # hot_chunk bounds every task by the chunk width instead
-    ev_big = spark.range(n_big).select(
-        F.col("id").alias("event_id"),
-        F.when(F.col("id") % 2 == 0, F.lit(0))
-        .otherwise(F.col("id") % n_users).alias("user_id"),
-        ((F.col("id") * 7919) % 4000).alias("ts"))
-    t0 = time.monotonic()
-    joined_big = TP.asof_join(ev_big, prof, on="user_id",
-                              value_cols=["score"], hot_chunk=100.0)
-    bad_big = joined_big.filter(
-        F.col("_asof_ts") != (F.col("ts") / 1000).cast("long") * 1000).count()
-    timings["asof_join_200m_hotkey_chunked"] = round(time.monotonic() - t0, 2)
-    assert bad_big == 0, bad_big
-    timings["asof_ratio_200m_vs_20m"] = round(
-        timings["asof_join_200m_hotkey_chunked"]
-        / max(timings["asof_join_20m_events"], 1e-9), 2)
 
     # IVF-PQ at 8M vectors (8x the leg above): codebooks train on the
     # 1M slice (model quality is corpus-size-independent), the ENCODE
