@@ -794,8 +794,6 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
 
     ql, qc = _jpeg_qtables(quality)
     C = _dct_matrix()
-    qmat = [np.array(ql)[np.argsort(_JPEG_ZZ)].reshape(8, 8),
-            np.array(qc)[np.argsort(_JPEG_ZZ)].reshape(8, 8)]
     # natural-order quant matrices: table[i] is the ZIGZAG-i entry, so
     # natural[zz[i]] = table[i]
     qnat = [np.zeros((8, 8)), np.zeros((8, 8))]
@@ -871,8 +869,9 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
     w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF: version 1.1, unitless 1:1 density, no thumbnail
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HBB", 1, 1, 0)[1:] + b"\x01\x00\x00"
+        + b"\x00\x01\x00\x01\x00\x00"
     for tid, tab in ((0, ql), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(tab)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
