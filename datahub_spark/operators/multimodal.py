@@ -1117,3 +1117,155 @@ def decode_jpeg_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=BMP_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (r9): dHash over the REAL decoders.
+#
+# The image-corpus twin of dedup.simhash64: a 64-bit difference hash —
+# integer luma, average-pool to a 9x8 grid, one bit per horizontally
+# adjacent cell pair — is stable under lossy re-encoding (the SAME
+# pixels round-tripped through JPEG move only a few bits), so banding
+# the hash into 16-bit chunks (pigeonhole: hamming <= 3 guarantees one
+# identical chunk) finds near-duplicate images with equi-joins only —
+# the LAION-style image dedup stage, composed from the repo's own
+# pieces: real decode (BMP/PNG/JPEG) -> dHash (Arrow-batched) ->
+# bucket-grouped candidate pairs (the dedup.simhash_candidates shape)
+# -> dedup.connected_components -> min-id keeper.
+#
+# Exactness discipline: luma is integer ((77r + 150g + 29b) >> 8),
+# cell means compare by cross-multiplication (no float division), so
+# a hash is bit-identical across executors and runs.
+# ---------------------------------------------------------------------------
+
+_DHASH_GRID_W, _DHASH_GRID_H = 9, 8
+
+
+def _decode_rgb(mime: str, payload: bytes):
+    """Uniform (width, height, rows-of-(r,g,b)) across the real
+    decoders; unsupported mimes raise naming the gap."""
+    if mime == "image/bmp":
+        w, h, _, rows = _bmp_decode(payload)
+        return w, h, rows
+    if mime == "image/png":
+        w, h, _, rows = _png_decode(payload)
+        return w, h, rows
+    if mime == "image/jpeg":
+        return _jpeg_decode(payload)
+    raise NotImplementedError(
+        f"image decode for {mime!r}: stdlib decoders cover image/bmp, "
+        "image/png and baseline image/jpeg")
+
+
+def _dhash64(w: int, h: int, rows) -> int:
+    """64-bit difference hash: average-pooled 9x8 integer-luma grid,
+    bit k set when cell (y, x) is brighter than its right neighbour."""
+    gw, gh = _DHASH_GRID_W, _DHASH_GRID_H
+    if w < gw or h < gh:
+        raise ValueError(f"dhash needs at least {gw}x{gh} pixels, "
+                         f"got {w}x{h} — resize up first")
+    acc = [[0] * gw for _ in range(gh)]
+    cnt = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        gy = y * gh // h
+        ay, cy = acc[gy], cnt[gy]
+        row = rows[y]
+        for x in range(w):
+            gx = x * gw // w
+            r, g, b = row[x]
+            ay[gx] += (77 * r + 150 * g + 29 * b) >> 8
+            cy[gx] += 1
+    bits, k = 0, 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            # mean(acc/cnt) comparison without division: exact integers
+            if acc[gy][gx] * cnt[gy][gx + 1] > acc[gy][gx + 1] * cnt[gy][gx]:
+                bits |= 1 << k
+            k += 1
+    return bits
+
+
+def image_dhash(media: DataFrame, out_col: str = "dhash") -> DataFrame:
+    """(doc_id, dhash) per media row via real decode — one Arrow-batched
+    pass, the per-payload loop IS the decoder (multimodal contract).
+    The hash lands in a signed long (bit 63 never set: 8x8=64 pair
+    bits... the grid emits exactly (9-1)*8 = 64 bits, so the top bit
+    can set — stored via two's complement, XOR/bit_count downstream
+    are sign-agnostic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"],
+                                             pdf["meta"]):
+                w, h, rows = _decode_rgb(meta["mime"], bytes(payload))
+                v = _dhash64(w, h, rows)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append({"doc_id": int(doc_id), out_col: v})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=f"doc_id long, {out_col} long")
+
+
+def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
+                     id_col: str = "doc_id",
+                     hash_col: str = "dhash") -> DataFrame:
+    """Near-dup image pairs: band the 64-bit dHash into 4 chunks of 16
+    bits — hamming <= 3 guarantees one identical chunk (pigeonhole) —
+    and emit in-bucket pairs from ONE bucket-grouped aggregation (the
+    dedup.simhash_candidates shape: no self-join, the hash pipeline
+    executes once; plan has no cartesian). Returns (id_a, id_b,
+    hamming) with id_a < id_b."""
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col(hash_col), c * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for c in range(4)
+    ])
+    b = sig.select(id_col, hash_col, F.explode(chunks).alias("ck")).select(
+        F.struct(F.col(id_col).alias("id"),
+                 F.col(hash_col).alias("sig")).alias("e"),
+        F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
+    )
+    buckets = (
+        b.groupBy("chunk", "key")
+        .agg(F.array_sort(F.collect_set("e")).alias("es"))
+        .filter(F.size("es") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("es"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("es"), i + 2, F.size(F.col("es"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"), y["id"].alias("id_b"),
+                            F.bit_count(x["sig"].bitwiseXOR(y["sig"]))
+                            .alias("hamming")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_images(media: DataFrame, max_hamming: int = 3,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Perceptual image dedup end-to-end: real decode -> dHash ->
+    banded Hamming candidates -> connected components -> keeper = the
+    min id of each visual cluster. Returns (doc_id, keeper); rows with
+    doc_id == keeper survive. Images whose payloads differ byte-wise
+    but show the SAME picture (format conversions, JPEG recompression)
+    land in one cluster."""
+    from datahub_spark.operators.dedup import connected_components
+
+    sig = image_dhash(media)
+    pairs = dhash_candidates(sig, max_hamming, id_col)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (sig.select(id_col)
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("keeper")))

@@ -359,3 +359,83 @@ def test_jpeg_real_feature_dispatch(spark):
     f = feats["feature"]
     assert f[0] == 16.0 and f[1] == 12.0 and f[2] == 24.0
     assert 0.0 <= f[3] <= 255.0
+
+
+def _smooth(ax, ay, c):
+    """A smooth gradient pixel fn (realistic image content — JPEG's
+    easy case, unlike the md5-noise synthesize_* payloads which are
+    its adversarial worst case)."""
+    def pixel(x, y):
+        return ((x * ax) % 256, (y * ay) % 256, (x * 3 + y * 5 + c) % 256)
+    return pixel
+
+
+def _media_rows(spark, rows):
+    import datahub_spark.operators.multimodal as MM
+    return spark.createDataFrame(
+        [(i, payload, {"mime": mime, "n_bytes": len(payload),
+                       "width": 16, "height": 12})
+         for i, mime, payload in rows], MM.MEDIA_SCHEMA)
+
+
+def test_image_dhash_cross_format_and_jpeg_robustness(spark):
+    """r9 perceptual dedup: the SAME pixels hash IDENTICALLY through
+    BMP and PNG (lossless — even on md5-noise payloads), and a JPEG
+    round-trip of smooth (photo-like) pixels moves at most a couple of
+    bits — while different pictures sit far apart."""
+    import datahub_spark.operators.multimodal as MM
+
+    # lossless cross-format equality on the adversarial noise images
+    docs = spark.createDataFrame(
+        [(i, f"image dedup doc {i}") for i in range(5)],
+        "doc_id long, text string")
+    hb = {r["doc_id"]: r["dhash"]
+          for r in MM.image_dhash(MM.synthesize_bmp(docs)).collect()}
+    hp = {r["doc_id"]: r["dhash"]
+          for r in MM.image_dhash(MM.synthesize_png(docs)).collect()}
+    assert hb == hp
+    dists = [bin((hb[a] ^ hb[b]) & ((1 << 64) - 1)).count("1")
+             for a in range(5) for b in range(a + 1, 5)]
+    assert min(dists) >= 8, dists
+
+    # JPEG robustness on smooth content
+    pics = [_smooth(40, 30, 0), _smooth(70, 50, 64), _smooth(55, 75, 200)]
+    rows = []
+    for i, p in enumerate(pics):
+        rows.append((10 * i, "image/bmp", MM._bmp_encode(16, 12, p)))
+        rows.append((10 * i + 1, "image/jpeg",
+                     MM._jpeg_encode(16, 12, p, quality=90)))
+    h = {r["doc_id"]: r["dhash"]
+         for r in MM.image_dhash(_media_rows(spark, rows)).collect()}
+    for i in range(len(pics)):
+        ham = bin((h[10 * i] ^ h[10 * i + 1]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 3, (i, ham)
+    for a in range(len(pics)):
+        for b in range(a + 1, len(pics)):
+            d = bin((h[10 * a] ^ h[10 * b]) & ((1 << 64) - 1)).count("1")
+            assert d >= 8, (a, b, d)
+
+    import pytest
+    with pytest.raises(ValueError, match="9x8"):
+        MM._dhash64(4, 4, [[(0, 0, 0)] * 4] * 4)
+
+
+def test_dedup_images_clusters_recompressions(spark):
+    """dedup_images end-to-end: byte-wise different payloads showing
+    the SAME picture (BMP / PNG / JPEG of one smooth pixel fn) land in
+    one cluster with the min id as keeper; distinct pictures survive."""
+    import datahub_spark.operators.multimodal as MM
+
+    same = _smooth(40, 30, 7)
+    rows = [
+        (0, "image/bmp", MM._bmp_encode(16, 12, same)),
+        (1, "image/png", MM._png_encode(16, 12, same)),
+        (2, "image/jpeg", MM._jpeg_encode(16, 12, same, quality=90)),
+        (10, "image/bmp", MM._bmp_encode(16, 12, _smooth(70, 50, 90))),
+        (11, "image/jpeg", MM._jpeg_encode(16, 12, _smooth(5, 17, 200))),
+    ]
+    out = {r["doc_id"]: r["keeper"]
+           for r in MM.dedup_images(_media_rows(spark, rows)).collect()}
+    assert out[0] == out[1] == out[2] == 0, out
+    assert out[10] == 10 and out[11] == 11, out
+    assert sorted(set(out.values())) == [0, 10, 11]
