@@ -1269,3 +1269,92 @@ def dedup_images(media: DataFrame, max_hamming: int = 3,
             .join(comp.withColumnRenamed("id", id_col), id_col, "left")
             .select(id_col,
                     F.coalesce("component", F.col(id_col)).alias("keeper")))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio dedup (r9): energy-contour fingerprint over real WAV
+# decode — the audio twin of image_dhash. 64 bits from the SIGN of the
+# energy gradient across 65 equal windows: bit k set when window k is
+# louder than window k+1. Gain-invariant by construction (scaling all
+# samples scales every window energy by the same factor, preserving
+# every comparison), robust to re-encoding of the same samples, and
+# integer-exact (sum-of-squares cross-compares, no division), so the
+# same clip fingerprints identically everywhere. Candidates reuse
+# dhash_candidates' 4x16-bit banding; clustering reuses
+# connected_components.
+# ---------------------------------------------------------------------------
+
+_AFP_WINDOWS = 65
+
+
+def _wav_samples(payload: bytes) -> list[int]:
+    """16-bit mono PCM samples of a WAV payload (the profile
+    synthesize_wav writes); other widths raise, named."""
+    import array
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError(
+                "audio fingerprint: 16-bit mono PCM only "
+                f"(got width={w.getsampwidth()} ch={w.getnchannels()})")
+        frames = w.readframes(w.getnframes())
+    return list(array.array("h", frames))
+
+
+def _audio_fp64(samples: list[int]) -> int:
+    """64-bit energy-contour fingerprint over 65 equal windows."""
+    n = len(samples)
+    win = _AFP_WINDOWS
+    if n < win:
+        raise ValueError(
+            f"audio fingerprint needs >= {win} samples, got {n}")
+    energy = []
+    for k in range(win):
+        lo, hi = k * n // win, (k + 1) * n // win
+        e = 0
+        for v in samples[lo:hi]:
+            e += v * v
+        # exact mean compare via cross-multiplication downstream
+        energy.append((e, hi - lo))
+    bits = 0
+    for k in range(win - 1):
+        ea, na = energy[k]
+        eb, nb = energy[k + 1]
+        if ea * nb > eb * na:
+            bits |= 1 << k
+    return bits
+
+
+def audio_fingerprint(media: DataFrame,
+                      out_col: str = "afp") -> DataFrame:
+    """(doc_id, afp) per WAV media row — one Arrow-batched pass; the
+    long column feeds dhash_candidates(hash_col=out_col) unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = _audio_fp64(_wav_samples(bytes(payload)))
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append({"doc_id": int(doc_id), out_col: v})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=f"doc_id long, {out_col} long")
+
+
+def dedup_audio(media: DataFrame, max_hamming: int = 3,
+                id_col: str = "doc_id") -> DataFrame:
+    """Perceptual audio dedup end-to-end: fingerprint -> banded Hamming
+    candidates -> connected components -> min-id keeper. Returns
+    (doc_id, keeper); gain-scaled or re-encoded copies of one clip
+    cluster together."""
+    from datahub_spark.operators.dedup import connected_components
+
+    sig = audio_fingerprint(media)
+    pairs = dhash_candidates(sig, max_hamming, id_col, hash_col="afp")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (sig.select(id_col)
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("keeper")))

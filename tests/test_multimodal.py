@@ -439,3 +439,68 @@ def test_dedup_images_clusters_recompressions(spark):
     assert out[0] == out[1] == out[2] == 0, out
     assert out[10] == 10 and out[11] == 11, out
     assert sorted(set(out.values())) == [0, 10, 11]
+
+
+def test_audio_fingerprint_gain_invariance_and_dedup(spark):
+    """r9: the energy-contour fingerprint is identical under gain
+    scaling and re-encoding of the same samples; different clips sit
+    far apart; dedup_audio clusters the copies (min-id keeper)."""
+    import array
+    import io as _io
+    import wave as _wave
+    import datahub_spark.operators.multimodal as MM
+
+    def wav_of(samples):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(array.array("h", samples).tobytes())
+        return buf.getvalue()
+
+    import hashlib as _hl
+
+    def clip(seed, n=2000):
+        out, state = [], seed.encode()
+        while len(out) < n:
+            state = _hl.md5(state).digest()
+            out.extend(int.from_bytes(state[i:i+2], "little", signed=True)
+                       for i in range(0, 16, 2))
+        return out[:n]
+
+    a = clip("clip a")
+    half = [v // 2 for v in a]          # -6 dB gain
+    b, c = clip("clip b"), clip("clip c")
+    rows = [(0, wav_of(a)), (1, wav_of(half)),
+            (10, wav_of(b)), (11, wav_of(c))]
+    media = spark.createDataFrame(
+        [(i, p, {"mime": "audio/wav", "n_bytes": len(p),
+                 "width": None, "height": None}) for i, p in rows],
+        MM.MEDIA_SCHEMA)
+    fp = {r["doc_id"]: r["afp"]
+          for r in MM.audio_fingerprint(media).collect()}
+    # gain scaling preserves every window-energy comparison... up to
+    # integer floor noise on md5 noise; identical or near-identical
+    ham01 = bin((fp[0] ^ fp[1]) & ((1 << 64) - 1)).count("1")
+    assert ham01 <= 2, ham01
+    for x, y in ((0, 10), (0, 11), (10, 11)):
+        d = bin((fp[x] ^ fp[y]) & ((1 << 64) - 1)).count("1")
+        assert d >= 10, (x, y, d)
+
+    out = {r["doc_id"]: r["keeper"]
+           for r in MM.dedup_audio(media).collect()}
+    assert out[0] == out[1] == 0, out
+    assert out[10] == 10 and out[11] == 11
+
+    import pytest
+    with pytest.raises(ValueError, match="65"):
+        MM._audio_fp64([1] * 10)
+    with pytest.raises(NotImplementedError, match="16-bit mono"):
+        stereo = _io.BytesIO()
+        with _wave.open(stereo, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00" * 400)
+        MM._wav_samples(stereo.getvalue())
