@@ -442,6 +442,51 @@ def main() -> None:
             assert r["neighbor_id"] % n_vecs == qid, (qid, r["neighbor_id"])
         assert rows8[0]["score_fp"] >= top1[qid][1], qid
 
+    # perceptual image dedup at 200k payloads (r9): 100k full-entropy
+    # 16x12 BMPs + one byte-identical copy each, generated distributed
+    # (numpy seeded per id — no driver-side data). dedup_images walks
+    # real decode -> dHash -> banded candidates -> CC; with
+    # max_hamming=0 the invariant is exact: every copy clusters onto
+    # its original (full-entropy hashes make cross-image collisions
+    # ~2^-64 per pair), 100k keepers, all originals.
+    import pandas as _pd
+
+    from datahub_spark.operators import multimodal as MM
+
+    n_imgs = 100_000
+
+    def gen_imgs(batches):
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                src = int(i) % n_imgs
+                rng = _np.random.RandomState(src)
+                px = rng.randint(0, 256, (12, 16, 3))
+
+                def pixel(x, y, px=px):
+                    return int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+
+                pay = MM._bmp_encode(16, 12, pixel)
+                rows.append((int(i), pay,
+                             {"mime": "image/bmp", "n_bytes": len(pay),
+                              "width": 16, "height": 12}))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    media = spark.range(2 * n_imgs).mapInPandas(gen_imgs, MM.MEDIA_SCHEMA)
+    t0 = time.monotonic()
+    img_keep = MM.dedup_images(media, max_hamming=0)
+    img_stats = img_keep.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("keeper").alias("clusters"),
+        F.sum(F.when(F.col("keeper") != F.col("doc_id") % n_imgs, 1)
+              .otherwise(0)).alias("bad"),
+    ).collect()[0]
+    timings["image_dedup_200k_payloads"] = round(time.monotonic() - t0, 2)
+    assert img_stats["rows"] == 2 * n_imgs, img_stats
+    assert img_stats["clusters"] == n_imgs, img_stats
+    assert img_stats["bad"] == 0, img_stats
+
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
                  "dup_cluster_keepers": n_keepers,
