@@ -1882,12 +1882,23 @@ def q_data_splits(spark, sf_dir):
 @register(
     "domain_stats",
     """
-    WITH h AS (
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             text || ' see https://d' || CAST(doc_id % 97 AS VARCHAR)
+                  || '.example.org/p'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and https://M' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.net/q https://d'
+                               || CAST(doc_id % 97 AS VARCHAR)
+                               || '.example.org/r'
+                          ELSE '' END AS text
+      FROM documents),
+    h AS (
       SELECT doc_id, n_chars, lower(u) AS domain
       FROM (SELECT doc_id, n_chars,
                    unnest(regexp_extract_all(
                      text, 'https?://([A-Za-z0-9.-]+)', 1)) AS u
-            FROM documents) t),
+            FROM d) t),
     pd AS (
       SELECT domain, doc_id, any_value(n_chars) AS q,
              CAST(COUNT(*) AS BIGINT) AS links
@@ -1905,9 +1916,28 @@ def q_domain_stats(spark, sf_dir):
     host, citing-document count, total link occurrences, and the mean
     quality (n_chars as the quality stand-in) over citing documents in
     exact e4 fixed-point (round-half-up integer formula — no float
-    mean). One explode + two HashAggregates, linear in links."""
+    mean). One explode + two HashAggregates, linear in links. The
+    synthetic documents carry no URLs, so the query plants
+    deterministic ones first (one ~97-domain link per doc, a second
+    mixed-case pair on every third doc — exercising host
+    lowercasing, per-doc dedup of n_docs vs n_links, and the
+    integer mean) — the asof_join synthetic-profile pattern; the
+    oracle plants the identical links."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    return TX.domain_stats(docs, quality_col="n_chars")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" see https://d"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.org/p"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" and https://M"),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".example.net/q https://d"),
+                            (F.col("doc_id") % 97).cast("string"),
+                            F.lit(".example.org/r")))
+            .otherwise(F.lit(""))))
+    return TX.domain_stats(planted, quality_col="n_chars")
 
 
 # --------------------------------------------------------------------------
