@@ -25,6 +25,43 @@ RANK_ONE = 1_000_000_000  # fixed-point 1.0
 _BASE = 150_000_000       # (1 - d) with d = 0.85
 
 
+def _persisted_ids(sc) -> set:
+    """Ids of every RDD currently persisted in the JVM (localCheckpoint
+    blocks included — they persist MEMORY_AND_DISK under the hood)."""
+    it = sc._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _ckpt_tracked(df: DataFrame):
+    """localCheckpoint(eager=True) + return the persisted-RDD ids the
+    call created, so the caller can free them when the frame is
+    superseded. Snapshot-diff is sound here: the driver is
+    single-threaded through this call, so the only ids that appear are
+    ours. Without this, every pagerank invocation pins its edge frame
+    and every rank generation in JVM storage until session shutdown —
+    the r9 bench OOM'd exactly this way (3 timed runs + warmup of the
+    x100 leg = 4 pinned 15M-row edge frames)."""
+    sc = df.sparkSession.sparkContext
+    before = _persisted_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persisted_ids(sc) - before
+
+
+def _free_rdds(sc, ids) -> None:
+    """Unpersist (non-blocking) the given persisted-RDD ids, if still
+    live. Safe on already-freed ids."""
+    if not ids:
+        return
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def pagerank(edges: DataFrame, rounds: int = 3,
              src: str = "src", dst: str = "dst",
              checkpoint_every: int = 8,
@@ -58,17 +95,22 @@ def pagerank(edges: DataFrame, rounds: int = 3,
     checkpoint is probed (one bounded aggregate; no per-round action)
     and iteration ends once it is <= ``tol_e9`` (e9 fixed-point
     units, e.g. 1000 = 1e-6)."""
+    sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id")))
              .distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+    ed, ed_ids = _ckpt_tracked(e.join(deg, "src"))
+    nodes, node_ids = _ckpt_tracked(nodes)
+    scratch_ids = ed_ids | node_ids  # freed once the result no longer
+    # depends on them (after its own checkpoint materializes)
     n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.withColumn("rank_e9", F.lit(RANK_ONE).cast("long"))
     ck = max(1, int(checkpoint_every))
     prev_ck = None
+    prev_ck_ids: set = set()
+    cur_ids: set = set()
     for i in range(int(rounds)):
         contrib = (
             ed.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -93,7 +135,12 @@ def pagerank(edges: DataFrame, rounds: int = 3,
         )
         last = i == int(rounds) - 1
         if (i + 1) % ck == 0 or last:
-            ranks = ranks.localCheckpoint(eager=True)
+            old_ids = cur_ids
+            ranks, cur_ids = _ckpt_tracked(ranks)
+            # the new checkpoint is materialized (eager): the previous
+            # rank generation's blocks are garbage, except the tol
+            # baseline which the next delta probe still reads
+            _free_rdds(sc, old_ids - prev_ck_ids)
             if tol_e9 is not None and not last:
                 if prev_ck is not None:
                     delta = (ranks.alias("n")
@@ -101,9 +148,17 @@ def pagerank(edges: DataFrame, rounds: int = 3,
                              .agg(F.max(F.abs(F.col("n.rank_e9")
                                               - F.col("o.rank_e9"))))
                              .collect()[0][0])
+                    _free_rdds(sc, prev_ck_ids - cur_ids)
                     if delta is not None and delta <= int(tol_e9):
+                        _free_rdds(sc, scratch_ids)
                         return ranks
                 prev_ck = ranks
+                prev_ck_ids = cur_ids
+    # the result is checkpointed, so the edge/node scratch frames and
+    # any stale tol baseline are unreachable — only the returned rank
+    # blocks stay pinned (the caller's to consume; bench clears between
+    # legs)
+    _free_rdds(sc, scratch_ids | (prev_ck_ids - cur_ids))
     return ranks
 
 

@@ -48,6 +48,26 @@ def _chunk_id(df: DataFrame, col: str, width: float):
     return F.floor(_t_numeric(df, col) / float(width)).cast("long")
 
 
+def _ns_join(a: DataFrame, b: DataFrame, cols: list[str],
+             how: str = "inner") -> DataFrame:
+    """Null-safe equi-join on ``cols`` keeping a's columns plus b's
+    non-key columns. The hot_chunk paths join on the USER's key columns
+    — and the flagship hot key is the null/guest user, which plain SQL
+    join equality silently drops while the default window plan keeps it
+    as a partition. ``eqNullSafe`` (<=>) is still an equi-join key for
+    Catalyst (ExtractEquiJoinKeys accepts EqualNullSafe), so the plan
+    stays a hash/sort-merge join — null-key parity without losing the
+    join strategy."""
+    la, lb = a.alias("_nsl"), b.alias("_nsr")
+    cond = None
+    for c in cols:
+        p = F.col(f"_nsl.`{c}`").eqNullSafe(F.col(f"_nsr.`{c}`"))
+        cond = p if cond is None else cond & p
+    keep = [F.col(f"_nsl.`{c}`").alias(c) for c in a.columns] + [
+        F.col(f"_nsr.`{c}`").alias(c) for c in b.columns if c not in cols]
+    return la.join(lb, cond, how).select(*keep)
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: list[str] | None = None,
@@ -84,10 +104,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     its FINAL carried right value, a bounded per-(key, chunk) summary
     table carries values ACROSS chunks with a second (tiny) window,
     and a (key, chunk)-keyed equi-join folds the boundary carry back
-    into rows whose local carry found nothing. Results are identical
-    to the default plan (pinned in tests); cost is one extra shuffle
-    over the summary + the join, worth it only when a key's timeline
-    outgrows a task."""
+    into rows whose local carry found nothing. All chunk joins are
+    NULL-SAFE (<=>, still hash-joinable), so the null key — the
+    flagship hot key — matches itself exactly as the window partition
+    does. Results are identical to the default plan (pinned in tests,
+    incl. null keys); cost is one extra shuffle over the summary + the
+    join, worth it only when a key's timeline outgrows a task."""
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
@@ -157,7 +179,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         # a narrow map-side-partial distinct, no sort — with the
         # rights' finals left-joined on
         universe = u.select(*keys, "_ck").distinct()
-        summ = universe.join(rsum, keys + ["_ck"], "left")
+        summ = _ns_join(universe, rsum, keys + ["_ck"], "left")
         ck_order = (F.col("_ck").asc() if direction == "backward"
                     else F.col("_ck").desc())
         wc = (Window.partitionBy(*keys).orderBy(ck_order)
@@ -165,7 +187,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         carry = summ.withColumn(
             "_cin", F.last("_cf", ignorenulls=True).over(wc)) \
             .select(*keys, "_ck", "_cin")
-        out = (local.join(carry, keys + ["_ck"])
+        out = (_ns_join(local, carry, keys + ["_ck"])
                .withColumn("_m", F.coalesce(F.col("_ml"), F.col("_cin")))
                .filter(F.col("_tag") == 1))
     if tolerance is not None:
@@ -276,7 +298,9 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
     ``gap`` of the previous chunk's last event; the carry itself is a
     second (tiny) window over the summary, with a chunk passing the
     carry through only when it is single-session AND boundary-
-    connected. Identical output to the default plan (pinned). Honest
+    connected. The (key, chunk) merge join is null-safe, so null-key
+    events sessionize exactly as the default plan's null window
+    partition. Identical output to the default plan (pinned). Honest
     cost note: unlike asof_join's chunked path (whose summary comes
     from the right side alone), the chunk summary here needs the local
     session columns, so the (key, chunk) window pipeline executes
@@ -332,7 +356,7 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
             .withColumn("_carry", carried)
             .withColumn("_base", F.lag("_carry").over(wc))
             .select(key_col, "_ck", "_conn", "_base"))
-    out = local.join(summ, [key_col, "_ck"])
+    out = _ns_join(local, summ, [key_col, "_ck"])
     eff = F.when((F.col("_seq") == 1) & F.col("_conn"), F.col("_base")) \
         .otherwise(F.col("_start"))
     return (out.withColumn(

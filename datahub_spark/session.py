@@ -42,7 +42,13 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         # without this conf stays correct but loses the props-map
         # pruning — perf only.
         .config("spark.sql.optimizer.collapseProjectAlwaysInline", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts the driver AND all N executor threads (shuffle +
+        # aggregation buffers + every eager localCheckpoint partition) in
+        # ONE JVM — 8g OOM'd the r9 driver bench at effective sf10. The
+        # box has ~128 GiB; 48g leaves headroom for Python workers while
+        # being 6x the observed crash threshold. On a real cluster this
+        # conf only sizes the driver, which holds no executor state.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -381,3 +381,49 @@ def test_asof_hot_chunk_summary_is_rights_only(spark):
                         hot_chunk=1000.0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window [") == 2, plan
+
+
+def test_asof_hot_chunk_null_keys_parity(spark):
+    """r10 (ADVICE): the flagship hot_chunk use case IS the null/guest
+    user — plain equi-joins drop null keys while the default window
+    plan keeps them as a partition. The chunked carry joins are
+    null-safe; results must be bit-identical to the default plan with
+    nulls on BOTH sides, both directions, and the output must keep
+    exactly one row per left row."""
+    ev = spark.createDataFrame(
+        [(None, 10), (None, 25), (None, 40), (1, 10), (1, 40), (2, 15)],
+        "k int, ts long").withColumn("eid", F.monotonically_increasing_id())
+    prof = spark.createDataFrame(
+        [(None, 5, 100), (None, 30, 200), (1, 20, 300), (2, 50, 400)],
+        "k int, ts long, score int")
+    n_left = ev.count()
+    for direction in ("backward", "forward"):
+        plain = sorted(map(repr, TP.asof_join(
+            ev, prof, on="k", value_cols=["score"],
+            direction=direction).collect()))
+        for width in (7.0, 1000.0, 1.0):
+            chunked = sorted(map(repr, TP.asof_join(
+                ev, prof, on="k", value_cols=["score"],
+                direction=direction, hot_chunk=width).collect()))
+            assert chunked == plain, (direction, width)
+            assert len(chunked) == n_left, (direction, width)
+    # sanity: the null-key left rows actually MATCH null-key rights
+    got = {(r["k"], r["ts"]): r["score"] for r in TP.asof_join(
+        ev, prof, on="k", value_cols=["score"], hot_chunk=7.0).collect()}
+    assert got[(None, 10)] == 100 and got[(None, 40)] == 200
+
+
+def test_sessionize_hot_chunk_null_keys_parity(spark):
+    """r10 (ADVICE): null-key events sessionize identically under the
+    chunked merge (null-safe join) and the default window plan."""
+    rows = [(None, t) for t in (0, 5, 30, 33, 90)] + \
+           [(7, t) for t in (0, 4, 50)]
+    df = spark.createDataFrame(rows, "user_id int, ts long")
+    plain = {(r["user_id"], r["ts"]): r["session_id"]
+             for r in TP.sessionize(df, gap="10").collect()}
+    for width in (7.0, 100.0, 1.0):
+        chunked = {(r["user_id"], r["ts"]): r["session_id"]
+                   for r in TP.sessionize(df, gap="10",
+                                          hot_chunk=width).collect()}
+        assert chunked == plain, width
+    assert len(plain) == len(rows)
