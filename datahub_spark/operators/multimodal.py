@@ -1188,10 +1188,9 @@ def _dhash64(w: int, h: int, rows) -> int:
 def image_dhash(media: DataFrame, out_col: str = "dhash") -> DataFrame:
     """(doc_id, dhash) per media row via real decode — one Arrow-batched
     pass, the per-payload loop IS the decoder (multimodal contract).
-    The hash lands in a signed long (bit 63 never set: 8x8=64 pair
-    bits... the grid emits exactly (9-1)*8 = 64 bits, so the top bit
-    can set — stored via two's complement, XOR/bit_count downstream
-    are sign-agnostic)."""
+    The 9x8 gradient grid emits exactly (9-1)*8 = 64 bits, so the top
+    bit CAN set; the hash is stored in a signed long via two's
+    complement, and XOR/bit_count downstream are sign-agnostic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1210,13 +1209,28 @@ def image_dhash(media: DataFrame, out_col: str = "dhash") -> DataFrame:
 
 def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                      id_col: str = "doc_id",
-                     hash_col: str = "dhash") -> DataFrame:
+                     hash_col: str = "dhash",
+                     max_bucket: int | None = 10_000,
+                     with_overflow: bool = False):
     """Near-dup image pairs: band the 64-bit dHash into 4 chunks of 16
     bits — hamming <= 3 guarantees one identical chunk (pigeonhole) —
     and emit in-bucket pairs from ONE bucket-grouped aggregation (the
     dedup.simhash_candidates shape: no self-join, the hash pipeline
     executes once; plan has no cartesian). Returns (id_a, id_b,
-    hamming) with id_a < id_b."""
+    hamming) with id_a < id_b.
+
+    Degenerate buckets (r10): at web scale near-constant images are
+    NORMAL data — the dHash of every uniform/black image is literally
+    the same constant, so one chunk key can hold millions of members.
+    ``max_bucket`` (default 10k) bounds bucket membership before the
+    collect via dedup.cap_bucket_members (a spilling sort-window, so
+    no unbounded array ever sits in one task); identical hashes sort
+    adjacently in the cap order, so exact visual duplicates still pair
+    before the cut. ``with_overflow=True`` also returns the (chunk,
+    key, n_members, n_dropped) accounting frame."""
+    from datahub_spark.operators.dedup import (bucket_overflow,
+                                               cap_bucket_members)
+
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright(F.col(hash_col), c * 16)
@@ -1228,8 +1242,12 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                  F.col(hash_col).alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
+    kept = (cap_bucket_members(
+        b, ["chunk", "key"],
+        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket)
+        if max_bucket is not None else b)
     buckets = (
-        b.groupBy("chunk", "key")
+        kept.groupBy("chunk", "key")
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
         .filter(F.size("es") > 1)
     )
@@ -1249,7 +1267,12 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b", "p.hamming").distinct()
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    out = pairs.filter(F.col("hamming") <= max_hamming)
+    if with_overflow:
+        return out, bucket_overflow(b, ["chunk", "key"],
+                                    max_bucket if max_bucket is not None
+                                    else (1 << 62))
+    return out
 
 
 def dedup_images(media: DataFrame, max_hamming: int = 3,

@@ -511,3 +511,92 @@ def test_bloom_size_guard(spark):
     # non-multiple-of-64 still rejected
     with pytest.raises(ValueError, match="multiple of 64"):
         DD.build_bloom(corpus, m_bits=100, hashes=7)
+
+
+def test_capped_mega_bucket_bounded_with_accounting(spark):
+    """r10 (judge task 2): a degenerate bucket key — every member
+    identical — must not materialize an unbounded collect_set row. The
+    cap keeps the first max_bucket members (spilling sort-window, so
+    the plan shows a row_number Window BEFORE the aggregate), pairs
+    come only from the kept slice, and the overflow frame accounts for
+    the cut loudly."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators import dedup as DD
+
+    # 60 docs with IDENTICAL minhash signatures -> one mega-bucket per
+    # band (4 bands), plus 2 normal docs that collide with nothing
+    sig = spark.range(62).select(
+        F.col("id").cast("string").alias("doc_id"),
+        *[(F.when(F.col("id") < 60, F.lit(7 * (j + 1)))
+           .otherwise(F.col("id") * 1000 + j)).cast("long").alias(f"mh{j}")
+          for j in range(12)])
+    full = DD.lsh_candidates(sig, max_bucket=None)
+    assert full.count() == 60 * 59 // 2
+    pairs, over = DD.lsh_candidates(sig, max_bucket=10, with_overflow=True)
+    got = pairs.collect()
+    # pairs come from the first 10 doc_ids (string order) only
+    kept_ids = sorted((str(i) for i in range(60)))[:10]
+    assert len(got) == 10 * 9 // 2
+    assert all(r["id_a"] in kept_ids and r["id_b"] in kept_ids for r in got)
+    acct = over.collect()
+    assert len(acct) == 4  # one overflow row per band
+    assert all(r["n_members"] == 60 and r["n_dropped"] == 50 for r in acct)
+    # structural pin: the cap is a sort-window (spills), ahead of the agg
+    plan = DD.lsh_candidates(sig, max_bucket=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan and "Window" in plan, plan
+
+
+def test_capped_simhash_keeps_exact_dups_paired(spark):
+    """Identical signatures sort adjacently under the (sig, id) cap
+    order, so exact near-dups still pair when a mega-bucket is cut."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators import dedup as DD
+
+    # 40 docs share sig A, 40 share sig B (hamming 1 from A): every
+    # chunk key collides for all 80 docs -> mega-buckets of 80
+    sig = spark.range(80).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") < 40, F.lit(0x1234567).cast("long"))
+        .otherwise(F.lit(0x1234566).cast("long")).alias("simhash"))
+    pairs, over = DD.simhash_candidates(sig, max_hamming=3, max_bucket=16,
+                                        with_overflow=True)
+    got = pairs.collect()
+    # chunk 0 distinguishes the two sig groups (they differ in the low
+    # bit): each 40-member bucket keeps 16 -> C(16,2) same-sig pairs
+    # per group; the chunks-1..3 mega-buckets keep 16 members of the
+    # LOWER sig group ((sig, id) order), re-emitting that group's
+    # pairs. Every kept pair is an exact dup — the property under test.
+    assert len(got) == 2 * (16 * 15 // 2)
+    assert all(r["hamming"] == 0 for r in got)
+    acct = {(r["chunk"], r["n_members"], r["n_dropped"])
+            for r in over.collect()}
+    assert acct == {(0, 40, 24), (1, 80, 64), (2, 80, 64), (3, 80, 64)}
+
+
+def test_capped_dhash_candidates_uniform_images(spark):
+    """The real-data trigger: uniform/black images all hash to the
+    SAME dHash constant — the capped emitter bounds the bucket and
+    accounts for the cut; uncapped equals capped on small buckets."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators import multimodal as MM
+
+    sig = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("dhash"))
+    pairs, over = MM.dhash_candidates(sig, max_bucket=8, with_overflow=True)
+    assert pairs.count() == 8 * 7 // 2
+    assert all(r["n_members"] == 50 and r["n_dropped"] == 42
+               for r in over.collect())
+    # small buckets: capped (default 10k) == uncapped
+    small = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("long").alias("dhash"))
+    a = sorted(map(tuple, MM.dhash_candidates(small).collect()))
+    b = sorted(map(tuple, MM.dhash_candidates(small, max_bucket=None)
+                   .collect()))
+    # hashes 0,1,2 share upper chunk keys and sit within hamming 3,
+    # so every pair qualifies
+    assert a == b and len(a) == 6 * 5 // 2
