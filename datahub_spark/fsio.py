@@ -10,7 +10,9 @@ itself uses for compaction (store.py compact): write the merged table
 to a STAGE directory, swap it in with two renames, and only then drop
 the old generation. A crash before the first rename leaves the old
 table untouched; a crash between the renames leaves the old generation
-beside the path, recoverable by re-running the refresh.
+beside the path as ``_old-<name>-*`` — ``ensure_recovered`` restores it
+before any bootstrap existence probe, so re-running the refresh heals
+the window instead of rebuilding from one batch.
 
 Everything goes through the Hadoop FileSystem API so the same code
 path serves local file:// paths in tests and HDFS/object-store paths
@@ -41,16 +43,69 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _orphaned_generations(fs, jvm, target):
+    """FileStatus list of ``_old-<name>-*`` siblings left by a crash
+    between the two swap renames (the window where the target itself is
+    absent but the previous generation survives under its temp name)."""
+    parent, name = target.getParent(), target.getName()
+    if not fs.exists(parent):
+        return []
+    prefix = f"_old-{name}-"
+    return [st for st in fs.listStatus(parent)
+            if st.getPath().getName().startswith(prefix)]
+
+
+def ensure_recovered(spark: SparkSession, path: str) -> bool:
+    """``fs_exists`` with crash recovery — what maintenance bootstraps
+    must call (ADVICE r9): a crash between ``rename(target, old)`` and
+    ``rename(stage, target)`` leaves the target ABSENT while the whole
+    previous generation sits beside it as ``_old-<name>-*``. A bare
+    existence probe then takes the bootstrap-fresh branch and silently
+    rebuilds the table from only the current batch, losing all
+    persisted history. This restores the newest orphaned generation
+    back to ``path`` (and deletes older orphans + stale ``_stage-*``
+    leftovers) before reporting existence. Single-writer contract, like
+    every maintenance op here."""
+    fs, target = _fs(spark, path)
+    jvm = spark._jvm
+    if fs.exists(target):
+        return True
+    olds = _orphaned_generations(fs, jvm, target)
+    if not olds:
+        return False
+    newest = max(olds, key=lambda st: st.getModificationTime())
+    if not fs.rename(newest.getPath(), target):
+        raise IOError(
+            f"recover: rename {newest.getPath()} -> {target} failed")
+    prefix = f"_stage-{target.getName()}-"
+    for st in fs.listStatus(target.getParent()):
+        n = st.getPath().getName()
+        if (st.getPath().toString() != newest.getPath().toString()
+                and (n.startswith(f"_old-{target.getName()}-")
+                     or n.startswith(prefix))):
+            fs.delete(st.getPath(), True)
+    return True
+
+
 def parquet_atomic_overwrite(df: DataFrame, path: str) -> None:
     """Materialize ``df`` as parquet at ``path``, crash-safely, even
     when ``df``'s plan READS ``path``. Stage-write first (the only step
     that executes the plan — the old table is still intact if it
     fails), then swap directories with renames; on a failed swap the
-    old generation is rolled back."""
+    old generation is rolled back. If the target is absent but an
+    orphaned ``_old-*`` generation exists, a previous swap crashed
+    mid-window and the CALLER's plan was built against a missing table
+    — refuse loudly instead of burying the recoverable history (run
+    ``ensure_recovered`` first, as the maintenance bootstraps do)."""
     spark = df.sparkSession
     fs, target = _fs(spark, path)
     jvm = spark._jvm
     parent = target.getParent()
+    if not fs.exists(target) and _orphaned_generations(fs, jvm, target):
+        raise IOError(
+            f"atomic overwrite: {path} is missing but an _old-* "
+            "generation exists (crashed swap) — call ensure_recovered "
+            "before rebuilding")
     stage = jvm.org.apache.hadoop.fs.Path(
         parent, f"_stage-{target.getName()}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage.toString())

@@ -271,7 +271,11 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
     # executor storage, which dies with an executor)
     merged = spark.read.parquet(f"{path}/doclens").unionByName(doclens)
     parquet_atomic_overwrite(merged, f"{path}/doclens")
-    (spark.read.parquet(f"{path}/doclens")
-     .agg(F.count(F.lit(1)).alias("n_docs"),
-          F.sum("dl").alias("total_len"))
-     .write.mode("overwrite").parquet(f"{path}/stats"))
+    # stats goes through the same atomic swap (r10): a plain overwrite
+    # deletes-then-writes, so a crash between the doclens swap and the
+    # stats write left stats missing/partial and inconsistent with
+    # doclens — the last non-atomic maintenance write in the repo
+    stats = (spark.read.parquet(f"{path}/doclens")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("dl").alias("total_len")))
+    parquet_atomic_overwrite(stats, f"{path}/stats")

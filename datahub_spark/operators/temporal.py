@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datahub_spark.fsio import fs_exists, parquet_atomic_overwrite
+from datahub_spark.fsio import ensure_recovered, parquet_atomic_overwrite
 
 
 def _t_numeric(df: DataFrame, col: str):
@@ -387,8 +387,11 @@ def materialize_rollup(new_events: DataFrame, path: str,
     groups = ["bucket"] + list(group_cols or [])
     # bootstrap ONLY on true absence: a transient read failure
     # (permissions, corrupted footer) must raise, not silently
-    # overwrite the whole persisted history with just this batch
-    if fs_exists(spark, path):
+    # overwrite the whole persisted history with just this batch —
+    # and a swap that crashed mid-window (target absent, _old-*
+    # generation beside it) must RESTORE the history first, not
+    # bootstrap fresh (ensure_recovered does the restore)
+    if ensure_recovered(spark, path):
         both = spark.read.parquet(path).unionByName(fresh)
     else:
         both = fresh

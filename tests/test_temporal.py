@@ -427,3 +427,61 @@ def test_sessionize_hot_chunk_null_keys_parity(spark):
                                           hot_chunk=width).collect()}
         assert chunked == plain, width
     assert len(plain) == len(rows)
+
+
+def test_rollup_recovers_crashed_swap_window(spark, tmp_path):
+    """r10 (ADVICE): a crash BETWEEN the two swap renames leaves the
+    target absent and the whole previous generation as _old-<name>-*.
+    Re-running the refresh must restore that history and fold the new
+    batch in — never bootstrap from the batch alone."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "roll")
+    b1 = spark.createDataFrame(
+        [(f"2024-01-01 0{h}:30:00", 10.0 * (h + 1)) for h in range(3)],
+        "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) ts", "value")
+    TP.materialize_rollup(b1, path, every="hour")
+    # simulate the crash window: target renamed away, stage lost
+    orphan = str(tmp_path / "_old-roll-deadbeef")
+    os.rename(path, orphan)
+    stale = str(tmp_path / "_stage-roll-cafe")
+    shutil.copytree(orphan, stale)  # a dead stage dir, also left over
+    b2 = spark.createDataFrame(
+        [("2024-01-01 00:45:00", 5.0), ("2024-01-01 03:10:00", 7.0)],
+        "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) ts", "value")
+    merged = TP.materialize_rollup(b2, path, every="hour")
+    rows = {str(r["bucket"]): (r["n"], r["value_cents"])
+            for r in merged.collect()}
+    # hour 00 = batch1's 10.00 + batch2's 5.00; hour 03 = batch2 only
+    assert rows["2024-01-01 00:00:00"] == (2, 1500)
+    assert rows["2024-01-01 01:00:00"] == (1, 2000)
+    assert rows["2024-01-01 02:00:00"] == (1, 3000)
+    assert rows["2024-01-01 03:00:00"] == (1, 700)
+    # orphans cleaned up by the recovery
+    leftovers = [p for p in os.listdir(tmp_path)
+                 if p.startswith(("_old-roll-", "_stage-roll-"))]
+    assert leftovers == [], leftovers
+
+
+def test_atomic_overwrite_refuses_orphaned_generation(spark, tmp_path):
+    """parquet_atomic_overwrite must refuse to bury a recoverable _old
+    generation when the target is missing (the caller's plan was built
+    against an absent table)."""
+    import os
+
+    import pytest
+
+    from datahub_spark.fsio import ensure_recovered, parquet_atomic_overwrite
+
+    path = str(tmp_path / "t")
+    spark.range(5).write.parquet(path)
+    os.rename(path, str(tmp_path / "_old-t-beef"))
+    with pytest.raises(IOError, match="ensure_recovered"):
+        parquet_atomic_overwrite(spark.range(3), path)
+    assert ensure_recovered(spark, path)
+    assert spark.read.parquet(path).count() == 5
+    # absent path with no orphans: plain bootstrap, returns False
+    assert not ensure_recovered(spark, str(tmp_path / "never"))
