@@ -794,15 +794,14 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
 
     ql, qc = _jpeg_qtables(quality)
     C = _dct_matrix()
-    # natural-order quant matrices: table[i] is the ZIGZAG-i entry, so
-    # natural[zz[i]] = table[i]
-    qnat = [np.zeros((8, 8)), np.zeros((8, 8))]
-    for t in range(2):
-        tab = ql if t == 0 else qc
-        flat = np.zeros(64)
-        for i, z in enumerate(_JPEG_ZZ):
-            flat[z] = tab[i]
-        qnat[t] = flat.reshape(8, 8)
+    # _JPEG_QL/_JPEG_QC are the Annex K tables in NATURAL row-major
+    # order (as the spec prints them): the quant matrices use them
+    # directly; the DQT segment below re-orders to zigzag, which is
+    # the order the spec defines for DQT elements (r10 ADVICE fix —
+    # the previous inverted convention was self-consistent but
+    # quantized with a permuted table)
+    qnat = [np.array(ql, dtype=float).reshape(8, 8),
+            np.array(qc, dtype=float).reshape(8, 8)]
 
     rgb = np.zeros((height, width, 3))
     for y in range(height):
@@ -873,7 +872,9 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + b"\x00\x01\x00\x01\x00\x00"
     for tid, tab in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(tab)
+        # DQT elements are defined in zigzag order; tab is natural
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(tab[z] for z in _JPEG_ZZ)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
         out += bytes([cid, 0x11, tq])

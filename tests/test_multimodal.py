@@ -504,3 +504,20 @@ def test_audio_fingerprint_gain_invariance_and_dedup(spark):
             w.setframerate(8000)
             w.writeframes(b"\x00\x00" * 400)
         MM._wav_samples(stereo.getvalue())
+
+
+def test_jpeg_dqt_segment_is_zigzag_of_annex_k(spark):
+    """r10 (ADVICE): DQT elements are defined in zigzag order — at
+    quality 50 (IJG scale 100, tables unchanged) the DQT payload must
+    be exactly the zigzag reordering of the natural-order Annex K
+    table, so the EFFECTIVE quantization matches the documented
+    defaults instead of a permuted table."""
+    from datahub_spark.operators.multimodal import (_JPEG_QL, _JPEG_ZZ,
+                                                    _jpeg_encode)
+
+    data = _jpeg_encode(8, 8, lambda x, y: (x * 16, y * 16, 128),
+                        quality=50)
+    i = data.find(b"\xff\xdb")
+    assert i >= 0
+    payload = data[i + 5:i + 5 + 64]  # after marker, length, tid
+    assert list(payload) == [_JPEG_QL[z] for z in _JPEG_ZZ]
