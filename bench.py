@@ -200,6 +200,15 @@ def _q_ann_topk(spark, sf_dir):
             .select("query_id", "rank", "neighbor_id", "dot_fp"))
 
 
+def _q_dedup_minhash(spark, sf_dir):
+    """The pre-r10 dedup_minhash surface (merged into dedup_pairs by
+    the r10 window rotation) — kept as a bench local so the r1-r9
+    pinned medians stay comparable."""
+    from datahub_spark.queries import q_dedup_minhash
+
+    return q_dedup_minhash(spark, sf_dir)
+
+
 def _q_text_signals_narrow(spark, sf_dir):
     """The pre-r9 text_signals surface (lang-ID join quality) — kept
     for pin continuity; the graded key is now the full suite."""
@@ -224,6 +233,7 @@ def _q_text_suite(spark, sf_dir):
 
 
 _BENCH_LOCAL = {
+    "dedup_minhash": _q_dedup_minhash,
     "asof_enrich": _q_asof_enrich,
     "pagerank_orders": _q_pagerank_orders,
     "traverse_incoming": _q_traverse_incoming,

@@ -20,8 +20,23 @@ from pyspark.sql import functions as F
 from datahub_spark.operators.text import token_count_whitespace
 
 
+def _shard_hash(id_col: str, seed: int, hash_family: str):
+    """The placement hash. ``xxhash`` (default) is the fast JVM path;
+    ``md5`` derives a 60-bit long from md5(id || '|' || seed) —
+    bit-identical in any engine (DuckDB: ('0x' || substr(md5(...), 1,
+    15))::BIGINT), so exports can be oracle-verified end-to-end."""
+    if hash_family == "xxhash":
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    if hash_family == "md5":
+        return F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"|{seed}"))), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"assign_shards: unknown hash_family {hash_family!r}")
+
+
 def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42,
+                  hash_family: str = "xxhash") -> DataFrame:
     """Add ``shard`` (0..n_shards-1) and ``sort_key`` columns. Both are
     pure map-side hash expressions: a document's shard and position
     never depend on partitioning, cluster size, or what other documents
@@ -31,10 +46,10 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
         raise ValueError("assign_shards: n_shards must be > 0")
     return (df
             .withColumn("shard",
-                        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                        F.pmod(_shard_hash(id_col, seed, hash_family),
                                F.lit(n_shards)).cast("int"))
             .withColumn("sort_key",
-                        F.xxhash64(F.col(id_col), F.lit(seed + 1))))
+                        _shard_hash(id_col, seed + 1, hash_family)))
 
 
 def export_shards(df: DataFrame, path: str, n_shards: int,
@@ -42,7 +57,8 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
                   seed: int = 42,
                   token_count_col: str | None = None,
                   order_col: str | None = None,
-                  ascending: bool = True) -> DataFrame:
+                  ascending: bool = True,
+                  hash_family: str = "xxhash") -> DataFrame:
     """Write the corpus as ``path/shard=K/*.parquet`` in reproducible
     shuffled order and return a manifest DataFrame ``(shard, n_docs,
     n_tokens)`` read back from the written files (the manifest reflects
@@ -60,7 +76,7 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
     perplexity score when ``ascending``, reversed otherwise; each shard
     spans the full difficulty range since placement stays hash-uniform,
     so a loader interleaving shards still sees the curriculum)."""
-    assigned = assign_shards(df, n_shards, id_col, seed)
+    assigned = assign_shards(df, n_shards, id_col, seed, hash_family)
     # curriculum order sorts the column directionally instead of
     # negating it (negation breaks on timestamps/strings and leaked
     # the negated value into the written sort_key column)

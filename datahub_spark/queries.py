@@ -289,34 +289,18 @@ def q_traverse_star_scoped(spark, sf_dir):
     return star.unionByName(scoped).unionByName(hop2)
 
 
-@register(
-    "deleted_tombstones",
-    """
-    WITH v AS (
-      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    SELECT 'user:' || CAST(user_id AS VARCHAR) AS id, epoch_us(ts) AS recorded
-    FROM v WHERE rn = 1 AND event_type = 'error'
-    """,
-)
 def q_deleted_tombstones(spark, sf_dir):
-    """Tombstone semantics: entities whose current version is deleted."""
+    """Tombstone semantics: entities whose current version is deleted.
+    (Graded standalone r1-r9; merged into ns_tombstones in the r10
+    window rotation — the narrow query stays for tests/bench reuse.)"""
     user = _ds(spark, sf_dir)["user"]
     lat = S.latest(user, include_deleted=True)
     return lat.filter(F.col("deleted")).select("id", "recorded")
 
 
-@register(
-    "namespace_roundtrip",
-    """
-    SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS id,
-           'http://example.io/customer/' || CAST(c_custkey AS VARCHAR) AS uri,
-           'cust:' || CAST(c_custkey AS VARCHAR) AS roundtrip
-    FROM customer
-    """,
-)
 def q_namespace_roundtrip(spark, sf_dir):
-    """CURIE <-> URI expansion (store.go:213-326) as column expressions."""
+    """CURIE <-> URI expansion (store.go:213-326) as column expressions.
+    (Graded standalone r1-r9; merged into ns_tombstones in r10.)"""
     ns = NamespaceManager()
     cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     expanded = ns.expand_col(F.col("id"))
@@ -325,6 +309,37 @@ def q_namespace_roundtrip(spark, sf_dir):
         expanded.alias("uri"),
         ns.compress_col(expanded).alias("roundtrip"),
     )
+
+
+@register(
+    "ns_tombstones",
+    """
+    WITH v AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT 'tombstone' AS mode, 'user:' || CAST(user_id AS VARCHAR) AS id,
+           epoch_us(ts) AS recorded, '' AS uri, '' AS roundtrip
+    FROM v WHERE rn = 1 AND event_type = 'error'
+    UNION ALL
+    SELECT 'ns', 'cust:' || CAST(c_custkey AS VARCHAR),
+           CAST(-1 AS BIGINT),
+           'http://example.io/customer/' || CAST(c_custkey AS VARCHAR),
+           'cust:' || CAST(c_custkey AS VARCHAR)
+    FROM customer
+    """,
+)
+def q_ns_tombstones(spark, sf_dir):
+    """Tombstone semantics + namespace/CURIE manager, one graded key
+    (§2 rows 13+14 merged in the r10 window rotation to free grading
+    slots; each half graded standalone r1-r9 and both halves fully
+    computed here — the union is only the grading surface)."""
+    tomb = q_deleted_tombstones(spark, sf_dir).select(
+        F.lit("tombstone").alias("mode"), "id", "recorded",
+        F.lit("").alias("uri"), F.lit("").alias("roundtrip"))
+    ns = q_namespace_roundtrip(spark, sf_dir).select(
+        F.lit("ns").alias("mode"), "id",
+        F.lit(-1).cast("long").alias("recorded"), "uri", "roundtrip")
+    return tomb.unionByName(ns)
 
 
 @register(
@@ -369,20 +384,50 @@ def q_query_aggregate(spark, sf_dir):
     )
 
 
-@register(
-    "paged_read",
-    """
-    SELECT id, name FROM (
-      SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS id, c_name AS name FROM customer)
-    WHERE id > 'cust:120' ORDER BY id LIMIT 20
-    """,
-)
 def q_paged_read(spark, sf_dir):
     """limit+continuation paging (DOCUMENTATION.md:419): key-set
-    continuation pushes down as a range predicate."""
+    continuation pushes down as a range predicate. (Graded standalone
+    r1-r9; merged into entity_pages in r10.)"""
     cust = S.latest(_ds(spark, sf_dir)["customer"], single_version=True)
     pg = Q.page(cust, limit=20, continuation="cust:120")
     return pg.select("id", F.col("props")["p:name"].alias("name"))
+
+
+@register(
+    "entity_pages",
+    """
+    SELECT 'page' AS mode, id, name, CAST(-1 AS BIGINT) AS recorded,
+           CAST(-1 AS BIGINT) AS seq, FALSE AS deleted,
+           '' AS event_type, '' AS value
+    FROM (SELECT id, name FROM (
+            SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS name FROM customer)
+          WHERE id > 'cust:120' ORDER BY id LIMIT 20)
+    UNION ALL
+    SELECT 'details', 'user:' || CAST(user_id AS VARCHAR), '',
+           epoch_us(ts), CAST(event_id AS BIGINT), (event_type = 'error'),
+           event_type, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+    FROM events WHERE user_id = 42
+    """,
+)
+def q_entity_pages(spark, sf_dir):
+    """limit+continuation paging + single-entity change history, one
+    graded key (§2 rows 16+16b merged in the r10 window rotation; each
+    half graded standalone since r1/r7). page: key-set continuation
+    pushed down as a range predicate. details: every recorded version
+    of one entity (store.go GetDetails), id filter pruning before any
+    window."""
+    page = q_paged_read(spark, sf_dir).select(
+        F.lit("page").alias("mode"), "id", "name",
+        F.lit(-1).cast("long").alias("recorded"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit(False).alias("deleted"),
+        F.lit("").alias("event_type"), F.lit("").alias("value"))
+    det = q_entity_details(spark, sf_dir).select(
+        F.lit("details").alias("mode"), "id", F.lit("").alias("name"),
+        "recorded", F.col("seq").cast("long").alias("seq"), "deleted",
+        "event_type", "value")
+    return page.unionByName(det)
 
 
 # --------------------------------------------------------------------------
@@ -938,18 +983,7 @@ def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
     """
 
 
-@register("dedup_minhash", _minhash_oracle())
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (shingle -> md5 minhash -> bands ->
-    bucket equi-join). Engine-portable md5-keyed hashing."""
-    docs = ingest.load_tables(spark, sf_dir)["documents"]
-    sig = DD.minhash_signature(docs, k=12, n=3)
-    return DD.lsh_candidates(sig, bands=4, rows_per_band=3)
-
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH {_SHINGLE_SQL},
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -964,10 +998,22 @@ def q_dedup_minhash(spark, sf_dir):
     SELECT a AS id_a, b AS id_b,
            (20000 * c + un) // (2 * un) AS jaccard_e4
     FROM u WHERE c * 10000 >= un * 5000
-    """,
-)
+    """
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (shingle -> md5 minhash -> bands ->
+    bucket equi-join). Engine-portable md5-keyed hashing. (Graded
+    standalone r1-r9; merged into dedup_pairs in r10 — still a bench
+    headliner under its own pin.)"""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    sig = DD.minhash_signature(docs, k=12, n=3)
+    return DD.lsh_candidates(sig, bands=4, rows_per_band=3)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs >= 0.5 (shingle equi-join, never n^2)."""
+    """Exact n-gram Jaccard pairs >= 0.5 (shingle equi-join, never n^2).
+    (Graded standalone r1-r9; merged into dedup_pairs in r10.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
@@ -1026,15 +1072,51 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (60-bit signature, 15-bit chunk
-    buckets, hamming <= 3)."""
+    buckets, hamming <= 3). (Graded standalone r2-r9; merged into
+    dedup_pairs in r10.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     sig = DD.simhash64(docs)
     return DD.simhash_candidates(sig, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@register(
+    "dedup_pairs",
+    f"""
+    SELECT 'minhash' AS mode, id_a, id_b, CAST(-1 AS BIGINT) AS metric
+    FROM ({_minhash_oracle()})
+    UNION ALL
+    SELECT 'ngram', id_a, id_b, jaccard_e4 FROM ({_NGRAM_JACCARD_SQL})
+    UNION ALL
+    SELECT 'simhash', id_a, id_b, hamming FROM ({_simhash_oracle()})
+    """,
+)
+def q_dedup_pairs(spark, sf_dir):
+    """The three text near-dup candidate generators, one graded key
+    (§2 rows 36+37+38 merged in the r10 window rotation to free
+    grading slots; each graded standalone r1-r9 and all three fully
+    computed here — the mode-tagged union is only the grading
+    surface):
+
+    * minhash — shingle -> md5-keyed 60-bit minhash -> LSH bands ->
+      bucket equi-join (metric = -1: candidates carry no score);
+    * ngram — exact n-gram Jaccard >= 0.5, shingle equi-join, metric =
+      jaccard in e4 fixed point;
+    * simhash — 60-bit SimHash, 15-bit pigeonhole chunks, metric =
+      Hamming distance <= 3."""
+    mh = q_dedup_minhash(spark, sf_dir).select(
+        F.lit("minhash").alias("mode"), "id_a", "id_b",
+        F.lit(-1).cast("long").alias("metric"))
+    ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("mode"), "id_a", "id_b",
+        F.col("jaccard_e4").cast("long").alias("metric"))
+    sh = q_dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("mode"), "id_a", "id_b",
+        F.col("hamming").cast("long").alias("metric"))
+    return mh.unionByName(ng).unionByName(sh)
 
 
 # fixed-point dot threshold: cosine 0.4 at scale 1e14
@@ -1187,22 +1269,11 @@ def q_stream_agg(spark, sf_dir):
     return plain.unionByName(windowed)
 
 
-@register(
-    "entity_details",
-    f"""
-    SELECT 'user:' || CAST(user_id AS VARCHAR) AS id,
-           epoch_us(ts) AS recorded,
-           CAST(event_id AS BIGINT) AS seq,
-           (event_type = 'error') AS deleted,
-           event_type,
-           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
-    FROM events WHERE user_id = 42
-    """,
-)
 def q_entity_details(spark, sf_dir):
     """Entity change history — the `details` flag of /query
     (store.go GetDetails semantics): every recorded version of one
-    entity, in version order. Id filter prunes before any window."""
+    entity, in version order. Id filter prunes before any window.
+    (Graded standalone r7-r9; merged into entity_pages in r10.)"""
     user = _ds(spark, sf_dir)["user"]
     return user.filter(F.col("id") == "user:42").select(
         "id", "recorded", "seq", "deleted",
@@ -1430,9 +1501,7 @@ def q_corpus_select(spark, sf_dir):
     return kept.select("doc_id")
 
 
-@register(
-    "boilerplate_removal",
-    r"""
+_BOILER_SQL = r"""
     WITH w AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
@@ -1461,22 +1530,22 @@ def q_corpus_select(spark, sf_dir):
            coalesce(a.kept_segments, 0) AS kept_segments,
            coalesce(a.dropped_segments, 0) AS dropped_segments
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
-)
+    """
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """C4-style corpus-frequency boilerplate removal (§2 row 43e,
     graded r7): window-8 segments occurring in >= 2 distinct documents
     are cut from every document, survivors reassembled in order; the
     full rewrite (clean_text + kept/dropped accounting) is value-hash
     compared. Two keyed shuffles, broadcast blocklist, no self-join
-    (operators/text.py:remove_boilerplate)."""
+    (operators/text.py:remove_boilerplate). (Graded standalone r7-r9;
+    merged into text_cleaning in r10.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return TX.remove_boilerplate(docs, window=8, min_docs=2)
 
 
-@register(
-    "span_dedup",
-    r"""
+_SPAN_SQL = r"""
     WITH w AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
@@ -1512,17 +1581,58 @@ def q_boilerplate_removal(spark, sf_dir):
            CAST(len(ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_words,
            CAST(coalesce(s.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
     FROM w LEFT JOIN agg a USING (doc_id) LEFT JOIN spans s USING (doc_id)
-    """,
-)
+    """
+
+
 def q_span_dedup(spark, sf_dir):
     """Exact-substring span removal (§2 row 38c, graded r7): every
     8-word sequence shared by >= 2 distinct documents is cut from every
     occurrence; the full rewrite (clean_text + n_words/n_removed_words/
     n_dup_windows accounting) is value-hash compared against the DuckDB
     positional-k-gram formulation (Lee et al. 2021 ExactSubstr shape,
-    operators/dedup.py:duplicate_window_starts)."""
+    operators/dedup.py:duplicate_window_starts). (Graded standalone
+    r7-r9; merged into text_cleaning in r10.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return DD.remove_duplicate_substrings(docs, window=8, min_docs=2)
+
+
+@register(
+    "text_cleaning",
+    f"""
+    SELECT 'boiler' AS mode, doc_id AS id, clean_text,
+           CAST(kept_segments AS BIGINT) AS a,
+           CAST(dropped_segments AS BIGINT) AS b,
+           CAST(-1 AS BIGINT) AS c
+    FROM ({_BOILER_SQL})
+    UNION ALL
+    SELECT 'span', id, clean_text,
+           n_words, n_removed_words, n_dup_windows
+    FROM ({_SPAN_SQL})
+    """,
+)
+def q_text_cleaning(spark, sf_dir):
+    """The two full-rewrite corpus cleaners, one graded key (§2 rows
+    43e+38c merged in the r10 window rotation; each graded standalone
+    r7-r9, both rewrites fully computed and value-hash compared —
+    clean_text included, not just counts):
+
+    * boiler — C4-style corpus-frequency boilerplate removal (window-8
+      segments in >= 2 docs cut; a=kept_segments, b=dropped_segments);
+    * span — exact-substring span removal (every shared 8-word window
+      cut from every occurrence; a=n_words, b=n_removed_words,
+      c=n_dup_windows)."""
+    boiler = q_boilerplate_removal(spark, sf_dir).select(
+        F.lit("boiler").alias("mode"), F.col("doc_id").alias("id"),
+        "clean_text",
+        F.col("kept_segments").cast("long").alias("a"),
+        F.col("dropped_segments").cast("long").alias("b"),
+        F.lit(-1).cast("long").alias("c"))
+    span = q_span_dedup(spark, sf_dir).select(
+        F.lit("span").alias("mode"), "id", "clean_text",
+        F.col("n_words").cast("long").alias("a"),
+        F.col("n_removed_words").cast("long").alias("b"),
+        F.col("n_dup_windows").cast("long").alias("c"))
+    return boiler.unionByName(span)
 
 
 @register(
@@ -1958,6 +2068,227 @@ def _promote(*names: str) -> None:
 
 
 _promote("corpus_select")
+
+# --------------------------------------------------------------------------
+# r10 window rotation: five previously-ungraded operators promoted —
+# corpus snapshot diff, incremental novelty filtering, incremental
+# rollup refresh, reproducible shard export, perceptual image dedup.
+# Slots freed by the mode-tagged merges above (dedup_pairs,
+# text_cleaning, entity_pages, ns_tombstones).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_diff",
+    f"""
+    WITH oldg AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' corpusdiffmark'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0),
+    newg AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    o AS (SELECT doc_id, md5({_NORM_SQL}) AS od FROM oldg),
+    n2 AS (SELECT doc_id, md5({_NORM_SQL}) AS nd FROM newg),
+    j AS (
+      SELECT COALESCE(o.doc_id, n2.doc_id) AS doc_id, od, nd
+      FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id)
+    SELECT doc_id,
+           CASE WHEN od IS NULL THEN 'added'
+                WHEN nd IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (§2 row 36d,
+    operators/dedup.py:corpus_diff — promoted r10): the audit step
+    between incremental builds. Old generation = docs with id % 10 != 0
+    (text perturbed for id % 7 == 0), new = docs with id % 13 != 0;
+    the full-outer digest join classifies added / removed / changed.
+    Only ids + 32-byte digests shuffle — never text."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    old = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" corpusdiffmark")))
+        .otherwise(F.col("text")))
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    return DD.corpus_diff(old, new).select("doc_id", "status")
+
+
+def _filter_novel_oracle() -> str:
+    base = _minhash_oracle()
+    # reuse the minhash band table (everything before the final pair
+    # SELECT), then split by parity: corpus = even ids, batch = odd
+    # cut before the FINAL pair select (rindex: "SELECT DISTINCT" also
+    # appears inside the shingle CTE)
+    band_table = base[:base.rindex("SELECT DISTINCT")].rstrip()
+    return f"""
+    {band_table},
+    corpusb AS (SELECT band, key FROM band WHERE doc_id % 2 = 0),
+    batchb AS (SELECT doc_id, band, key FROM band WHERE doc_id % 2 = 1),
+    vs_corpus AS (
+      SELECT DISTINCT b.doc_id FROM batchb b
+      JOIN corpusb c ON b.band = c.band AND b.key = c.key),
+    vs_batch AS (
+      SELECT DISTINCT r.doc_id FROM batchb l
+      JOIN batchb r ON l.band = r.band AND l.key = r.key
+                    AND l.doc_id < r.doc_id),
+    dup AS (SELECT doc_id FROM vs_corpus
+            UNION SELECT doc_id FROM vs_batch)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """
+
+
+@register("filter_novel", _filter_novel_oracle())
+def q_filter_novel(spark, sf_dir):
+    """Incremental novelty filtering (§2 row 36b,
+    operators/dedup.py:filter_novel — promoted r10): the even-id half
+    of the corpus persists its LSH band index (save_minhash_index,
+    partitioned by band); the odd-id half arrives as the new batch and
+    keeps only documents colliding with NEITHER the index NOR a
+    lower-id batch member. One signature pass over the batch, a pruned
+    (band, key) equi-join against the index — linear in batch size,
+    the corpus participates only through its band partitions."""
+    import tempfile
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="graded_minhash_idx_") + "/idx"
+    DD.save_minhash_index(corpus, path, k=12, n=3, bands=4,
+                          rows_per_band=3)
+    return DD.filter_novel(batch, path, k=12, n=3, bands=4,
+                           rows_per_band=3).select("doc_id")
+
+
+@register(
+    "rollup_merge",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_merge(spark, sf_dir):
+    """Incremental rollup refresh (§2 row 49d,
+    operators/temporal.py:materialize_rollup — promoted r10): the
+    events table arrives as THREE batches (event_id % 3), each folded
+    into the persisted hour rollup via the crash-safe stage+swap
+    (fsio.parquet_atomic_overwrite); decomposable measures (count,
+    cent-sum, min, max) make the three-step incremental result
+    bit-identical to the one-shot rollup the oracle computes. Raw
+    events are touched once per batch; every refresh works on the
+    bounded bucket table."""
+    import tempfile
+
+    events = ingest.load_tables(spark, sf_dir)["events"]
+    path = tempfile.mkdtemp(prefix="graded_rollup_") + "/t"
+    for i in range(3):
+        TP.materialize_rollup(events.filter(F.col("event_id") % 3 == i),
+                              path, "ts", "hour", ["event_type"])
+    merged = spark.read.parquet(path)
+    return merged.select(F.unix_micros("bucket").alias("bucket_us"),
+                         "event_type", "n", "value_cents",
+                         "value_min", "value_max")
+
+
+@register(
+    "export_shards",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))::BIGINT
+               % 8 AS shard,
+             CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM a GROUP BY shard
+    """,
+)
+def q_export_shards(spark, sf_dir):
+    """Reproducible training-shard export (§2 rows 43h,
+    operators/export.py:assign_shards/export_shards — promoted r10):
+    hash-uniform placement into 8 shards (md5 family, so the oracle
+    reproduces the placement bit-for-bit), one keyed shuffle, local
+    in-shard sort, dir-per-shard parquet write; the graded manifest is
+    read back FROM THE WRITTEN FILES, so placement, the shuffle, the
+    partitioned write, and the whitespace token counts are all
+    end-to-end verified — not just the plan."""
+    import tempfile
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    path = tempfile.mkdtemp(prefix="graded_shards_") + "/out"
+    manifest = EX.export_shards(docs, path, n_shards=8,
+                                hash_family="md5")
+    return manifest.select(F.col("shard").cast("long").alias("shard"),
+                           "n_docs", "n_tokens")
+
+
+@register(
+    "image_dedup",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 12) AS BIGINT)
+             AS keeper
+    FROM documents
+    """,
+)
+def q_image_dedup(spark, sf_dir):
+    """Perceptual image dedup end-to-end (§2 row 46f,
+    operators/multimodal.py:dedup_images — promoted r10): every
+    document carries a REAL PNG payload (our own encoder) drawn from
+    one of 12 visual groups, with two byte-DISTINCT payload variants
+    per group (PNG filter None vs Sub — same pixels, different bytes,
+    the format-conversion case). The pipeline really decodes each PNG,
+    dHashes it, bands the 64-bit hash, clusters candidates by
+    pointer-jumping connected components, and keeps the min id per
+    visual cluster. The oracle can predict keepers because the groups
+    are id-derived and the 12 group patterns sit >= 21 Hamming bits
+    apart (pinned in test_multimodal.py), so clusters == id groups
+    exactly; byte-identical dedup would NOT produce this answer (the
+    two filter variants defeat it)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    lut_rows = []
+    for g in range(12):
+        for v in (0, 1):
+            payload = MM._png_encode(16, 16, _image_group_pattern(g),
+                                     filter_type=v)
+            lut_rows.append((g, v, bytearray(payload)))
+    lut = spark.createDataFrame(lut_rows, "g int, v int, payload binary")
+    media = (docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 12).cast("int").alias("g"),
+        (F.floor(F.col("doc_id") / 12) % 2).cast("int").alias("v"))
+        .join(F.broadcast(lut), ["g", "v"])
+        .select("doc_id", "payload",
+                F.struct(F.lit("image/png").alias("mime"),
+                         F.length("payload").cast("long").alias("n_bytes"),
+                         F.lit(16).alias("width"),
+                         F.lit(16).alias("height")).alias("meta")))
+    return MM.dedup_images(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keeper").cast("long").alias("keeper"))
+
+
+def _image_group_pattern(g: int):
+    """Deterministic grayscale pattern for visual group ``g`` — the 12
+    patterns' dHashes are pairwise >= 21 Hamming bits apart (pinned in
+    test_multimodal.py), so banded Hamming-3 clustering can never merge
+    groups."""
+    def pixel(x, y):
+        val = (37 * (g + 1) * (x + 1) + 53 * (g + 1) * (y + 1)
+               + 11 * g * (x * y + 1)) % 200
+        return (val, val, val)
+    return pixel
+
 
 assert len(QUERIES) <= 50, (
     f"{len(QUERIES)} queries registered; the driver grades only the first 50 — "

@@ -521,3 +521,29 @@ def test_jpeg_dqt_segment_is_zigzag_of_annex_k(spark):
     assert i >= 0
     payload = data[i + 5:i + 5 + 64]  # after marker, length, tid
     assert list(payload) == [_JPEG_QL[z] for z in _JPEG_ZZ]
+
+
+def test_image_dedup_group_patterns_separated(spark):
+    """r10 graded-key invariant: the 12 visual group patterns of the
+    image_dedup key are pairwise >= 4 Hamming bits apart (measured: 21)
+    and the two PNG filter variants of each group are byte-distinct yet
+    dHash-identical — so perceptual clusters == id groups exactly, and
+    byte-level dedup would NOT reproduce the graded answer."""
+    from datahub_spark.operators.multimodal import (_dhash64, _png_decode,
+                                                    _png_encode)
+    from datahub_spark.queries import _image_group_pattern
+
+    hashes = []
+    for g in range(12):
+        p0 = _png_encode(16, 16, _image_group_pattern(g), filter_type=0)
+        p1 = _png_encode(16, 16, _image_group_pattern(g), filter_type=1)
+        assert p0 != p1, g
+        w, h, _, rows = _png_decode(p0)
+        d0 = _dhash64(w, h, rows)
+        w, h, _, rows = _png_decode(p1)
+        assert d0 == _dhash64(w, h, rows), g
+        hashes.append(d0)
+    for i in range(12):
+        for j in range(i + 1, 12):
+            hm = bin(hashes[i] ^ hashes[j]).count("1")
+            assert hm > 3, (i, j, hm)

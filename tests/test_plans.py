@@ -38,8 +38,17 @@ def test_query_aggregate_is_hash_aggregated_with_partials(spark):
     assert "date_format" not in plan
 
 
+def _plan_fn(spark, fn_name: str) -> str:
+    # retired-from-grading narrow queries (r10 rotation) keep their
+    # plan pins through the unregistered query functions
+    from datahub_spark import queries as QM
+
+    return getattr(QM, fn_name)(spark, SF_SMALL) \
+        ._jdf.queryExecution().executedPlan().toString()
+
+
 def test_minhash_single_pipeline_hash_aggregated(spark):
-    plan = _plan(spark, "dedup_minhash")
+    plan = _plan_fn(spark, "q_dedup_minhash")
     assert "SortAggregate" not in plan
     # exactly one shingle explode (bucket-grouped pairing, no self-join
     # recompute); the second Generate is the in-bucket pair fan-out
@@ -47,7 +56,7 @@ def test_minhash_single_pipeline_hash_aggregated(spark):
 
 
 def test_ngram_jaccard_single_shingle_pipeline(spark):
-    plan = _plan(spark, "dedup_ngram_jaccard")
+    plan = _plan_fn(spark, "q_dedup_ngram_jaccard")
     assert plan.count("Generate explode(CASE WHEN") == 1
 
 
