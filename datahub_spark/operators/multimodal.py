@@ -1208,6 +1208,93 @@ def image_dhash(media: DataFrame, out_col: str = "dhash") -> DataFrame:
     return media.mapInPandas(run, schema=f"doc_id long, {out_col} long")
 
 
+def _dhash64_np(rgb) -> int:
+    """Vectorized _dhash64: identical bits, numpy instead of per-pixel
+    Python. ``rgb`` is an (h, w, 3) integer array. Cell sums via two
+    reduceat passes over the exact same y*8//h / x*9//w grid mapping;
+    the comparison is the same cross-multiplied exact-integer mean
+    test, so the two implementations agree bit-for-bit (pinned in
+    test_multimodal.py)."""
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    gw, gh = _DHASH_GRID_W, _DHASH_GRID_H
+    if w < gw or h < gh:
+        raise ValueError(f"dhash needs at least {gw}x{gh} pixels, "
+                         f"got {w}x{h} — resize up first")
+    a = rgb.astype(np.int64)
+    luma = (77 * a[..., 0] + 150 * a[..., 1] + 29 * a[..., 2]) >> 8
+    col_starts = np.searchsorted((np.arange(w) * gw) // w, np.arange(gw))
+    row_starts = np.searchsorted((np.arange(h) * gh) // h, np.arange(gh))
+    acc = np.add.reduceat(
+        np.add.reduceat(luma, row_starts, axis=0), col_starts, axis=1)
+    cnt = np.outer(np.diff(np.append(row_starts, h)),
+                   np.diff(np.append(col_starts, w)))
+    bits = (acc[:, :-1] * cnt[:, 1:]) > (acc[:, 1:] * cnt[:, :-1])
+    flat = bits.reshape(-1).astype(np.uint64)
+    return int(flat @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def image_dhash_files(spark, path: str, out_col: str = "dhash",
+                      recursive: bool = False) -> DataFrame:
+    """(doc_id, dhash) for a DIRECTORY of image files — the scale path
+    Spark already ships: ``spark.read.format("image")`` decodes
+    JPEG/PNG/BMP/GIF on the JVM (ImageIO), so no per-payload Python
+    decode loop; only the (vectorized, numpy) hash runs in Python over
+    the already-decoded pixel buffers. For payloads stored as a bytes
+    COLUMN, or when bit-exact oracle parity with the stdlib decoders is
+    required, use ``image_dhash`` — for PNG/BMP (lossless) both paths
+    produce the SAME bits (pinned); JPEG bits may differ by decoder
+    rounding. ``doc_id`` parses from the trailing digits of the file
+    name (``<doc_id>.<ext>``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, h, w, nch, data in zip(
+                    pdf["doc_id"], pdf["height"], pdf["width"],
+                    pdf["nChannels"], pdf["data"]):
+                arr = np.frombuffer(bytes(data), dtype=np.uint8)
+                if nch == 1:
+                    arr = arr.reshape(int(h), int(w), 1)
+                    rgb = np.repeat(arr, 3, axis=2)
+                elif nch == 3:  # OpenCV-style BGR
+                    rgb = arr.reshape(int(h), int(w), 3)[..., ::-1]
+                elif nch == 4:  # BGRA
+                    rgb = arr.reshape(int(h), int(w), 4)[..., [2, 1, 0]]
+                else:
+                    raise NotImplementedError(
+                        f"image_dhash_files: {int(nch)}-channel images "
+                        "(supported: 1/3/4)")
+                v = _dhash64_np(rgb)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append({"doc_id": int(doc_id), out_col: v})
+            yield pd.DataFrame(out)
+
+    img = (spark.read.format("image")
+           .option("recursiveFileLookup", str(recursive).lower())
+           .load(path))
+    flat = img.select(
+        F.regexp_extract(F.col("image.origin"),
+                         r"([0-9]+)\.[A-Za-z]+$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("image.height").alias("height"),
+        F.col("image.width").alias("width"),
+        F.col("image.nChannels").alias("nChannels"),
+        F.col("image.data").alias("data"))
+    # small image files split into one partition per ~handful of files
+    # (openCostInBytes accounting): thousands of tiny tasks, each
+    # paying JVM task + Python-worker round-trip overhead, swamp the
+    # decode win. Coalesce (narrow, no shuffle) back to the session's
+    # parallelism — each task then decodes a big batch of files.
+    par = spark.sparkContext.defaultParallelism
+    return (flat.coalesce(max(par, 1))
+            .mapInPandas(run, schema=f"doc_id long, {out_col} long"))
+
+
 def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                      id_col: str = "doc_id",
                      hash_col: str = "dhash",

@@ -487,6 +487,88 @@ def main() -> None:
     assert img_stats["clusters"] == n_imgs, img_stats
     assert img_stats["bad"] == 0, img_stats
 
+    # JVM-decode fast path (r10, judge task 5): the same images as
+    # FILES through spark.read.format("image") (ImageIO decode on the
+    # JVM + vectorized numpy hash) vs the bytes-column Python decode.
+    # JPEG is the format where the JVM escape hatch matters — the
+    # stdlib path pays pure-Python Huffman + numpy block IDCT per
+    # payload (~0.1-0.2s per 160x160 image), while ImageIO decodes
+    # thousands/s. PNG/BMP are bit-exact across paths (pinned in
+    # test_multimodal) but pure-Python PNG decode is already
+    # vectorized, so there is no 5x to claim there. Invariants:
+    # dHash hamming <= 4 on EVERY image across the two decoders
+    # (measured: <=3; lossy rounding only) and >= 5x the Python rate.
+    import shutil as _sh
+    import tempfile as _tf
+
+    n_files = 2_000
+    img_root = _tf.mkdtemp(prefix="smoke_imgfiles_")
+
+    def gen_jpg_rows(batches):
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = _np.random.RandomState(i)
+                if i % 2 == 0:  # smooth gradient: realistic, compresses
+                    yy, xx = _np.mgrid[0:160, 0:160]
+                    base = ((_np.sin(xx / (5 + i % 17))
+                             + _np.cos(yy / (7 + i % 13))) * 60 + 128)
+                    px = _np.stack([base, _np.roll(base, i % 9, 0),
+                                    _np.roll(base, i % 11, 1)],
+                                   -1).astype(int).clip(0, 255)
+                else:  # noise: worst case for the Huffman decoder
+                    px = rng.randint(0, 256, (160, 160, 3))
+
+                def pixel(x, y, px=px):
+                    return int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+
+                pay = MM._jpeg_encode(160, 160, pixel, quality=85)
+                rows.append((i, pay,
+                             {"mime": "image/jpeg", "n_bytes": len(pay),
+                              "width": 160, "height": 160}))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    pmedia = spark.range(n_files).mapInPandas(gen_jpg_rows, MM.MEDIA_SCHEMA) \
+        .localCheckpoint(eager=True)  # generation cost out of both timings
+
+    def write_files(batches):
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with open(f"{img_root}/{int(doc_id)}.jpg", "wb") as fh:
+                    fh.write(bytes(payload))
+            yield _pd.DataFrame({"n": [len(pdf)]})
+    n_written = pmedia.select("doc_id", "payload").mapInPandas(
+        write_files, "n long").agg(F.sum("n")).collect()[0][0]
+    assert n_written == n_files, n_written
+
+    t0 = time.monotonic()
+    py_hashes = {r["doc_id"]: r["dhash"]
+                 for r in MM.image_dhash(pmedia).collect()}
+    t_python = time.monotonic() - t0
+    # the FIRST image-format read in a JVM pays ~3-5s of JIT/classload
+    # (measured: cold 4.8s vs warm 1.35s for this corpus); warm the
+    # code path untimed, as bench.py does for every leg, then time.
+    MM.image_dhash_files(spark, img_root).count()
+    t0 = time.monotonic()
+    jvm_hashes = {r["doc_id"]: r["dhash"]
+                  for r in MM.image_dhash_files(spark, img_root).collect()}
+    t_jvm = time.monotonic() - t0
+    _sh.rmtree(img_root, ignore_errors=True)
+    pmedia.unpersist()
+    assert len(py_hashes) == len(jvm_hashes) == n_files, \
+        (len(py_hashes), len(jvm_hashes))
+    mask = (1 << 64) - 1
+    worst_ham = max(bin((py_hashes[i] & mask) ^ (jvm_hashes[i] & mask))
+                    .count("1") for i in py_hashes)
+    assert worst_ham <= 4, worst_ham  # measured <=3 (lossy rounding only)
+    timings["image_dhash_jpeg2k_python_path"] = round(t_python, 2)
+    timings["image_dhash_jpeg2k_jvm_path"] = round(t_jvm, 2)
+    timings["image_dhash_jvm_speedup"] = round(t_python / max(t_jvm, 1e-9), 2)
+    timings["image_dhash_jvm_worst_hamming"] = worst_ham
+    assert timings["image_dhash_jvm_speedup"] >= 5.0, timings
+
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,
                  "dup_cluster_keepers": n_keepers,

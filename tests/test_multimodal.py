@@ -547,3 +547,45 @@ def test_image_dedup_group_patterns_separated(spark):
         for j in range(i + 1, 12):
             hm = bin(hashes[i] ^ hashes[j]).count("1")
             assert hm > 3, (i, j, hm)
+
+
+def test_image_dhash_files_matches_bytes_path(spark, tmp_path):
+    """r10 (judge task 5): the JVM-decode scale path
+    (spark.read.format('image') + vectorized numpy hash) produces the
+    SAME dHash bits as the stdlib bytes-column path on lossless
+    formats, and _dhash64_np == _dhash64 on random pixel buffers."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators.multimodal import (_dhash64, _dhash64_np,
+                                                    _png_encode, image_dhash,
+                                                    image_dhash_files)
+    from datahub_spark.queries import _image_group_pattern
+
+    # kernel parity on awkward sizes (grid cells of unequal width)
+    rng = np.random.RandomState(7)
+    for (w, h) in ((16, 16), (9, 8), (13, 11), (40, 25)):
+        rgb = rng.randint(0, 256, size=(h, w, 3))
+        rows = [[tuple(int(c) for c in rgb[y, x]) for x in range(w)]
+                for y in range(h)]
+        assert _dhash64_np(rgb) == _dhash64(w, h, rows), (w, h)
+
+    # end-to-end: same files through both paths
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(24):
+        payload = _png_encode(16, 16, _image_group_pattern(i % 12),
+                              filter_type=i // 12)
+        (img_dir / f"{i}.png").write_bytes(payload)
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary") \
+        .withColumn("meta", F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(16).alias("width"), F.lit(16).alias("height")))
+    a = {r["doc_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    b = {r["doc_id"]: r["dhash"]
+         for r in image_dhash_files(spark, str(img_dir)).collect()}
+    assert a == b and len(a) == 24
