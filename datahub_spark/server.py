@@ -424,6 +424,13 @@ class UdaServer:
                 port = self._httpd.server_address[1] if self._httpd else 0
                 return self._reply(rq, 200, {
                     "name": "DataHub", "location": f"server:{port}"})
+            if parts == ["api"]:
+                # machine-readable API description: the reference
+                # publishes api/datahub.oas3.yml in-repo; serving the
+                # generated equivalent makes it discoverable
+                from datahub_spark.openapi import openapi_document
+
+                return self._reply(rq, 200, openapi_document(self))
             if parts == ["query", "namespace"]:
                 # queryNamespacePrefix (queryhandler.go:94-109):
                 # expansion URI -> its registered prefix, 404 when absent

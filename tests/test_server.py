@@ -932,3 +932,88 @@ def test_health_root_and_namespace_query(served):
     got = _get(f"{base}/query/namespace?expansion={quote(exp, safe='')}")
     assert got == {"prefix": "p", "expansion": exp}
     assert _req_status(f"{base}/query/namespace?expansion=nope")[0] == 404
+
+
+def test_openapi_document_served_and_valid(spark, tmp_path):
+    """GET /api (r10): a generated OAS3 document covering exactly the
+    served routes — the machine-readable analogue of the reference's
+    api/datahub.oas3.yml. Structural validity via openapi.validate_oas3,
+    coverage vs the reference's full path set, and a live probe of every
+    documented GET route: the dispatcher must not answer with its
+    route-miss marker ({"message": "not found"}), which would mean the
+    document describes a route the server doesn't have."""
+    from datahub_spark.content import ContentService
+    from datahub_spark.openapi import validate_oas3
+    from datahub_spark.providers import ProviderStore
+    from datahub_spark.security import SecurityManager
+
+    store = S.EntityStore(spark, str(tmp_path / "store"))
+    store.store_entities("d", _entities(spark, [
+        ("e:1", None, 0, False, {"p:name": "one"}, None, None),
+    ]).drop("dataset"))
+    state = J.JobState(str(tmp_path / "state.json"))
+    sec = SecurityManager(admin_client_secret="pw")
+    srv = UdaServer(store, scheduler=J.Scheduler(state),
+                    content=ContentService(str(tmp_path / "content")),
+                    security=sec,
+                    providers=ProviderStore(security_manager=None))
+    base = srv.start()
+    try:
+        st, tok = _post(f"{base}/security/token", {
+            "grant_type": "client_credentials",
+            "client_id": "admin", "client_secret": "pw"})
+        assert st == 200
+        hdr = {"Authorization": f"Bearer {tok['access_token']}"}
+
+        req = urllib.request.Request(f"{base}/api", headers=hdr)
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            doc = json.loads(resp.read().decode())
+        validate_oas3(doc)
+
+        # every path of the reference document is served and documented
+        reference_paths = {
+            "/", "/health", "/query", "/namespaces", "/jobs",
+            "/jobs/{jobid}", "/job/{jobid}/status", "/job/{jobid}/pause",
+            "/job/{jobid}/resume", "/job/{jobid}/kill", "/job/{jobid}/run",
+            "/job/{jobid}/reset", "/datasets", "/datasets/{dataset}",
+            "/datasets/{dataset}/entities", "/datasets/{dataset}/changes",
+            "/content", "/content/{contentId}", "/provider/logins",
+            "/provider/login/{providerName}"}
+        missing = reference_paths - set(doc["paths"])
+        assert not missing, missing
+        assert "/api" in doc["paths"]
+        assert "BearerAuth" in doc["components"]["securitySchemes"]
+
+        # live probe: every documented GET route dispatches (a resource
+        # 404 like "no such job" is fine; the route-miss marker is not)
+        for path, ops in doc["paths"].items():
+            if "get" not in ops:
+                continue
+            url = base + path.replace("{dataset}", "d") \
+                             .replace("{jobid}", "nope") \
+                             .replace("{contentId}", "nope") \
+                             .replace("{clientid}", "nope") \
+                             .replace("{providerName}", "nope")
+            req = urllib.request.Request(url, headers=hdr)
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    assert resp.status == 200, path
+            except urllib.error.HTTPError as exc:
+                body = json.loads(exc.read().decode() or "{}")
+                assert body.get("message") != "not found", path
+
+        # a slim server documents only its attached modules
+        srv2 = UdaServer(store)
+        base2 = srv2.start()
+        try:
+            doc2 = _get(f"{base2}/api")
+            validate_oas3(doc2)
+            assert "/jobs" not in doc2["paths"]
+            assert "/content" not in doc2["paths"]
+            assert "/security/token" not in doc2["paths"]
+            assert "securitySchemes" not in doc2["components"]
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
