@@ -544,14 +544,84 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# PNG color types: type -> samples per pixel (RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass origins and steps: (x0, y0, dx, dy) (RFC 2083 §2.6)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int,
+                  channels: int, depth: int):
+    """Unfilter one (sub-)image of ``h`` scanlines starting at ``off``
+    in the inflated IDAT stream (all five PNG filters). Returns
+    (scanlines as bytearrays, offset after the region). The filter
+    byte-distance is the bytes per complete pixel, rounded up to one
+    (RFC 2083 §6.2)."""
+    stride = (w * channels * depth + 7) // 8
+    fbpp = max(1, (channels * depth) // 8)
+    lines, prev = [], bytearray(stride)
+    for _ in range(h):
+        ft = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if len(line) < stride:
+            raise ValueError("PNG IDAT stream truncated")
+        off += 1 + stride
+        if ft == 1:    # Sub
+            for i in range(fbpp, stride):
+                line[i] = (line[i] + line[i - fbpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - fbpp] if i >= fbpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - fbpp] if i >= fbpp else 0
+                c = prev[i - fbpp] if i >= fbpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter {ft} invalid")
+        lines.append(line)
+        prev = line
+    return lines, off
+
+
+def _png_samples(line: bytearray, w: int, channels: int, depth: int):
+    """Per-pixel tuples of native-depth sample values from one
+    unfiltered scanline (sub-byte samples are packed MSB-first)."""
+    n = w * channels
+    if depth == 8:
+        vals = line[:n]
+    elif depth == 16:
+        vals = [(line[2 * i] << 8) | line[2 * i + 1] for i in range(n)]
+    else:  # 1 / 2 / 4
+        per, mask, vals = 8 // depth, (1 << depth) - 1, []
+        for i in range(n):
+            b = line[i // per]
+            shift = 8 - depth * (i % per + 1)
+            vals.append((b >> shift) & mask)
+    return [tuple(vals[p * channels:(p + 1) * channels])
+            for p in range(w)]
+
+
 def _png_decode(payload: bytes):
     """Parse chunks (CRC-verified), inflate IDAT, unfilter every
     scanline (all five PNG filters: None/Sub/Up/Average/Paeth).
-    Returns (width, height, bit_depth, rows) with rows[y][x] =
-    (r, g, b) top-down."""
+    Covers the full PNG core profile set (r10; the r9 gate was 8-bit
+    truecolor only): color types 0/2/3/4/6 (grayscale, truecolor,
+    palette, gray+alpha, RGBA), bit depths 1/2/4/8/16 where the spec
+    allows them, and Adam7 interlace. Returns (width, height,
+    bit_depth, rows) with rows[y][x] = (r, g, b) 8-bit top-down —
+    palette indexes map through PLTE, alpha is dropped (PNG alpha is
+    straight, not premultiplied), sub-8-bit gray scales by
+    255/(2^depth-1), 16-bit takes the high byte; all exact-integer,
+    matching ImageIO's conversions (interop-pinned)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos < len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4:pos + 8]
@@ -561,6 +631,11 @@ def _png_decode(payload: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = [(data[i], data[i + 1], data[i + 2])
+                    for i in range(0, len(data), 3)]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -569,37 +644,51 @@ def _png_decode(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color != 2 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG profile depth={depth} color={color} interlace={interlace}"
-            " not supported (8-bit truecolor non-interlaced only)")
+    channels = _PNG_CHANNELS.get(color)
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color, (8, 16))
+    if channels is None or comp != 0 or filt != 0 \
+            or depth not in valid_depths or interlace not in (0, 1):
+        raise ValueError(
+            f"PNG profile depth={depth} color={color} comp={comp} "
+            f"filt={filt} interlace={interlace} invalid")
+    if color == 3 and plte is None:
+        raise ValueError("PNG palette image missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride, bpp = w * 3, 3
-    rows, prev = [], bytearray(stride)
-    for y in range(h):
-        base = y * (stride + 1)
-        ft = raw[base]
-        line = bytearray(raw[base + 1:base + 1 + stride])
-        if ft == 1:    # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"PNG filter {ft} invalid")
-        rows.append([(line[3 * x], line[3 * x + 1], line[3 * x + 2])
-                     for x in range(w)])
-        prev = line
+    if interlace == 0:
+        lines, _ = _png_unfilter(raw, 0, w, h, channels, depth)
+        px = [_png_samples(ln, w, channels, depth) for ln in lines]
+    else:  # Adam7: 7 independently-filtered sub-images
+        px = [[None] * w for _ in range(h)]
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            lines, off = _png_unfilter(raw, off, pw, ph, channels, depth)
+            for yy, ln in enumerate(lines):
+                sub = _png_samples(ln, pw, channels, depth)
+                for xx in range(pw):
+                    px[y0 + yy * dy][x0 + xx * dx] = sub[xx]
+    if color == 3:
+        rows = [[plte[p[0]] for p in r] for r in px]
+    else:
+        if depth == 16:
+            def s(v):
+                return v >> 8
+        elif depth < 8:
+            mx = (1 << depth) - 1
+
+            def s(v):
+                return v * 255 // mx
+        else:
+            def s(v):
+                return v
+        if color in (0, 4):      # gray (+alpha): replicate, drop alpha
+            rows = [[(s(p[0]),) * 3 for p in r] for r in px]
+        else:                    # truecolor (+alpha): drop alpha
+            rows = [[(s(p[0]), s(p[1]), s(p[2])) for p in r] for r in px]
     return w, h, depth, rows
 
 
@@ -656,14 +745,19 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
 #
 # The r8 gate said "JPEG needs PIL"; re-checked r9 and closed for the
 # BASELINE profile the way the PNG gate was closed: sequential DCT,
-# 8-bit, Huffman entropy coding, 4:4:4 (no chroma subsampling), no
-# restart markers — the profile our own encoder emits, so decode
-# round-trips under test. Progressive scans, 16-bit quant tables,
-# subsampled chroma, arithmetic coding and DRI still raise, NAMED.
-# Tables are the public JPEG Annex K defaults; quality scaling is the
-# standard IJG mapping. Lossy by nature: the round-trip contract is a
-# bounded per-channel error (solid blocks reconstruct near-exactly),
-# not bit equality — pinned in test_multimodal.py.
+# 8-bit, Huffman entropy coding. r10 widened the profile again: 4:2:0
+# chroma subsampling in BOTH the encoder (box-averaged chroma, MCU =
+# 4Y+Cb+Cr — the profile most web JPEGs use) and the decoder (any
+# 1-2 h/v sampling factors, replication upsample), DRI restart
+# intervals (encoder emits byte-aligned RSTn every N MCUs with DC
+# resets; decoder resyncs and verifies the marker), and 16-bit Pq=1
+# DQT entries. Progressive scans (SOF2) and arithmetic coding still
+# raise, NAMED. Tables are the public JPEG Annex K defaults; quality
+# scaling is the standard IJG mapping. Lossy by nature: the
+# round-trip contract is a bounded per-channel error (solid blocks
+# reconstruct near-exactly), not bit equality — pinned in
+# test_multimodal.py; a DRI stream, though, must decode EXACTLY equal
+# to its non-DRI twin (same coefficients, different framing).
 # ---------------------------------------------------------------------------
 
 _JPEG_ZZ = [
@@ -787,11 +881,19 @@ class _JpegBitWriter:
             self.acc, self.n = 0, 0
 
 
-def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
-    """Baseline sequential 4:4:4 JPEG from a pixel(x, y) -> (r, g, b)
-    callback. Annex K Huffman tables, IJG quality scaling."""
+def _jpeg_encode(width: int, height: int, pixel, quality: int = 90,
+                 subsample: str = "444",
+                 restart_interval: int = 0) -> bytes:
+    """Baseline sequential JPEG from a pixel(x, y) -> (r, g, b)
+    callback. Annex K Huffman tables, IJG quality scaling. r10:
+    ``subsample="420"`` writes 2x2-subsampled chroma (box-averaged,
+    MCU = 4 Y blocks + Cb + Cr — the profile most web JPEGs use) and
+    ``restart_interval=N`` emits a DRI segment plus byte-aligned RSTn
+    markers every N MCUs with DC-predictor resets."""
     import numpy as np
 
+    if subsample not in ("444", "420"):
+        raise ValueError(f"jpeg subsample {subsample!r} (444 or 420)")
     ql, qc = _jpeg_qtables(quality)
     C = _dct_matrix()
     # _JPEG_QL/_JPEG_QC are the Annex K tables in NATURAL row-major
@@ -813,7 +915,13 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
         -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
         0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
     ]
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if subsample == "420":
+        # box-average 2x2 after edge-replicating to even dimensions
+        def down2(p):
+            pe = np.pad(p, ((0, height % 2), (0, width % 2)), mode="edge")
+            return (pe[0::2, 0::2] + pe[0::2, 1::2]
+                    + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+        planes = [planes[0], down2(planes[1]), down2(planes[2])]
     enc_dc = [_huff_enc_table(_DC_L_BITS, _DC_L_VALS),
               _huff_enc_table(_DC_C_BITS, _DC_C_VALS)]
     enc_ac = [_huff_enc_table(_AC_L_BITS, _AC_L_VALS),
@@ -824,47 +932,63 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
     def cat(v: int) -> int:
         return 0 if v == 0 else int(v if v > 0 else -v).bit_length()
 
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                t = 0 if ci == 0 else 1
-                plane = planes[ci]
-                blk = np.zeros((8, 8))
-                for yy in range(8):
-                    sy = min(by * 8 + yy, height - 1)
-                    for xx in range(8):
-                        sx = min(bx * 8 + xx, width - 1)
-                        blk[yy, xx] = plane[sy, sx]
-                F8 = C @ (blk - 128.0) @ C.T
-                qz = np.rint(F8 / qnat[t]).astype(int)
-                zz = [int(qz.flat[z]) for z in _JPEG_ZZ]
-                diff = zz[0] - prev_dc[ci]
-                prev_dc[ci] = zz[0]
-                s = cat(diff)
-                code, ln = enc_dc[t][s]
+    def put_block(ci: int, plane, by: int, bx: int) -> None:
+        t = 0 if ci == 0 else 1
+        ph, pw = plane.shape
+        blk = np.zeros((8, 8))
+        for yy in range(8):
+            sy = min(by * 8 + yy, ph - 1)
+            for xx in range(8):
+                sx = min(bx * 8 + xx, pw - 1)
+                blk[yy, xx] = plane[sy, sx]
+        F8 = C @ (blk - 128.0) @ C.T
+        qz = np.rint(F8 / qnat[t]).astype(int)
+        zz = [int(qz.flat[z]) for z in _JPEG_ZZ]
+        diff = zz[0] - prev_dc[ci]
+        prev_dc[ci] = zz[0]
+        s = cat(diff)
+        code, ln = enc_dc[t][s]
+        w.put(code, ln)
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            w.put(v, s)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[t][0xF0]
                 w.put(code, ln)
-                if s:
-                    v = diff if diff > 0 else diff + (1 << s) - 1
-                    w.put(v, s)
-                run = 0
-                for k in range(1, 64):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[t][0xF0]
-                        w.put(code, ln)
-                        run -= 16
-                    s = cat(v)
-                    code, ln = enc_ac[t][(run << 4) | s]
-                    w.put(code, ln)
-                    vv = v if v > 0 else v + (1 << s) - 1
-                    w.put(vv, s)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[t][0x00]
-                    w.put(code, ln)
+                run -= 16
+            s = cat(v)
+            code, ln = enc_ac[t][(run << 4) | s]
+            w.put(code, ln)
+            vv = v if v > 0 else v + (1 << s) - 1
+            w.put(vv, s)
+            run = 0
+        if run:
+            code, ln = enc_ac[t][0x00]
+            w.put(code, ln)
+
+    hy = 2 if subsample == "420" else 1
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * hy - 1) // (8 * hy)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                w.flush()  # byte-align with 1-pad
+                w.buf += bytes([0xFF,
+                                0xD0 + (mcu_n // restart_interval - 1) % 8])
+                prev_dc[:] = [0, 0, 0]
+            mcu_n += 1
+            for yy in range(hy):
+                for xx in range(hy):
+                    put_block(0, planes[0], my * hy + yy, mx * hy + xx)
+            put_block(1, planes[1], my, mx)
+            put_block(2, planes[2], my, mx)
     w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -876,8 +1000,9 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + bytes(tab[z] for z in _JPEG_ZZ)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
+    y_hv = 0x22 if subsample == "420" else 0x11
+    for cid, hv, tq in ((1, y_hv, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, hv, tq])
     for tc, th, bits, vals in ((0, 0, _DC_L_BITS, _DC_L_VALS),
                                (1, 0, _AC_L_BITS, _AC_L_VALS),
                                (0, 1, _DC_C_BITS, _DC_C_VALS),
@@ -885,6 +1010,8 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90) -> bytes:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
                                          (tc << 4) | th) \
             + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tdta])
@@ -925,6 +1052,16 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Resync at a restart boundary: drop the pad bits of the
+        current partial byte (bit() already skipped any FF00 stuffing
+        while loading it), then consume the RSTn marker."""
+        self.n = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF \
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            raise ValueError("jpeg: expected RST marker at restart")
+        self.pos += 2
+
 
 def _huff_dec_table(bits, vals):
     out, code, k = {}, 0, 0
@@ -938,10 +1075,12 @@ def _huff_dec_table(bits, vals):
 
 
 def _jpeg_decode(payload: bytes):
-    """Decode a BASELINE sequential 8-bit JPEG (the profile our encoder
-    writes). Returns (width, height, rows) with rows of (r, g, b).
-    Progressive / 16-bit quant / subsampled chroma / restart intervals
-    raise NotImplementedError naming the feature."""
+    """Decode a BASELINE sequential 8-bit JPEG. Returns (width, height,
+    rows) with rows of (r, g, b). r10 closes three of the r9 gates:
+    subsampled chroma (any h/v factors 1-2, e.g. 4:2:0/4:2:2 — chroma
+    upsampled by sample replication), restart intervals (DRI + RSTn
+    resync with DC-predictor reset), and 16-bit DQT entries.
+    Progressive (SOF2) still raises NotImplementedError by name."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -951,6 +1090,7 @@ def _jpeg_decode(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     width = height = 0
+    dri = 0
     scan = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -963,24 +1103,31 @@ def _jpeg_decode(payload: bytes):
             continue
         ln = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + ln]
-        if m == 0xDB:  # DQT
+        if m == 0xDB:  # DQT (Pq=0: byte entries, Pq=1: 16-bit entries)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                qtabs[tq] = list(seg[p + 1:p + 65])
-                p += 65
+                if pq == 0:
+                    qtabs[tq] = list(seg[p + 1:p + 65])
+                    p += 65
+                elif pq == 1:
+                    qtabs[tq] = list(
+                        struct.unpack(">64H", seg[p + 1:p + 129]))
+                    p += 129
+                else:
+                    raise ValueError(f"jpeg: DQT precision {pq} invalid")
         elif m == 0xC0:  # SOF0 baseline
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 15
+                if ch not in (1, 2) or cv not in (1, 2):
                     raise NotImplementedError(
-                        "jpeg: subsampled chroma (only 4:4:4 supported)")
-                comps.append((cid, tq))
+                        f"jpeg: sampling factors {ch}x{cv} "
+                        "(1 and 2 supported)")
+                comps.append((cid, ch, cv, tq))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -994,8 +1141,8 @@ def _jpeg_decode(payload: bytes):
                 vals = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _huff_dec_table(bits, vals)
                 p += 17 + nv
-        elif m == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals (DRI)")
+        elif m == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
             ns = seg[0]
             scomp = []
@@ -1009,11 +1156,16 @@ def _jpeg_decode(payload: bytes):
         raise ValueError("jpeg: missing SOF0/SOS")
     scomp, entropy = scan
     C = _dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    fac = {cid: (ch, cv) for cid, ch, cv, _ in comps}
+    qt_of = {cid: tq for cid, ch, cv, tq in comps}
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     rd = _JpegBitReader(entropy)
     prev_dc = {cs: 0 for cs, _, _ in scomp}
-    planes = {cs: np.zeros((bh * 8, bw * 8)) for cs, _, _ in scomp}
-    qt_of = {cid: tq for cid, tq in comps}
+    planes = {cs: np.zeros((mcuy * fac[cs][1] * 8, mcux * fac[cs][0] * 8))
+              for cs, _, _ in scomp}
 
     def decode_sym(table):
         length, code = 0, 0
@@ -1027,39 +1179,63 @@ def _jpeg_decode(payload: bytes):
     def extend(v, s):
         return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
-    for by in range(bh):
-        for bx in range(bw):
+    def decode_block(cs, td, ta, py, px):
+        zz = [0] * 64
+        s = decode_sym(huff[(0, td)])
+        diff = extend(rd.bits(s), s) if s else 0
+        prev_dc[cs] += diff
+        zz[0] = prev_dc[cs]
+        k = 1
+        while k < 64:
+            rs = decode_sym(huff[(1, ta)])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("jpeg: AC run overflow")
+            zz[k] = extend(rd.bits(s), s)
+            k += 1
+        qtab = qtabs[qt_of[cs]]
+        blk = np.zeros(64)
+        for i, z in enumerate(_JPEG_ZZ):
+            blk[z] = zz[i] * qtab[i]
+        sp = C.T @ blk.reshape(8, 8) @ C + 128.0
+        planes[cs][py:py + 8, px:px + 8] = sp
+
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                rd.restart()
+                for cs in prev_dc:
+                    prev_dc[cs] = 0
+            mcu_n += 1
             for cs, td, ta in scomp:
-                zz = [0] * 64
-                s = decode_sym(huff[(0, td)])
-                diff = extend(rd.bits(s), s) if s else 0
-                prev_dc[cs] += diff
-                zz[0] = prev_dc[cs]
-                k = 1
-                while k < 64:
-                    rs = decode_sym(huff[(1, ta)])
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("jpeg: AC run overflow")
-                    zz[k] = extend(rd.bits(s), s)
-                    k += 1
-                qtab = qtabs[qt_of[cs]]
-                blk = np.zeros(64)
-                for i, z in enumerate(_JPEG_ZZ):
-                    blk[z] = zz[i] * qtab[i]
-                sp = C.T @ blk.reshape(8, 8) @ C + 128.0
-                planes[cs][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = sp
+                ch, cv = fac[cs]
+                for by in range(cv):
+                    for bx in range(ch):
+                        decode_block(cs, td, ta,
+                                     (my * cv + by) * 8, (mx * ch + bx) * 8)
     ids = [cs for cs, _, _ in scomp]
-    Y = planes[ids[0]][:height, :width]
+
+    def up(cs):
+        # sample-replication upsample to full resolution, then crop
+        p = planes[cs]
+        ch, cv = fac[cs]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        return p[:height, :width]
+
+    Y = up(ids[0])
     if len(ids) == 3:
-        Cb = planes[ids[1]][:height, :width] - 128.0
-        Cr = planes[ids[2]][:height, :width] - 128.0
+        Cb = up(ids[1]) - 128.0
+        Cr = up(ids[2]) - 128.0
         R = Y + 1.402 * Cr
         G = Y - 0.344136 * Cb - 0.714136 * Cr
         B = Y + 1.772 * Cb
@@ -1249,31 +1425,46 @@ def image_dhash_files(spark, path: str, out_col: str = "dhash",
     name (``<doc_id>.<ext>``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             out = []
             for doc_id, h, w, nch, data in zip(
                     pdf["doc_id"], pdf["height"], pdf["width"],
                     pdf["nChannels"], pdf["data"]):
-                arr = np.frombuffer(bytes(data), dtype=np.uint8)
-                if nch == 1:
-                    arr = arr.reshape(int(h), int(w), 1)
-                    rgb = np.repeat(arr, 3, axis=2)
-                elif nch == 3:  # OpenCV-style BGR
-                    rgb = arr.reshape(int(h), int(w), 3)[..., ::-1]
-                elif nch == 4:  # BGRA
-                    rgb = arr.reshape(int(h), int(w), 4)[..., [2, 1, 0]]
-                else:
-                    raise NotImplementedError(
-                        f"image_dhash_files: {int(nch)}-channel images "
-                        "(supported: 1/3/4)")
-                v = _dhash64_np(rgb)
+                v = _dhash64_np(_jvm_rgb(h, w, nch, data))
                 if v >= 1 << 63:
                     v -= 1 << 64
                 out.append({"doc_id": int(doc_id), out_col: v})
             yield pd.DataFrame(out)
 
+    flat = _read_image_dir(spark, path, recursive)
+    return flat.mapInPandas(run, schema=f"doc_id long, {out_col} long")
+
+
+def _jvm_rgb(h, w, nch, data):
+    """(h, w, 3) RGB uint8 array from a Spark image-source row's
+    OpenCV-layout buffer (1=gray, 3=BGR, 4=BGRA)."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if nch == 1:
+        return np.repeat(arr.reshape(int(h), int(w), 1), 3, axis=2)
+    if nch == 3:
+        return arr.reshape(int(h), int(w), 3)[..., ::-1]
+    if nch == 4:
+        return arr.reshape(int(h), int(w), 4)[..., [2, 1, 0]]
+    raise NotImplementedError(
+        f"JVM image decode: {int(nch)}-channel images (supported: 1/3/4)")
+
+
+def _read_image_dir(spark, path: str, recursive: bool):
+    """(doc_id, height, width, nChannels, data) from a directory of
+    image files via the JVM ImageIO data source, coalesced to session
+    parallelism. Small image files split into one partition per
+    ~handful of files (openCostInBytes accounting): thousands of tiny
+    tasks, each paying JVM task + Python-worker round-trip overhead,
+    swamp the decode win; the coalesce (narrow, no shuffle) gives each
+    task a big batch of files instead. ``doc_id`` parses from the
+    trailing digits of the file name (``<doc_id>.<ext>``)."""
     img = (spark.read.format("image")
            .option("recursiveFileLookup", str(recursive).lower())
            .load(path))
@@ -1285,14 +1476,73 @@ def image_dhash_files(spark, path: str, out_col: str = "dhash",
         F.col("image.width").alias("width"),
         F.col("image.nChannels").alias("nChannels"),
         F.col("image.data").alias("data"))
-    # small image files split into one partition per ~handful of files
-    # (openCostInBytes accounting): thousands of tiny tasks, each
-    # paying JVM task + Python-worker round-trip overhead, swamp the
-    # decode win. Coalesce (narrow, no shuffle) back to the session's
-    # parallelism — each task then decodes a big batch of files.
     par = spark.sparkContext.defaultParallelism
-    return (flat.coalesce(max(par, 1))
-            .mapInPandas(run, schema=f"doc_id long, {out_col} long"))
+    return flat.coalesce(max(par, 1))
+
+
+def extract_features_files(spark, path: str,
+                           recursive: bool = False) -> DataFrame:
+    """extract_features(real_decode=True) for a DIRECTORY of image
+    files — the JVM-decode scale sibling of image_dhash_files. Pixels
+    come decoded from ``spark.read.format("image")``; the feature head
+    (w, h, bpp, mean R/G/B — same layout as _real_feature) is computed
+    vectorized in numpy. n_bytes and the md5 checksum need the RAW
+    payload, which the image source does not expose, so a binaryFile
+    scan provides them and a doc_id equi-join (tiny rows: the payload
+    never crosses the join) assembles the FEATURE_SCHEMA row. PNG/BMP
+    feature values equal the bytes-column path exactly (integer channel
+    sums in float64); JPEG means differ only by decoder rounding."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, h, w, nch, data in zip(
+                    pdf["doc_id"], pdf["height"], pdf["width"],
+                    pdf["nChannels"], pdf["data"]):
+                rgb = _jvm_rgb(h, w, nch, data)
+                n = int(h) * int(w)
+                sums = rgb.reshape(n, 3).sum(axis=0, dtype=np.int64)
+                # bpp of the decoded-RGB representation, matching
+                # _real_feature's convention (8-bit gray reports 24)
+                bpp = 32.0 if int(nch) == 4 else 24.0
+                head = [float(w), float(h), bpp,
+                        float(sums[0]) / n, float(sums[1]) / n,
+                        float(sums[2]) / n]
+                out.append({"doc_id": int(doc_id),
+                            "feature": head + [0.0] * (FEATURE_DIM - 6)})
+            yield pd.DataFrame(out)
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                "checksum": [int(hashlib.md5(bytes(c)).hexdigest()[:15], 16)
+                             for c in pdf["content"]],
+            })
+
+    decoded = _read_image_dir(spark, path, recursive).mapInPandas(
+        feats, schema="doc_id long, feature array<float>")
+    _EXT_MIME = {"png": "image/png", "bmp": "image/bmp",
+                 "jpg": "image/jpeg", "jpeg": "image/jpeg",
+                 "gif": "image/gif"}
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv])
+    raw = (spark.read.format("binaryFile")
+           .option("recursiveFileLookup", str(recursive).lower())
+           .load(path)
+           .select(F.regexp_extract("path", r"([0-9]+)\.[A-Za-z]+$", 1)
+                   .cast("long").alias("doc_id"),
+                   mime_map[F.lower(F.regexp_extract(
+                       "path", r"\.([A-Za-z]+)$", 1))].alias("mime"),
+                   F.col("content"))
+           .mapInPandas(sums, schema="doc_id long, mime string, "
+                                     "n_bytes long, checksum long"))
+    return raw.join(decoded, "doc_id").select(
+        "doc_id", "mime", "n_bytes", "checksum", "feature")
 
 
 def dhash_candidates(sig: DataFrame, max_hamming: int = 3,

@@ -208,15 +208,24 @@ def test_png_guards():
     bad[-5] ^= 0xFF
     with pytest.raises(ValueError):
         MM._png_decode(bytes(bad))
-    # unsupported profile (16-bit) raises NotImplementedError
+    # 16-bit truecolor DECODES since r10 (the r9 gate is closed):
+    # all-zero samples -> black
     import struct as st
     import zlib
     ihdr = st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     p16 = (b"\x89PNG\r\n\x1a\n" + MM._png_chunk(b"IHDR", ihdr)
            + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
            + MM._png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        MM._png_decode(p16)
+    w, h, depth, rows = MM._png_decode(p16)
+    assert (w, h, depth) == (2, 2, 16)
+    assert rows == [[(0, 0, 0)] * 2] * 2
+    # spec-invalid combinations still raise loudly
+    bad_hdr = st.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)  # 16-bit palette
+    pbad = (b"\x89PNG\r\n\x1a\n" + MM._png_chunk(b"IHDR", bad_hdr)
+            + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        MM._png_decode(pbad)
 
 
 def test_png_real_feature_dispatch(spark):
@@ -283,29 +292,29 @@ def test_jpeg_codec_roundtrip_bounded_error():
 
 
 def test_jpeg_gates_named():
-    """Unsupported JPEG profiles raise NotImplementedError naming the
-    feature (progressive, 16-bit DQT, subsampled chroma, DRI)."""
-    import struct as st
+    """r10: three of the four r9 gates (16-bit DQT, subsampled chroma,
+    DRI) now DECODE — covered by their own tests. The remaining gates
+    raise by name: progressive scans (SOF2) and sampling factors the
+    decoder doesn't cover (>2)."""
     import pytest
     import datahub_spark.operators.multimodal as MM
 
     pay = MM._jpeg_encode(8, 8, lambda x, y: (9, 9, 9))
     with pytest.raises(NotImplementedError, match="progressive|baseline"):
         MM._jpeg_decode(pay.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    # 16-bit quant table: flip the DQT precision nibble
-    i = pay.index(b"\xff\xdb") + 4
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        MM._jpeg_decode(pay[:i] + bytes([pay[i] | 0x10]) + pay[i + 1:])
-    # subsampled chroma: set Y sampling to 2x2 in SOF0
+    # sampling factor 4 (4:1:1-style) still gates, named
     j = pay.index(b"\xff\xc0") + 11
     assert pay[j] == 0x11
-    with pytest.raises(NotImplementedError, match="4:4:4"):
-        MM._jpeg_decode(pay[:j] + b"\x22" + pay[j + 1:])
-    # DRI segment injected before SOS
-    k = pay.index(b"\xff\xda")
-    dri = b"\xff\xdd" + st.pack(">HH", 4, 8)
-    with pytest.raises(NotImplementedError, match="restart"):
-        MM._jpeg_decode(pay[:k] + dri + pay[k:])
+    with pytest.raises(NotImplementedError, match="sampling"):
+        MM._jpeg_decode(pay[:j] + b"\x41" + pay[j + 1:])
+    # a DRI stream whose promised RST marker is absent raises loudly:
+    # 64x8 = 8 MCUs at 4:4:4, restart interval 4 -> resync after MCU 4
+    import struct as st
+    pay2 = MM._jpeg_encode(64, 8, _smooth(2, 3, 1))
+    k = pay2.index(b"\xff\xda")
+    dri = b"\xff\xdd" + st.pack(">HH", 4, 4)
+    with pytest.raises(ValueError, match="RST"):
+        MM._jpeg_decode(pay2[:k] + dri + pay2[k:])
 
 
 def test_jpeg_spark_decode_equals_driver_and_imageio_interop(spark):
@@ -589,3 +598,337 @@ def test_image_dhash_files_matches_bytes_path(spark, tmp_path):
     b = {r["doc_id"]: r["dhash"]
          for r in image_dhash_files(spark, str(img_dir)).collect()}
     assert a == b and len(a) == 24
+
+
+def test_extract_features_files_matches_bytes_path(spark, tmp_path):
+    """r10: extract_features_files (JVM ImageIO decode + binaryFile
+    checksum scan, joined on doc_id) reproduces
+    extract_features(real_decode=True) exactly on lossless formats —
+    same FEATURE_SCHEMA columns, same checksum, same feature values."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators.multimodal import (extract_features,
+                                                    extract_features_files,
+                                                    _bmp_encode, _png_encode)
+    from datahub_spark.queries import _image_group_pattern
+
+    img_dir = tmp_path / "feats"
+    img_dir.mkdir()
+    rows = []
+    for i in range(12):
+        if i % 2 == 0:
+            payload = _png_encode(16, 16, _image_group_pattern(i % 12),
+                                  filter_type=i % 2)
+            ext, mime = "png", "image/png"
+        else:
+            payload = _bmp_encode(16, 12, _image_group_pattern(i % 12))
+            ext, mime = "bmp", "image/bmp"
+        (img_dir / f"{i}.{ext}").write_bytes(payload)
+        rows.append((i, bytearray(payload), mime))
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime string") \
+        .withColumn("meta", F.struct(
+            F.col("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(16).alias("width"), F.lit(16).alias("height"))) \
+        .select("doc_id", "payload", "meta")
+    a = {r["doc_id"]: r.asDict()
+         for r in extract_features(media, real_decode=True).collect()}
+    b = {r["doc_id"]: r.asDict()
+         for r in extract_features_files(spark, str(img_dir)).collect()}
+    assert set(a) == set(b) == set(range(12))
+    for i in range(12):
+        assert a[i]["mime"] == b[i]["mime"], i
+        assert a[i]["n_bytes"] == b[i]["n_bytes"], i
+        assert a[i]["checksum"] == b[i]["checksum"], i
+        fa, fb = a[i]["feature"], b[i]["feature"]
+        assert len(fa) == len(fb) == 64, i
+        assert fa == pytest.approx(fb, abs=1e-4), i
+
+
+def _mk_png(w, h, depth, color, sample_rows, plte=None):
+    """Hand-build a non-interlaced PNG: filter-0 scanlines of packed
+    native-depth samples (MSB-first for sub-byte)."""
+    import struct as st
+    import zlib
+
+    import datahub_spark.operators.multimodal as MM
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = bytearray()
+    for row in sample_rows:
+        flat = [v for px in row for v in px]
+        assert len(flat) == w * channels
+        raw.append(0)
+        if depth == 8:
+            raw += bytes(flat)
+        elif depth == 16:
+            for v in flat:
+                raw += bytes([(v >> 8) & 0xFF, v & 0xFF])
+        else:
+            acc, nbits = 0, 0
+            for v in flat:
+                acc = (acc << depth) | v
+                nbits += depth
+                if nbits == 8:
+                    raw.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                raw.append(acc << (8 - nbits))
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + MM._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += MM._png_chunk(b"PLTE",
+                             bytes(v for rgb in plte for v in rgb))
+    return (out + MM._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + MM._png_chunk(b"IEND", b""))
+
+
+def test_png_full_profile_decode_hand_built():
+    """r10: the PNG decoder covers the full core profile set. Every
+    case is hand-built (filter 0, exact expected pixels): palette 8/2,
+    grayscale 1/2/4/16, gray+alpha, RGBA, 16-bit truecolor — with the
+    spec conversions (PLTE map, alpha dropped, 255/(2^d-1) gray
+    scaling, 16-bit high byte)."""
+    import datahub_spark.operators.multimodal as MM
+
+    # palette, 8-bit and 2-bit indexes
+    plte = [(250, 10, 20), (0, 200, 0), (5, 5, 255), (7, 8, 9)]
+    for d in (8, 2):
+        pay = _mk_png(3, 2, d, 3, [[(0,), (1,), (2,)], [(3,), (2,), (0,)]],
+                      plte=plte)
+        w, h, depth, rows = MM._png_decode(pay)
+        assert (w, h, depth) == (3, 2, d)
+        assert rows == [[plte[0], plte[1], plte[2]],
+                        [plte[3], plte[2], plte[0]]]
+
+    # grayscale at 1/2/4 bits: scale = 255/(2^d-1)
+    for d, scale in ((1, 255), (2, 85), (4, 17)):
+        mx = (1 << d) - 1
+        pay = _mk_png(3, 1, d, 0, [[(0,), (1,), (mx,)]])
+        _, _, _, rows = MM._png_decode(pay)
+        assert rows == [[(0,) * 3, (scale,) * 3, (mx * scale,) * 3]]
+
+    # 16-bit grayscale: high byte
+    pay = _mk_png(2, 1, 16, 0, [[(0x1234,), (0xFFEE,)]])
+    _, _, _, rows = MM._png_decode(pay)
+    assert rows == [[(0x12,) * 3, (0xFF,) * 3]]
+
+    # gray+alpha: alpha dropped
+    pay = _mk_png(2, 1, 8, 4, [[(100, 0), (200, 255)]])
+    _, _, _, rows = MM._png_decode(pay)
+    assert rows == [[(100,) * 3, (200,) * 3]]
+
+    # RGBA: alpha dropped (straight alpha, not premultiplied)
+    pay = _mk_png(2, 1, 8, 6, [[(1, 2, 3, 0), (9, 8, 7, 128)]])
+    _, _, _, rows = MM._png_decode(pay)
+    assert rows == [[(1, 2, 3), (9, 8, 7)]]
+
+    # 16-bit truecolor: high byte per channel
+    pay = _mk_png(1, 2, 16, 2, [[(0x0102, 0xA0B0, 0xFFFF)],
+                                [(0x8000, 0x0001, 0x4321)]])
+    _, _, _, rows = MM._png_decode(pay)
+    assert rows == [[(0x01, 0xA0, 0xFF)], [(0x80, 0x00, 0x43)]]
+
+    # sub-byte row not a multiple of a full byte (w=5 at 1 bit: padded)
+    pay = _mk_png(5, 1, 1, 0, [[(1,), (0,), (1,), (1,), (0,)]])
+    _, _, _, rows = MM._png_decode(pay)
+    assert rows == [[(255,)*3, (0,)*3, (255,)*3, (255,)*3, (0,)*3]]
+
+
+def test_png_imageio_interop_profiles(spark):
+    """r10: decoder-vs-decoder interop on PNG profiles our encoder
+    never writes, with javax.imageio as the independent producer AND
+    reference reader: palette (TYPE_BYTE_INDEXED), RGBA
+    (TYPE_INT_ARGB), and Adam7 interlace (progressive write mode).
+    Our _png_decode must reproduce ImageIO's own read-back exactly."""
+    import datahub_spark.operators.multimodal as MM
+
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+
+    def write_png(bi, progressive=False):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "png").next()
+        param = writer.getDefaultWriteParam()
+        if progressive:
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None),
+                     param)
+        writer.dispose()
+        ios.close()
+        return bytes(baos.toByteArray())
+
+    def read_back_rgb(payload):
+        bais = jvm.java.io.ByteArrayInputStream(payload)
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        return [[(lambda v: ((v >> 16) & 255, (v >> 8) & 255, v & 255))(
+            img.getRGB(x, y)) for x in range(img.getWidth())]
+            for y in range(img.getHeight())]
+
+    def j32(v):
+        return v - (1 << 32) if v >= (1 << 31) else v  # py4j wants int32
+
+    def fill(bi, w, h, seed):
+        for y in range(h):
+            for x in range(w):
+                v = (x * 7919 + y * 104729 + seed * 31) & 0xFFFFFF
+                bi.setRGB(x, y, j32((0xFF << 24) | v))
+
+    # palette: the writer emits color type 3 + PLTE
+    bi = BI(9, 7, BI.TYPE_BYTE_INDEXED)
+    fill(bi, 9, 7, 1)
+    pay = write_png(bi)
+    w, h, _, rows = MM._png_decode(pay)
+    assert (w, h) == (9, 7)
+    assert rows == read_back_rgb(pay)
+
+    # RGBA: color type 6; alpha dropped on our side, read-back masked
+    bi = BI(8, 5, BI.TYPE_INT_ARGB)
+    for y in range(5):
+        for x in range(8):
+            v = (x * 7919 + y * 104729) & 0xFFFFFF
+            a = (x * 37 + y * 11) % 256
+            bi.setRGB(x, y, j32((a << 24) | v))
+    pay = write_png(bi)
+    w, h, _, rows = MM._png_decode(pay)
+    assert (w, h) == (8, 5)
+    assert rows == read_back_rgb(pay)
+
+    # Adam7 interlace on odd dimensions (exercises partial passes)
+    for (w0, h0) in ((13, 11), (8, 8), (3, 2), (1, 9)):
+        bi = BI(w0, h0, BI.TYPE_3BYTE_BGR)
+        fill(bi, w0, h0, w0 * 100 + h0)
+        pay = write_png(bi, progressive=True)
+        # really interlaced? IHDR byte 12 (after w/h/depth/color/comp/filt)
+        ihdr_off = pay.index(b"IHDR") + 4
+        assert pay[ihdr_off + 12] == 1, "writer did not interlace"
+        w, h, _, rows = MM._png_decode(pay)
+        assert (w, h) == (w0, h0)
+        assert rows == read_back_rgb(pay)
+
+
+def test_jpeg_420_roundtrip_and_odd_sizes():
+    """r10: 4:2:0 encode/decode (the profile most web JPEGs use).
+    On smooth content the subsampled round-trip stays close to the
+    4:4:4 one (chroma varies slowly, so box-downsample + replication
+    upsample loses little), including odd sizes with partial MCUs."""
+    import datahub_spark.operators.multimodal as MM
+
+    for (w, h) in ((32, 32), (19, 13), (16, 8), (7, 5)):
+        p444 = MM._jpeg_encode(w, h, _smooth(2, 3, 0), quality=90)
+        p420 = MM._jpeg_encode(w, h, _smooth(2, 3, 0), quality=90,
+                               subsample="420")
+        if (w, h) == (32, 32):  # big enough that fewer chroma blocks win
+            assert len(p420) < len(p444), (len(p420), len(p444))
+        # SOF1 component: 0x22 sampling
+        sof = p420.index(b"\xff\xc0")
+        assert p420[sof + 11] == 0x22, (w, h)
+        dw, dh, r444 = MM._jpeg_decode(p444)
+        assert (dw, dh) == (w, h)
+        dw, dh, r420 = MM._jpeg_decode(p420)
+        assert (dw, dh) == (w, h)
+        worst = max(abs(a - b) for ra, rb in zip(r444, r420)
+                    for pa, pb in zip(ra, rb) for a, b in zip(pa, pb))
+        assert worst <= 40, (w, h, worst)  # smooth content, measured <25
+
+
+def test_jpeg_dri_restart_markers_exact():
+    """r10: DRI + RSTn restart markers. The coefficients are identical
+    with and without restarts (only the entropy framing and DC
+    predictors change), so the two payloads must decode EXACTLY equal;
+    RST markers must actually be present in the DRI stream."""
+    import datahub_spark.operators.multimodal as MM
+
+    for sub in ("444", "420"):
+        plain = MM._jpeg_encode(37, 21, _smooth(3, 2, 2), quality=85,
+                                subsample=sub)
+        dri = MM._jpeg_encode(37, 21, _smooth(3, 2, 2), quality=85,
+                              subsample=sub, restart_interval=2)
+        assert b"\xff\xdd" in dri and b"\xff\xdd" not in plain
+        assert any(bytes([0xFF, 0xD0 + i]) in dri for i in range(8)), sub
+        assert MM._jpeg_decode(dri) == MM._jpeg_decode(plain), sub
+
+
+def test_jpeg_16bit_dqt_decodes():
+    """r10: Pq=1 (16-bit) DQT entries. Rewrite a payload's two 8-bit
+    DQT segments as 16-bit with the same values — the decode must be
+    bit-identical."""
+    import struct as st
+
+    import datahub_spark.operators.multimodal as MM
+
+    pay = MM._jpeg_encode(16, 12, _smooth(4, 2, 1), quality=80)
+    out = bytearray()
+    pos = 0
+    while pos < len(pay):
+        if pay[pos:pos + 2] == b"\xff\xdb":
+            ln = st.unpack(">H", pay[pos + 2:pos + 4])[0]
+            tq = pay[pos + 4] & 15
+            vals = pay[pos + 5:pos + 5 + 64]
+            out += b"\xff\xdb" + st.pack(">HB", 131, 0x10 | tq)
+            out += st.pack(">64H", *vals)
+            pos += 2 + ln
+        else:
+            out.append(pay[pos])
+            pos += 1
+    w, h, rows = MM._jpeg_decode(bytes(out))
+    assert (w, h) == (16, 12)
+    assert rows == MM._jpeg_decode(pay)[2]
+
+
+def test_jpeg_420_imageio_interop_both_directions(spark):
+    """r10: (a) javax.imageio decodes OUR 4:2:0 files to the same
+    channel means (it upsamples with libjpeg's fancy filter vs our
+    replication — means agree, pixels may differ at chroma edges);
+    (b) an ImageIO-WRITTEN default-quality JPEG (the wild-file shape)
+    decodes on OUR side to ImageIO's own read-back within tolerance."""
+    import datahub_spark.operators.multimodal as MM
+
+    jvm = spark._jvm
+    w0, h0 = 24, 18
+
+    # (a) ours -> ImageIO
+    pay = MM._jpeg_encode(w0, h0, _smooth(2, 4, 3), quality=88,
+                          subsample="420")
+    _, _, ours = MM._jpeg_decode(pay)
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(pay))
+    img = jvm.javax.imageio.ImageIO.read(stream)
+    assert (img.getWidth(), img.getHeight()) == (w0, h0)
+    n = w0 * h0
+    for idx, shift in ((0, 16), (1, 8), (2, 0)):
+        theirs = sum((img.getRGB(x, y) >> shift) & 0xFF
+                     for y in range(h0) for x in range(w0)) / n
+        mine = sum(p[idx] for r in ours for p in r) / n
+        assert abs(theirs - mine) <= 3.0, idx
+
+    # (b) ImageIO -> ours
+    BI = jvm.java.awt.image.BufferedImage
+    bi = BI(w0, h0, BI.TYPE_3BYTE_BGR)
+    for y in range(h0):
+        for x in range(w0):
+            r, g, b = _smooth(3, 4, 4)(x, y)
+            argb = (0xFF << 24) | (r << 16) | (g << 8) | b
+            bi.setRGB(x, y, argb - (1 << 32))  # py4j wants int32
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+    pay2 = bytes(baos.toByteArray())
+    sof = pay2.index(b"\xff\xc0")
+    y_hv = pay2[sof + 11]  # whatever sampling the JDK writer chose
+    w, h, rows = MM._jpeg_decode(pay2)
+    assert (w, h) == (w0, h0)
+    back = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(pay2)))
+    worst = 0
+    for y in range(h0):
+        for x in range(w0):
+            v = back.getRGB(x, y)
+            ref = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+            worst = max(worst, *(abs(a - b)
+                                 for a, b in zip(rows[y][x], ref)))
+    # smooth content: IDCT + upsampling differences stay small
+    assert worst <= 16, (worst, hex(y_hv))
