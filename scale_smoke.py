@@ -11,6 +11,7 @@ graph, all on data that never touches the driver.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -18,6 +19,18 @@ from pyspark.sql import functions as F
 
 from datahub_spark import store as S
 from datahub_spark.session import get_spark
+
+# 16g heap for the smoke UNLESS the caller overrides: the 200M-row
+# temporal legs run 3-4x SLOWER under the 48g bench default (measured
+# r10: asof 200M uniform 18.2s at 16g / 18.7s at 8g vs 73.4s at 48g,
+# G1) — a 28.8g execution pool lets each sort task buffer its whole
+# partition in-heap (GC churn over giant long-lived buffers) instead
+# of spilling early to page-cache-backed disk, which is both faster
+# here and the shape a real cluster executor (~0.5-1g execution
+# memory per task) would take. bench.py keeps 48g: its x100 legs are
+# 10x smaller and its r9 failure mode was a hash-aggregate OOM, not
+# sort throughput.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def main() -> None:
@@ -441,6 +454,46 @@ def main() -> None:
         for r in rows8:
             assert r["neighbor_id"] % n_vecs == qid, (qid, r["neighbor_id"])
         assert rows8[0]["score_fp"] >= top1[qid][1], qid
+
+    # IVF-PQ at 64M codes (r10, judge task 7 — the next decade): same
+    # replicate-with-shifted-ids construction, so exactness stays
+    # checkable. The index is 64M x 8 bytes = 512 MB of codes (vs 16 GB
+    # of float32 it stands in for); encode is the GEMM-bound cost, the
+    # ADC probe is 8 LUT gathers/vector. Both must scale at-or-sub-
+    # linearly from the 8M leg (ratio <= 8x for 8x the codes).
+    codes8.unpersist()
+    n_vecs64 = 64 * n_vecs
+    vecs64 = vecs.crossJoin(spark.range(64).select(F.col("id").alias("_r"))) \
+        .select((F.col("vec_id") + F.col("_r") * n_vecs).alias("vec_id"),
+                "embedding")
+    t0 = time.monotonic()
+    codes64 = SIM2.encode_pq(vecs64, books).localCheckpoint(eager=True)
+    n_code64 = codes64.count()
+    timings["pq_encode_64m"] = round(time.monotonic() - t0, 2)
+    assert n_code64 == n_vecs64, n_code64
+    t0 = time.monotonic()
+    top64 = SIM2.ann_pq_adc(qs, codes64, books, k=5).collect()
+    timings["pq_adc_probe_64m"] = round(time.monotonic() - t0, 2)
+    timings["pq_probe_ratio_64m_vs_8m"] = round(
+        timings["pq_adc_probe_64m"]
+        / max(timings["pq_adc_probe_8m"], 1e-9), 2)
+    timings["pq_encode_ratio_64m_vs_8m"] = round(
+        timings["pq_encode_64m"]
+        / max(timings["pq_encode_8m"], 1e-9), 2)
+    # at-or-sub-linear in the decade (8x codes -> <= 8x time, +10% noise)
+    assert timings["pq_probe_ratio_64m_vs_8m"] <= 8.8, timings
+    assert timings["pq_encode_ratio_64m_vs_8m"] <= 8.8, timings
+    by_q64: dict = {}
+    for r in top64:
+        by_q64.setdefault(r["query_id"], []).append(r)
+    for qid in range(8):
+        rows64 = sorted(by_q64[qid], key=lambda r: r["rank"])
+        assert len(rows64) == 5, qid
+        assert len({r["score_fp"] for r in rows64}) == 1, qid
+        for r in rows64:
+            assert r["neighbor_id"] % n_vecs == qid, (qid, r["neighbor_id"])
+        assert rows64[0]["score_fp"] >= top1[qid][1], qid
+    codes64.unpersist()
 
     # perceptual image dedup at 200k payloads (r9): 100k full-entropy
     # 16x12 BMPs + one byte-identical copy each, generated distributed
