@@ -750,9 +750,12 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
 # 4Y+Cb+Cr — the profile most web JPEGs use) and the decoder (any
 # 1-2 h/v sampling factors, replication upsample), DRI restart
 # intervals (encoder emits byte-aligned RSTn every N MCUs with DC
-# resets; decoder resyncs and verifies the marker), and 16-bit Pq=1
-# DQT entries. Progressive scans (SOF2) and arithmetic coding still
-# raise, NAMED. Tables are the public JPEG Annex K defaults; quality
+# resets; decoder resyncs and verifies the marker), 16-bit Pq=1 DQT
+# entries, and PROGRESSIVE decode (SOF2: DC/AC first + successive-
+# approximation refinement scans with EOB runs, T.81 G.1.2 — tested
+# against javax.imageio's progressive writer). Arithmetic coding and
+# sampling factors > 2 still raise, NAMED. Tables are the public
+# JPEG Annex K defaults; quality
 # scaling is the standard IJG mapping. Lossy by nature: the
 # round-trip contract is a bounded per-channel error (solid blocks
 # reconstruct near-exactly), not bit equality — pinned in
@@ -1075,12 +1078,20 @@ def _huff_dec_table(bits, vals):
 
 
 def _jpeg_decode(payload: bytes):
-    """Decode a BASELINE sequential 8-bit JPEG. Returns (width, height,
-    rows) with rows of (r, g, b). r10 closes three of the r9 gates:
-    subsampled chroma (any h/v factors 1-2, e.g. 4:2:0/4:2:2 — chroma
-    upsampled by sample replication), restart intervals (DRI + RSTn
-    resync with DC-predictor reset), and 16-bit DQT entries.
-    Progressive (SOF2) still raises NotImplementedError by name."""
+    """Decode an 8-bit Huffman JPEG — baseline sequential (SOF0) or
+    PROGRESSIVE (SOF2; r10 — the last r9 gate). Returns (width,
+    height, rows) with rows of (r, g, b).
+
+    One unified multi-scan coefficient decoder: baseline is a single
+    interleaved Ss=0..Se=63 Ah=Al=0 scan; progressive is DC scans
+    (first + successive-approximation refinements) plus per-component
+    AC band scans with EOB runs and correction bits (ITU-T T.81
+    G.1.2). Coefficients accumulate per component across scans; ONE
+    batched dequant + IDCT reconstructs at the end. Also handled:
+    subsampled chroma (h/v factors 1-2, replication upsample), DRI
+    restart intervals per scan, 16-bit DQT entries. Arithmetic coding
+    (SOF9+) and sampling factors > 2 raise NotImplementedError by
+    name."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1091,7 +1102,8 @@ def _jpeg_decode(payload: bytes):
     comps = None
     width = height = 0
     dri = 0
-    scan = None
+    progressive = False
+    scans = []  # (scomp, Ss, Se, Ah, Al, huff_snapshot, dri, entropy)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -1116,7 +1128,8 @@ def _jpeg_decode(payload: bytes):
                     p += 129
                 else:
                     raise ValueError(f"jpeg: DQT precision {pq} invalid")
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = m == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -1128,11 +1141,12 @@ def _jpeg_decode(payload: bytes):
                         f"jpeg: sampling factors {ch}x{cv} "
                         "(1 and 2 supported)")
                 comps.append((cid, ch, cv, tq))
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF{m - 0xC0} (progressive/extended) — baseline only")
-        elif m == 0xC4:  # DHT
+                f"jpeg: SOF{m - 0xC0} (arithmetic/lossless/extended) — "
+                "baseline and progressive Huffman only")
+        elif m == 0xC4:  # DHT (may be redefined between scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
@@ -1141,33 +1155,52 @@ def _jpeg_decode(payload: bytes):
                 vals = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _huff_dec_table(bits, vals)
                 p += 17 + nv
-        elif m == 0xDD:  # DRI
+        elif m == 0xDD:  # DRI (applies to following scans)
             dri = struct.unpack(">H", seg[:2])[0]
-        elif m == 0xDA:  # SOS
+        elif m == 0xDA:  # SOS: capture tables-as-of-now + entropy bytes
             ns = seg[0]
             scomp = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
                 scomp.append((cs, td_ta >> 4, td_ta & 15))
-            scan = (scomp, payload[pos + ln:])
-            break
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            j = pos + ln
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                        and not 0xD0 <= payload[j + 1] <= 0xD7:
+                    break
+                j += 1
+            scans.append((scomp, ss, se, ahal >> 4, ahal & 15,
+                          dict(huff), dri, payload[pos + ln:j]))
+            pos = j
+            continue
         pos += ln
-    if comps is None or scan is None:
-        raise ValueError("jpeg: missing SOF0/SOS")
-    scomp, entropy = scan
-    C = _dct_matrix()
+    if comps is None or not scans:
+        raise ValueError("jpeg: missing SOF/SOS")
+    if not progressive:
+        sc = scans[0]
+        if not (sc[1] == 0 and sc[2] == 63 and sc[3] == 0 and sc[4] == 0):
+            raise ValueError("jpeg: baseline scan must cover 0..63")
+
     fac = {cid: (ch, cv) for cid, ch, cv, _ in comps}
     qt_of = {cid: tq for cid, ch, cv, tq in comps}
     hmax = max(ch for _, ch, _, _ in comps)
     vmax = max(cv for _, _, cv, _ in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    rd = _JpegBitReader(entropy)
-    prev_dc = {cs: 0 for cs, _, _ in scomp}
-    planes = {cs: np.zeros((mcuy * fac[cs][1] * 8, mcux * fac[cs][0] * 8))
-              for cs, _, _ in scomp}
+    # per-component coefficient store in ZIGZAG index order, padded to
+    # the interleaved-MCU grid; non-interleaved scans only touch the
+    # component's own ceil-dims sub-grid (T.81 A.2.4)
+    coefs = {cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+             for cid, ch, cv, _ in comps}
 
-    def decode_sym(table):
+    def comp_blocks(cid):
+        ch, cv = fac[cid]
+        cw = (-(-width * ch // hmax) + 7) // 8
+        chh = (-(-height * cv // vmax) + 7) // 8
+        return cw, chh
+
+    def decode_sym(rd, table):
         length, code = 0, 0
         for _ in range(16):
             code = (code << 1) | rd.bit()
@@ -1179,59 +1212,166 @@ def _jpeg_decode(payload: bytes):
     def extend(v, s):
         return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
-    def decode_block(cs, td, ta, py, px):
-        zz = [0] * 64
-        s = decode_sym(huff[(0, td)])
-        diff = extend(rd.bits(s), s) if s else 0
-        prev_dc[cs] += diff
-        zz[0] = prev_dc[cs]
-        k = 1
-        while k < 64:
-            rs = decode_sym(huff[(1, ta)])
-            r, s = rs >> 4, rs & 15
-            if s == 0:
-                if r == 15:
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("jpeg: AC run overflow")
-            zz[k] = extend(rd.bits(s), s)
-            k += 1
-        qtab = qtabs[qt_of[cs]]
-        blk = np.zeros(64)
-        for i, z in enumerate(_JPEG_ZZ):
-            blk[z] = zz[i] * qtab[i]
-        sp = C.T @ blk.reshape(8, 8) @ C + 128.0
-        planes[cs][py:py + 8, px:px + 8] = sp
+    def decode_scan(scomp, ss, se, ah, al, huff, dri, entropy):
+        rd = _JpegBitReader(entropy)
+        interleaved = len(scomp) > 1
+        prev_dc = {cs: 0 for cs, _, _ in scomp}
+        state = {"eobrun": 0}
+        p1, m1 = 1 << al, -(1 << al)
 
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_n and mcu_n % dri == 0:
+        def dc_block(cs, td, blk):
+            if ah == 0:
+                s = decode_sym(rd, huff[(0, td)])
+                diff = extend(rd.bits(s), s) if s else 0
+                prev_dc[cs] += diff
+                blk[0] = prev_dc[cs] << al
+            elif rd.bit():  # refinement: one correction bit
+                blk[0] = int(blk[0]) | p1
+
+        def full_block(cs, td, ta, blk):
+            # baseline: DC + all 63 ACs in one pass (al == 0)
+            dc_block(cs, td, blk)
+            k = 1
+            while k <= 63:
+                rs = decode_sym(rd, huff[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("jpeg: AC run overflow")
+                blk[k] = extend(rd.bits(s), s)
+                k += 1
+
+        def ac_first_block(ta, blk):
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = decode_sym(rd, huff[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC band overflow")
+                    blk[k] = extend(rd.bits(s), s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        break
+                    k += 16
+
+        def ac_refine_block(ta, blk):
+            # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine shape
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = decode_sym(rd, huff[(1, ta)])
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("jpeg: bad refinement size")
+                        val = p1 if rd.bit() else m1
+                    elif r != 15:
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        break
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if rd.bit() and not c & p1:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0 and rd.bit() and not c & p1:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                state["eobrun"] -= 1
+
+        def unit(cs, td, ta, by, bx):
+            blk = coefs[cs][by, bx]
+            if ss == 0 and se == 63:
+                full_block(cs, td, ta, blk)
+            elif ss == 0:
+                dc_block(cs, td, blk)
+            else:
+                ac_first_block(ta, blk) if ah == 0 \
+                    else ac_refine_block(ta, blk)
+
+        def maybe_restart(n):
+            if dri and n and n % dri == 0:
                 rd.restart()
                 for cs in prev_dc:
                     prev_dc[cs] = 0
-            mcu_n += 1
-            for cs, td, ta in scomp:
-                ch, cv = fac[cs]
-                for by in range(cv):
-                    for bx in range(ch):
-                        decode_block(cs, td, ta,
-                                     (my * cv + by) * 8, (mx * ch + bx) * 8)
-    ids = [cs for cs, _, _ in scomp]
+                state["eobrun"] = 0
 
-    def up(cs):
-        # sample-replication upsample to full resolution, then crop
-        p = planes[cs]
-        ch, cv = fac[cs]
+        if interleaved:
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(n)
+                    n += 1
+                    for cs, td, ta in scomp:
+                        ch, cv = fac[cs]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                unit(cs, td, ta, my * cv + by,
+                                     mx * ch + bx)
+        else:
+            cs, td, ta = scomp[0]
+            cw, chh = comp_blocks(cs)
+            n = 0
+            for by in range(chh):
+                for bx in range(cw):
+                    maybe_restart(n)
+                    n += 1
+                    unit(cs, td, ta, by, bx)
+
+    for sc in scans:
+        decode_scan(*sc)
+
+    # reconstruction: batched dequant + IDCT per component
+    C = _dct_matrix()
+    zz = np.array(_JPEG_ZZ)
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        q = np.array(qtabs[tq], dtype=np.int64)
+        arr = coefs[cid].astype(np.float64) * q          # zigzag order
+        nat = np.zeros_like(arr)
+        nat[:, :, zz] = arr                              # -> natural
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(by, bx, 8, 8)
+        sp = np.einsum("ij,rcjk,kl->rcil", C.T, blocks, C) + 128.0
+        planes[cid] = sp.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+    def up(cid):
+        p = planes[cid]
+        ch, cv = fac[cid]
         if ch < hmax:
             p = np.repeat(p, hmax // ch, axis=1)
         if cv < vmax:
             p = np.repeat(p, vmax // cv, axis=0)
         return p[:height, :width]
 
+    ids = [cid for cid, _, _, _ in comps]
     Y = up(ids[0])
     if len(ids) == 3:
         Cb = up(ids[1]) - 128.0
