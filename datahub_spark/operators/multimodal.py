@@ -2062,6 +2062,70 @@ def dedup_images(media: DataFrame, max_hamming: int = 3,
                     F.coalesce("component", F.col(id_col)).alias("keeper")))
 
 
+def video_dhash(media: DataFrame, every_n: int = 2,
+                max_frames: int = 8,
+                out_col: str = "frame_hashes") -> DataFrame:
+    """(doc_id, frame_hashes array<long>) — the perceptual signature
+    of a VIDEO: one 64-bit dHash per sampled frame (real AVI container
+    parse + real JPEG decode per frame), in frame order. The video
+    twin of image_dhash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                all_frames = _avi_mjpeg_frames(bytes(payload))
+                hs = []
+                for fi in list(range(0, len(all_frames),
+                                     every_n))[:max_frames]:
+                    w, h, rows = _jpeg_decode(bytes(all_frames[fi]))
+                    v = _dhash64(w, h, rows)
+                    hs.append(v - (1 << 64) if v >= 1 << 63 else v)
+                out.append({"doc_id": int(doc_id), out_col: hs})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema=f"doc_id long, {out_col} array<long>")
+
+
+def dedup_videos(media: DataFrame, max_hamming: int = 3,
+                 every_n: int = 2, max_frames: int = 8,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Perceptual VIDEO dedup: sampled-frame dHash signatures, banded
+    candidates on the FIRST frame's hash (a near-dup video's first
+    frame is a near-dup image, so the image banding bound applies),
+    then the candidate pair verifies over the WHOLE aligned sequence
+    (equal length and every frame within ``max_hamming``), connected
+    components, keeper = min id. Returns (doc_id, keeper). Re-encoded
+    copies of the same clip (quality changes, container rewrites)
+    cluster; different clips do not. Scale shape: the banding is the
+    same equi-join-only candidate generator as image dedup (capped
+    buckets, no self-join on the corpus); only candidate PAIRS carry
+    the full hash sequences through the verify join."""
+    from datahub_spark.operators.dedup import connected_components
+
+    sig = video_dhash(media, every_n, max_frames)
+    first = sig.select(
+        F.col(id_col), F.element_at("frame_hashes", 1).alias("dhash"))
+    cand = dhash_candidates(first, max_hamming, id_col)
+    ha = sig.select(F.col(id_col).alias("id_a"),
+                    F.col("frame_hashes").alias("_ha"))
+    hb = sig.select(F.col(id_col).alias("id_b"),
+                    F.col("frame_hashes").alias("_hb"))
+    pairs = (cand.join(ha, "id_a").join(hb, "id_b")
+             .filter(F.size("_ha") == F.size("_hb"))
+             .withColumn("_worst", F.array_max(F.zip_with(
+                 "_ha", "_hb",
+                 lambda a, b: F.bit_count(a.bitwiseXOR(b)))))
+             .filter(F.col("_worst") <= max_hamming)
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (sig.select(id_col)
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+
+
 # ---------------------------------------------------------------------------
 # Perceptual audio dedup (r9): energy-contour fingerprint over real WAV
 # decode — the audio twin of image_dhash. 64 bits from the SIGN of the

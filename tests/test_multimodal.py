@@ -1168,3 +1168,55 @@ def test_resize_jpeg_real(spark):
         for p in r:
             assert all(abs(a - b) <= 12 for a, b in
                        zip(p, (120, 60, 200))), p
+
+
+def test_video_dedup_recompressed_clips_cluster(spark):
+    """r10: perceptual video dedup — the same clip re-encoded at a
+    different JPEG quality clusters with its original (every sampled
+    frame within hamming 3 on smooth content); different clips stay
+    apart. Keeper = min id of each visual cluster."""
+    import datahub_spark.operators.multimodal as MM
+
+    import math
+
+    def clip(fx, fy, quality):
+        frames = []
+        for fi in range(8):
+            def pixel(x, y, fi=fi):
+                # distinct horizontal frequencies -> distinct dHash
+                # x-gradient sign patterns (dHash compares x-neighbors)
+                v = int(110 * math.sin(x * fx + y * fy) + 128 + 2 * fi)
+                v = max(0, min(255, v))
+                return v, v, v
+            frames.append(MM._jpeg_encode(24, 16, pixel, quality))
+        return MM._avi_mjpeg_encode(frames, 24, 16)
+
+    rows = []
+    for i, (fx, fy) in enumerate(((0.25, 0.1), (0.5, 0.2), (0.9, 0.15))):
+        for j, q in enumerate((90, 75)):
+            pay = clip(fx, fy, q)
+            rows.append((10 * (i + 1) + j, bytearray(pay)))
+    from pyspark.sql import functions as F
+    media = spark.createDataFrame(rows, "doc_id long, payload binary") \
+        .withColumn("meta", F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(24).alias("width"), F.lit(16).alias("height")))
+
+    sig = {r["doc_id"]: list(r["frame_hashes"])
+           for r in MM.video_dhash(media, every_n=2, max_frames=4)
+           .collect()}
+    assert all(len(v) == 4 for v in sig.values())
+    mask = (1 << 64) - 1
+    for base in (10, 20, 30):  # recompression moves few bits per frame
+        worst = max(bin((a & mask) ^ (b & mask)).count("1")
+                    for a, b in zip(sig[base], sig[base + 1]))
+        assert worst <= 3, (base, worst)
+    for a, b in ((10, 20), (10, 30), (20, 30)):  # distinct clips apart
+        d0 = bin((sig[a][0] & mask) ^ (sig[b][0] & mask)).count("1")
+        assert d0 > 3, (a, b, d0)
+
+    keep = {r["doc_id"]: r["keeper"]
+            for r in MM.dedup_videos(media, max_hamming=3, every_n=2,
+                                     max_frames=4).collect()}
+    assert keep == {10: 10, 11: 10, 20: 20, 21: 20, 30: 30, 31: 30}, keep
