@@ -106,6 +106,14 @@ HEADLINERS = list(BUDGETS)
 # coverage so every decade ratio is evidence, not extrapolation)
 X100_HEADLINERS = HEADLINERS
 
+# Per-leg-group heap regimes (r11): measured on this box — big heaps
+# help hash-agg-heavy legs (OOM headroom) and HURT big-sort/scan legs
+# (GC churn beats early spill; scale_smoke's 200M-row matrix: 8g 18.7s,
+# 16g 18.2s, 24g 45.9s, 48g 73.4s). x10 legs run at 48g in the parent
+# JVM; the x100 decade runs in a re-exec'd child JVM at 16g.
+X10_DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_X10_MEM", "48g")
+X100_DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_X100_MEM", "16g")
+
 
 def _q_asof_enrich(spark, sf_dir):
     """Bench-only headliner (outside the driver's capped 50-key graded
@@ -315,6 +323,15 @@ def main() -> None:
     # state (round-5 lesson: a helper-side conf.set masked an encoding
     # drift until the driver regenerated testdata)
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    # Heap regime is PER LEG GROUP (r11, closing the bench/smoke split):
+    # the x10 + store legs want a BIG heap (hash-agg OOM headroom —
+    # 8g crashed the r9 driver bench), while the x100 legs are
+    # sort/scan-heavy at 10x the data, where scale_smoke measured 48g
+    # 3-4x SLOWER than 16g (whole-partition in-heap buffering under GC
+    # churn instead of early spill to page cache). A JVM's heap is
+    # fixed at launch, so the x100 section re-execs this script in a
+    # child process with its own 16g session (see bench_x100_child).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", X10_DRIVER_MEM)
     from datahub_spark.session import get_spark
 
     spark = get_spark("datahub-spark-bench")
@@ -339,19 +356,24 @@ def main() -> None:
     timings, spreads, errors = run_legs(
         spark, sf_dir, HEADLINERS, queries, runs, budgets=BUDGETS)
 
-    x100 = None
-    if os.environ.get("SPARK_GRAFT_BENCH_X100", "1") == "1" and repl > 1:
-        try:
-            x100 = bench_x100(spark, base_dir, timings)
-        except Exception as exc:
-            x100 = {"error": repr(exc)[:500]}
-            print(f"  x100 leg ERROR {x100['error']}", file=sys.stderr)
-
     try:
         store_write = bench_store_write(spark)
     except Exception as exc:
         store_write = {"error": repr(exc)[:500]}
         print(f"  store_write ERROR {store_write['error']}", file=sys.stderr)
+
+    x100 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_X100", "1") == "1" and repl > 1:
+        # the decade leg runs in a CHILD process with its own 16g JVM
+        # (a heap is fixed at launch; 48g measured 3-4x slow for the
+        # big sort/scan legs — see X100_DRIVER_MEM). The parent session
+        # stops first so exactly one Spark driver works at a time.
+        spark.stop()
+        try:
+            x100 = bench_x100_subprocess(base_dir, timings)
+        except Exception as exc:
+            x100 = {"error": repr(exc)[:500]}
+            print(f"  x100 leg ERROR {x100['error']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     over = {k: v for k, v in timings.items() if v > BUDGETS[k]}
@@ -377,15 +399,46 @@ def main() -> None:
     }))
 
 
-def bench_x100(spark, base_dir: str, x10_timings: dict) -> dict:
-    """One measured decade above the main leg: x100 replication of the
-    base dir (effective sf10 from sf0.1), top-3 headliners, n=3 medians
-    after one warmup. scale_vs_x10 is the ratio to THIS run's x10
-    medians — data is 10x bigger, so ~10 = linear, <10 = fixed costs
-    amortizing, >>10 = a scale cliff the plan pins missed."""
+def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
+    """Launch the scale-decade leg in a fresh python process whose JVM
+    boots at X100_DRIVER_MEM (16g): a running JVM cannot resize its
+    heap, and the decade's sort/scan-heavy legs measured 3-4x slower
+    under the 48g x10 regime (GC churn instead of early spill — the
+    scale_smoke matrix). The child prints ONE JSON line; everything
+    else it writes goes to stderr, passed through."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_X100_CHILD"] = "1"
+    env["SPARK_GRAFT_DRIVER_MEM"] = X100_DRIVER_MEM
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, text=True)
+    if proc.returncode != 0:
+        return {"error": f"x100 child exited rc={proc.returncode}"}
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    out["scale_vs_x10"] = {
+        k: round(v / x10_timings[k], 2)
+        for k, v in out.get("queries", {}).items() if x10_timings.get(k)
+    }
+    out["driver_mem"] = X100_DRIVER_MEM
+    return out
+
+
+def main_x100_child() -> None:
+    """Child-process entrypoint for the scale-decade leg: x100
+    replication of the base dir (effective sf10 from sf0.1), every
+    headliner, n=3 medians after one warmup, its own 16g session.
+    Prints exactly one JSON line on stdout for the parent."""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from datahub_spark.derive import ensure_derived
     from datahub_spark.queries import QUERIES
+    from datahub_spark.session import get_spark
 
+    spark = get_spark("datahub-spark-bench-x100")
+    spark.sparkContext.setLogLevel("ERROR")
     queries = dict(QUERIES)
     queries.update(_BENCH_LOCAL)
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_X100_REPL", "100"))
@@ -397,17 +450,13 @@ def bench_x100(spark, base_dir: str, x10_timings: dict) -> dict:
 
     timings, spreads, errors = run_legs(
         spark, sf_dir, X100_HEADLINERS, queries, runs, label=f"x{repl} ")
-    return {
+    print(json.dumps({
         "repl": repl,
         "runs_per_query": runs,
         "queries": timings,
         "min_max": spreads,
         "errors": errors,
-        "scale_vs_x10": {
-            k: round(timings[k] / x10_timings[k], 2)
-            for k in timings if x10_timings.get(k)
-        },
-    }
+    }))
 
 
 def bench_store_write(spark) -> dict:
@@ -521,4 +570,7 @@ def bench_store_write(spark) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_X100_CHILD") == "1":
+        main_x100_child()
+    else:
+        main()

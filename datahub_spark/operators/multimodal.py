@@ -1888,26 +1888,43 @@ def _jvm_rgb(h, w, nch, data):
 
 def _read_image_dir(spark, path: str, recursive: bool):
     """(doc_id, height, width, nChannels, data) from a directory of
-    image files via the JVM ImageIO data source, coalesced to session
-    parallelism. Small image files split into one partition per
-    ~handful of files (openCostInBytes accounting): thousands of tiny
-    tasks, each paying JVM task + Python-worker round-trip overhead,
-    swamp the decode win; the coalesce (narrow, no shuffle) gives each
-    task a big batch of files instead. ``doc_id`` parses from the
-    trailing digits of the file name (``<doc_id>.<ext>``)."""
+    image files via the JVM ImageIO data source. Small image files
+    split into one partition per ~handful of files (openCostInBytes
+    accounting): thousands of tiny tasks, each paying JVM task +
+    Python-worker round-trip overhead, swamp the decode win — so
+    planned partitions collapse ~32:1 (narrow coalesce, no shuffle),
+    but never below session parallelism AND never pinning a big
+    directory to a fixed task count: a dir whose listing plans 6k
+    partitions still runs ~200 tasks, scaling with data (ADVICE r10 —
+    a flat coalesce(defaultParallelism) capped real parallelism and
+    locality on large corpora).
+
+    ``doc_id`` parses from the trailing digits of the file name
+    (``<doc_id>.<ext>``); a file WITHOUT a numeric stem fails the job
+    loudly with its path (ADVICE r10 — it used to surface as a null
+    doc_id and an opaque TypeError mid-decode). Caller contract: stems
+    are unique across the tree — with ``recursive=True``, same-named
+    files in different subdirs collide on doc_id (join-fanout in
+    extract_features_files), so recursive corpora must use globally
+    unique numeric names."""
     img = (spark.read.format("image")
            .option("recursiveFileLookup", str(recursive).lower())
            .load(path))
+    stem = F.regexp_extract(F.col("image.origin"),
+                            r"([0-9]+)\.[A-Za-z]+$", 1)
     flat = img.select(
-        F.regexp_extract(F.col("image.origin"),
-                         r"([0-9]+)\.[A-Za-z]+$", 1).cast("long")
-        .alias("doc_id"),
+        F.when(stem == "", F.raise_error(F.concat(
+            F.lit("image file name has no numeric stem "
+                  "(<doc_id>.<ext> required): "),
+            F.col("image.origin"))))
+        .otherwise(stem.cast("long")).alias("doc_id"),
         F.col("image.height").alias("height"),
         F.col("image.width").alias("width"),
         F.col("image.nChannels").alias("nChannels"),
         F.col("image.data").alias("data"))
-    par = spark.sparkContext.defaultParallelism
-    return flat.coalesce(max(par, 1))
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    planned = flat.rdd.getNumPartitions()
+    return flat.coalesce(max(par, planned // 32))
 
 
 def extract_features_files(spark, path: str,
@@ -1921,7 +1938,10 @@ def extract_features_files(spark, path: str,
     scan provides them and a doc_id equi-join (tiny rows: the payload
     never crosses the join) assembles the FEATURE_SCHEMA row. PNG/BMP
     feature values equal the bytes-column path exactly (integer channel
-    sums in float64); JPEG means differ only by decoder rounding."""
+    sums in float64); JPEG means differ only by decoder rounding.
+    Note: checksum features cost a SECOND directory scan (image source
+    + binaryFile) — the raw-bytes IO doubles; skip this function and
+    use image_dhash_files when only perceptual features are needed."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1961,11 +1981,15 @@ def extract_features_files(spark, path: str,
                  "gif": "image/gif"}
     mime_map = F.create_map(
         *[F.lit(x) for kv in _EXT_MIME.items() for x in kv])
+    _stem = F.regexp_extract("path", r"([0-9]+)\.[A-Za-z]+$", 1)
     raw = (spark.read.format("binaryFile")
            .option("recursiveFileLookup", str(recursive).lower())
            .load(path)
-           .select(F.regexp_extract("path", r"([0-9]+)\.[A-Za-z]+$", 1)
-                   .cast("long").alias("doc_id"),
+           .select(F.when(_stem == "", F.raise_error(F.concat(
+                       F.lit("image file name has no numeric stem "
+                             "(<doc_id>.<ext> required): "),
+                       F.col("path"))))
+                   .otherwise(_stem.cast("long")).alias("doc_id"),
                    mime_map[F.lower(F.regexp_extract(
                        "path", r"\.([A-Za-z]+)$", 1))].alias("mime"),
                    F.col("content"))

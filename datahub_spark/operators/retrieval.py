@@ -56,6 +56,13 @@ def save_text_index(docs: DataFrame, path: str, buckets: int = 64,
                  .cast("int"))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings"))
+    # a full rebuild supersedes every incremental delta generation
+    from datahub_spark.fsio import _fs
+
+    spark = docs.sparkSession
+    fs, deltas = _fs(spark, f"{path}/postings_delta")
+    if fs.exists(deltas):
+        fs.delete(deltas, True)
     doclens.write.mode("overwrite").parquet(f"{path}/doclens")
     stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"),
                         F.sum("dl").alias("total_len"))
@@ -136,7 +143,7 @@ class Bm25Index:
         all_terms = sorted({t for ts in norm.values() for t in ts})
         tb = self._buckets_for(all_terms)
         spark = self.spark
-        post = (spark.read.parquet(f"{self.path}/postings")
+        post = (_read_postings(spark, self.path)
                 .filter(F.col("bucket").isin(tb))
                 .filter(F.col("term").isin(all_terms)))
         df_t = post.groupBy("term").agg(
@@ -248,34 +255,107 @@ def bm25_reference_model(postings_rows, doclens_rows, query, k=10,
     return out[:k]
 
 
+def _batch_key(docs: DataFrame, id_col: str) -> str:
+    """Deterministic, order-insensitive key of a batch's doc-id SET:
+    md5 over (count, sum of per-id md5-derived 60-bit ints). One
+    bounded aggregate — never a collect of the ids themselves, so the
+    key costs the same at any batch size."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("decimal(38,0)")
+    r = docs.agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
+                 .alias("s")).collect()[0]
+    import hashlib
+
+    return hashlib.md5(f"{r['n']}|{r['s']}".encode()).hexdigest()
+
+
+def _delta_dirs(spark, path: str) -> list[str]:
+    """Committed postings delta generations under ``path``
+    (postings_delta/<batch_key>), skipping in-flight ``_stage-*``."""
+    from datahub_spark.fsio import _fs
+
+    fs, root = _fs(spark, f"{path}/postings_delta")
+    if not fs.exists(root):
+        return []
+    return sorted(
+        st.getPath().toString() for st in fs.listStatus(root)
+        if st.isDirectory() and not st.getPath().getName().startswith("_"))
+
+
+def _read_postings(spark, path: str) -> DataFrame:
+    """The full postings table: base build + every COMMITTED delta
+    generation. Each root is its own pruned scan (bucket partition
+    filters apply per scan), unioned — a half-written delta is a
+    ``_stage-*`` dir and invisible here."""
+    post = spark.read.parquet(f"{path}/postings")
+    for d in _delta_dirs(spark, path):
+        post = post.unionByName(spark.read.parquet(d))
+    return post
+
+
 def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> None:
     """Incremental index growth — the BM25 twin of the minhash index's
-    filter_novel(update_index=True): append the NEW batch's postings
-    into the bucket partitions and fold its lengths into doclens and
-    the corpus stats. Only the batch is tokenized; existing postings
-    are never rewritten (append-mode partitioned write). Caller
-    contract: the batch's doc ids are new (dedup upstream), or
-    postings would double-count."""
-    postings, doclens = build_text_index(docs, text_col, id_col)
-    (postings
-     .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
-                 .cast("int"))
-     .repartition("bucket")
-     .write.mode("append").partitionBy("bucket").parquet(f"{path}/postings"))
+    filter_novel(update_index=True): fold the NEW batch's lengths into
+    doclens/stats and commit its postings as a DELTA GENERATION. Only
+    the batch is tokenized; existing postings are never rewritten.
+
+    Crash/retry contract (r11, ADVICE): every window heals and a
+    retried batch is idempotent —
+      * the batch's postings land in their own delta dir
+        (``postings_delta/<batch_key>``), stage-written then renamed
+        as the LAST step; readers union base + committed deltas, so a
+        half-written delta is invisible and a retry of an
+        already-committed batch is a no-op (the delta dir exists);
+      * doclens/stats self-heal crashed swaps via ensure_recovered
+        before any read, and the batch is anti-joined against doclens
+        before folding — a crash AFTER the doclens swap cannot
+        double-count lengths on retry (the retry skips the fold,
+        recomputes stats from doclens, and commits the missing delta);
+      * stats derives from doclens alone, so recomputing it is always
+        consistent.
+    Caller contract (unchanged): distinct batches carry distinct doc
+    ids (dedup upstream) — the anti-join protects retries of the SAME
+    batch, not overlapping different batches' postings.
+    Single-writer, like every fsio maintenance op."""
+    import uuid
+
+    from datahub_spark.fsio import _fs, ensure_recovered
+
     spark = docs.sparkSession
-    # stage + rename swap (fsio): the merge reads the path it
-    # replaces, so the old doclens generation must outlive the write —
-    # and survive a crash mid-way (localCheckpoint pinned the merge in
-    # executor storage, which dies with an executor)
-    merged = spark.read.parquet(f"{path}/doclens").unionByName(doclens)
-    parquet_atomic_overwrite(merged, f"{path}/doclens")
-    # stats goes through the same atomic swap (r10): a plain overwrite
-    # deletes-then-writes, so a crash between the doclens swap and the
-    # stats write left stats missing/partial and inconsistent with
-    # doclens — the last non-atomic maintenance write in the repo
+    ensure_recovered(spark, f"{path}/doclens")
+    ensure_recovered(spark, f"{path}/stats")
+    bk = _batch_key(docs, id_col)
+    fs, final = _fs(spark, f"{path}/postings_delta/{bk}")
+    # sweep stale in-flight stages (crashed before their rename)
+    parent = final.getParent()
+    if fs.exists(parent):
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith("_stage-"):
+                fs.delete(st.getPath(), True)
+    if fs.exists(final):
+        return  # this exact batch already committed end-to-end
+
+    postings, doclens = build_text_index(docs, text_col, id_col)
+    existing = spark.read.parquet(f"{path}/doclens")
+    fresh = doclens.join(existing.select("doc_id"), "doc_id", "left_anti")
+    parquet_atomic_overwrite(existing.unionByName(fresh),
+                             f"{path}/doclens")
     stats = (spark.read.parquet(f"{path}/doclens")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum("dl").alias("total_len")))
     parquet_atomic_overwrite(stats, f"{path}/stats")
+
+    jvm = spark._jvm
+    stage = jvm.org.apache.hadoop.fs.Path(
+        parent, f"_stage-{bk}-{uuid.uuid4().hex}")
+    (postings
+     .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
+                 .cast("int"))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(stage.toString()))
+    if not fs.rename(stage, final):
+        raise IOError(f"update_text_index: rename {stage} -> {final}")

@@ -54,6 +54,29 @@ def _ds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return ingest.tpch_entities(spark, sf_dir)
 
 
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch(name: str) -> str:
+    """Per-process scratch dir for graded queries that persist an
+    index/rollup/export as part of the operator under grade (ADVICE
+    r10: a fresh mkdtemp per invocation leaked a full copy per bench
+    run — unbounded /tmp growth). ONE root per process (removed at
+    exit), one subdir per query name, wiped and recreated on every
+    invocation so incremental folds always start clean."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="graded_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    d = f"{_SCRATCH_ROOT[0]}/{name}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 # --------------------------------------------------------------------------
 # §2.1 core graph store / query
 # --------------------------------------------------------------------------
@@ -2152,12 +2175,10 @@ def q_filter_novel(spark, sf_dir):
     lower-id batch member. One signature pass over the batch, a pruned
     (band, key) equi-join against the index — linear in batch size,
     the corpus participates only through its band partitions."""
-    import tempfile
-
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="graded_minhash_idx_") + "/idx"
+    path = _scratch("filter_novel") + "/idx"
     DD.save_minhash_index(corpus, path, k=12, n=3, bands=4,
                           rows_per_band=3)
     return DD.filter_novel(batch, path, k=12, n=3, bands=4,
@@ -2184,10 +2205,8 @@ def q_rollup_merge(spark, sf_dir):
     bit-identical to the one-shot rollup the oracle computes. Raw
     events are touched once per batch; every refresh works on the
     bounded bucket table."""
-    import tempfile
-
     events = ingest.load_tables(spark, sf_dir)["events"]
-    path = tempfile.mkdtemp(prefix="graded_rollup_") + "/t"
+    path = _scratch("rollup_merge") + "/t"
     for i in range(3):
         TP.materialize_rollup(events.filter(F.col("event_id") % 3 == i),
                               path, "ts", "hour", ["event_type"])
@@ -2222,10 +2241,8 @@ def q_export_shards(spark, sf_dir):
     read back FROM THE WRITTEN FILES, so placement, the shuffle, the
     partitioned write, and the whitespace token counts are all
     end-to-end verified — not just the plan."""
-    import tempfile
-
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    path = tempfile.mkdtemp(prefix="graded_shards_") + "/out"
+    path = _scratch("export_shards") + "/out"
     manifest = EX.export_shards(docs, path, n_shards=8,
                                 hash_family="md5")
     return manifest.select(F.col("shard").cast("long").alias("shard"),

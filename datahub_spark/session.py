@@ -42,13 +42,19 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         # without this conf stays correct but loses the props-map
         # pruning — perf only.
         .config("spark.sql.optimizer.collapseProjectAlwaysInline", "true")
-        # local[N] puts the driver AND all N executor threads (shuffle +
-        # aggregation buffers + every eager localCheckpoint partition) in
-        # ONE JVM — 8g OOM'd the r9 driver bench at effective sf10. The
-        # box has ~128 GiB; 48g leaves headroom for Python workers while
-        # being 6x the observed crash threshold. On a real cluster this
-        # conf only sizes the driver, which holds no executor state.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Heap sizing is PER HARNESS, not a library decision: local[N]
+        # puts the driver AND all N executor threads in ONE JVM, and the
+        # right size depends on the workload shape — bench.py exports
+        # SPARK_GRAFT_DRIVER_MEM=48g for its hash-agg-heavy x10 legs
+        # (8g OOM'd the r9 driver bench at effective sf10) while
+        # scale_smoke pins 16g because its 200M-row sort legs measured
+        # 3-4x SLOWER at 48g (whole-partition in-heap buffering under GC
+        # churn instead of early spill). The library default stays a
+        # conservative 8g so get_spark() is safe on machines smaller
+        # than this 128 GiB box; harnesses opt into their regime via
+        # the env var. On a real cluster this conf only sizes the
+        # driver, which holds no executor state.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

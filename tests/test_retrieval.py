@@ -155,3 +155,47 @@ def test_update_text_index_stats_swap_is_atomic(spark, tmp_path):
     assert ensure_recovered(spark, f"{path}/stats")
     again = spark.read.parquet(f"{path}/stats").collect()[0]
     assert (again["n_docs"], again["total_len"]) == (3, 8)
+
+
+def test_update_text_index_retry_is_idempotent(spark, tmp_path):
+    """r11 (ADVICE): a retried batch cannot double-count — the batch's
+    postings commit as ONE delta generation keyed by the batch's id
+    set (retry = no-op), and doclens anti-joins the batch, so even the
+    crash-after-doclens-swap window heals on retry: postings, doclens
+    and stats all equal a single clean update."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    RT.save_text_index(docs, path, buckets=4)
+    more = spark.createDataFrame([(3, "gamma gamma alpha")],
+                                 "doc_id long, text string")
+    RT.update_text_index(more, path, buckets=4)
+    baseline = sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect()))
+    stats0 = spark.read.parquet(f"{path}/stats").collect()[0]
+
+    # straight retry of the committed batch: delta exists -> no-op
+    RT.update_text_index(more, path, buckets=4)
+    # crash-after-doclens-swap window: delta removed, doclens already
+    # folded — the retry must restore the postings without re-folding
+    import shutil
+
+    deltas = RT._delta_dirs(spark, path)
+    assert len(deltas) == 1
+    shutil.rmtree(deltas[0].removeprefix("file:"))
+    RT.update_text_index(more, path, buckets=4)
+
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == baseline
+    stats1 = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert (stats1["n_docs"], stats1["total_len"]) \
+        == (stats0["n_docs"], stats0["total_len"])
+    assert len(RT._delta_dirs(spark, path)) == 1
+    # a full rebuild supersedes the deltas
+    RT.save_text_index(docs.unionByName(more), path, buckets=4)
+    assert RT._delta_dirs(spark, path) == []
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == baseline
