@@ -102,7 +102,8 @@ def minhash_signature(df: DataFrame, k: int = 12, n: int = 3,
 
 
 def cap_bucket_members(banded: DataFrame, part_cols: list[str],
-                       order_col, max_bucket: int) -> DataFrame:
+                       order_col, max_bucket: int,
+                       keeper_of: str | None = None):
     """Bound bucket membership BEFORE the collect (r10, judge task 2):
     a degenerate bucket key — the dHash of uniform/black images, a hot
     LSH band — would otherwise materialize an UNBOUNDED array inside
@@ -110,14 +111,33 @@ def cap_bucket_members(banded: DataFrame, part_cols: list[str],
     members are normal data, not a data bug. row_number runs as a
     SORT-based window (spills to disk, never holds the bucket in
     memory); keeping the first ``max_bucket`` members in ``order_col``
-    order is deterministic. Recall note: within a capped bucket the
-    kept members still pair with each other; members beyond the cap
-    lose only the pairs THIS bucket would have contributed — other
-    bands/chunks still produce them. Use ``bucket_overflow`` for the
-    loud accounting."""
+    order is deterministic.
+
+    Recall (corrected r11, ADVICE): a member past the cap loses this
+    bucket's pairs, and for IDENTICAL-signature members every other
+    band/chunk yields the same bucket with the same cap order — so
+    without compensation an exact duplicate beyond the cap would lose
+    ALL its pairs, exactly in the degenerate uniform-image/empty-doc
+    case the cap targets. ``keeper_of=<elem col>`` therefore returns
+    ``(kept, dropped)`` where ``dropped`` pairs each cut member with
+    the bucket's FIRST member in cap order (its keeper): the uncapped
+    bucket would have emitted that pair anyway, so unioning these
+    keeper pairs into the candidate output restores transitive
+    clustering for every dropped member at one extra row per drop.
+    Callers with a verify step (hamming filters) run the keeper pairs
+    through the SAME filter. Use ``bucket_overflow`` for the loud
+    accounting."""
     w = Window.partitionBy(*part_cols).orderBy(order_col)
-    return (banded.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(max_bucket)).drop("_rn"))
+    tagged = banded.withColumn("_rn", F.row_number().over(w))
+    if keeper_of is None:
+        return tagged.filter(F.col("_rn") <= int(max_bucket)).drop("_rn")
+    tagged = tagged.withColumn("_keeper", F.first(keeper_of).over(w))
+    kept = (tagged.filter(F.col("_rn") <= int(max_bucket))
+            .drop("_rn", "_keeper"))
+    dropped = (tagged.filter(F.col("_rn") > int(max_bucket))
+               .select(F.col("_keeper").alias("keeper"),
+                       F.col(keeper_of).alias("dropped")))
+    return kept, dropped
 
 
 def bucket_overflow(banded: DataFrame, part_cols: list[str],
@@ -148,9 +168,13 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
     bucket's membership BEFORE the collect via a spilling sort-window
     (see cap_bucket_members) — one hot band key (e.g. every empty doc
     sharing a signature) can no longer pin an unbounded array in one
-    task. ``with_overflow=True`` additionally returns the accounting
-    frame (band, key, n_members, n_dropped); ``max_bucket=None``
-    restores the uncapped shape."""
+    task. Members past the cap still pair with the bucket's min-id
+    keeper (r11 — one extra row per drop, so exact duplicates beyond
+    the cap keep clustering transitively; every member of a band
+    bucket shares the banded rows, so the keeper pair is one the
+    uncapped bucket would have emitted anyway). ``with_overflow=True``
+    additionally returns the accounting frame (band, key, n_members,
+    n_dropped); ``max_bucket=None`` restores the uncapped shape."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
@@ -158,9 +182,16 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    kept = (cap_bucket_members(banded, ["band", "key"], F.col(id_col),
-                               max_bucket)
-            if max_bucket is not None else banded)
+    keeper_pairs = None
+    if max_bucket is not None:
+        kept, dropped = cap_bucket_members(
+            banded, ["band", "key"], F.col(id_col), max_bucket,
+            keeper_of=id_col)
+        # cap order is plain id asc -> keeper IS the bucket's min id
+        keeper_pairs = dropped.select(F.col("keeper").alias("id_a"),
+                                      F.col("dropped").alias("id_b"))
+    else:
+        kept = banded
     buckets = (
         kept.groupBy("band", "key")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
@@ -179,7 +210,10 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
             )
         ).alias("p")
     )
-    out = pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).distinct()
+    out = pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    if keeper_pairs is not None:
+        out = out.unionByName(keeper_pairs)
+    out = out.distinct()
     if with_overflow:
         return out, bucket_overflow(banded, ["band", "key"],
                                     max_bucket if max_bucket is not None
@@ -277,7 +311,9 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
     bounds bucket membership before the collect (hot chunk key =
     near-constant documents — see cap_bucket_members); identical-sig
     members order adjacently (the cap key is the (sig, id) struct), so
-    true duplicates pair before the cap cuts."""
+    true duplicates pair before the cap cuts, AND members past the cap
+    pair with the bucket's keeper through the same hamming verify
+    (r11), so exact duplicates beyond the cap still cluster."""
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("key"))
@@ -287,10 +323,19 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    kept = (cap_bucket_members(
-        b, ["chunk", "key"],
-        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket)
-        if max_bucket is not None else b)
+    keeper_pairs = None
+    if max_bucket is not None:
+        kept, dropped = cap_bucket_members(
+            b, ["chunk", "key"],
+            F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
+            keeper_of="e")
+        keeper_pairs = dropped.select(
+            F.least("keeper.id", "dropped.id").alias("id_a"),
+            F.greatest("keeper.id", "dropped.id").alias("id_b"),
+            F.bit_count(F.col("keeper.sig")
+                        .bitwiseXOR(F.col("dropped.sig"))).alias("hamming"))
+    else:
+        kept = b
     buckets = (
         kept.groupBy("chunk", "key")
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
@@ -309,8 +354,10 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
-    out = pairs.filter(F.col("hamming") <= max_hamming)
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    if keeper_pairs is not None:
+        pairs = pairs.unionByName(keeper_pairs)
+    out = pairs.distinct().filter(F.col("hamming") <= max_hamming)
     if with_overflow:
         return out, bucket_overflow(b, ["chunk", "key"],
                                     max_bucket if max_bucket is not None

@@ -2018,8 +2018,11 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
     collect via dedup.cap_bucket_members (a spilling sort-window, so
     no unbounded array ever sits in one task); identical hashes sort
     adjacently in the cap order, so exact visual duplicates still pair
-    before the cut. ``with_overflow=True`` also returns the (chunk,
-    key, n_members, n_dropped) accounting frame."""
+    before the cut, and members past the cap pair with the bucket's
+    keeper through the same hamming verify (r11) — a capped uniform-
+    image bucket still clusters completely. ``with_overflow=True``
+    also returns the (chunk, key, n_members, n_dropped) accounting
+    frame."""
     from datahub_spark.operators.dedup import (bucket_overflow,
                                                cap_bucket_members)
 
@@ -2034,10 +2037,19 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                  F.col(hash_col).alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    kept = (cap_bucket_members(
-        b, ["chunk", "key"],
-        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket)
-        if max_bucket is not None else b)
+    keeper_pairs = None
+    if max_bucket is not None:
+        kept, dropped = cap_bucket_members(
+            b, ["chunk", "key"],
+            F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
+            keeper_of="e")
+        keeper_pairs = dropped.select(
+            F.least("keeper.id", "dropped.id").alias("id_a"),
+            F.greatest("keeper.id", "dropped.id").alias("id_b"),
+            F.bit_count(F.col("keeper.sig")
+                        .bitwiseXOR(F.col("dropped.sig"))).alias("hamming"))
+    else:
+        kept = b
     buckets = (
         kept.groupBy("chunk", "key")
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
@@ -2058,8 +2070,10 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
-    out = pairs.filter(F.col("hamming") <= max_hamming)
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    if keeper_pairs is not None:
+        pairs = pairs.unionByName(keeper_pairs)
+    out = pairs.distinct().filter(F.col("hamming") <= max_hamming)
     if with_overflow:
         return out, bucket_overflow(b, ["chunk", "key"],
                                     max_bucket if max_bucket is not None
@@ -2068,22 +2082,30 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
 
 
 def dedup_images(media: DataFrame, max_hamming: int = 3,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 max_bucket: int | None = 10_000,
+                 with_overflow: bool = False):
     """Perceptual image dedup end-to-end: real decode -> dHash ->
     banded Hamming candidates -> connected components -> keeper = the
     min id of each visual cluster. Returns (doc_id, keeper); rows with
     doc_id == keeper survive. Images whose payloads differ byte-wise
     but show the SAME picture (format conversions, JPEG recompression)
-    land in one cluster."""
+    land in one cluster. ``max_bucket``/``with_overflow`` pass through
+    to dhash_candidates (r11, ADVICE): cap degenerate hash buckets /
+    get the overflow accounting frame back as a second return value."""
     from datahub_spark.operators.dedup import connected_components
 
     sig = image_dhash(media)
-    pairs = dhash_candidates(sig, max_hamming, id_col)
+    cand = dhash_candidates(sig, max_hamming, id_col,
+                            max_bucket=max_bucket,
+                            with_overflow=with_overflow)
+    pairs, overflow = cand if with_overflow else (cand, None)
     comp = connected_components(pairs, "id_a", "id_b")
-    return (sig.select(id_col)
-            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out = (sig.select(id_col)
+           .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col)).alias("keeper")))
+    return (out, overflow) if with_overflow else out
 
 
 def video_dhash(media: DataFrame, every_n: int = 2,
@@ -2114,40 +2136,76 @@ def video_dhash(media: DataFrame, every_n: int = 2,
 
 def dedup_videos(media: DataFrame, max_hamming: int = 3,
                  every_n: int = 2, max_frames: int = 8,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", offset_window: int = 2,
+                 max_bucket: int | None = 10_000,
+                 with_overflow: bool = False):
     """Perceptual VIDEO dedup: sampled-frame dHash signatures, banded
-    candidates on the FIRST frame's hash (a near-dup video's first
-    frame is a near-dup image, so the image banding bound applies),
-    then the candidate pair verifies over the WHOLE aligned sequence
-    (equal length and every frame within ``max_hamming``), connected
-    components, keeper = min id. Returns (doc_id, keeper). Re-encoded
-    copies of the same clip (quality changes, container rewrites)
-    cluster; different clips do not. Scale shape: the banding is the
-    same equi-join-only candidate generator as image dedup (capped
-    buckets, no self-join on the corpus); only candidate PAIRS carry
-    the full hash sequences through the verify join."""
+    candidates on EVERY sampled frame's hash (r11 — banding only the
+    first frame silently missed any copy whose lead-in was trimmed;
+    each frame's banding keeps the per-frame pigeonhole bound, so a
+    copy sharing ANY near-dup sampled frame becomes a candidate), then
+    the candidate pair verifies by BEST ALIGNMENT over frame offsets
+    in ``[-offset_window, +offset_window]``: at some shift, every
+    overlapping frame pair must be within ``max_hamming`` and the
+    overlap must cover all but at most ``offset_window`` of the
+    shorter sequence. A re-encode that drops a lead-in frame or
+    shifts the sampling phase by a frame (common in scraped video)
+    clusters with its source; clips that merely share one frame do
+    not (the other overlapping frames disagree). Connected
+    components, keeper = min id; returns (doc_id, keeper).
+
+    Scale shape unchanged: banding stays the equi-join-only candidate
+    generator (capped buckets via ``max_bucket`` with keeper pairs,
+    ``with_overflow=True`` returns the accounting frame; both pass
+    through to dhash_candidates) at ``max_frames`` rows per video
+    instead of one; only candidate PAIRS carry the full hash
+    sequences through the verify, which is a fixed 2*offset_window+1
+    zip_with expressions per pair — no extra shuffle."""
     from datahub_spark.operators.dedup import connected_components
 
     sig = video_dhash(media, every_n, max_frames)
-    first = sig.select(
-        F.col(id_col), F.element_at("frame_hashes", 1).alias("dhash"))
-    cand = dhash_candidates(first, max_hamming, id_col)
+    frames = sig.select(F.col(id_col),
+                        F.explode("frame_hashes").alias("dhash"))
+    cand = dhash_candidates(frames, max_hamming, id_col,
+                            max_bucket=max_bucket,
+                            with_overflow=with_overflow)
+    cand, overflow = cand if with_overflow else (cand, None)
+    # exploding frames lets two frames of ONE video share a bucket
+    cand = cand.filter(F.col("id_a") != F.col("id_b"))
     ha = sig.select(F.col(id_col).alias("id_a"),
                     F.col("frame_hashes").alias("_ha"))
     hb = sig.select(F.col(id_col).alias("id_b"),
                     F.col("frame_hashes").alias("_hb"))
+    na, nb = F.size("_ha"), F.size("_hb")
+
+    def worst_at(s: int):
+        # align _ha[a0:] with _hb[b0:]; slice(length 0) -> empty ->
+        # array_max null -> sentinel 99 (CASE branches aren't lazy,
+        # so the guard is the clamped length, not a when())
+        a0, b0 = max(0, s), max(0, -s)
+        ln = F.greatest(F.least(na - F.lit(a0), nb - F.lit(b0)), F.lit(0))
+        worst = F.array_max(F.zip_with(
+            F.slice("_ha", a0 + 1, ln), F.slice("_hb", b0 + 1, ln),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b))))
+        enough = ln >= F.greatest(F.lit(1),
+                                  F.least(na, nb) - F.lit(offset_window))
+        return F.when(enough, F.coalesce(worst, F.lit(99))) \
+            .otherwise(F.lit(99))
+
+    best = F.least(*[worst_at(s)
+                     for s in range(-offset_window, offset_window + 1)])
     pairs = (cand.join(ha, "id_a").join(hb, "id_b")
-             .filter(F.size("_ha") == F.size("_hb"))
-             .withColumn("_worst", F.array_max(F.zip_with(
-                 "_ha", "_hb",
-                 lambda a, b: F.bit_count(a.bitwiseXOR(b)))))
-             .filter(F.col("_worst") <= max_hamming)
+             .filter((na - nb <= offset_window)
+                     & (nb - na <= offset_window))
+             .withColumn("_best", best)
+             .filter(F.col("_best") <= max_hamming)
              .select("id_a", "id_b"))
     comp = connected_components(pairs, "id_a", "id_b")
-    return (sig.select(id_col)
-            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out = (sig.select(id_col)
+           .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col)).alias("keeper")))
+    return (out, overflow) if with_overflow else out
 
 
 # ---------------------------------------------------------------------------

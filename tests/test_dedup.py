@@ -535,10 +535,22 @@ def test_capped_mega_bucket_bounded_with_accounting(spark):
     assert full.count() == 60 * 59 // 2
     pairs, over = DD.lsh_candidates(sig, max_bucket=10, with_overflow=True)
     got = pairs.collect()
-    # pairs come from the first 10 doc_ids (string order) only
+    # in-bucket pairs come from the first 10 doc_ids (string order);
+    # every member PAST the cap still pairs with the bucket's min-id
+    # keeper (r11, ADVICE) — one extra row per drop, so the output is
+    # C(10,2) + 50, bounded, and the whole mega-bucket stays one
+    # transitive cluster instead of orphaning the cut members
     kept_ids = sorted((str(i) for i in range(60)))[:10]
-    assert len(got) == 10 * 9 // 2
-    assert all(r["id_a"] in kept_ids and r["id_b"] in kept_ids for r in got)
+    keeper = kept_ids[0]
+    in_bucket = [r for r in got
+                 if r["id_a"] in kept_ids and r["id_b"] in kept_ids]
+    keeper_pairs = [r for r in got if r["id_b"] not in kept_ids]
+    assert len(in_bucket) == 10 * 9 // 2
+    assert all(r["id_a"] == keeper for r in keeper_pairs)
+    assert len(got) == 10 * 9 // 2 + 50
+    # every one of the 60 identical docs participates in some pair
+    touched = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert len(touched) == 60
     acct = over.collect()
     assert len(acct) == 4  # one overflow row per band
     assert all(r["n_members"] == 60 and r["n_dropped"] == 50 for r in acct)
@@ -566,14 +578,25 @@ def test_capped_simhash_keeps_exact_dups_paired(spark):
     got = pairs.collect()
     # chunk 0 distinguishes the two sig groups (they differ in the low
     # bit): each 40-member bucket keeps 16 -> C(16,2) same-sig pairs
-    # per group; the chunks-1..3 mega-buckets keep 16 members of the
-    # LOWER sig group ((sig, id) order), re-emitting that group's
-    # pairs. Every kept pair is an exact dup — the property under test.
-    assert len(got) == 2 * (16 * 15 // 2)
-    assert all(r["hamming"] == 0 for r in got)
+    # per group, plus 24 keeper pairs per group (r11: members past the
+    # cap pair with the bucket keeper through the same hamming
+    # verify). The chunks-1..3 mega-buckets keep 16 members of the
+    # LOWER sig group ((sig, id) order) and keeper-pair the other 64 —
+    # 40 of them cross-group at hamming 1 (a pair the UNCAPPED bucket
+    # emits too). Output stays bounded: 328 rows vs C(80,2) = 3160.
+    assert len(got) == 2 * (16 * 15 // 2) + 24 + 24 + 40
+    assert all(r["hamming"] <= 1 for r in got)
     acct = {(r["chunk"], r["n_members"], r["n_dropped"])
             for r in over.collect()}
     assert acct == {(0, 40, 24), (1, 80, 64), (2, 80, 64), (3, 80, 64)}
+    # the clustering CONTRACT the keeper pairs restore: capped CC ==
+    # uncapped CC (all 80 docs are mutual near-dups -> one component)
+    capped_cc = {(r["id"], r["component"]) for r in
+                 DD.connected_components(pairs).collect()}
+    uncapped = DD.simhash_candidates(sig, max_hamming=3, max_bucket=None)
+    uncapped_cc = {(r["id"], r["component"]) for r in
+                   DD.connected_components(uncapped).collect()}
+    assert capped_cc == uncapped_cc and len(capped_cc) == 80
 
 
 def test_capped_dhash_candidates_uniform_images(spark):
@@ -587,7 +610,15 @@ def test_capped_dhash_candidates_uniform_images(spark):
     sig = spark.range(50).select(
         F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("dhash"))
     pairs, over = MM.dhash_candidates(sig, max_bucket=8, with_overflow=True)
-    assert pairs.count() == 8 * 7 // 2
+    got = pairs.collect()
+    # C(8,2) in-bucket + 42 keeper pairs (r11): the exact case the
+    # ADVICE flagged — identical hashes past the cap used to lose ALL
+    # pairs (every chunk yields the same bucket in the same order);
+    # now each cut member pairs with keeper id 0 and the whole
+    # uniform-image pile stays one cluster
+    assert len(got) == 8 * 7 // 2 + 42
+    touched = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert len(touched) == 50
     assert all(r["n_members"] == 50 and r["n_dropped"] == 42
                for r in over.collect())
     # small buckets: capped (default 10k) == uncapped

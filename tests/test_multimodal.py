@@ -1220,3 +1220,57 @@ def test_video_dedup_recompressed_clips_cluster(spark):
             for r in MM.dedup_videos(media, max_hamming=3, every_n=2,
                                      max_frames=4).collect()}
     assert keep == {10: 10, 11: 10, 20: 20, 21: 20, 30: 30, 31: 30}, keep
+
+
+def test_video_dedup_trimmed_reencode_clusters(spark):
+    """r11 (judge task 4): a re-encode that DROPS the lead-in frame —
+    the common scraped-video case — must still cluster with its
+    source. Frames within one clip are made mutually distinct (> 3
+    dHash bits apart), so the old equal-length offset-0 zip could
+    never have matched; clustering here proves (a) candidates band on
+    EVERY sampled frame, not just the first, and (b) the verify finds
+    the +1 alignment. A third, visually distinct clip stays apart."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import datahub_spark.operators.multimodal as MM
+
+    def frame_payload(fi, phase, quality):
+        fx = 0.25 + 0.17 * fi  # distinct x-frequency per frame
+
+        def pixel(x, y):
+            v = int(110 * math.sin(x * fx + y * 0.12 + phase) + 128)
+            return (max(0, min(255, v)),) * 3
+        return MM._jpeg_encode(24, 16, pixel, quality)
+
+    full = [frame_payload(fi, 0.0, 90) for fi in range(8)]
+    trimmed = [frame_payload(fi, 0.0, 75) for fi in range(1, 8)]
+    other = [frame_payload(fi, 2.1, 90) for fi in range(8)]
+    rows = [(1, bytearray(MM._avi_mjpeg_encode(full, 24, 16))),
+            (2, bytearray(MM._avi_mjpeg_encode(trimmed, 24, 16))),
+            (3, bytearray(MM._avi_mjpeg_encode(other, 24, 16)))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary") \
+        .withColumn("meta", F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(24).alias("width"), F.lit(16).alias("height")))
+
+    sig = {r["doc_id"]: list(r["frame_hashes"])
+           for r in MM.video_dhash(media, every_n=1, max_frames=8)
+           .collect()}
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((a & mask) ^ (b & mask)).count("1")
+
+    # the construction: consecutive frames of ONE clip are distinct
+    # (offset-0 equal-length zip would fail), the trimmed clip's frame
+    # k is a re-encode of the source's frame k+1 (offset +1 matches)
+    assert all(ham(sig[1][i], sig[1][i + 1]) > 3 for i in range(7))
+    assert all(ham(sig[1][i + 1], sig[2][i]) <= 3 for i in range(7))
+
+    keep = {r["doc_id"]: r["keeper"]
+            for r in MM.dedup_videos(media, max_hamming=3, every_n=1,
+                                     max_frames=8).collect()}
+    assert keep == {1: 1, 2: 1, 3: 3}, keep
