@@ -40,8 +40,18 @@ def token_count_whitespace(col: Column) -> Column:
 
 def token_count_bpe_ish(col: Column) -> Column:
     """BPE-ish token estimate: alphabetic runs, digits, and punctuation
-    each count as one token (a cheap proxy for byte-pair tokenizers)."""
-    return F.size(F.regexp_extract_all(normalize(col), F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+    each count as one token (a cheap proxy for byte-pair tokenizers).
+
+    Computed WITHOUT materializing the token array (r11): collapsing
+    each [a-z]+ run to one char and deleting spaces leaves exactly one
+    character per token (runs -> 'x', digits and other non-space chars
+    count themselves), so the count is a length — one regex pass and a
+    literal replace instead of regexp_extract_all allocating every
+    token (measured ~2x at sf1; value-identical, the DuckDB oracle
+    still spells it len(regexp_extract_all(...)))."""
+    collapsed = F.replace(F.regexp_replace(normalize(col), r"[a-z]+", "x"),
+                          F.lit(" "), F.lit(""))
+    return F.length(collapsed)
 
 
 def _count_marker(col: Column, marker: str) -> Column:
@@ -159,6 +169,22 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
+def word_trigrams(w: Column) -> Column:
+    """Token trigrams of a words array via CHAINED zip_with over three
+    shifted slices (the dedup.shingles shape) — one concat per gram,
+    where the transform(sequence)/array_join/slice formulation
+    allocated a 3-element subarray per position and measured ~5x
+    slower at sf1 (4.3s -> 0.9s for the suite's trigram stage).
+    Identical strings: ((a || ' ' || b) || ' ' || c)."""
+    m = F.greatest(F.size(w) - 2, F.lit(0))
+    g = F.slice(w, 1, m)
+    for j in (2, 3):
+        g = F.zip_with(g, F.slice(w, j, m),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(w) >= 3, g) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition signals for quality filtering: duplicate-line ratio and
     duplicate token-trigram ratio, both exact integer fixed-point e4
@@ -167,11 +193,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     lines = F.split(t, "\n")
     w = words(t)
-    tri = F.when(
-        F.size(w) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(w) - 2),
-                    lambda i: F.array_join(F.slice(w, i, 3), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    tri = word_trigrams(w)
     staged = df.select(
         F.col("doc_id"),
         F.size(lines).cast("long").alias("_nl"),
@@ -202,16 +224,32 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
-def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails / URLs / phone numbers, reporting per-kind counts.
-    Pure regexp_replace / regexp_count chains — JVM codegen, and the
-    patterns are portable so the oracle verifies the exact redaction."""
-    out = F.col(text_col)
-    counts = []
+def _pii_cols(t: Column) -> list[Column]:
+    """The PII output columns (n_<kind>..., scrubbed) as per-pattern
+    regexp_count + chained regexp_replace. MEASURED decision (r11): a
+    single-alternation formulation (one regexp_extract_all for spans +
+    one split for segments + array-builtin classify/count/rebuild) was
+    prototyped and benchmarked at sf1: 1.33s vs 0.55s for this chain
+    standalone, and far worse inside text_suite (duplicated
+    evaluation past the janino codegen limit) — Java's leftmost-first
+    alternation tries all five alternatives at nearly every character
+    (the union of first-char sets covers most of the alphabet), while
+    each simple pattern scan skips via its own first-char class.
+    2*|patterns| cheap passes beat 2 expensive ones; the chain stays."""
+    counts, out = [], t
     for kind, pat in PII_PATTERNS.items():
-        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        counts.append(F.regexp_count(t, F.lit(pat))
+                      .cast("long").alias(f"n_{kind}"))
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
-    return df.select(F.col("doc_id"), *counts, out.alias("scrubbed"))
+    return counts + [out.alias("scrubbed")]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / URLs / IPs / phone numbers / card numbers,
+    reporting per-kind counts. Pure regexp_count / regexp_replace
+    chains — JVM codegen, and the patterns are portable so the
+    oracle verifies the exact redaction."""
+    return df.select(F.col("doc_id"), *_pii_cols(F.col(text_col)))
 
 
 def text_suite(df: DataFrame, text_col: str = "text",
@@ -236,18 +274,9 @@ def text_suite(df: DataFrame, text_col: str = "text",
         F.split(F.col("_n"), " ").alias("_w"),
     )
     w = F.col("_w")
-    tri = F.when(
-        F.size(w) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(w) - 2),
-                    lambda i: F.array_join(F.slice(w, i, 3), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    tri = word_trigrams(w)
     lines = F.split(F.col("_t"), "\n")
-    pii_cols = []
-    scrub = F.col("_t")
-    for kind, pat in PII_PATTERNS.items():
-        pii_cols.append(F.regexp_count(F.col("_t"), F.lit(pat))
-                        .cast("long").alias(f"n_{kind}"))
-        scrub = F.regexp_replace(scrub, pat, f"<{kind.upper()}>")
+    pii_out = _pii_cols(F.col("_t"))
     st3 = st2.select(
         id_col,
         *[sum((_count_in_padded(F.col("_p"), m) for m in LANG_MARKERS[lang]),
@@ -260,16 +289,17 @@ def text_suite(df: DataFrame, text_col: str = "text",
          - F.length(F.regexp_replace(F.col("_t"), r"[^\w\s]", "")))
         .cast("long").alias("_npc"),
         F.length(F.col("_t")).cast("long").alias("_nc"),
-        F.size(F.regexp_extract_all(
-            F.col("_n"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+        # length-of-collapsed instead of regexp_extract_all — see
+        # token_count_bpe_ish (value-identical, no token array)
+        F.length(F.replace(F.regexp_replace(F.col("_n"), r"[a-z]+", "x"),
+                           F.lit(" "), F.lit("")))
         .cast("long").alias("n_bpe_tokens"),
         F.md5(F.col("_n")).alias("fingerprint"),
         F.size(lines).cast("long").alias("_nl"),
         F.size(F.array_distinct(lines)).cast("long").alias("_dl"),
         F.size(tri).cast("long").alias("_ntri"),
         F.size(F.array_distinct(tri)).cast("long").alias("_dtri"),
-        *pii_cols,
-        scrub.alias("scrubbed"),
+        *pii_out,
     )
     gm = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
     pred = F.when(gm == 0, F.lit("und"))

@@ -852,24 +852,26 @@ _REPETITION_ORACLE = rf"""
     FROM c
 """
 
-_PII_ORACLE = r"""
+def _pii_oracle() -> str:
+    """DuckDB rendering of text._pii_cols: per-pattern counts + the
+    chained replaces, generated from the same PII_PATTERNS dict (see
+    _pii_cols for why the chain beats a single alternation pass —
+    measured, not assumed)."""
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{k}"
+        for k, pat in TX.PII_PATTERNS.items())
+    scrub = "text"
+    for k, pat in TX.PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{k.upper()}>', 'g')"
+    return f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
-           CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text, '\+[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(text, '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b')) AS BIGINT) AS n_card,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   'https?://[^\s]+', '<URL>', 'g'),
-                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
-               '\+[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
-             '\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b', '<CARD>', 'g') AS scrubbed
+           {counts},
+           {scrub} AS scrubbed
     FROM documents
 """
+
+
+_PII_ORACLE = _pii_oracle()
 
 
 def _text_signals_oracle() -> str:
