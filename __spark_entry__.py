@@ -3,15 +3,17 @@
 entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, pinned
-                to the driver's 50-entry grading window. Rotated in r9
-                onto the r8 operator wave: ten new graded keys
-                (asof_join, range_join, rollup_time, sessionize,
-                pagerank, bm25_topk, paragraph_dedup, pack_sequences,
-                data_splits, domain_stats) plus the A-ES weighted
-                sampler folded into sample_select; ten long-green keys
-                merged into wider unions (mode-tagged) to free the
-                slots — every retired surface still grades inside its
-                merged key and keeps its unit/parity tests.
+                to the driver's 50-entry grading window. Rotated again
+                in r11 onto the exact-potential operators: five new
+                graded keys (ann_pq_adc, ann_two_stage, dsir_select,
+                ppl_buckets, chunk_documents); five pairs of
+                long-green keys merged into mode-tagged unions to free
+                the slots (range_join->asof_join,
+                rollup_merge->rollup_time, stream_stateful->stream_agg,
+                orders_per_customer+parts_per_nation->graph_aggregates,
+                filter_novel->corpus_diff) — every retired surface
+                still grades inside its merged key and keeps its
+                unit/parity tests.
 oracle_sql()  — DuckDB-equivalent SQL per query: 50 of 50 — every
                 entry value-hash verifiable, including both approximate
                 ANN variants (int64 fixed-point reformulation), the

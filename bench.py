@@ -217,6 +217,32 @@ def _q_dedup_minhash(spark, sf_dir):
     return q_dedup_minhash(spark, sf_dir)
 
 
+def _q_parts_per_nation(spark, sf_dir):
+    """The pre-r11 parts_per_nation surface (merged into the
+    graph_aggregates graded key by the r11 window rotation) — kept as
+    a bench local so the r1-r10 pinned medians stay comparable."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark import ingest
+    from datahub_spark import store as S
+
+    ds = ingest.tpch_entities(spark, sf_dir)
+    li = S.latest(ds["lineitem"], single_version=True).select(
+        F.explode(F.col("refs")["p:part"]).alias("part_id"),
+        F.col("refs")["p:supplier"][0].alias("supplier_id"),
+    )
+    sup = S.latest(ds["supplier"], single_version=True).select(
+        F.col("id").alias("supplier_id"),
+        F.col("refs")["p:nation"][0].alias("nation_id"),
+    )
+    return (
+        li.join(F.broadcast(sup), "supplier_id")
+        .groupBy("nation_id")
+        .agg(F.countDistinct("part_id").alias("n_parts"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
 def _q_text_signals_narrow(spark, sf_dir):
     """The pre-r9 text_signals surface (lang-ID join quality) — kept
     for pin continuity; the graded key is now the full suite."""
@@ -241,6 +267,7 @@ def _q_text_suite(spark, sf_dir):
 
 
 _BENCH_LOCAL = {
+    "parts_per_nation": _q_parts_per_nation,
     "dedup_minhash": _q_dedup_minhash,
     "asof_enrich": _q_asof_enrich,
     "pagerank_orders": _q_pagerank_orders,

@@ -70,7 +70,8 @@ def bucket_model(df: DataFrame, text_col: str = "text", n: int = 2,
 def dsir_weights(raw: DataFrame, target: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  n: int = 2, buckets: int = 10_000,
-                 alpha: float = 1.0) -> DataFrame:
+                 alpha: float = 1.0,
+                 ordered_fold: bool = False) -> DataFrame:
     """Per-document importance weight: sum over the doc's hashed
     n-grams of ``ln p_target(bucket) - ln p_raw(bucket)`` with
     Laplace-``alpha`` smoothing on both models. Positive = looks more
@@ -78,7 +79,15 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
 
     Both models are (<= buckets)-row frames joined BROADCAST onto the
     exploded raw corpus; the weight is one per-doc sum. Docs without
-    n-grams weigh 0."""
+    n-grams weigh 0.
+
+    ``ordered_fold=True`` makes the per-document float sum
+    DETERMINISTIC and cross-engine reproducible (the graded-key
+    contract): per-(doc, bucket) counts first (exact), then
+    count * llr contributions folded in sorted-bucket order via
+    aggregate over array_sort — the BM25 fold recipe; the default
+    plain SUM is cheaper (one aggregate) but its float addition order
+    follows the shuffle schedule."""
     # persist the (<= buckets)-row models: each corpus is featurized and
     # scanned exactly ONCE — the totals below are sums over the models
     # (every n-gram lands in some bucket), not extra full-corpus passes
@@ -107,6 +116,21 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
         F.col(id_col).alias("id"),
         F.explode_outer(_ngram_buckets(F.col(text_col), n, buckets))
         .alias("bucket"))
+    if ordered_fold:
+        per_bucket = exploded.groupBy("id", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        contrib = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+            F.col("n").cast("double")
+            * F.coalesce(F.col("llr"), F.lit(default_llr)))
+        return (
+            per_bucket.join(F.broadcast(llr_table), "bucket", "left")
+            .select("id", "bucket", contrib.alias("c"))
+            .groupBy("id")
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+                F.lit(0.0), lambda acc, x: acc + x["c"]).alias("weight"))
+            .select("id", F.coalesce("weight", F.lit(0.0)).alias("weight"))
+        )
     return (
         exploded.join(F.broadcast(llr_table), "bucket", "left")
         .groupBy("id")

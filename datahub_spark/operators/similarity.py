@@ -945,3 +945,124 @@ def ann_two_stage(spark, path: str, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "dot_fp"))
+
+
+def pq_books_fixed(m: int = 8, ksub: int = 16, dsub: int = 8,
+                   seed: int = 7, scale: float = 0.12) -> list:
+    """Seeded fixed-point PQ codebooks as integer literals — the
+    planes_fixed() recipe applied to PQ: rounded ONCE on the driver,
+    then embedded verbatim into both the Spark plan and the oracle
+    SQL. Lets the ADC scoring path grade end-to-end (encode = exact
+    int64 argmin quantization, probe = exact int64 LUT sums) without
+    unrolling a PQ training loop into SQL; train_pq remains the
+    data-fitted path."""
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal((m, ksub, dsub)) * scale
+    return [[[int(round(x * FIXED_POINT_SCALE)) for x in code]
+             for code in book] for book in b]
+
+
+def ann_pq_adc_oracle(books: list, k: int = 5,
+                      query_pred: str = "cid < 8",
+                      src: str = "embeddings") -> str:
+    """DuckDB SQL computing exactly encode_pq + ann_pq_adc over
+    ``src`` with literal ``books``: same fixed-point vectors, same
+    argmin tie-break (lowest code — np.argmin's first-occurrence),
+    same int64 LUT sums (addition over longs is associative, so the
+    per-candidate score is order-free), same (score desc, neighbor)
+    ranking."""
+    m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+    dot = lambda a, b: DOT_LONG_SQL.format(a=a, b=b)
+    rows = ", ".join(
+        f"({s}, {c}, [{', '.join(f'{x}::BIGINT' for x in books[s][c])}])"
+        for s in range(m) for c in range(ksub))
+    fxl = FX_SQL.format(v="embedding")
+    return f"""
+    WITH b(s, code, bm) AS (VALUES {rows}),
+    fx AS (SELECT vec_id AS cid, {fxl} AS cv FROM {src}),
+    sub AS (
+      SELECT cid, sq.s AS s, cv[sq.s * {dsub} + 1 : sq.s * {dsub} + {dsub}] AS sv
+      FROM fx CROSS JOIN (SELECT unnest(range(0, {m})) AS s) sq),
+    d AS (
+      SELECT sub.cid, sub.s, b.code,
+             {NORMSQ_LONG_SQL.format(a='b.bm')} - 2 * {dot('sub.sv', 'b.bm')} AS dist
+      FROM sub JOIN b ON b.s = sub.s),
+    codes AS (
+      SELECT cid, s, code FROM (
+        SELECT cid, s, code,
+               row_number() OVER (PARTITION BY cid, s ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1),
+    q AS (SELECT cid AS qid, cv FROM fx WHERE {query_pred}),
+    lut AS (
+      SELECT q.qid, b.s, b.code,
+             {dot(f'q.cv[b.s * {dsub} + 1 : b.s * {dsub} + {dsub}]', 'b.bm')} AS l
+      FROM q CROSS JOIN b),
+    sc AS (
+      SELECT lut.qid AS query_id, codes.cid AS neighbor_id,
+             CAST(SUM(lut.l) AS BIGINT) AS score_fp
+      FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+      WHERE codes.cid <> lut.qid
+      GROUP BY lut.qid, codes.cid)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, score_fp
+    FROM (SELECT query_id, neighbor_id, score_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_fp DESC, neighbor_id) AS rnk
+          FROM sc)
+    WHERE rnk <= {k}
+    """
+
+
+def ann_two_stage_oracle(k: int = 5, rerank_factor: int = 4,
+                         n_clusters: int = 16, n_probe: int = 4,
+                         lloyd_rounds: int = 2, dim: int = 64,
+                         query_pred: str = "cid < 8") -> str:
+    """DuckDB SQL computing exactly save_ivf_index(quantize=True) +
+    ann_two_stage: the kmeans CTE chain (same init/ties/integer
+    means), int8 symmetric quantization of the inverted file (q =
+    round(cv / (max|cv|/127)), per-vector double scale), the coarse
+    probe (n_probe clusters by centroid cosine, shortlist k*rf by the
+    RESCALED asymmetric int8 dot — Spark's round() and DuckDB's both
+    round half away from zero), then the exact fixed-point rerank of
+    the shortlist. Every arithmetic step is either exact int64 or the
+    same IEEE double expression, so ranks hash-match."""
+    dot = lambda a, b: DOT_LONG_SQL.format(a=a, b=b)
+    score = lambda a, b: SCORE_SQL.format(a=a, b=b)
+    parts, cent = kmeans_sql_parts(n_clusters, lloyd_rounds, dim)
+    parts.append(
+        "qz AS (SELECT cid, cl, cv, CASE WHEN mx > 0 THEN mx / 127.0 "
+        "ELSE 0.0 END AS qs FROM (SELECT cid, cl, cv, "
+        "list_max(list_transform(cv, x -> CAST(abs(x) AS DOUBLE))) AS mx "
+        "FROM inv))")
+    parts.append(
+        "qcodes AS (SELECT cid, cl, qs, CASE WHEN qs > 0 THEN "
+        "list_transform(cv, x -> CAST(round(CAST(x AS DOUBLE) / qs) AS BIGINT)) "
+        "ELSE list_transform(cv, x -> CAST(0 AS BIGINT)) END AS q FROM qz)")
+    parts.append(
+        f"qrs AS (SELECT cid AS query_id, cv AS qv FROM fx WHERE {query_pred})")
+    parts.append(
+        f"pr AS (SELECT query_id, qv, cl FROM ("
+        f"SELECT q.query_id, q.qv, c.cl, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY {score('q.qv', 'c.m')} DESC, c.cl) AS rn "
+        f"FROM qrs q, {cent} c) WHERE rn <= {n_probe})")
+    parts.append(
+        f"coarse AS (SELECT pr.query_id, c.cid AS neighbor_id, pr.qv, "
+        f"CAST(round(CAST({dot('pr.qv', 'c.q')} AS DOUBLE) * c.qs) AS BIGINT) AS cdot "
+        f"FROM pr JOIN qcodes c USING (cl) WHERE c.cid <> pr.query_id)")
+    parts.append(
+        f"short AS (SELECT query_id, neighbor_id, qv FROM ("
+        f"SELECT query_id, neighbor_id, qv, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY cdot DESC, neighbor_id) AS rn "
+        f"FROM coarse) WHERE rn <= {k * rerank_factor})")
+    parts.append(
+        f"rr AS (SELECT s.query_id, s.neighbor_id, {dot('s.qv', 'f.cv')} AS dot_fp "
+        f"FROM short s JOIN fx f ON f.cid = s.neighbor_id)")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot_fp
+    FROM (SELECT query_id, neighbor_id, dot_fp,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot_fp DESC, neighbor_id) AS rnk
+          FROM rr)
+    WHERE rnk <= {k}
+    """

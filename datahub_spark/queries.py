@@ -1254,44 +1254,68 @@ def q_multimodal_features(spark, sf_dir):
 @register(
     "stream_agg",
     """
-    SELECT CAST(-1 AS BIGINT) AS window_start, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n
+    SELECT 'onchange' AS mode, event_type AS key,
+           CAST(-1 AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS b
     FROM events GROUP BY event_type
     UNION ALL
-    SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start,
-           event_type,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY 1, 2
+    SELECT 'windowed', event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000,
+           CAST(COUNT(*) AS BIGINT)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'stateful', CAST(user_id AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY user_id
     """,
 )
 def q_stream_agg(spark, sf_dir):
-    """TWO streaming pipelines, one graded key (§2 rows 26 and 26b,
-    merged r7 to free grading-window slots):
+    """THREE streaming pipelines, one graded key (§2 rows 26, 26b and
+    26c; stream_stateful merged in r11 — individually hash-green since
+    r7):
 
-    * onchange trigger — the change-log directory is the stream source;
+    * mode='onchange' — the change-log directory is the stream source;
       AvailableNow drains it through a windowless aggregation into the
-      sink (window_start = -1 marks these rows);
-    * event-time tumbling-window aggregation with a watermark (late data
-      handled; window state dropped past the watermark), complete-mode
-      drain so windows the watermark has not passed are still emitted.
+      sink (a = -1 marks these rows, b = count);
+    * mode='windowed' — event-time tumbling-window aggregation with a
+      watermark (late data handled; window state dropped past the
+      watermark), complete-mode drain (a = window start micros);
+    * mode='stateful' — custom stateful operator:
+      applyInPandasWithState keeps a per-user (count, cents-total)
+      accumulator in the state store across triggers; the memory sink
+      sees one 'update' row per key per batch, final state = max
+      (counts are monotonic) (a = n_events, b = total_cents).
 
-    Both run as real Structured Streaming queries; the union is only the
-    grading surface."""
+    All run as real Structured Streaming queries; the mode-tagged
+    union is only the grading surface."""
     from datahub_spark import streaming as ST
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
     plain = ST.run_available_now(
         stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ).select(F.lit(-1).cast("long").alias("window_start"), "event_type", "n")
+    ).select(F.lit("onchange").alias("mode"),
+             F.col("event_type").alias("key"),
+             F.lit(-1).cast("long").alias("a"), F.col("n").alias("b"))
 
     stream2 = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
     micros = stream2.withColumn(
         "_us", ingest._ts_micros(dict(stream2.dtypes)["ts"]))
     agg = ST.windowed_counts(micros, "_us", "event_type", window="1 hour")
     windowed = ST.run_available_now(agg, output_mode="complete").select(
-        "window_start", "event_type", "n")
-    return plain.unionByName(windowed)
+        F.lit("windowed").alias("mode"),
+        F.col("event_type").alias("key"),
+        F.col("window_start").alias("a"), F.col("n").alias("b"))
+
+    stream3 = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
+    state = ST.run_available_now(ST.stateful_user_totals(stream3),
+                                 output_mode="update")
+    stateful = state.groupBy("id").agg(
+        F.max("n_events").alias("a"),
+        F.max("total_cents").alias("b"),
+    ).select(F.lit("stateful").alias("mode"),
+             F.col("id").cast("string").alias("key"), "a", "b")
+    return plain.unionByName(windowed).unionByName(stateful)
 
 
 def q_entity_details(spark, sf_dir):
@@ -1307,31 +1331,8 @@ def q_entity_details(spark, sf_dir):
     )
 
 
-@register(
-    "stream_stateful",
-    """
-    SELECT user_id AS id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-             AS total_cents
-    FROM events GROUP BY user_id
-    """,
-)
-def q_stream_stateful(spark, sf_dir):
-    """Custom stateful streaming operator: applyInPandasWithState keeps a
-    per-user (count, cents-total) accumulator in the state store across
-    triggers. The memory sink sees one 'update' row per key per batch;
-    the final state per key is the max (counts are monotonic)."""
-    from datahub_spark import streaming as ST
-
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = ST.onchange_stream(spark, sf_dir, schema, glob="events.parquet")
-    out = ST.stateful_user_totals(stream)
-    table = ST.run_available_now(out, output_mode="update")
-    return table.groupBy("id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max("total_cents").alias("total_cents"),
-    )
+# (stream_stateful folded into the stream_agg graded key in r11 —
+# see q_stream_agg's mode='stateful' leg)
 
 
 def _cc_oracle() -> str:
@@ -1388,62 +1389,62 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 @register(
-    "orders_per_customer",
+    "graph_aggregates",
     """
-    SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS customer_id,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_spend
+    SELECT 'per_customer' AS mode,
+           'cust:' || CAST(o_custkey AS VARCHAR) AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS v
     FROM orders GROUP BY o_custkey
-    """,
-)
-def q_orders_per_customer(spark, sf_dir):
-    """Aggregation over an inverse traversal: orders --p:customer-->
-    customer, grouped per customer (the JS-query 'aggregate related
-    entities' pattern). Exact decimal totals."""
-    ds = _ds(spark, sf_dir)
-    orders = S.latest(ds["orders"], single_version=True)
-    edges = orders.select(
-        F.explode(F.col("refs")["p:customer"]).alias("customer_id"),
-        F.col("props")["p:totalprice"].cast("decimal(18,2)").alias("_price"),
-    )
-    return edges.groupBy("customer_id").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("_price").cast("decimal(38,2)").cast("string").alias("total_spend"),
-    )
-
-
-@register(
-    "parts_per_nation",
-    """
-    SELECT 'nat:' || CAST(s_nationkey AS VARCHAR) AS nation_id,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    UNION ALL
+    SELECT 'per_nation',
+           'nat:' || CAST(s_nationkey AS VARCHAR),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+           CAST(CAST(COUNT(*) AS BIGINT) AS VARCHAR)
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
     """,
 )
-def q_parts_per_nation(spark, sf_dir):
-    """Two-edge graph aggregate: lineitem --p:part/--p:supplier--> then
-    supplier --p:nation-->, counting distinct parts supplied per nation.
-    The supplier dimension broadcasts; the wide side never shuffles
-    before the aggregate's map-side partial."""
+def q_graph_aggregates(spark, sf_dir):
+    """Graph aggregates over traversals, BOTH shapes in one graded key
+    (SURVEY rows 16c + 16d; orders_per_customer and parts_per_nation
+    merged r11 — each individually hash-green since r7):
+
+    * mode='per_customer' — aggregation over an inverse traversal:
+      orders --p:customer--> customer, grouped per customer (the
+      JS-query 'aggregate related entities' pattern); n_a = order
+      count, v = exact decimal total spend;
+    * mode='per_nation' — two-edge aggregate: lineitem --p:part/
+      --p:supplier--> then supplier --p:nation-->, counting distinct
+      parts per nation. The supplier dimension broadcasts; the wide
+      side never shuffles before the aggregate's map-side partial.
+      n_a = distinct parts, v = lineitem count as string."""
     ds = _ds(spark, sf_dir)
+    orders = S.latest(ds["orders"], single_version=True)
+    o_edges = orders.select(
+        F.explode(F.col("refs")["p:customer"]).alias("entity_id"),
+        F.col("props")["p:totalprice"].cast("decimal(18,2)").alias("_price"),
+    )
+    per_cust = o_edges.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum("_price").cast("decimal(38,2)").cast("string").alias("v"),
+    ).select(F.lit("per_customer").alias("mode"), "entity_id", "n_a", "v")
+
     li = S.latest(ds["lineitem"], single_version=True).select(
         F.explode(F.col("refs")["p:part"]).alias("part_id"),
         F.col("refs")["p:supplier"][0].alias("supplier_id"),
     )
     sup = S.latest(ds["supplier"], single_version=True).select(
         F.col("id").alias("supplier_id"),
-        F.col("refs")["p:nation"][0].alias("nation_id"),
+        F.col("refs")["p:nation"][0].alias("entity_id"),
     )
-    return (
+    per_nation = (
         li.join(F.broadcast(sup), "supplier_id")
-        .groupBy("nation_id")
-        .agg(
-            F.countDistinct("part_id").alias("n_parts"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
+        .groupBy("entity_id")
+        .agg(F.countDistinct("part_id").alias("n_a"),
+             F.count(F.lit(1)).cast("string").alias("v"))
+        .select(F.lit("per_nation").alias("mode"), "entity_id", "n_a", "v"))
+    return per_cust.unionByName(per_nation)
 
 
 # (text_pii_scrub / text_profile / text_repetition folded into the
@@ -1697,31 +1698,50 @@ def q_corpus_frequency(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+_TIER_ROWS = [("purchase", 0.0, 50.0, "small"),
+              ("purchase", 50.0, 150.0, "mid"),
+              ("purchase", 150.0, 1e6, "large"),
+              ("error", 100.0, 200.0, "bad")]
+
+
 @register(
     "asof_join",
-    """
-    WITH p AS (
+    "WITH t(event_type, lo, hi, tier) AS (VALUES "
+    + ", ".join(f"('{et}', {lo}, {hi}, '{tr}')"
+                for et, lo, hi, tr in _TIER_ROWS)
+    + """),
+    p AS (
       SELECT id % 50 AS user_id,
              make_timestamp(1704067200000000 + (id // 50) * 604800000000
                             + (id % 50) * 1000000) AS pts,
              id * 37 % 1000 AS score
       FROM range(200) t(id))
-    SELECT e.event_id,
+    SELECT 'asof' AS mode, e.event_id,
            COALESCE(epoch_us(p.pts), -1) AS asof_us,
-           COALESCE(p.score, -1) AS score
+           COALESCE(p.score, -1) AS score, '~' AS tier
     FROM events e ASOF LEFT JOIN p
       ON e.user_id = p.user_id AND e.ts >= p.pts
+    UNION ALL
+    SELECT 'range', e.event_id, -2, -2, t.tier
+    FROM events e JOIN t ON e.event_type = t.event_type
+                        AND e.value BETWEEN t.lo AND t.hi
     """,
 )
 def q_asof_join(spark, sf_dir):
-    """As-of join (§2 row 48, operators/temporal.py:asof_join —
-    promoted to the graded window r9): enrich every event with the
-    synthetic profile score current AT the event time. The oracle is
-    DuckDB's NATIVE ASOF LEFT JOIN over the same deterministic profile
-    table (unique per (user_id, ts), so both engines' tie rules
-    coincide). Spark plan: tagged-union timeline + one keyed window —
-    |L|+|R| cost independent of match fan-out. Unmatched events
-    surface sentinel -1 (house rule: no nullable hash columns)."""
+    """Temporal joins, BOTH shapes in one graded key (SURVEY rows
+    48 + 50; merged r11 — each individually hash-green since r9):
+
+    * mode='asof' (temporal.asof_join): enrich every event with the
+      synthetic profile score current AT the event time; oracle =
+      DuckDB's NATIVE ASOF LEFT JOIN (profiles unique per (user, ts)
+      so tie rules coincide). Spark plan: tagged-union timeline + one
+      keyed window — |L|+|R| cost independent of match fan-out;
+      unmatched events surface sentinel -1.
+    * mode='range' (temporal.range_join): events priced into value
+      tiers — both sides bin to fixed-width buckets, the join is a
+      pure equi-join on (type, bin) with the exact BETWEEN residual
+      (no cartesian/nested-loop, plan-pinned in test_temporal.py).
+      Sentinels -2/'~' pad the unused columns per mode."""
     events = ingest.load_tables(spark, sf_dir)["events"]
     profiles = spark.range(200).select(
         (F.col("id") % 50).alias("user_id"),
@@ -1730,67 +1750,78 @@ def q_asof_join(spark, sf_dir):
             + (F.col("id") / 50).cast("long") * 604800000000
             + (F.col("id") % 50) * 1000000).alias("ts"),
         (F.col("id") * 37 % 1000).alias("score"))
-    out = TP.asof_join(events, profiles, on="user_id",
-                       value_cols=["score"])
-    return out.select(
+    asof = TP.asof_join(events, profiles, on="user_id",
+                        value_cols=["score"]).select(
+        F.lit("asof").alias("mode"),
         "event_id",
         F.coalesce(F.unix_micros("_asof_ts"), F.lit(-1).cast("long"))
         .alias("asof_us"),
         F.coalesce(F.col("score"), F.lit(-1).cast("long")).alias("score"),
+        F.lit("~").alias("tier"),
     )
-
-
-_TIER_ROWS = [("purchase", 0.0, 50.0, "small"),
-              ("purchase", 50.0, 150.0, "mid"),
-              ("purchase", 150.0, 1e6, "large"),
-              ("error", 100.0, 200.0, "bad")]
-
-
-@register(
-    "range_join",
-    "WITH t(event_type, lo, hi, tier) AS (VALUES "
-    + ", ".join(f"('{et}', {lo}, {hi}, '{tr}')"
-                for et, lo, hi, tr in _TIER_ROWS)
-    + """)
-    SELECT e.event_id, t.tier
-    FROM events e JOIN t ON e.event_type = t.event_type
-                        AND e.value BETWEEN t.lo AND t.hi
-    """,
-)
-def q_range_join(spark, sf_dir):
-    """Binned interval-membership join (§2 row 50,
-    operators/temporal.py:range_join — promoted r9): events priced
-    into value tiers. Both sides bin to fixed-width buckets, the join
-    is a pure equi-join on (type, bin) with the exact BETWEEN as a
-    residual filter — no cartesian/nested-loop (plan-pinned in
-    test_temporal.py); each qualifying pair exactly once."""
-    events = ingest.load_tables(spark, sf_dir)["events"]
     tiers = spark.createDataFrame(
         _TIER_ROWS, "event_type string, lo double, hi double, tier string")
-    return TP.range_join(events, tiers, "value", on="event_type",
-                         bin_width=100.0).select("event_id", "tier")
+    rng = TP.range_join(events, tiers, "value", on="event_type",
+                        bin_width=100.0).select(
+        F.lit("range").alias("mode"),
+        "event_id",
+        F.lit(-2).cast("long").alias("asof_us"),
+        F.lit(-2).cast("long").alias("score"),
+        "tier",
+    )
+    return asof.unionByName(rng)
+
+
+# (range_join folded into the asof_join graded key in r11 —
+# see q_asof_join's mode='range' half)
 
 
 @register(
     "rollup_time",
     """
-    SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, event_type,
+    SELECT 'day' AS mode,
+           epoch_us(date_trunc('day', ts)) AS bucket_us, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
            MIN(value) AS value_min, MAX(value) AS value_max
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour_merge',
+           epoch_us(date_trunc('hour', ts)), event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+           MIN(value), MAX(value)
+    FROM events GROUP BY 2, 3
     """,
 )
 def q_rollup_time(spark, sf_dir):
-    """Time-bucket rollup (§2 row 49, operators/temporal.py:rollup_time
-    — promoted r9): the hypertable continuous-aggregate shape. ONE
-    HashAggregate with map-side partials, key count bounded by buckets
-    x groups; money sums in exact cent longs (an IEEE double sum is
-    shuffle-order-dependent), min/max exact on the raw doubles."""
+    """Time-bucket rollup, BOTH lifecycle shapes in one graded key
+    (SURVEY rows 49 + 49d; merged r11 to free grading-window slots —
+    each was individually hash-green since r9/r10):
+
+    * mode='day' — one-shot hypertable continuous-aggregate
+      (temporal.rollup_time): ONE HashAggregate with map-side
+      partials, money sums in exact cent longs;
+    * mode='hour_merge' — INCREMENTAL refresh (materialize_rollup):
+      the events table arrives as THREE batches (event_id % 3), each
+      folded into the persisted hour rollup via the crash-safe
+      stage+swap (fsio.parquet_atomic_overwrite); decomposable
+      measures make the three-step result bit-identical to the
+      one-shot rollup the oracle computes."""
     events = ingest.load_tables(spark, sf_dir)["events"]
-    return TP.rollup_time(events, "ts", "day", ["event_type"]).select(
+    day = TP.rollup_time(events, "ts", "day", ["event_type"]).select(
+        F.lit("day").alias("mode"),
         F.unix_micros("bucket").alias("bucket_us"),
         "event_type", "n", "value_cents", "value_min", "value_max")
+    path = _scratch("rollup_merge") + "/t"
+    for i in range(3):
+        TP.materialize_rollup(events.filter(F.col("event_id") % 3 == i),
+                              path, "ts", "hour", ["event_type"])
+    merged = spark.read.parquet(path).select(
+        F.lit("hour_merge").alias("mode"),
+        F.unix_micros("bucket").alias("bucket_us"),
+        "event_type", "n", "value_cents", "value_min", "value_max")
+    return day.unionByName(merged)
 
 
 @register(
@@ -2103,44 +2134,6 @@ _promote("corpus_select")
 # --------------------------------------------------------------------------
 
 
-@register(
-    "corpus_diff",
-    f"""
-    WITH oldg AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN text || ' corpusdiffmark'
-                  ELSE text END AS text
-      FROM documents WHERE doc_id % 10 <> 0),
-    newg AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
-    o AS (SELECT doc_id, md5({_NORM_SQL}) AS od FROM oldg),
-    n2 AS (SELECT doc_id, md5({_NORM_SQL}) AS nd FROM newg),
-    j AS (
-      SELECT COALESCE(o.doc_id, n2.doc_id) AS doc_id, od, nd
-      FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id)
-    SELECT doc_id,
-           CASE WHEN od IS NULL THEN 'added'
-                WHEN nd IS NULL THEN 'removed'
-                ELSE 'changed' END AS status
-    FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
-    """,
-)
-def q_corpus_diff(spark, sf_dir):
-    """Corpus snapshot diff (§2 row 36d,
-    operators/dedup.py:corpus_diff — promoted r10): the audit step
-    between incremental builds. Old generation = docs with id % 10 != 0
-    (text perturbed for id % 7 == 0), new = docs with id % 13 != 0;
-    the full-outer digest join classifies added / removed / changed.
-    Only ids + 32-byte digests shuffle — never text."""
-    docs = ingest.load_tables(spark, sf_dir)["documents"]
-    old = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
-        "text",
-        F.when(F.col("doc_id") % 7 == 0,
-               F.concat(F.col("text"), F.lit(" corpusdiffmark")))
-        .otherwise(F.col("text")))
-    new = docs.filter(F.col("doc_id") % 13 != 0)
-    return DD.corpus_diff(old, new).select("doc_id", "status")
-
-
 def _filter_novel_oracle() -> str:
     base = _minhash_oracle()
     # reuse the minhash band table (everything before the final pair
@@ -2167,55 +2160,279 @@ def _filter_novel_oracle() -> str:
     """
 
 
-@register("filter_novel", _filter_novel_oracle())
-def q_filter_novel(spark, sf_dir):
-    """Incremental novelty filtering (§2 row 36b,
-    operators/dedup.py:filter_novel — promoted r10): the even-id half
-    of the corpus persists its LSH band index (save_minhash_index,
-    partitioned by band); the odd-id half arrives as the new batch and
-    keeps only documents colliding with NEITHER the index NOR a
-    lower-id batch member. One signature pass over the batch, a pruned
-    (band, key) equi-join against the index — linear in batch size,
-    the corpus participates only through its band partitions."""
+@register(
+    "corpus_diff",
+    f"""
+    WITH oldg AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' corpusdiffmark'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0),
+    newg AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    o AS (SELECT doc_id, md5({_NORM_SQL}) AS od FROM oldg),
+    n2 AS (SELECT doc_id, md5({_NORM_SQL}) AS nd FROM newg),
+    j AS (
+      SELECT COALESCE(o.doc_id, n2.doc_id) AS doc_id, od, nd
+      FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id)
+    SELECT 'diff' AS mode, doc_id,
+           CASE WHEN od IS NULL THEN 'added'
+                WHEN nd IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
+    UNION ALL
+    SELECT 'novel', doc_id, 'novel' FROM ({_filter_novel_oracle()})
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Corpus evolution, BOTH shapes in one graded key (SURVEY rows
+    36d + 36b; filter_novel merged r11 — each individually hash-green
+    since r10):
+
+    * mode='diff' (dedup.corpus_diff): the audit step between
+      incremental builds — old generation = ids % 10 != 0 (text
+      perturbed for % 7 == 0), new = ids % 13 != 0; the full-outer
+      digest join classifies added / removed / changed. Only ids +
+      32-byte digests shuffle — never text.
+    * mode='novel' (dedup.save_minhash_index + filter_novel): the
+      even-id half persists its LSH band index (partitioned by band);
+      the odd-id half arrives as the new batch and keeps only
+      documents colliding with NEITHER the index NOR a lower-id batch
+      member — one signature pass over the batch, a pruned (band,
+      key) equi-join against the index; linear in batch size."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
+    old = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" corpusdiffmark")))
+        .otherwise(F.col("text")))
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    diff = DD.corpus_diff(old, new).select(
+        F.lit("diff").alias("mode"), "doc_id", "status")
+
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     path = _scratch("filter_novel") + "/idx"
     DD.save_minhash_index(corpus, path, k=12, n=3, bands=4,
                           rows_per_band=3)
-    return DD.filter_novel(batch, path, k=12, n=3, bands=4,
-                           rows_per_band=3).select("doc_id")
+    novel = DD.filter_novel(batch, path, k=12, n=3, bands=4,
+                            rows_per_band=3).select(
+        F.lit("novel").alias("mode"), "doc_id",
+        F.lit("novel").alias("status"))
+    return diff.unionByName(novel)
+
+
+_BIGRAM_LM_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+      FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM w WHERE len(ws) >= 2)
+    ), bt AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS bcount FROM bg GROUP BY bigram
+    ), uni AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS ucount
+      FROM (SELECT unnest(ws) AS w1 FROM w) WHERE w1 != '' GROUP BY w1
+    ), j AS (
+      SELECT bg.doc_id,
+             CASE WHEN coalesce(uni.ucount, 0) > 0
+                  THEN (20000 * coalesce(bt.bcount, 0) + uni.ucount) // (2 * uni.ucount)
+                  ELSE 0 END AS p_e4
+      FROM bg LEFT JOIN bt USING (bigram) LEFT JOIN uni USING (w1)
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p_e4) AS BIGINT) AS sum_p_e4
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           coalesce((2 * a.sum_p_e4 + a.n_bigrams) // (2 * a.n_bigrams), 0)
+             AS score_e4
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+_PPL_CUTS = (344, 335)  # corpus tertiles at sf0.01, pinned as literals
 
 
 @register(
-    "rollup_merge",
-    """
-    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
-           MIN(value) AS value_min, MAX(value) AS value_max
-    FROM events GROUP BY 1, 2
+    "ppl_buckets",
+    f"""
+    WITH s AS ({_BIGRAM_LM_SQL})
+    SELECT id, CAST(score_e4 AS BIGINT) AS score_e4,
+           CASE WHEN score_e4 >= {_PPL_CUTS[0]} THEN 'head'
+                WHEN score_e4 >= {_PPL_CUTS[1]} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s
     """,
 )
-def q_rollup_merge(spark, sf_dir):
-    """Incremental rollup refresh (§2 row 49d,
-    operators/temporal.py:materialize_rollup — promoted r10): the
-    events table arrives as THREE batches (event_id % 3), each folded
-    into the persisted hour rollup via the crash-safe stage+swap
-    (fsio.parquet_atomic_overwrite); decomposable measures (count,
-    cent-sum, min, max) make the three-step incremental result
-    bit-identical to the one-shot rollup the oracle computes. Raw
-    events are touched once per batch; every refresh works on the
-    bounded bucket table."""
-    events = ingest.load_tables(spark, sf_dir)["events"]
-    path = _scratch("rollup_merge") + "/t"
-    for i in range(3):
-        TP.materialize_rollup(events.filter(F.col("event_id") % 3 == i),
-                              path, "ts", "hour", ["event_type"])
-    merged = spark.read.parquet(path)
-    return merged.select(F.unix_micros("bucket").alias("bucket_us"),
-                         "event_type", "n", "value_cents",
-                         "value_min", "value_max")
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (§2 row 43l/43s,
+    operators/text.py:perplexity_buckets — PROMOTED to the graded
+    window r11): rank documents by bigram-LM familiarity (the
+    integer-exact rational stand-in for KenLM perplexity; corpus-
+    trained bigram + unigram tables, both bounded and broadcastable)
+    and split head / middle / tail on EXPLICIT cutoffs — the
+    percentile_approx sketch path stays the scale default, but the
+    graded surface pins precomputed thresholds so the bucketing is
+    bit-reproducible in both engines."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.perplexity_buckets(docs, cutoffs=_PPL_CUTS) \
+        .select("id", "score_e4", "bucket")
+
+
+_CHUNK_K, _CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, gs.i AS chunk_id,
+             array_to_string(ws[gs.i*{_CHUNK_STRIDE}+1 : gs.i*{_CHUNK_STRIDE}+{_CHUNK_K}], ' ') AS chunk_text,
+             len(ws[gs.i*{_CHUNK_STRIDE}+1 : gs.i*{_CHUNK_STRIDE}+{_CHUNK_K}]) AS n_tokens
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+            greatest(CAST(ceil((len(ws) - {_CHUNK_K}) / CAST({_CHUNK_STRIDE} AS double) + 1) AS int), 1) - 1)) AS i) gs
+    )
+    SELECT doc_id AS id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE trim(chunk_text) != ''
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (§2 row 43g,
+    operators/text.py:chunk_documents — PROMOTED r11 from in-suite
+    DuckDB parity): split every document into 32-token windows with
+    stride 24 (sliding overlap, the packing-prep shape). Map-side
+    explode of per-doc window starts — no shuffle, no Python; chunk
+    ids are deterministic positions so reprocessing is stable."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.chunk_documents(docs, max_tokens=_CHUNK_K,
+                              stride=_CHUNK_STRIDE)
+
+
+_PQ_BOOKS = SIM.pq_books_fixed(m=8, ksub=16, dsub=8, seed=7)
+
+
+@register("ann_pq_adc", SIM.ann_pq_adc_oracle(_PQ_BOOKS, k=5))
+def q_ann_pq_adc(spark, sf_dir):
+    """IVF-PQ asymmetric-distance scoring (§2 row 41g,
+    operators/similarity.py:encode_pq + ann_pq_adc — PROMOTED r11):
+    every corpus vector quantizes to 8 tinyint codes against seeded
+    fixed-point codebooks (exact int64 argmin — real quantization,
+    literal books like planes_fixed so the oracle reproduces it
+    without unrolling PQ training into SQL), then 8 queries score the
+    codes through per-query int64 lookup tables: m adds per candidate,
+    never a decode. Scale shape: one Arrow-batched mapInPandas over
+    the codes emitting per-batch partial top-k (lossless for a global
+    top-k), one keyed window to finish — no shuffle touches the
+    corpus."""
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    codes = SIM.encode_pq(emb, _PQ_BOOKS)
+    q = emb.filter(F.col("vec_id") < 8)
+    return SIM.ann_pq_adc(q, codes, _PQ_BOOKS, k=5)
+
+
+@register("ann_two_stage", SIM.ann_two_stage_oracle(
+    k=5, rerank_factor=4, n_clusters=16, n_probe=4, lloyd_rounds=2))
+def q_ann_two_stage(spark, sf_dir):
+    """Two-stage retrieval (§2 row 41h,
+    operators/similarity.py:ann_two_stage — PROMOTED r11): the
+    production ANN shape (FAISS/ScaNN). A quantized persisted IVF
+    index (save_ivf_index(quantize=True): int8 codes + per-vector
+    scale, parquet partitioned by cluster) serves the COARSE pass —
+    probe 4 of 16 clusters, shortlist 20 by the rescaled asymmetric
+    int8 dot — then the exact fixed-point rerank scores only the
+    shortlist against the full-precision vectors (a semi-join, never
+    a corpus broadcast). The oracle reproduces kmeans, quantization,
+    probe, shortlist and rerank exactly (int64 + fixed IEEE double
+    expressions), so the final ranking hash-matches."""
+    emb = ingest.load_tables(spark, sf_dir)["embeddings"]
+    path = _scratch("ann_two_stage") + "/ivf"
+    SIM.save_ivf_index(emb, path, n_clusters=16, lloyd_rounds=2,
+                       quantize=True)
+    q = emb.filter(F.col("vec_id") < 8)
+    return SIM.ann_two_stage(spark, path, q, emb, k=5, rerank_factor=4,
+                             n_probe=4)
+
+
+def _dsir_oracle(n_keep: int = 200, seed: int = 42,
+                 buckets: int = 10_000) -> str:
+    """DuckDB SQL computing exactly dsir_weights(ordered_fold=True) +
+    dsir_resample: same md5 n-gram bucketing, same Laplace-smoothed
+    log-ratios (ln parity between DuckDB and Java Math.log is pinned
+    by the BM25 precedent), the per-doc fold in sorted-bucket order
+    (list_reduce(list(c ORDER BY bucket)) == aggregate over
+    array_sort, since 0.0 + x == x), deterministic md5-Gumbel noise,
+    top-k by (key desc, id). The compared output is the SELECTION
+    (ids), not raw float keys — the float arithmetic is
+    expression-identical so the order matches."""
+    return f"""
+    WITH nw AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                FROM documents),
+    bg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(p[1] || ' ' || p[2]), 1, 15))::BIGINT
+               % {buckets} AS bucket
+      FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM nw WHERE len(ws) >= 2)),
+    tm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM bg
+           WHERE doc_id % 5 = 0 GROUP BY bucket),
+    rm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM bg
+           GROUP BY bucket),
+    tot AS (SELECT
+      CAST((SELECT coalesce(sum(tc), 0) FROM tm) + {buckets} AS DOUBLE) AS td,
+      CAST((SELECT coalesce(sum(rc), 0) FROM rm) + {buckets} AS DOUBLE) AS rd),
+    llr AS (SELECT bucket,
+                   ln((coalesce(tc, 0) + 1.0) / (SELECT td FROM tot))
+                   - ln((coalesce(rc, 0) + 1.0) / (SELECT rd FROM tot)) AS l
+            FROM tm FULL OUTER JOIN rm USING (bucket)),
+    pb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM bg
+           GROUP BY doc_id, bucket),
+    cb AS (SELECT pb.doc_id, pb.bucket, CAST(pb.n AS DOUBLE) * llr.l AS c
+           FROM pb JOIN llr USING (bucket)),
+    wt AS (SELECT doc_id,
+                  list_reduce(list(c ORDER BY bucket), (x, y) -> x + y)
+                    AS weight
+           FROM cb GROUP BY doc_id),
+    ky AS (SELECT d.doc_id,
+                  coalesce(wt.weight, 0.0)
+                  + -ln(-ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                                 || '|{seed}'), 1, 15))::BIGINT::DOUBLE
+                             + 0.5) / 1152921504606846976.0)) AS k
+           FROM documents d LEFT JOIN wt USING (doc_id))
+    SELECT doc_id FROM ky ORDER BY k DESC, doc_id LIMIT {n_keep}
+    """
+
+
+@register("dsir_select", _dsir_oracle())
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (§2 row 43o, operators/dsir.py —
+    PROMOTED r11): importance-resample 200 documents whose hashed-
+    bigram distribution looks like the target domain (ids % 5 == 0).
+    Featurization = one explode -> md5 bucket -> HashAggregate; both
+    bucket models collapse to <= 10k broadcastable rows; per-doc
+    log-likelihood-ratio weights fold in sorted-bucket order
+    (ordered_fold — deterministic float sum, the BM25 recipe), and
+    the resample is Gumbel-top-k with md5-derived noise: a
+    reproducible weighted sample without replacement, stable under
+    corpus growth. orderBy().limit() compiles to
+    TakeOrderedAndProject — distributed partial top-k, never a full
+    sort."""
+    from datahub_spark.operators import dsir as DS
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    w = DS.dsir_weights(docs, target, ordered_fold=True)
+    return DS.dsir_resample(docs, w, n_keep=200).select("doc_id")
+
+
+# (rollup_merge folded into the rollup_time graded key in r11 —
+# see q_rollup_time's mode='hour_merge' half)
 
 
 @register(
