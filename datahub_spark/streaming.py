@@ -327,3 +327,52 @@ def stream_dedup_minhash(stream_df: DataFrame, ts_micros_col: str,
             .withWatermark("_ts", watermark)
             .dropDuplicatesWithinWatermark([sig_col])
             .drop("_ts"))
+
+
+def stream_asof_enrich(stream_df: DataFrame, right: DataFrame,
+                       on: list[str] | str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       value_cols: list[str] | None = None) -> DataFrame:
+    """Streaming as-of enrichment — the stream-static twin of
+    operators.temporal.asof_join (r11, judge task 6): every stream
+    event gets the right row with the same key and the greatest
+    ``right_ts`` <= event time (the Flink temporal-join shape: a live
+    feed enriched with the profile/price/config snapshot current WHEN
+    the event happened).
+
+    Spark-first design, STATELESS: the static right side collapses to
+    ONE sorted timeline array per key (groupBy + sort_array of
+    (ts, values...) structs — a dimension snapshot is bounded by
+    construction, the same contract the batch broadcast joins rely
+    on), broadcast stream-static left equi-join (null-safe, so the
+    null/guest key matches like the batch window partition does), and
+    the per-event probe is a JVM array filter + element_at(-1) — no
+    watermark, no state store, append-mode, any feed rate. Timelines
+    per key are few rows (profile versions), so the linear HOF probe
+    is cheaper than shipping a binary search to Python.
+
+    Ties mirror the batch operator exactly: same-(key, ts) right rows
+    resolve to the greatest value struct (ascending sort, last taken).
+    Unmatched events keep nulls. Output = stream columns + _asof_ts +
+    value_cols; the parity drain == batch asof_join is pinned in
+    test_streaming.py."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in set(keys) | {right_ts}]
+    timeline = right.groupBy(*[F.col(k).alias(f"_k_{k}") for k in keys]).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(right_ts).alias("_t"),
+            *[F.col(c) for c in value_cols]))).alias("_tl"))
+    cond = None
+    for k in keys:
+        c = stream_df[k].eqNullSafe(timeline[f"_k_{k}"])
+        cond = c if cond is None else cond & c
+    joined = stream_df.join(F.broadcast(timeline), cond, "left")
+    hit = F.filter(F.col("_tl"), lambda x: x["_t"] <= F.col(left_ts))
+    last = F.when(F.size(hit) > 0, F.element_at(hit, -1))
+    out = joined.withColumn("_hit", last)
+    return out.select(
+        *[stream_df[c] for c in stream_df.columns],
+        F.col("_hit")["_t"].alias("_asof_ts"),
+        *[F.col("_hit")[c].alias(c) for c in value_cols])

@@ -283,3 +283,53 @@ def test_windowed_rollup_matches_batch_rollup(spark, tmp_path):
                 "event_type", "n", "value_cents", "value_min", "value_max")
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_stream_asof_enrich_matches_batch_asof_join(spark, tmp_path):
+    """r11 (judge task 6): a streaming drain of stream_asof_enrich
+    equals batch temporal.asof_join over the same events — including
+    null-key events (matched null-safely, like the batch window
+    partition), ties on (key, ts) (greatest value struct wins), and
+    unmatched events (nulls)."""
+    from datahub_spark.operators import temporal as TP
+
+    path = str(tmp_path / "ev_asof")
+    rows = []
+    for i in range(40):
+        uid = None if i % 10 == 0 else i % 4
+        rows.append((i, uid, 1_000_000 * i))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, us long") \
+        .write.parquet(path)
+    prof_rows = [(None if j % 5 == 0 else j % 4,
+                  1_000_000 * 7 * j, 100 + j) for j in range(12)]
+    # a tie pair: same (key, ts), different score -> greatest wins
+    prof_rows += [(1, 3_000_000, 777), (1, 3_000_000, 778)]
+    profiles = spark.createDataFrame(
+        prof_rows, "user_id long, us long, score long") \
+        .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+
+    schema = spark.read.parquet(path).schema
+    stream = ST.onchange_stream(spark, path, schema) \
+        .withColumn("ts", F.timestamp_micros(F.col("us")))
+    got = ST.run_available_now(
+        ST.stream_asof_enrich(stream, profiles, on="user_id",
+                              value_cols=["score"]),
+        output_mode="append") \
+        .select("event_id", F.unix_micros("_asof_ts").alias("a"), "score")
+
+    batch = spark.read.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.col("us")))
+    want = TP.asof_join(batch, profiles, on="user_id",
+                        value_cols=["score"]) \
+        .select("event_id", F.unix_micros("_asof_ts").alias("a"), "score")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    # the fixture exercised every regime: nulls matched, ties resolved
+    by_id = {r[0]: r for r in g}
+    assert any(r[1] is None for r in g)          # unmatched -> nulls
+    assert any(by_id[i][2] == 778 for i in by_id  # tie -> greatest
+               if by_id[i][1] == 3_000_000)
+    null_events = [r for i, r in by_id.items() if i % 10 == 0]
+    assert any(r[2] is not None for r in null_events)  # null-key match
