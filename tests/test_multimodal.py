@@ -1274,3 +1274,35 @@ def test_video_dedup_trimmed_reencode_clusters(spark):
             for r in MM.dedup_videos(media, max_hamming=3, every_n=1,
                                      max_frames=8).collect()}
     assert keep == {1: 1, 2: 1, 3: 3}, keep
+
+
+def test_bmp_vectorized_encode_decode_and_stacked_dhash_bit_parity():
+    """r11 (judge task 5): the vectorized BMP lanes and the batched
+    dHash are BIT-identical to the scalar reference paths — encode
+    (byte-equal payloads), decode (pixel-equal arrays), and
+    _dhash64_stack == _dhash64 across mixed sizes including
+    non-divisible grid mappings."""
+    import numpy as np
+
+    import datahub_spark.operators.multimodal as MM
+
+    rng = np.random.RandomState(11)
+    for (w, h) in ((16, 12), (9, 8), (24, 16), (33, 17)):
+        arr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+        def pixel(x, y, arr=arr):
+            return int(arr[y, x, 0]), int(arr[y, x, 1]), int(arr[y, x, 2])
+
+        ref_payload = MM._bmp_encode(w, h, pixel)
+        assert MM._bmp_encode_arr(arr) == ref_payload
+        got = MM._bmp_decode_np(ref_payload)
+        _, _, _, rows = MM._bmp_decode(ref_payload)
+        assert (got == np.asarray(rows)).all()
+        ref_hash = MM._dhash64(w, h, rows)
+        stack = np.stack([arr, arr[::-1].copy()])
+        hs = MM._dhash64_stack(stack)
+        signed_ref = ref_hash - (1 << 64) if ref_hash >= 1 << 63 else ref_hash
+        assert int(hs[0]) == signed_ref
+        flipped = MM._dhash64(w, h, rows[::-1])
+        signed_f = flipped - (1 << 64) if flipped >= 1 << 63 else flipped
+        assert int(hs[1]) == signed_f
