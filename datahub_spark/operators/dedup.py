@@ -118,26 +118,41 @@ def cap_bucket_members(banded: DataFrame, part_cols: list[str],
     band/chunk yields the same bucket with the same cap order — so
     without compensation an exact duplicate beyond the cap would lose
     ALL its pairs, exactly in the degenerate uniform-image/empty-doc
-    case the cap targets. ``keeper_of=<elem col>`` therefore returns
-    ``(kept, dropped)`` where ``dropped`` pairs each cut member with
-    the bucket's FIRST member in cap order (its keeper): the uncapped
-    bucket would have emitted that pair anyway, so unioning these
-    keeper pairs into the candidate output restores transitive
-    clustering for every dropped member at one extra row per drop.
-    Callers with a verify step (hamming filters) run the keeper pairs
-    through the SAME filter. Use ``bucket_overflow`` for the loud
-    accounting."""
+    case the cap targets. ``keeper_of=<elem col>`` therefore rewrites
+    each member past the cap into its own SYNTHETIC two-member bucket
+    (key suffixed with the member's rank) holding the bucket's FIRST
+    member in cap order (its keeper) plus the cut member: the
+    downstream bucket aggregation then emits the (keeper, dropped)
+    pair like any other 2-bucket — a pair the uncapped bucket would
+    have produced anyway — restoring transitive clustering for every
+    dropped member at one extra row per drop, THROUGH the same pair
+    template and any hamming verify. Crucially this keeps ONE plan
+    chain (window -> project -> explode -> aggregate): an earlier
+    two-branch formulation (kept-filter + dropped-filter unioned)
+    executed the whole upstream signature pipeline TWICE — Spark does
+    not share unmaterialized subplans (caught by the one-shingle-
+    explode plan pin). The synthetic buckets stay bounded at 2, so
+    the collect buffer bound holds. Use ``bucket_overflow`` for the
+    loud accounting."""
     w = Window.partitionBy(*part_cols).orderBy(order_col)
     tagged = banded.withColumn("_rn", F.row_number().over(w))
     if keeper_of is None:
         return tagged.filter(F.col("_rn") <= int(max_bucket)).drop("_rn")
     tagged = tagged.withColumn("_keeper", F.first(keeper_of).over(w))
-    kept = (tagged.filter(F.col("_rn") <= int(max_bucket))
-            .drop("_rn", "_keeper"))
-    dropped = (tagged.filter(F.col("_rn") > int(max_bucket))
-               .select(F.col("_keeper").alias("keeper"),
-                       F.col(keeper_of).alias("dropped")))
-    return kept, dropped
+    key_col = part_cols[-1]
+    over = F.col("_rn") > int(max_bucket)
+    proj = tagged.select(
+        *part_cols[:-1],
+        F.when(over, F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                              F.col("_rn").cast("string")))
+        .otherwise(F.col(key_col).cast("string")).alias(key_col),
+        # null for kept rows — the explode's second slot filters out
+        F.when(over, F.col("_keeper")).alias("_k"),
+        F.col(keeper_of).alias("_e"),
+    )
+    return (proj.select(*part_cols,
+                        F.explode(F.array("_k", "_e")).alias(keeper_of))
+            .filter(F.col(keeper_of).isNotNull()))
 
 
 def bucket_overflow(banded: DataFrame, part_cols: list[str],
@@ -182,16 +197,11 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    keeper_pairs = None
-    if max_bucket is not None:
-        kept, dropped = cap_bucket_members(
-            banded, ["band", "key"], F.col(id_col), max_bucket,
-            keeper_of=id_col)
-        # cap order is plain id asc -> keeper IS the bucket's min id
-        keeper_pairs = dropped.select(F.col("keeper").alias("id_a"),
-                                      F.col("dropped").alias("id_b"))
-    else:
-        kept = banded
+    # cap order is plain id asc -> each synthetic 2-bucket pairs the
+    # bucket's min id with one cut member (see cap_bucket_members)
+    kept = (cap_bucket_members(banded, ["band", "key"], F.col(id_col),
+                               max_bucket, keeper_of=id_col)
+            if max_bucket is not None else banded)
     buckets = (
         kept.groupBy("band", "key")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
@@ -210,10 +220,8 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
             )
         ).alias("p")
     )
-    out = pairs.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-    if keeper_pairs is not None:
-        out = out.unionByName(keeper_pairs)
-    out = out.distinct()
+    out = pairs.select(F.col("p.id_a").alias("id_a"),
+                       F.col("p.id_b").alias("id_b")).distinct()
     if with_overflow:
         return out, bucket_overflow(banded, ["band", "key"],
                                     max_bucket if max_bucket is not None
@@ -323,19 +331,11 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    keeper_pairs = None
-    if max_bucket is not None:
-        kept, dropped = cap_bucket_members(
-            b, ["chunk", "key"],
-            F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
-            keeper_of="e")
-        keeper_pairs = dropped.select(
-            F.least("keeper.id", "dropped.id").alias("id_a"),
-            F.greatest("keeper.id", "dropped.id").alias("id_b"),
-            F.bit_count(F.col("keeper.sig")
-                        .bitwiseXOR(F.col("dropped.sig"))).alias("hamming"))
-    else:
-        kept = b
+    kept = (cap_bucket_members(
+        b, ["chunk", "key"],
+        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
+        keeper_of="e")
+        if max_bucket is not None else b)
     buckets = (
         kept.groupBy("chunk", "key")
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
@@ -354,10 +354,8 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming")
-    if keeper_pairs is not None:
-        pairs = pairs.unionByName(keeper_pairs)
-    out = pairs.distinct().filter(F.col("hamming") <= max_hamming)
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
+    out = pairs.filter(F.col("hamming") <= max_hamming)
     if with_overflow:
         return out, bucket_overflow(b, ["chunk", "key"],
                                     max_bucket if max_bucket is not None

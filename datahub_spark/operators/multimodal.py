@@ -2139,19 +2139,11 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                  F.col(hash_col).alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    keeper_pairs = None
-    if max_bucket is not None:
-        kept, dropped = cap_bucket_members(
-            b, ["chunk", "key"],
-            F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
-            keeper_of="e")
-        keeper_pairs = dropped.select(
-            F.least("keeper.id", "dropped.id").alias("id_a"),
-            F.greatest("keeper.id", "dropped.id").alias("id_b"),
-            F.bit_count(F.col("keeper.sig")
-                        .bitwiseXOR(F.col("dropped.sig"))).alias("hamming"))
-    else:
-        kept = b
+    kept = (cap_bucket_members(
+        b, ["chunk", "key"],
+        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
+        keeper_of="e")
+        if max_bucket is not None else b)
     buckets = (
         kept.groupBy("chunk", "key")
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
@@ -2172,10 +2164,8 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.hamming")
-    if keeper_pairs is not None:
-        pairs = pairs.unionByName(keeper_pairs)
-    out = pairs.distinct().filter(F.col("hamming") <= max_hamming)
+    ).select("p.id_a", "p.id_b", "p.hamming").distinct()
+    out = pairs.filter(F.col("hamming") <= max_hamming)
     if with_overflow:
         return out, bucket_overflow(b, ["chunk", "key"],
                                     max_bucket if max_bucket is not None
