@@ -107,12 +107,21 @@ HEADLINERS = list(BUDGETS)
 X100_HEADLINERS = HEADLINERS
 
 # Per-leg-group heap regimes (r11): measured on this box — big heaps
-# help hash-agg-heavy legs (OOM headroom) and HURT big-sort/scan legs
-# (GC churn beats early spill; scale_smoke's 200M-row matrix: 8g 18.7s,
-# 16g 18.2s, 24g 45.9s, 48g 73.4s). x10 legs run at 48g in the parent
-# JVM; the x100 decade runs in a re-exec'd child JVM at 16g.
+# help hash-agg-heavy legs (buffers + OOM headroom: at 16g the x100
+# parts_per_nation distinct-agg ran 29.7s vs 11.7s at 48g,
+# dedup_minhash 18.8 vs 12.3) and HURT sort/GC-churn legs (early
+# spill to page cache beats whole-partition in-heap buffering:
+# pagerank 13.7s at 16g vs 25.5s at 48g, text_suite 33.3 vs 57.0;
+# scale_smoke's 200M-row sort matrix: 8g 18.7s, 16g 18.2s, 24g
+# 45.9s, 48g 73.4s). A JVM cannot resize its heap, so the x100
+# decade runs as TWO re-exec'd children — one per heap group — while
+# the x10/store legs keep the big heap in the parent.
 X10_DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_X10_MEM", "48g")
-X100_DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_X100_MEM", "16g")
+X100_SMALL_MEM = os.environ.get("SPARK_GRAFT_BENCH_X100_MEM", "16g")
+X100_BIG_MEM = os.environ.get("SPARK_GRAFT_BENCH_X100_BIG_MEM", "48g")
+# legs whose x100 plan is dominated by sorts / iterative lineage /
+# map-side GC churn — everything else stays in the big-heap child
+X100_SMALL_HEAP_LEGS = ["pagerank_orders", "text_suite"]
 
 
 def _q_asof_enrich(spark, sf_dir):
@@ -391,11 +400,20 @@ def main() -> None:
 
     x100 = None
     if os.environ.get("SPARK_GRAFT_BENCH_X100", "1") == "1" and repl > 1:
-        # the decade leg runs in a CHILD process with its own 16g JVM
-        # (a heap is fixed at launch; 48g measured 3-4x slow for the
-        # big sort/scan legs — see X100_DRIVER_MEM). The parent session
-        # stops first so exactly one Spark driver works at a time.
+        # the decade legs run in CHILD processes with their own JVMs
+        # (a heap is fixed at launch — see X100_SMALL_HEAP_LEGS). The
+        # parent JVM must actually EXIT first, not just stop its
+        # context: spark.stop() leaves the gateway JVM (tens of GB of
+        # RSS after the x10+store legs) resident, and that memory
+        # pressure evicts the children's page-cached parquet —
+        # measured as isolated 5x stalls on single x100 runs.
         spark.stop()
+        from pyspark import SparkContext
+
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
         try:
             x100 = bench_x100_subprocess(base_dir, timings)
         except Exception as exc:
@@ -427,56 +445,81 @@ def main() -> None:
 
 
 def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
-    """Launch the scale-decade leg in a fresh python process whose JVM
-    boots at X100_DRIVER_MEM (16g): a running JVM cannot resize its
-    heap, and the decade's sort/scan-heavy legs measured 3-4x slower
-    under the 48g x10 regime (GC churn instead of early spill — the
-    scale_smoke matrix). The child prints ONE JSON line; everything
-    else it writes goes to stderr, passed through."""
+    """Launch the scale-decade legs in fresh python processes — one
+    per HEAP GROUP (a running JVM cannot resize its heap): the
+    sort/GC-churn legs (X100_SMALL_HEAP_LEGS) in a 16g child, the
+    hash-agg-heavy rest in a 48g child; see the measured matrix at
+    X100_SMALL_HEAP_LEGS. Each child prints ONE JSON line; everything
+    else goes to stderr, passed through. Children run SEQUENTIALLY —
+    one Spark driver at a time."""
     import subprocess
 
-    env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_X100_CHILD"] = "1"
-    env["SPARK_GRAFT_DRIVER_MEM"] = X100_DRIVER_MEM
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, stdout=subprocess.PIPE, text=True)
-    if proc.returncode != 0:
-        return {"error": f"x100 child exited rc={proc.returncode}"}
-    line = proc.stdout.strip().splitlines()[-1]
-    out = json.loads(line)
+    groups = [
+        (X100_BIG_MEM,
+         [l for l in X100_HEADLINERS if l not in X100_SMALL_HEAP_LEGS]),
+        (X100_SMALL_MEM,
+         [l for l in X100_HEADLINERS if l in X100_SMALL_HEAP_LEGS]),
+    ]
+    out = {"queries": {}, "min_max": {}, "errors": {}, "driver_mem": {}}
+    for mem, legs in groups:
+        if not legs:
+            continue
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_X100_CHILD"] = "1"
+        env["SPARK_GRAFT_DRIVER_MEM"] = mem
+        env["SPARK_GRAFT_BENCH_X100_LEGS"] = ",".join(legs)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True)
+        if proc.returncode != 0:
+            out["errors"][f"child_{mem}"] = f"exited rc={proc.returncode}"
+            continue
+        child = json.loads(proc.stdout.strip().splitlines()[-1])
+        out["queries"].update(child.get("queries", {}))
+        out["min_max"].update(child.get("min_max", {}))
+        out["errors"].update(child.get("errors", {}))
+        out["repl"] = child.get("repl")
+        out["runs_per_query"] = child.get("runs_per_query")
+        for leg in legs:
+            out["driver_mem"][leg] = mem
     out["scale_vs_x10"] = {
         k: round(v / x10_timings[k], 2)
-        for k, v in out.get("queries", {}).items() if x10_timings.get(k)
+        for k, v in out["queries"].items() if x10_timings.get(k)
     }
-    out["driver_mem"] = X100_DRIVER_MEM
     return out
 
 
 def main_x100_child() -> None:
-    """Child-process entrypoint for the scale-decade leg: x100
-    replication of the base dir (effective sf10 from sf0.1), every
-    headliner, n=3 medians after one warmup, its own 16g session.
-    Prints exactly one JSON line on stdout for the parent."""
+    """Child-process entrypoint for one scale-decade heap group: x100
+    replication of the base dir (effective sf10 from sf0.1), the legs
+    named in SPARK_GRAFT_BENCH_X100_LEGS, n=3 medians after one
+    warmup, its own session at the heap the parent chose. Prints
+    exactly one JSON line on stdout for the parent."""
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from datahub_spark.derive import ensure_derived
     from datahub_spark.queries import QUERIES
     from datahub_spark.session import get_spark
 
+    legs = [l for l in os.environ.get(
+        "SPARK_GRAFT_BENCH_X100_LEGS", ",".join(X100_HEADLINERS)).split(",")
+        if l]
     spark = get_spark("datahub-spark-bench-x100")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(QUERIES)
     queries.update(_BENCH_LOCAL)
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_X100_REPL", "100"))
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_X100_RUNS", "3")))
+    # n=5 (r11, was 3): single-run stalls on this box reach 5x, so a
+    # 3-sample max/min spread measured the machine, not the plan;
+    # 5 samples keep the median honest and make the spread meaningful
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_X100_RUNS", "5")))
     t0 = time.monotonic()
     sf_dir = ensure_derived(spark, base_dir, repl)
     print(f"  derived {sf_dir} ({round(time.monotonic() - t0, 1)}s)",
           file=sys.stderr)
 
     timings, spreads, errors = run_legs(
-        spark, sf_dir, X100_HEADLINERS, queries, runs, label=f"x{repl} ")
+        spark, sf_dir, legs, queries, runs, label=f"x{repl} ")
     print(json.dumps({
         "repl": repl,
         "runs_per_query": runs,
