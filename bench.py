@@ -119,9 +119,20 @@ X100_HEADLINERS = HEADLINERS
 X10_DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_X10_MEM", "48g")
 X100_SMALL_MEM = os.environ.get("SPARK_GRAFT_BENCH_X100_MEM", "16g")
 X100_BIG_MEM = os.environ.get("SPARK_GRAFT_BENCH_X100_BIG_MEM", "48g")
-# legs whose x100 plan is dominated by sorts / iterative lineage /
-# map-side GC churn — everything else stays in the big-heap child
+# Three measured regimes (every placement A/B'd at x100, r11):
+#  * 16g   — iterative/GC-churn legs: pagerank (checkpoint lineage)
+#            25.5s@48g -> ~16s@16g, text_suite 57s -> ~31-33s;
+#  * 48g + memory.fraction 0.35 — the allocation-heavy minhash agg:
+#            at the default 0.6 fraction it spread 13s..84s (GC
+#            stalls buffering 60M-row partitions in-heap), capped it
+#            runs 13.6-14.5s tight;
+#  * 48g default — everything else: hash-agg/window legs that want
+#            the whole pool (asof_enrich 1.7s with it, 10.2s at the
+#            capped fraction — the sort FITS in the big pool and
+#            spilling it is pure loss; parts_per_nation 10s@48g vs
+#            29.7s@16g).
 X100_SMALL_HEAP_LEGS = ["pagerank_orders", "text_suite"]
+X100_CAPPED_POOL_LEGS = ["dedup_minhash"]
 
 
 def _q_asof_enrich(spark, sf_dir):
@@ -311,10 +322,15 @@ def run_legs(spark, sf_dir: str, names, queries, runs: int,
     CRASH-ISOLATED: a leg that raises (flaky OOM, planner bug) records
     its error and the remaining legs still run — one failure must never
     zero a whole round's perf evidence (BENCH_r09 lesson). Returns
-    (timings, spreads, errors). The forced-failure path is unit-tested
-    via a raising query fn (test_plans.py)."""
+    (timings, spreads, errors); each spread is [min, max, n_stalls]
+    where a STALL is a sample > 2x the leg's min — this container
+    shows isolated host-level pauses (up to 5x, hitting random legs
+    regardless of plan shape or heap: a 13s outlier on a 4.5s
+    map-only projection), so the median plus the stall count is the
+    honest signal, not the raw max. The forced-failure path is
+    unit-tested via a raising query fn (test_plans.py)."""
     timings: dict[str, float] = {}
-    spreads: dict[str, list[float]] = {}
+    spreads: dict[str, list] = {}
     errors: dict[str, str] = {}
     force_fail = os.environ.get("SPARK_GRAFT_BENCH_FORCE_FAIL", "")
     for name in names:
@@ -329,10 +345,12 @@ def run_legs(spark, sf_dir: str, names, queries, runs: int,
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.monotonic() - t0, 3))
             timings[name] = round(statistics.median(samples), 3)
-            spreads[name] = [min(samples), max(samples)]
+            stalls = sum(1 for s in samples if s > 2 * min(samples))
+            spreads[name] = [min(samples), max(samples), stalls]
             budget = f", budget={budgets[name]}" if budgets else ""
             print(f"  {label}{name}: {timings[name]}s (n={runs}, "
-                  f"min={min(samples)}, max={max(samples)}{budget})",
+                  f"min={min(samples)}, max={max(samples)}, "
+                  f"stalls={stalls}{budget})",
                   file=sys.stderr)
         except Exception as exc:
             errors[name] = repr(exc)[:500]
@@ -454,25 +472,33 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
     one Spark driver at a time."""
     import subprocess
 
+    special = set(X100_SMALL_HEAP_LEGS) | set(X100_CAPPED_POOL_LEGS)
     groups = [
-        (X100_BIG_MEM,
-         [l for l in X100_HEADLINERS if l not in X100_SMALL_HEAP_LEGS]),
-        (X100_SMALL_MEM,
+        (X100_BIG_MEM, None,
+         [l for l in X100_HEADLINERS if l not in special]),
+        (X100_BIG_MEM, os.environ.get("SPARK_GRAFT_MEMORY_FRACTION",
+                                      "0.35"),
+         [l for l in X100_HEADLINERS if l in X100_CAPPED_POOL_LEGS]),
+        (X100_SMALL_MEM, None,
          [l for l in X100_HEADLINERS if l in X100_SMALL_HEAP_LEGS]),
     ]
-    out = {"queries": {}, "min_max": {}, "errors": {}, "driver_mem": {}}
-    for mem, legs in groups:
+    out = {"queries": {}, "min_max": {}, "errors": {}, "regime": {}}
+    for mem, frac, legs in groups:
         if not legs:
             continue
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_X100_CHILD"] = "1"
         env["SPARK_GRAFT_DRIVER_MEM"] = mem
         env["SPARK_GRAFT_BENCH_X100_LEGS"] = ",".join(legs)
+        env.pop("SPARK_GRAFT_MEMORY_FRACTION", None)
+        if frac:
+            env["SPARK_GRAFT_MEMORY_FRACTION"] = frac
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, text=True)
+        regime = mem + (f"+frac{frac}" if frac else "")
         if proc.returncode != 0:
-            out["errors"][f"child_{mem}"] = f"exited rc={proc.returncode}"
+            out["errors"][f"child_{regime}"] = f"exited rc={proc.returncode}"
             continue
         child = json.loads(proc.stdout.strip().splitlines()[-1])
         out["queries"].update(child.get("queries", {}))
@@ -481,7 +507,7 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
         out["repl"] = child.get("repl")
         out["runs_per_query"] = child.get("runs_per_query")
         for leg in legs:
-            out["driver_mem"][leg] = mem
+            out["regime"][leg] = regime
     out["scale_vs_x10"] = {
         k: round(v / x10_timings[k], 2)
         for k, v in out["queries"].items() if x10_timings.get(k)

@@ -57,4 +57,12 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # optional cap on the unified execution/storage pool: a big heap
+    # with the default 0.6 fraction lets every task buffer whole
+    # partitions in-heap (GC churn instead of early spill — the r10
+    # sort matrix); harnesses that want a big heap for hash-table
+    # headroom but early spills set this (bench's 48g x100 child)
+    frac = os.environ.get("SPARK_GRAFT_MEMORY_FRACTION")
+    if frac:
+        builder = builder.config("spark.memory.fraction", frac)
     return builder.getOrCreate()
