@@ -1398,7 +1398,11 @@ def fullsync_tombstones(old_latest: DataFrame, new_snapshot: DataFrame) -> DataF
 
 
 def lineage(jobs: list[Job]) -> list[dict]:
-    """Lineage edges from job definitions (DOCUMENTATION.md:1857-1892)."""
+    """Lineage edges from job definitions (DOCUMENTATION.md:1857-1892).
+
+    Output is sorted by (From, To, Type) like the reference's
+    ``LineageBuilder.ForAll`` (service/dataset/lineage.go:106-159,
+    sort at 163-183)."""
     edges = []
     for j in jobs:
         sink_name = getattr(j.sink, "name", None)
@@ -1416,7 +1420,18 @@ def lineage(jobs: list[Job]) -> list[dict]:
                 edges.append({"From": dep.dataset, "To": sink_name, "Type": "transform-hop"})
         for s in srcs:
             edges.append({"From": s, "To": sink_name, "Type": kind})
+    edges.sort(key=lambda e: (e["From"], e["To"], e["Type"]))
     return edges
+
+
+def lineage_for_dataset(jobs: list[Job], dataset: str) -> list[dict]:
+    """Per-dataset lineage view (lineage.go:25-103 ``ForDataset``): the
+    subset of the full lineage graph whose edges touch ``dataset`` on
+    either end — direct copy/transform edges where it is the source or
+    the sink, and ``*-hop`` edges from tracked dependencies. Same
+    (From, To, Type) sort as the full graph."""
+    return [e for e in lineage(jobs)
+            if e["From"] == dataset or e["To"] == dataset]
 
 
 class TabularSource:

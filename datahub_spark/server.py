@@ -752,6 +752,10 @@ class UdaServer:
                                   bool(a.get("Deny", a.get("deny", False))))
                     for a in acls])
                 return self._reply(rq, 200, {})
+            if parts in (["security", "clientclaims"],
+                         ["security", "clientacl"]) \
+                    and self.security is not None:
+                return self._post_legacy_client_acl(rq)
             if parts == ["provider", "logins"] and self.providers is not None:
                 # providerhandler.go:51-62 create
                 from datahub_spark.providers import ProviderConfig
@@ -1091,8 +1095,17 @@ class UdaServer:
         sched = self._need_scheduler(rq)
         if sched is None:
             return
-        from datahub_spark.jobs import lineage
+        from datahub_spark.jobs import lineage, lineage_for_dataset
 
+        if len(parts) == 2 and parts[0] == "lineage":
+            # GET /lineage/{dataset} (lineagehandler.go:14-29): per-
+            # dataset view; 404 when the dataset is not registered
+            # (the handler checks DsManager.GetDataset before building)
+            name = unquote(parts[1])
+            if name not in self.store.list_datasets():
+                return self._error(rq, 404, "dataset is not found")
+            return self._reply(
+                rq, 200, lineage_for_dataset(list(sched.jobs.values()), name))
         if parts[0] == "lineage":
             return self._reply(rq, 200, lineage(list(sched.jobs.values())))
         if parts == ["jobs"]:
