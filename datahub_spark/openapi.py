@@ -265,6 +265,9 @@ _R: list[tuple[str, str, str, str, str, str | None, str | None]] = [
      "Cancel a running job", None, None),
     ("scheduler", "get", "/lineage", "jobs", "Dataset lineage graph",
      None, None),
+    ("scheduler", "get", "/lineage/{dataset}", "jobs",
+     "Per-dataset lineage view (edges touching the dataset)",
+     None, None),
     # content objects
     ("content", "get", "/content", "content", "List content objects",
      None, "Contents"),
@@ -290,6 +293,12 @@ _R: list[tuple[str, str, str, str, str, str | None, str | None]] = [
      "Set client ACL", None, None),
     ("security", "delete", "/security/clients/{clientid}/acl", "security",
      "Clear client ACL", None, None),
+    ("security", "post", "/security/clientclaims", "security",
+     "Legacy admin-gated alias: set client ACL (client named in body)",
+     None, None),
+    ("security", "post", "/security/clientacl", "security",
+     "Legacy admin-gated alias: set client ACL (client named in body)",
+     None, None),
     # login providers for outgoing connections
     ("providers", "get", "/provider/logins", "providers",
      "List login providers (secrets masked)", None, "LoginProviders"),

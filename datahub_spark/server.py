@@ -975,6 +975,45 @@ class UdaServer:
         self._reply(rq, 200, {"access_token": token,
                               "token_type": "Bearer"})
 
+    def _post_legacy_client_acl(self, rq) -> None:
+        """POST /security/clientclaims | /security/clientacl — the
+        legacy admin-gated aliases of the per-client ACL setter
+        (securityhandler.go:61-66; the reference keeps both routes in
+        its legacy registration block wired through
+        MakeRoleCheckMiddleware("admin")). No ``:clientid`` path param
+        on these routes, so the client is named in the body:
+        ``{"clientId": str, "acls"|"claims": [AccessControl...]}``
+        (case-tolerant). Routes to the same ``set_acls`` as
+        POST /security/clients/{clientid}/acl."""
+        from datahub_spark.security import AccessControl
+
+        try:
+            claims = self.security.authorize(
+                rq.headers.get("Authorization"), rq.command,
+                urlparse(rq.path).path)
+        except Exception:
+            claims = {}
+        if "admin" not in (claims.get("roles") or []):
+            # jwtMiddleware + MakeRoleCheckMiddleware("admin")
+            return self._error(rq, 403, "admin role required")
+        n = int(rq.headers.get("Content-Length", "0"))
+        try:
+            obj = json.loads(rq.rfile.read(n).decode()) if n else {}
+        except json.JSONDecodeError:
+            return self._error(rq, 400, "malformed body")
+        cid = obj.get("clientId") or obj.get("client_id") \
+            or obj.get("ClientId") or obj.get("clientid")
+        if not cid:
+            return self._error(rq, 400, "missing client id")
+        acls = obj.get("acls") or obj.get("claims") \
+            or obj.get("Acls") or obj.get("Claims") or []
+        self.security.set_acls(str(cid), [
+            AccessControl(a.get("Resource", a.get("resource", "")),
+                          a.get("Action", a.get("action", "read")),
+                          bool(a.get("Deny", a.get("deny", False))))
+            for a in acls])
+        return self._reply(rq, 200, {})
+
     def _route_put(self, rq) -> None:
         if not self._authorize(rq):
             return

@@ -282,3 +282,46 @@ def test_opa_authorizer_network_gate_and_outage(spark, tmp_path):
     tok2 = sec2.issue_token("admin", "pw")
     with pytest.raises(ForbiddenError, match="opa query failed"):
         sec2.authorize(f"Bearer {tok2}", "GET", "/datasets")
+
+
+def test_legacy_clientclaims_alias(secured):
+    """POST /security/clientclaims and /security/clientacl — the
+    reference's legacy admin-gated registration block
+    (securityhandler.go:61-66) aliases both onto the client-ACL
+    setter. No path param, so the client is named in the body; the
+    admin role is required (MakeRoleCheckMiddleware("admin")), not
+    just any write grant."""
+    base = secured
+    _, admin = _token(base, "admin", "admin-pw")
+    _, writer = _token(base, "writer", "writer-pw")
+
+    # non-admin refused even though it holds a write grant
+    code, _ = _req(f"{base}/security/clientclaims", "POST", token=writer,
+                   payload={"clientId": "reader",
+                            "acls": [{"Resource": "/datasets/secret*",
+                                      "Action": "read"}]})
+    assert code == 403
+
+    # admin sets the ACL through the legacy alias; it takes effect
+    _, reader = _token(base, "reader", "reader-pw")
+    assert _req(f"{base}/datasets/secret/entities", token=reader)[0] == 403
+    code, _ = _req(f"{base}/security/clientclaims", "POST", token=admin,
+                   payload={"clientId": "reader",
+                            "acls": [{"Resource": "/datasets/*",
+                                      "Action": "read"}]})
+    assert code == 200
+    assert _req(f"{base}/datasets/secret/entities", token=reader)[0] == 200
+
+    # /security/clientacl accepts the "claims" body spelling too
+    code, _ = _req(f"{base}/security/clientacl", "POST", token=admin,
+                   payload={"client_id": "reader",
+                            "claims": [{"Resource": "/datasets/d*",
+                                        "Action": "read"}]})
+    assert code == 200
+    assert _req(f"{base}/datasets/secret/entities", token=reader)[0] == 403
+    assert _req(f"{base}/datasets/d/entities", token=reader)[0] == 200
+
+    # malformed bodies: missing client id
+    code, _ = _req(f"{base}/security/clientacl", "POST", token=admin,
+                   payload={"acls": []})
+    assert code == 400

@@ -1017,3 +1017,45 @@ def test_openapi_document_served_and_valid(spark, tmp_path):
             srv2.stop()
     finally:
         srv.stop()
+
+
+def test_lineage_per_dataset(spark, tmp_path):
+    """GET /lineage/{dataset} (lineagehandler.go:14-29): the subset of
+    the lineage graph touching the named dataset; 404 when the dataset
+    is not registered (the handler checks DsManager.GetDataset)."""
+    store = S.EntityStore(spark, str(tmp_path / "store"))
+    store.store_entities("src", _entities(spark, [
+        ("s:1", None, 0, False, {"p:name": "a"}, None, None),
+    ]).drop("dataset"))
+    store.store_entities("other", _entities(spark, [
+        ("o:1", None, 0, False, {}, None, None),
+    ]).drop("dataset"))
+    state = J.JobState(str(tmp_path / "state.json"))
+    sched = J.Scheduler(state)
+    srv = UdaServer(store, scheduler=sched)
+    base = srv.start()
+    try:
+        cfg = {
+            "id": "copy-job",
+            "triggers": [{"triggerType": "cron", "jobType": "incremental",
+                          "schedule": "@every 1m"}],
+            "source": {"Type": "DatasetSource", "Name": "src"},
+            "sink": {"Type": "DatasetSink", "Name": "out"},
+        }
+        code, _ = _post(f"{base}/jobs", cfg)
+        assert code == 201
+        full = _get(f"{base}/lineage")
+        sub = _get(f"{base}/lineage/src")
+        assert sub == [e for e in full
+                       if e["From"] == "src" or e["To"] == "src"]
+        assert {"From": "src", "To": "out", "Type": "copy"} in sub
+        # a registered dataset no job touches: empty list, not an error
+        assert _get(f"{base}/lineage/other") == []
+        # unregistered dataset: 404
+        try:
+            _get(f"{base}/lineage/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
+    finally:
+        srv.stop()
