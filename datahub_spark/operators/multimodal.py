@@ -1684,6 +1684,13 @@ def decode_jpeg_meta(media: DataFrame) -> DataFrame:
 
 _DHASH_GRID_W, _DHASH_GRID_H = 9, 8
 
+# image_dhash holds at most this many decoded pixels per task before
+# hashing and freeing the pending shape groups: 8M px = 24 MB of uint8
+# plus a transient int64 luma plane inside _dhash64_stack (~64 MB for
+# the largest group). A single image bigger than the budget still
+# decodes whole — O(1 decoded image) is the floor.
+_DHASH_PIXEL_BUDGET = 8 << 20
+
 
 def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
     """GIF-flavour LZW: codes packed LSB-first, dictionary reset on
@@ -1847,7 +1854,12 @@ def _decode_rgb_arr(mime: str, payload: bytes):
     if mime == "image/bmp":
         return _bmp_decode_np(payload)
     _, _, rows = _decode_rgb(mime, payload)
-    return np.asarray(rows, dtype=np.int64)
+    # uint8, not int64: every decoder emits 0-255 (PNG normalizes
+    # sub-/16-bit depths, JPEG clips after IDCT, GIF is palette
+    # bytes), and holding decoded batches at 3 B/pixel instead of
+    # 24 B/pixel is what keeps the vectorized hash's working set
+    # bounded (ADVICE r11).
+    return np.asarray(rows, dtype=np.uint8)
 
 
 def _dhash64_stack(stack):
@@ -1858,13 +1870,18 @@ def _dhash64_stack(stack):
     instead of once per image. Bit-identical to _dhash64 (pinned)."""
     import numpy as np
 
-    a = stack.astype(np.int64)
-    n, h, w = a.shape[0], a.shape[1], a.shape[2]
+    n, h, w = stack.shape[0], stack.shape[1], stack.shape[2]
     gw, gh = _DHASH_GRID_W, _DHASH_GRID_H
     if w < gw or h < gh:
         raise ValueError(f"dhash needs at least {gw}x{gh} pixels, "
                          f"got {w}x{h} — resize up first")
-    luma = (77 * a[..., 0] + 150 * a[..., 1] + 29 * a[..., 2]) >> 8
+    # channel-wise int64 promotion: peak extra memory is one luma
+    # plane (8 B/px) + one channel temp, not a 24 B/px copy of the
+    # whole RGB stack (the uint8 input stays the only full-res copy)
+    luma = 77 * stack[..., 0].astype(np.int64)
+    luma += 150 * stack[..., 1].astype(np.int64)
+    luma += 29 * stack[..., 2].astype(np.int64)
+    luma >>= 8
     col_starts = np.searchsorted((np.arange(w) * gw) // w, np.arange(gw))
     row_starts = np.searchsorted((np.arange(h) * gh) // h, np.arange(gh))
     acc = np.add.reduceat(
@@ -1899,17 +1916,32 @@ def image_dhash(media: DataFrame, out_col: str = "dhash") -> DataFrame:
             n = len(pdf)
             if not n:
                 continue
-            arrs = [
-                _decode_rgb_arr(meta["mime"], bytes(payload))
-                for payload, meta in zip(pdf["payload"], pdf["meta"])
-            ]
             hashes = np.empty(n, dtype=np.int64)
-            by_shape: dict = {}
-            for i, a in enumerate(arrs):
-                by_shape.setdefault(a.shape, []).append(i)
-            for shape, idxs in by_shape.items():
-                stack = np.stack([arrs[i] for i in idxs])
-                hashes[idxs] = _dhash64_stack(stack)
+            # bounded working set (ADVICE r11): decoded uint8 images
+            # accumulate per shape only until the held-pixel budget,
+            # then every pending group hashes and frees — peak task
+            # memory is O(budget), not O(arrow_batch x pixels),
+            # regardless of spark.sql.execution.arrow.maxRecordsPerBatch
+            pending: dict = {}
+            held_px = 0
+
+            def flush():
+                nonlocal held_px
+                for idxs, group in pending.values():
+                    hashes[idxs] = _dhash64_stack(np.stack(group))
+                pending.clear()
+                held_px = 0
+
+            for i, (payload, meta) in enumerate(
+                    zip(pdf["payload"], pdf["meta"])):
+                a = _decode_rgb_arr(meta["mime"], bytes(payload))
+                ent = pending.setdefault(a.shape, ([], []))
+                ent[0].append(i)
+                ent[1].append(a)
+                held_px += a.shape[0] * a.shape[1]
+                if held_px >= _DHASH_PIXEL_BUDGET:
+                    flush()
+            flush()
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                                 out_col: hashes})
 
@@ -2186,13 +2218,15 @@ def dedup_images(media: DataFrame, max_hamming: int = 3,
     to dhash_candidates (r11, ADVICE): cap degenerate hash buckets /
     get the overflow accounting frame back as a second return value.
 
-    The signature table PERSISTS (r11): the plan consumes it twice
-    (candidate generation + the final id spine), and without the
-    persist each consumer re-decodes the whole corpus — at scale the
-    decode IS the cost, while (id, hash) is 16 bytes/row. The handle
-    stays cached for the session; callers managing memory explicitly
-    can spark.catalog.clearCache() after collecting results (bench
-    does exactly that between legs)."""
+    The signature table persists only WITHIN the call (r12, ADVICE):
+    the plan consumes it twice (candidate generation + the final id
+    spine), and without the persist each consumer re-decodes the
+    whole corpus — at scale the decode IS the cost, while (id, hash)
+    is 16 bytes/row. The keeper output is materialized eagerly
+    (localCheckpoint) and the signature cache released before
+    returning, so repeated calls in a long-lived session do not
+    accumulate cached tables; the checkpointed result is two longs
+    per row and its blocks free with the returned handle."""
     from datahub_spark.operators.dedup import connected_components
 
     sig = image_dhash(media).persist()
@@ -2205,7 +2239,22 @@ def dedup_images(media: DataFrame, max_hamming: int = 3,
            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
            .select(id_col,
                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out, overflow = _release_signature(sig, out, overflow)
     return (out, overflow) if with_overflow else out
+
+
+def _release_signature(sig, out, overflow=None):
+    """Materialize the keeper output (and the overflow accounting
+    frame, if any) via eager localCheckpoint, then unpersist the
+    signature table — the decode-once contract holds inside the call
+    without leaking session-lifetime cache entries (ADVICE r11).
+    localCheckpoint trades re-computability for truncation, which is
+    exactly right here: recomputing WOULD re-decode the corpus."""
+    out = out.localCheckpoint(eager=True)
+    if overflow is not None:
+        overflow = overflow.localCheckpoint(eager=True)
+    sig.unpersist(blocking=False)
+    return out, overflow
 
 
 def video_dhash(media: DataFrame, every_n: int = 2,
@@ -2263,9 +2312,10 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
     zip_with expressions per pair — no extra shuffle."""
     from datahub_spark.operators.dedup import connected_components
 
-    # persisted for the same reason as dedup_images: three consumers
-    # (banding, the pair verify's two sides, the id spine) must not
-    # re-decode the video corpus
+    # persisted within the call, for the same reason as dedup_images:
+    # three consumers (banding, the pair verify's two sides, the id
+    # spine) must not re-decode the video corpus; released before
+    # returning (ADVICE r11)
     sig = video_dhash(media, every_n, max_frames).persist()
     frames = sig.select(F.col(id_col),
                         F.explode("frame_hashes").alias("dhash"))
@@ -2308,6 +2358,7 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
            .select(id_col,
                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out, overflow = _release_signature(sig, out, overflow)
     return (out, overflow) if with_overflow else out
 
 
@@ -2391,11 +2442,14 @@ def dedup_audio(media: DataFrame, max_hamming: int = 3,
     cluster together."""
     from datahub_spark.operators.dedup import connected_components
 
-    # persisted: candidates + id spine must not re-decode the corpus
+    # persisted within the call: candidates + id spine must not
+    # re-decode the corpus; released before returning (ADVICE r11)
     sig = audio_fingerprint(media).persist()
     pairs = dhash_candidates(sig, max_hamming, id_col, hash_col="afp")
     comp = connected_components(pairs, "id_a", "id_b")
-    return (sig.select(id_col)
-            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out = (sig.select(id_col)
+           .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out, _ = _release_signature(sig, out)
+    return out

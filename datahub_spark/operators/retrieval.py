@@ -255,19 +255,30 @@ def bm25_reference_model(postings_rows, doclens_rows, query, k=10,
     return out[:k]
 
 
-def _batch_key(docs: DataFrame, id_col: str) -> str:
-    """Deterministic, order-insensitive key of a batch's doc-id SET:
-    md5 over (count, sum of per-id md5-derived 60-bit ints). One
-    bounded aggregate — never a collect of the ids themselves, so the
-    key costs the same at any batch size."""
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-               16, 10).cast("decimal(38,0)")
+def _batch_keys(docs: DataFrame, id_col: str,
+                text_col: str) -> tuple[str, str]:
+    """(id_key, content_key): deterministic, order-insensitive keys of
+    a batch — the id key over the doc-id SET (names the delta dir, so
+    a straight retry is a no-op), the content key over the
+    (id, md5(text)) set (detects a resubmission whose ids match but
+    whose text changed, ADVICE r11). Both from ONE bounded aggregate
+    (count + two sums of per-row md5-derived 60-bit ints) — never a
+    collect of the rows themselves, so the keys cost the same at any
+    batch size."""
+    hid = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                 16, 10).cast("decimal(38,0)")
+    hct = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col(id_col).cast("string"),
+        F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(""))))),
+        1, 15), 16, 10).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
     r = docs.agg(F.count(F.lit(1)).alias("n"),
-                 F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
-                 .alias("s")).collect()[0]
+                 F.coalesce(F.sum(hid), zero).alias("si"),
+                 F.coalesce(F.sum(hct), zero).alias("sc")).collect()[0]
     import hashlib
 
-    return hashlib.md5(f"{r['n']}|{r['s']}".encode()).hexdigest()
+    return (hashlib.md5(f"{r['n']}|{r['si']}".encode()).hexdigest(),
+            hashlib.md5(f"{r['n']}|{r['sc']}".encode()).hexdigest())
 
 
 def _delta_dirs(spark, path: str) -> list[str]:
@@ -283,11 +294,85 @@ def _delta_dirs(spark, path: str) -> list[str]:
         if st.isDirectory() and not st.getPath().getName().startswith("_"))
 
 
+def _unhealed_pending(spark, path: str) -> list[str]:
+    """Batch keys of ``_pending-<bk>`` markers whose committed delta
+    is MISSING: a writer crashed after folding the batch into
+    doclens/stats but before its postings committed, and no retry has
+    healed it — doclens/stats count docs that have no postings."""
+    from datahub_spark.fsio import _fs
+
+    fs, root = _fs(spark, f"{path}/postings_delta")
+    if not fs.exists(root):
+        return []
+    jvm = spark._jvm
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_pending-"):
+            bk = name[len("_pending-"):]
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(root, bk)):
+                out.append(bk)
+    return sorted(out)
+
+
+def recover_text_index(spark, path: str) -> bool:
+    """Heal every half-applied update batch (ADVICE r11): for each
+    ``_pending-<bk>`` marker whose delta never committed, subtract the
+    marker's doc ids back out of doclens, recompute stats, and drop
+    the marker — BM25 stats stop counting docs that have no postings
+    even when the failed batch is never retried. Markers whose delta
+    DID commit (crash between the delta rename and the marker delete)
+    are simply dropped. Also sweeps crashed ``_pending_stage-*`` dirs.
+    Returns True when anything was healed. Single-writer, like every
+    fsio maintenance op."""
+    from datahub_spark.fsio import _fs, ensure_recovered
+
+    ensure_recovered(spark, f"{path}/doclens")
+    ensure_recovered(spark, f"{path}/stats")
+    fs, root = _fs(spark, f"{path}/postings_delta")
+    if not fs.exists(root):
+        return False
+    jvm = spark._jvm
+    healed = False
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_pending_stage-"):
+            fs.delete(st.getPath(), True)
+            continue
+        if not name.startswith("_pending-"):
+            continue
+        bk = name[len("_pending-"):]
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(root, bk)):
+            fs.delete(st.getPath(), True)  # commit completed; stale marker
+            continue
+        pend = spark.read.parquet(st.getPath().toString()).select("doc_id")
+        doclens = spark.read.parquet(f"{path}/doclens")
+        parquet_atomic_overwrite(doclens.join(pend, "doc_id", "left_anti"),
+                                 f"{path}/doclens")
+        stats = (spark.read.parquet(f"{path}/doclens")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.coalesce(F.sum("dl"), F.lit(0).cast("long"))
+                      .alias("total_len")))
+        parquet_atomic_overwrite(stats, f"{path}/stats")
+        fs.delete(st.getPath(), True)
+        healed = True
+    return healed
+
+
 def _read_postings(spark, path: str) -> DataFrame:
     """The full postings table: base build + every COMMITTED delta
     generation. Each root is its own pruned scan (bucket partition
     filters apply per scan), unioned — a half-written delta is a
-    ``_stage-*`` dir and invisible here."""
+    ``_stage-*`` dir and invisible here. Raises when an unhealed
+    half-applied batch exists (doclens/stats would be skewed against
+    these postings) instead of silently serving wrong BM25 stats."""
+    bad = _unhealed_pending(spark, path)
+    if bad:
+        raise IOError(
+            f"text index at {path} has half-applied update "
+            f"batch(es) {bad}: doclens/stats were folded but the "
+            "postings never committed — retry the batch or run "
+            "recover_text_index() first")
     post = spark.read.parquet(f"{path}/postings")
     for d in _delta_dirs(spark, path):
         post = post.unionByName(spark.read.parquet(d))
@@ -302,19 +387,29 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
     doclens/stats and commit its postings as a DELTA GENERATION. Only
     the batch is tokenized; existing postings are never rewritten.
 
-    Crash/retry contract (r11, ADVICE): every window heals and a
+    Crash/retry contract (r11/r12, ADVICE): every window heals and a
     retried batch is idempotent —
       * the batch's postings land in their own delta dir
-        (``postings_delta/<batch_key>``), stage-written then renamed
-        as the LAST step; readers union base + committed deltas, so a
-        half-written delta is invisible and a retry of an
-        already-committed batch is a no-op (the delta dir exists);
-      * doclens/stats self-heal crashed swaps via ensure_recovered
-        before any read, and the batch is anti-joined against doclens
-        before folding — a crash AFTER the doclens swap cannot
-        double-count lengths on retry (the retry skips the fold,
-        recomputes stats from doclens, and commits the missing delta);
-      * stats derives from doclens alone, so recomputing it is always
+        (``postings_delta/<batch_key>``), stage-written then renamed;
+        readers union base + committed deltas, so a half-written
+        delta is invisible and a retry of an already-committed batch
+        is a no-op (the delta dir exists);
+      * the committed delta carries a ``_content-<digest>`` marker;
+        a resubmission with the SAME ids but DIFFERENT text raises
+        loudly instead of silently no-opping (ADVICE r11) — corrected
+        content needs a full rebuild (save_text_index), since deltas
+        only ever ADD postings;
+      * BEFORE the doclens fold, the batch's new (doc_id, dl) rows
+        commit as a ``_pending-<batch_key>`` marker; the marker is
+        removed only AFTER the postings delta renames. A crash in
+        between leaves a detectable state: readers raise instead of
+        serving stats that count docs with no postings, a retry of
+        the same batch heals it in place, and ``recover_text_index``
+        heals it without the batch (subtracting the marker's ids back
+        out of doclens);
+      * doclens/stats self-heal crashed swaps via ensure_recovered,
+        and the batch is anti-joined against doclens before folding;
+        stats derives from doclens alone, so recomputing it is always
         consistent.
     Caller contract (unchanged): distinct batches carry distinct doc
     ids (dedup upstream) — the anti-join protects retries of the SAME
@@ -322,13 +417,14 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
     Single-writer, like every fsio maintenance op."""
     import uuid
 
-    from datahub_spark.fsio import _fs, ensure_recovered
+    from datahub_spark.fsio import _fs
 
     spark = docs.sparkSession
-    ensure_recovered(spark, f"{path}/doclens")
-    ensure_recovered(spark, f"{path}/stats")
-    bk = _batch_key(docs, id_col)
+    recover_text_index(spark, path)
+    bk, ck = _batch_keys(docs, id_col, text_col)
     fs, final = _fs(spark, f"{path}/postings_delta/{bk}")
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
     # sweep stale in-flight stages (crashed before their rename)
     parent = final.getParent()
     if fs.exists(parent):
@@ -336,26 +432,56 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
             if st.getPath().getName().startswith("_stage-"):
                 fs.delete(st.getPath(), True)
     if fs.exists(final):
-        return  # this exact batch already committed end-to-end
+        # this id set already committed end-to-end — verify the
+        # CONTENT matches before declaring the retry a no-op
+        # (ADVICE r11). Deltas from before the digest existed carry
+        # no marker and keep the old retry-is-no-op behavior.
+        digests = [st.getPath().getName()[len("_content-"):]
+                   for st in fs.listStatus(final)
+                   if st.getPath().getName().startswith("_content-")]
+        if digests and ck not in digests:
+            raise ValueError(
+                f"update_text_index: batch {bk} was already committed "
+                "with the same doc ids but DIFFERENT text content — "
+                "deltas only add postings, so corrected content needs "
+                f"a full rebuild (save_text_index) of {path}")
+        return
 
     postings, doclens = build_text_index(docs, text_col, id_col)
     existing = spark.read.parquet(f"{path}/doclens")
     fresh = doclens.join(existing.select("doc_id"), "doc_id", "left_anti")
-    parquet_atomic_overwrite(existing.unionByName(fresh),
+
+    # commit the pending marker (the batch's new doclens rows) BEFORE
+    # folding, so a crash between the fold and the postings rename is
+    # detectable and reversible
+    pend_stage = Path(parent, f"_pending_stage-{bk}-{uuid.uuid4().hex}")
+    pending = Path(parent, f"_pending-{bk}")
+    fresh.write.mode("overwrite").parquet(pend_stage.toString())
+    if fs.exists(pending):
+        fs.delete(pending, True)
+    if not fs.rename(pend_stage, pending):
+        raise IOError(f"update_text_index: rename {pend_stage} "
+                      f"-> {pending}")
+
+    # fold from the committed marker, not the live frame — the exact
+    # rows healing would subtract are the rows folded in
+    fresh_rows = spark.read.parquet(pending.toString())
+    parquet_atomic_overwrite(existing.unionByName(fresh_rows),
                              f"{path}/doclens")
     stats = (spark.read.parquet(f"{path}/doclens")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum("dl").alias("total_len")))
     parquet_atomic_overwrite(stats, f"{path}/stats")
 
-    jvm = spark._jvm
-    stage = jvm.org.apache.hadoop.fs.Path(
-        parent, f"_stage-{bk}-{uuid.uuid4().hex}")
+    stage = Path(parent, f"_stage-{bk}-{uuid.uuid4().hex}")
     (postings
      .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
                  .cast("int"))
      .repartition("bucket")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(stage.toString()))
+    # the content digest rides INSIDE the delta (Spark ignores _-files)
+    fs.create(Path(stage, f"_content-{ck}")).close()
     if not fs.rename(stage, final):
         raise IOError(f"update_text_index: rename {stage} -> {final}")
+    fs.delete(pending, True)

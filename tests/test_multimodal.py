@@ -1306,3 +1306,22 @@ def test_bmp_vectorized_encode_decode_and_stacked_dhash_bit_parity():
         flipped = MM._dhash64(w, h, rows[::-1])
         signed_f = flipped - (1 << 64) if flipped >= 1 << 63 else flipped
         assert int(hs[1]) == signed_f
+
+
+def test_image_dhash_budget_flush_value_identical(spark, monkeypatch):
+    """ADVICE r11 (medium): image_dhash bounds its decoded working set
+    by a pixel budget instead of holding the whole Arrow batch. A
+    budget of 1 (flush after every image) must produce the exact same
+    hashes as the default (one flush per batch)."""
+    import datahub_spark.operators.multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(24)],
+        "doc_id long, text string")
+    media = MM.synthesize_bmp(docs, width=16, height=12)
+    want = {r["doc_id"]: r["dhash"]
+            for r in MM.image_dhash(media).collect()}
+    monkeypatch.setattr(MM, "_DHASH_PIXEL_BUDGET", 1)
+    got = {r["doc_id"]: r["dhash"]
+           for r in MM.image_dhash(media).collect()}
+    assert got == want and len(got) == 24

@@ -199,3 +199,88 @@ def test_update_text_index_retry_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, RT.bm25_search(
         spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
         == baseline
+
+
+def test_update_text_index_content_change_raises(spark, tmp_path):
+    """ADVICE r11: a resubmitted batch with the SAME doc ids but
+    corrected text must not silently no-op — the committed delta
+    carries a content digest and a mismatching retry raises, pointing
+    at a full rebuild."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    RT.save_text_index(docs, path, buckets=4)
+    batch = spark.createDataFrame([(3, "delta delta")],
+                                  "doc_id long, text string")
+    RT.update_text_index(batch, path, buckets=4)
+    # identical resubmission: clean no-op
+    RT.update_text_index(batch, path, buckets=4)
+    # same id, different text: loud failure, index unchanged
+    changed = spark.createDataFrame([(3, "epsilon zeta")],
+                                    "doc_id long, text string")
+    with pytest.raises(ValueError, match="DIFFERENT text"):
+        RT.update_text_index(changed, path, buckets=4)
+    got = RT.bm25_search(spark, path, ["delta"], k=5, buckets=4).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    assert not RT.bm25_search(spark, path, ["epsilon"], k=5,
+                              buckets=4).collect()
+
+
+def test_update_text_index_half_applied_batch_detected_and_healed(
+        spark, tmp_path):
+    """ADVICE r11: a crash AFTER the doclens fold but BEFORE the
+    postings delta commits leaves a _pending marker. Readers refuse to
+    serve the skewed stats; a retry of the same batch heals in place;
+    recover_text_index heals WITHOUT the batch (unfolds doclens/stats)
+    when the caller gave up."""
+    import shutil
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    RT.save_text_index(docs, path, buckets=4)
+    stats_before = spark.read.parquet(f"{path}/stats").collect()[0]
+    base_search = sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect()))
+
+    batch = spark.createDataFrame([(3, "gamma gamma alpha")],
+                                  "doc_id long, text string")
+    RT.update_text_index(batch, path, buckets=4)
+    after_search = sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect()))
+    stats_after = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stats_after["n_docs"] == 3
+
+    def crash_window():
+        """Recreate the exact on-disk state a crash between the
+        doclens fold and the postings rename leaves behind."""
+        (d,) = RT._delta_dirs(spark, path)
+        shutil.rmtree(d.removeprefix("file:"))
+        bk, _ = RT._batch_keys(batch, "doc_id", "text")
+        _, dl = RT.build_text_index(batch)
+        dl.write.mode("overwrite").parquet(
+            f"{path}/postings_delta/_pending-{bk}")
+
+    # 1) detection: readers raise rather than serve skewed stats
+    crash_window()
+    with pytest.raises(IOError, match="half-applied"):
+        RT.bm25_search(spark, path, ["alpha"], k=5, buckets=4).collect()
+    # 2) retry of the same batch heals in place
+    RT.update_text_index(batch, path, buckets=4)
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == after_search
+    assert len(RT._delta_dirs(spark, path)) == 1
+    # 3) recover without the batch: index returns to the pre-batch state
+    crash_window()
+    assert RT.recover_text_index(spark, path) is True
+    stats_healed = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert (stats_healed["n_docs"], stats_healed["total_len"]) \
+        == (stats_before["n_docs"], stats_before["total_len"])
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == base_search
+    # idempotent once healed
+    assert RT.recover_text_index(spark, path) is False
