@@ -926,19 +926,35 @@ def _check_bloom_size(m_bits: int, who: str) -> None:
             "every executor.")
 
 
-def bloom_positions(col: Column, m_bits: int, hashes: int) -> Column:
+def bloom_positions(col: Column, m_bits: int, hashes: int,
+                    method: str = "xxhash64") -> Column:
     """The k bit positions of a document's normalized content digest:
-    pmod(xxhash64(normalize(text), seed_i), m). Computed JVM-side in
-    codegen on BOTH the build and probe paths, so Python never hashes —
-    the probe UDF only gathers bits."""
-    return F.array(*[
-        F.pmod(F.xxhash64(normalize(col), F.lit(i)), F.lit(int(m_bits)))
-        for i in range(int(hashes))
-    ])
+    pmod(hash_i(normalize(text)), m). Computed JVM-side in codegen on
+    BOTH the build and probe paths, so Python never hashes — the probe
+    UDF only gathers bits. ``method``: "xxhash64" (default, cheapest)
+    or "md5" (engine-portable 60-bit digest-prefix ints, the same
+    fixed-point family as minhash_signature / stratified_sample — any
+    engine with md5 reproduces the positions bit-for-bit)."""
+    if method == "xxhash64":
+        return F.array(*[
+            F.pmod(F.xxhash64(normalize(col), F.lit(i)), F.lit(int(m_bits)))
+            for i in range(int(hashes))
+        ])
+    if method == "md5":
+        return F.array(*[
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat(normalize(col), F.lit(f"|{i}"))),
+                    1, 15), 16, 10).cast("long"),
+                F.lit(int(m_bits)))
+            for i in range(int(hashes))
+        ])
+    raise ValueError(f"bloom_positions: unknown method {method!r}")
 
 
 def build_bloom(df: DataFrame, m_bits: int = 1 << 20, hashes: int = 7,
-                text_col: str = "text") -> "np.ndarray":
+                text_col: str = "text",
+                method: str = "xxhash64") -> "np.ndarray":
     """Fold a corpus into a Bloom bitmap, returned as an int64 word
     array of length m_bits/64. Plan shape: positions explode -> ONE
     groupBy(word_idx).agg(bit_or) with map-side partial ORs — the
@@ -947,7 +963,8 @@ def build_bloom(df: DataFrame, m_bits: int = 1 << 20, hashes: int = 7,
     Sizes past BLOOM_MAX_BITS are rejected (see the capacity table
     above) — that regime belongs to the LSH index tier."""
     _check_bloom_size(m_bits, "build_bloom")
-    pos = F.explode(bloom_positions(F.col(text_col), m_bits, hashes))
+    pos = F.explode(bloom_positions(F.col(text_col), m_bits, hashes,
+                                    method))
     words = (
         df.select(pos.alias("p"))
         .select(F.expr("p div 64").alias("w"),
@@ -984,7 +1001,8 @@ def load_bloom(spark, path: str):
 
 def filter_novel_bloom(df: DataFrame, words, hashes: int = 7,
                        text_col: str = "text",
-                       flag_col: str | None = None) -> DataFrame:
+                       flag_col: str | None = None,
+                       method: str = "xxhash64") -> DataFrame:
     """Drop every document whose digest is (probably) already in the
     corpus bitmap. Works identically on batch and STREAMING frames —
     the whole check is map-side (positions in codegen, bit gather in
@@ -1016,7 +1034,8 @@ def filter_novel_bloom(df: DataFrame, words, hashes: int = 7,
         bits = (Wx[P >> 6] >> (P & 63)) & 1
         return pd.Series(bits.all(axis=1))
 
-    hit = maybe_member(bloom_positions(F.col(text_col), m_bits, hashes))
+    hit = maybe_member(bloom_positions(F.col(text_col), m_bits, hashes,
+                                       method))
     if flag_col is not None:
         return df.withColumn(flag_col, hit)
     return df.filter(~hit)

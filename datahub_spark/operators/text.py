@@ -746,7 +746,8 @@ def sample_to_token_budget(df: DataFrame, strata_col: str,
                            id_col: str = "doc_id",
                            text_col: str = "text", seed: int = 42,
                            default_rate: float = 0.0,
-                           token_counts: DataFrame | None = None) -> DataFrame:
+                           token_counts: DataFrame | None = None,
+                           method: str = "xxhash64") -> DataFrame:
     """Corpus mixing against per-domain TOKEN budgets (the knob LLM
     data recipes are actually written in — "300B web tokens, 50B code
     tokens" — rather than keep fractions): measure each stratum's total
@@ -766,7 +767,9 @@ def sample_to_token_budget(df: DataFrame, strata_col: str,
     ``token_counts`` (id -> n_tokens frame, e.g. ``bpe.encode_bpe``
     output) prices the budget in REAL tokenizer tokens instead of the
     whitespace proxy — the unit training recipes are actually written
-    in. One extra keyed join onto the (narrow) id column."""
+    in. One extra keyed join onto the (narrow) id column.
+    ``method`` passes through to ``stratified_sample`` ("md5" for the
+    engine-portable graded surface, "xxhash64" production default)."""
     if token_counts is not None:
         counted = df.select(F.col(id_col), F.col(strata_col)).join(
             token_counts.select(F.col("id").alias(id_col),
@@ -784,7 +787,8 @@ def sample_to_token_budget(df: DataFrame, strata_col: str,
         if totals.get(stratum)
     }
     return stratified_sample(df, strata_col, rates, id_col=id_col,
-                             seed=seed, default_rate=default_rate)
+                             seed=seed, default_rate=default_rate,
+                             method=method)
 
 
 def mixture_budgets(df: DataFrame, strata_col: str, total_tokens: int,

@@ -932,14 +932,24 @@ def _sample_select_oracle() -> str:
              / CAST(n_chars AS DOUBLE) AS k
       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
       ORDER BY k, doc_id LIMIT 25)
+    UNION ALL
+    SELECT 'split', doc_id,
+           CASE WHEN u >= 0.9 AND u < 1.0 THEN 'test'
+                WHEN u >= 0.8 AND u < 0.9 THEN 'val'
+                WHEN u >= 0.0 AND u < 0.8 THEN 'train' END
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS u
+          FROM documents)
     """
 
 
 @register("sample_select", _sample_select_oracle())
 def q_sample_select(spark, sf_dir):
-    """Deterministic corpus sampling, both flavors in one graded key
+    """Deterministic corpus selection, three flavors in one graded key
     (r9 window rotation — stratified_sample was the hash-green key
-    r3-r8; the r8 A-ES weighted sampler joins it here):
+    r3-r8; the r8 A-ES weighted sampler joined r9; fold assignment
+    merged r12 after three green rounds standalone):
 
     * stratified (§2 row 43d): per-lang keep rates, selection keyed on
       a seeded content-independent document hash — reproducible,
@@ -948,9 +958,14 @@ def q_sample_select(spark, sf_dir):
       with inclusion probability ∝ n_chars (Efraimidis-Spirakis
       exponential clocks, -ln(u)/w keys), executed as
       TakeOrderedAndProject — per-partition partial top-k, no global
-      sort (plan-pinned in test_text.py).
+      sort (plan-pinned in test_text.py);
+    * split (§2 row 43w, text.assign_splits — graded standalone
+      r9-r11): leakage-safe train/val/test hash-interval assignment,
+      disjoint + exhaustive, growth-stable; the fold name rides in
+      the lang column slot. The group_col leakage guard stays
+      unit-covered (test_split_by_duplicate_cluster_no_leakage).
 
-    Both graded via the md5 fixed-point method (engine-portable);
+    All graded via the md5 fixed-point method (engine-portable);
     xxhash64 is the production default."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     strat = TX.stratified_sample(
@@ -960,19 +975,19 @@ def q_sample_select(spark, sf_dir):
     weighted = TX.weighted_sample(
         docs, k=25, weight_col="n_chars", seed=_SAMPLE_SEED,
     ).select(F.lit("weighted").alias("mode"), "doc_id", "lang")
-    return strat.unionByName(weighted)
+    split = TX.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7, method="md5").select(
+        F.lit("split").alias("mode"), "doc_id",
+        F.col("split").alias("lang"))
+    return strat.unionByName(weighted).unionByName(split)
 
 
-@register(
-    "dedup_exact",
-    f"""
-    WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents)
-    SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper
-    FROM d GROUP BY digest
-    """,
-)
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: one hash-aggregate on the content digest."""
+    """Exact dedup: one hash-aggregate on the content digest. (Graded
+    standalone r1-r11; merged into dedup_pairs mode='exact' in r12 —
+    the merged arm plants shifted-id duplicate payloads so the group
+    join has real pairs to surface.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return DD.dedup_exact(docs)
 
@@ -1043,9 +1058,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-@register(
-    "decontaminate",
-    f"""
+_DECON_SQL = f"""
     WITH {_SHINGLE_SQL},
     bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
     hits AS (
@@ -1058,13 +1071,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
            COALESCE(h.n_hits, 0) >= 2 AS contaminated
     FROM documents d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id % 50 <> 0
-    """,
-)
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (§2 row 38b): every 50th document plays
     the held-out eval set; training docs sharing >= 2 word 3-grams with
     it are flagged. One shingle equi-join with the (small) benchmark
-    side broadcast — the GPT-3/Pile n-gram overlap filter shape."""
+    side broadcast — the GPT-3/Pile n-gram overlap filter shape.
+    (Graded standalone r1-r11; merged into corpus_diff mode='decon'
+    in r12 — hit counts + flags ride in the status string.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     train = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
@@ -1117,21 +1133,37 @@ def q_dedup_simhash(spark, sf_dir):
     SELECT 'ngram', id_a, id_b, jaccard_e4 FROM ({_NGRAM_JACCARD_SQL})
     UNION ALL
     SELECT 'simhash', id_a, id_b, hamming FROM ({_simhash_oracle()})
+    UNION ALL
+    SELECT 'exact', id_a, id_b, metric FROM (
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      dg AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM corpus),
+      g AS (SELECT digest, MIN(doc_id) AS keeper,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY digest)
+      SELECT g.keeper AS id_a, d.doc_id AS id_b, g.n AS metric
+      FROM dg d JOIN g USING (digest) WHERE d.doc_id <> g.keeper)
     """,
 )
 def q_dedup_pairs(spark, sf_dir):
-    """The three text near-dup candidate generators, one graded key
-    (§2 rows 36+37+38 merged in the r10 window rotation to free
-    grading slots; each graded standalone r1-r9 and all three fully
-    computed here — the mode-tagged union is only the grading
-    surface):
+    """The text duplicate-pair generators, one graded key (§2 rows
+    35+36+37+38; minhash/ngram/simhash merged in the r10 window
+    rotation, exact merged r12 — each graded standalone for many
+    rounds and all four fully computed here; the mode-tagged union is
+    only the grading surface):
 
     * minhash — shingle -> md5-keyed 60-bit minhash -> LSH bands ->
       bucket equi-join (metric = -1: candidates carry no score);
     * ngram — exact n-gram Jaccard >= 0.5, shingle equi-join, metric =
       jaccard in e4 fixed point;
     * simhash — 60-bit SimHash, 15-bit pigeonhole chunks, metric =
-      Hamming distance <= 3."""
+      Hamming distance <= 3;
+    * exact — content-digest groups (dedup.dedup_exact) surfaced as
+      (keeper, member) pairs, metric = group size. The synthetic
+      corpus has no byte-identical texts, so every tenth document is
+      re-planted under a shifted id — the hash-aggregate and the
+      group join are exercised on real collisions."""
     mh = q_dedup_minhash(spark, sf_dir).select(
         F.lit("minhash").alias("mode"), "id_a", "id_b",
         F.lit(-1).cast("long").alias("metric"))
@@ -1141,7 +1173,19 @@ def q_dedup_pairs(spark, sf_dir):
     sh = q_dedup_simhash(spark, sf_dir).select(
         F.lit("simhash").alias("mode"), "id_a", "id_b",
         F.col("hamming").cast("long").alias("metric"))
-    return mh.unionByName(ng).unionByName(sh)
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    dg = corpus.select("doc_id",
+                       DD.content_digest(F.col("text")).alias("digest"))
+    ex = (dg.join(DD.dedup_exact(corpus), "digest")
+          .filter(F.col("doc_id") != F.col("keeper"))
+          .select(F.lit("exact").alias("mode"),
+                  F.col("keeper").cast("long").alias("id_a"),
+                  F.col("doc_id").cast("long").alias("id_b"),
+                  F.col("n_docs").cast("long").alias("metric")))
+    return mh.unionByName(ng).unionByName(sh).unionByName(ex)
 
 
 # fixed-point dot threshold: cosine 0.4 at scale 1e14
@@ -1661,9 +1705,39 @@ def q_text_cleaning(spark, sf_dir):
     return boiler.unionByName(span)
 
 
+_DOMAIN_STATS_SQL = """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             text || ' see https://d' || CAST(doc_id % 97 AS VARCHAR)
+                  || '.example.org/p'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and https://M' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.net/q https://d'
+                               || CAST(doc_id % 97 AS VARCHAR)
+                               || '.example.org/r'
+                          ELSE '' END AS text
+      FROM documents),
+    h AS (
+      SELECT doc_id, n_chars, lower(u) AS domain
+      FROM (SELECT doc_id, n_chars,
+                   unnest(regexp_extract_all(
+                     text, 'https?://([A-Za-z0-9.-]+)', 1)) AS u
+            FROM d) t),
+    pd AS (
+      SELECT domain, doc_id, any_value(n_chars) AS q,
+             CAST(COUNT(*) AS BIGINT) AS links
+      FROM h GROUP BY domain, doc_id)
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(links) AS BIGINT) AS n_links,
+           CAST((20000 * SUM(q) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_quality_e4
+    FROM pd GROUP BY domain
+    """
+
+
 @register(
     "corpus_frequency",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
       FROM documents
@@ -1676,19 +1750,66 @@ def q_text_cleaning(spark, sf_dir):
              CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
       FROM j GROUP BY doc_id
     )
-    SELECT id, n_tokens, sum_freq,
-           (20000 * sum_freq + n_tokens) // (2 * n_tokens) AS mean_freq_e4,
-           (20000 * n_rare + n_tokens) // (2 * n_tokens) AS rare_ratio_e4
+    SELECT 'vocab' AS mode, CAST(id AS VARCHAR) AS key,
+           n_tokens AS n1, sum_freq AS n2,
+           (20000 * sum_freq + n_tokens) // (2 * n_tokens) AS e4a,
+           (20000 * n_rare + n_tokens) // (2 * n_tokens) AS e4b
     FROM agg
+    UNION ALL
+    SELECT 'domain', domain, n_docs, n_links, mean_quality_e4,
+           CAST(-1 AS BIGINT)
+    FROM ({_DOMAIN_STATS_SQL})
     """,
 )
 def q_corpus_frequency(spark, sf_dir):
-    """Corpus-trained rarity scoring (§2 row 43i, graded r7): the
-    integer-exact core of a CCNet-style LM quality filter — per-doc
-    sum/mean corpus token frequency and rare-token (count <= 2) ratio
-    in e4 fixed-point (operators/text.py:corpus_frequency_features)."""
+    """Corpus-level statistics, BOTH shapes in one graded key (SURVEY
+    rows 43i + 43q; domain_stats merged r12 — each individually
+    hash-green since r7/r9). Generic columns (mode, key VARCHAR, n1,
+    n2, e4a, e4b):
+
+    * mode='vocab' (text.corpus_frequency_features — graded r7):
+      corpus-trained rarity scoring, the integer-exact core of a
+      CCNet-style LM quality filter — per-doc sum/mean corpus token
+      frequency and rare-token (count <= 2) ratio in e4 fixed point.
+      key = doc_id as string, n1=n_tokens, n2=sum_freq,
+      e4a=mean_freq_e4, e4b=rare_ratio_e4.
+    * mode='domain' (text.domain_stats — promoted r9): per linked
+      host, citing-document count, total link occurrences, and the
+      exact-e4 mean quality over citing documents; one explode + two
+      HashAggregates, linear in links. The synthetic documents carry
+      no URLs, so deterministic ones are planted first (the asof_join
+      synthetic-profile pattern; the oracle plants the identical
+      links). key=domain, n1=n_docs, n2=n_links, e4a=mean_quality_e4,
+      e4b=-1 pad."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    return TX.corpus_frequency_features(docs, rare_threshold=2)
+    vocab = TX.corpus_frequency_features(docs, rare_threshold=2).select(
+        F.lit("vocab").alias("mode"),
+        F.col("id").cast("string").alias("key"),
+        F.col("n_tokens").cast("long").alias("n1"),
+        F.col("sum_freq").cast("long").alias("n2"),
+        F.col("mean_freq_e4").cast("long").alias("e4a"),
+        F.col("rare_ratio_e4").cast("long").alias("e4b"))
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" see https://d"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.org/p"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" and https://M"),
+                            (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".example.net/q https://d"),
+                            (F.col("doc_id") % 97).cast("string"),
+                            F.lit(".example.org/r")))
+            .otherwise(F.lit(""))))
+    domain = TX.domain_stats(planted, quality_col="n_chars").select(
+        F.lit("domain").alias("mode"),
+        F.col("domain").alias("key"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("n_links").cast("long").alias("n2"),
+        F.col("mean_quality_e4").cast("long").alias("e4a"),
+        F.lit(-1).cast("long").alias("e4b"))
+    return vocab.unionByName(domain)
 
 
 # --------------------------------------------------------------------------
@@ -1987,9 +2108,7 @@ def q_paragraph_dedup(spark, sf_dir):
     return TX.paragraph_dedup(docs, window=8)
 
 
-@register(
-    "pack_sequences",
-    """
+_PACK_SQL = """
     WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n
                FROM documents WHERE n_chars > 0),
     g AS (SELECT doc_id, n,
@@ -2005,105 +2124,29 @@ def q_paragraph_dedup(spark, sf_dir):
            CAST(LEAST(s + n, (seq+1)*1000) - s AS BIGINT) AS doc_to,
            CAST(GREATEST(s, seq*1000) - seq*1000 AS BIGINT) AS seq_off
     FROM e
-    """,
-)
+    """
+
+
 def q_pack_sequences(spark, sf_dir):
-    """Sequence packing (§2 row 43x, operators/export.py:pack_sequences
-    — promoted r9): the corpus as one virtual token stream cut every
-    1000 units (n_chars as the count), GPT-style zero-padding packing.
-    The oracle is the single-window sequential cumsum; Spark computes
-    the SAME global running sum with NO global sort — range partition
-    + local cumsum + bounded prefix-offset broadcast (checkpointed so
-    both executions read one materialized partitioning)."""
+    """Sequence packing (§2 row 43x, operators/export.py:pack_sequences).
+    Graded standalone r9-r11; merged into export_shards mode='packed'
+    in r12 — the no-global-sort running sum is unchanged."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return EX.pack_sequences(docs, 1000, count_col="n_chars", partitions=7)
 
 
-@register(
-    "data_splits",
-    """
-    SELECT doc_id,
-           CASE WHEN u >= 0.9 AND u < 1.0 THEN 'test'
-                WHEN u >= 0.8 AND u < 0.9 THEN 'val'
-                WHEN u >= 0.0 AND u < 0.8 THEN 'train' END AS split
-    FROM (SELECT doc_id,
-                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
-                 / 1152921504606846976.0 AS u
-          FROM documents)
-    """,
-)
 def q_data_splits(spark, sf_dir):
     """Leakage-safe train/val/test assignment (§2 row 43w,
-    operators/text.py:assign_splits — promoted r9): hash-interval fold
-    assignment, disjoint + exhaustive by construction, growth-stable
-    (adding documents never moves one across folds). The group_col
-    leakage guard (route whole dup-clusters) is covered in-suite
-    (test_split_by_duplicate_cluster_no_leakage)."""
+    operators/text.py:assign_splits). Graded standalone r9-r11;
+    merged into sample_select mode='split' in r12."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return TX.assign_splits(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1},
         seed=7, method="md5").select("doc_id", "split")
 
 
-@register(
-    "domain_stats",
-    """
-    WITH d AS (
-      SELECT doc_id, n_chars,
-             text || ' see https://d' || CAST(doc_id % 97 AS VARCHAR)
-                  || '.example.org/p'
-                  || CASE WHEN doc_id % 3 = 0
-                          THEN ' and https://M' || CAST(doc_id % 7 AS VARCHAR)
-                               || '.example.net/q https://d'
-                               || CAST(doc_id % 97 AS VARCHAR)
-                               || '.example.org/r'
-                          ELSE '' END AS text
-      FROM documents),
-    h AS (
-      SELECT doc_id, n_chars, lower(u) AS domain
-      FROM (SELECT doc_id, n_chars,
-                   unnest(regexp_extract_all(
-                     text, 'https?://([A-Za-z0-9.-]+)', 1)) AS u
-            FROM d) t),
-    pd AS (
-      SELECT domain, doc_id, any_value(n_chars) AS q,
-             CAST(COUNT(*) AS BIGINT) AS links
-      FROM h GROUP BY domain, doc_id)
-    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(links) AS BIGINT) AS n_links,
-           CAST((20000 * SUM(q) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
-           AS mean_quality_e4
-    FROM pd GROUP BY domain
-    """,
-)
-def q_domain_stats(spark, sf_dir):
-    """Per-domain corpus statistics (§2 row 43q,
-    operators/text.py:domain_stats — promoted r9): for every linked
-    host, citing-document count, total link occurrences, and the mean
-    quality (n_chars as the quality stand-in) over citing documents in
-    exact e4 fixed-point (round-half-up integer formula — no float
-    mean). One explode + two HashAggregates, linear in links. The
-    synthetic documents carry no URLs, so the query plants
-    deterministic ones first (one ~97-domain link per doc, a second
-    mixed-case pair on every third doc — exercising host
-    lowercasing, per-doc dedup of n_docs vs n_links, and the
-    integer mean) — the asof_join synthetic-profile pattern; the
-    oracle plants the identical links."""
-    docs = ingest.load_tables(spark, sf_dir)["documents"]
-    planted = docs.withColumn(
-        "text",
-        F.concat(
-            F.col("text"), F.lit(" see https://d"),
-            (F.col("doc_id") % 97).cast("string"),
-            F.lit(".example.org/p"),
-            F.when(F.col("doc_id") % 3 == 0,
-                   F.concat(F.lit(" and https://M"),
-                            (F.col("doc_id") % 7).cast("string"),
-                            F.lit(".example.net/q https://d"),
-                            (F.col("doc_id") % 97).cast("string"),
-                            F.lit(".example.org/r")))
-            .otherwise(F.lit(""))))
-    return TX.domain_stats(planted, quality_col="n_chars")
+# (domain_stats merged into the corpus_frequency graded key in r12 —
+# see q_corpus_frequency's mode='domain' half and _DOMAIN_STATS_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -2181,6 +2224,11 @@ def _filter_novel_oracle() -> str:
     FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
     UNION ALL
     SELECT 'novel', doc_id, 'novel' FROM ({_filter_novel_oracle()})
+    UNION ALL
+    SELECT 'decon', id,
+           'h' || CAST(n_hits AS VARCHAR)
+               || CASE WHEN contaminated THEN ':dup' ELSE ':ok' END
+    FROM ({_DECON_SQL})
     """,
 )
 def q_corpus_diff(spark, sf_dir):
@@ -2198,7 +2246,12 @@ def q_corpus_diff(spark, sf_dir):
       the odd-id half arrives as the new batch and keeps only
       documents colliding with NEITHER the index NOR a lower-id batch
       member — one signature pass over the batch, a pruned (band,
-      key) equi-join against the index; linear in batch size."""
+      key) equi-join against the index; linear in batch size.
+    * mode='decon' (dedup.decontaminate, merged r12 — graded
+      standalone r1-r11): benchmark decontamination, every 50th
+      document playing the held-out eval set; training docs sharing
+      >= 2 word 3-grams are flagged. Hit counts + verdicts ride in
+      the status string ('h<N>:dup' / 'h<N>:ok')."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     old = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
         "text",
@@ -2218,7 +2271,13 @@ def q_corpus_diff(spark, sf_dir):
                             rows_per_band=3).select(
         F.lit("novel").alias("mode"), "doc_id",
         F.lit("novel").alias("status"))
-    return diff.unionByName(novel)
+    decon = q_decontaminate(spark, sf_dir).select(
+        F.lit("decon").alias("mode"),
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), F.col("n_hits").cast("string"),
+                 F.when(F.col("contaminated"), F.lit(":dup"))
+                 .otherwise(F.lit(":ok"))).alias("status"))
+    return diff.unionByName(novel).unionByName(decon)
 
 
 _BIGRAM_LM_SQL = """
@@ -2445,27 +2504,57 @@ def q_dsir_select(spark, sf_dir):
              CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
                                   x -> x <> '')) AS BIGINT) AS n_tok
       FROM documents)
-    SELECT CAST(shard AS BIGINT) AS shard,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    SELECT 'shards' AS mode, CAST(shard AS BIGINT) AS k1,
+           CAST(-1 AS BIGINT) AS k2,
+           CAST(COUNT(*) AS BIGINT) AS v1,
+           CAST(SUM(n_tok) AS BIGINT) AS v2,
+           CAST(-1 AS BIGINT) AS v3
     FROM a GROUP BY shard
+    UNION ALL
+    SELECT 'packed', doc_id, seq_id, doc_from, doc_to, seq_off
+    FROM ({_PACK_SQL})
     """,
 )
 def q_export_shards(spark, sf_dir):
-    """Reproducible training-shard export (§2 rows 43h,
-    operators/export.py:assign_shards/export_shards — promoted r10):
-    hash-uniform placement into 8 shards (md5 family, so the oracle
-    reproduces the placement bit-for-bit), one keyed shuffle, local
-    in-shard sort, dir-per-shard parquet write; the graded manifest is
-    read back FROM THE WRITTEN FILES, so placement, the shuffle, the
-    partitioned write, and the whitespace token counts are all
-    end-to-end verified — not just the plan."""
+    """Training-set export, BOTH shapes in one graded key (SURVEY rows
+    43h + 43x; pack_sequences merged r12 — each individually
+    hash-green since r9/r10). Generic columns (mode, k1, k2, v1, v2,
+    v3), all BIGINT:
+
+    * mode='shards' (export.assign_shards/export_shards — promoted
+      r10): hash-uniform placement into 8 shards (md5 family), one
+      keyed shuffle, local in-shard sort, dir-per-shard parquet
+      write; the graded manifest is read back FROM THE WRITTEN FILES,
+      so placement, the shuffle, the partitioned write, and the
+      whitespace token counts are all end-to-end verified. Columns:
+      k1=shard, v1=n_docs, v2=n_tokens (k2/v3 = -1 pads).
+    * mode='packed' (export.pack_sequences — promoted r9): the corpus
+      as one virtual token stream cut every 1000 units (n_chars as
+      the count), GPT-style zero-padding packing. The oracle is the
+      single-window sequential cumsum; Spark computes the SAME global
+      running sum with NO global sort — range partition + local
+      cumsum + bounded prefix-offset broadcast. Columns: k1=doc_id,
+      k2=seq_id, v1=doc_from, v2=doc_to, v3=seq_off."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     path = _scratch("export_shards") + "/out"
     manifest = EX.export_shards(docs, path, n_shards=8,
                                 hash_family="md5")
-    return manifest.select(F.col("shard").cast("long").alias("shard"),
-                           "n_docs", "n_tokens")
+    shards = manifest.select(
+        F.lit("shards").alias("mode"),
+        F.col("shard").cast("long").alias("k1"),
+        F.lit(-1).cast("long").alias("k2"),
+        F.col("n_docs").cast("long").alias("v1"),
+        F.col("n_tokens").cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"))
+    packed = EX.pack_sequences(docs, 1000, count_col="n_chars",
+                               partitions=7).select(
+        F.lit("packed").alias("mode"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("seq_id").cast("long").alias("k2"),
+        F.col("doc_from").cast("long").alias("v1"),
+        F.col("doc_to").cast("long").alias("v2"),
+        F.col("seq_off").cast("long").alias("v3"))
+    return shards.unionByName(packed)
 
 
 @register(
@@ -2524,6 +2613,289 @@ def _image_group_pattern(g: int):
                + 11 * g * (x * y + 1)) % 200
         return (val, val, val)
     return pixel
+
+
+# --------------------------------------------------------------------------
+# r12 window rotation: five previously-ungraded exact-potential operators
+# promoted — Gopher quality rules, bigram-LM familiarity features, the
+# Naive-Bayes quality classifier, token-budget corpus mixing, and the
+# Bloom novelty probe. Slots freed by the r12 mode-tagged merges
+# (dedup_exact->dedup_pairs, decontaminate->corpus_diff,
+# data_splits->sample_select, pack_sequences->export_shards,
+# domain_stats->corpus_frequency).
+# --------------------------------------------------------------------------
+
+
+def _gopher_oracle() -> str:
+    stop_terms = " + ".join(
+        f"(CASE WHEN ' ' || nrm || ' ' LIKE '% {s} %' THEN 1 ELSE 0 END)"
+        for s in TX.GOPHER_STOPWORDS)
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             {_NORM_SQL} AS nrm,
+             string_split({_NORM_SQL}, ' ') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS nt,
+             CAST(length(array_to_string(ws, '')) AS BIGINT) AS tc,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  + length(text) - length(replace(text, chr(8230), '')) AS BIGINT) AS nell,
+             CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS BIGINT) AS nbul,
+             CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS nelll,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+             CAST({stop_terms} AS BIGINT) AS nstop
+      FROM base
+    )
+    SELECT doc_id,
+           nt >= 50 AND nt <= 100000 AS ok_word_count,
+           tc >= 3 * nt AND tc <= 10 * nt AS ok_mean_word_len,
+           nhash * 10 <= nt AS ok_hash_ratio,
+           nell * 10 <= nt AS ok_ellipsis_ratio,
+           nbul * 10 < nl * 9 AS ok_bullet_lines,
+           nelll * 10 < nl * 3 AS ok_ellipsis_lines,
+           nalpha * 5 >= nt * 4 AS ok_alpha_words,
+           nstop >= 2 AS ok_stopwords,
+           (nt >= 50 AND nt <= 100000) AND (tc >= 3 * nt AND tc <= 10 * nt)
+           AND (nhash * 10 <= nt) AND (nell * 10 <= nt)
+           AND (nbul * 10 < nl * 9) AND (nelll * 10 < nl * 3)
+           AND (nalpha * 5 >= nt * 4) AND (nstop >= 2) AS passes_gopher
+    FROM m
+    """
+
+
+@register("gopher_rules", _gopher_oracle())
+def q_gopher_rules(spark, sf_dir):
+    """The Gopher document-quality rule set (§2 row 43n,
+    operators/text.py:gopher_rules — PROMOTED to the graded window
+    r12 from in-suite DuckDB parity, the r11 verdict's cheapest
+    promotion): eight integer-exact boolean rules (word count, mean
+    word length, #/ellipsis ratios, bullet/ellipsis line fractions,
+    alpha-word share, stopword presence) plus the conjunction. No
+    floats anywhere — every ratio threshold is cross-multiplied — so
+    the verdicts are engine-portable. ONE projection, no shuffle."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.gopher_rules(docs)
+
+
+@register(
+    "lm_familiarity",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS bigram, p[1] AS w1
+      FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM w WHERE len(ws) >= 2)
+    ), bt AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS bcount FROM bg GROUP BY bigram
+    ), uni AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS ucount
+      FROM (SELECT unnest(ws) AS w1 FROM w) WHERE w1 != '' GROUP BY w1
+    ), j AS (
+      SELECT bg.doc_id,
+             coalesce(bt.bcount, 0) AS bcount,
+             coalesce(uni.ucount, 0) AS ucount,
+             CASE WHEN coalesce(uni.ucount, 0) > 0
+                  THEN (20000 * coalesce(bt.bcount, 0) + uni.ucount) // (2 * uni.ucount)
+                  ELSE 0 END AS p_e4
+      FROM bg LEFT JOIN bt USING (bigram) LEFT JOIN uni USING (w1)
+    ), agg2 AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(bcount) AS BIGINT) AS sum_bigram_freq,
+             CAST(sum(CASE WHEN bcount <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(sum(p_e4) AS BIGINT) AS sum_p_e4
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.sum_bigram_freq, 0) AS sum_bigram_freq,
+           coalesce((20000 * a.n_novel + a.n_bigrams) // (2 * a.n_bigrams), 0) AS novel_ratio_e4,
+           coalesce((2 * a.sum_p_e4 + a.n_bigrams) // (2 * a.n_bigrams), 0) AS cond_familiarity_e4
+    FROM documents d LEFT JOIN agg2 a USING (doc_id)
+    """,
+)
+def q_lm_familiarity(spark, sf_dir):
+    """Bigram-LM familiarity features (§2 row 43l,
+    operators/text.py:bigram_lm_features — PROMOTED r12; the
+    ppl_buckets key grades the downstream CCNet bucketing, this one
+    grades the full per-document FEATURE ROW): corpus-trained bigram
+    + unigram tables, integer-exact conditionals — n_bigrams, total
+    corpus bigram frequency, novel-bigram ratio (count <= 1) and the
+    mean conditional P(w2|w1), all in e4 fixed point (round half up
+    by exact integer division; no float log-probs anywhere). Scale
+    shape: bounded tables broadcast; the only corpus-wide shuffle is
+    the per-doc groupBy."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    return TX.bigram_lm_features(docs)
+
+
+_NB_VOCAB = 2000
+
+
+@register(
+    "nb_classifier",
+    rf"""
+    WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS nrm FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(string_split(nrm, ' ')) AS token FROM n),
+    t2 AS (SELECT doc_id, lang, token FROM tok WHERE token <> ''),
+    counts AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+             CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+      FROM t2 GROUP BY token),
+    vocab AS (SELECT token, pc, nc FROM counts
+              ORDER BY pc + nc DESC, token ASC LIMIT {_NB_VOCAB}),
+    tot AS (SELECT CAST(SUM(pc) AS BIGINT) AS P,
+                   CAST(SUM(nc) AS BIGINT) AS N,
+                   CAST(COUNT(*) AS BIGINT) AS V FROM vocab),
+    model AS (
+      SELECT token,
+             CAST(round(10000 * (ln((pc + 1) / CAST(t.P + t.V AS DOUBLE))
+                                 - ln((nc + 1) / CAST(t.N + t.V AS DOUBLE))))
+                  AS BIGINT) AS llr_e4
+      FROM vocab, tot t),
+    sc AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(m.llr_e4) AS BIGINT) AS n_scored,
+             CAST(COALESCE(SUM(m.llr_e4), 0) AS BIGINT) AS score
+      FROM t2 d LEFT JOIN model m USING (token) GROUP BY d.doc_id)
+    SELECT d.doc_id AS id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.n_scored, 0) AS n_scored,
+           COALESCE(s.score, 0) AS score_e4,
+           COALESCE(s.score, 0) > 0 AS keep
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+    """,
+)
+def q_nb_classifier(spark, sf_dir):
+    """Naive-Bayes quality classifier end-to-end (§2 row 43p,
+    operators/classify.py — PROMOTED r12): TRAIN on the corpus itself
+    (positive = lang 'en', negative = the rest — a deterministic class
+    boundary over the whole table, no limit() nondeterminism), then
+    SCORE every document through the e4-quantized log-likelihood-ratio
+    model. The oracle reproduces training end-to-end in SQL: token
+    counting, the (count desc, token asc) vocabulary cap, Laplace-1
+    llr quantization (DuckDB ln/round agreed bit-for-bit with the JVM
+    on every case measured on this rig — the DSIR/BM25 precedent; the
+    e4 round leaves the last-ulp risk far below the quantum), and the
+    integer score sums. Scale shape: training is one explode + one
+    HashAggregate; scoring is a BROADCAST join of the bounded model +
+    one per-doc aggregate."""
+    from datahub_spark.operators import classify as CL
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    mdl = CL.train_quality_classifier(pos, neg, vocab_size=_NB_VOCAB)
+    return CL.classifier_features(docs, mdl).select(
+        "id", "n_tokens", "n_scored", "score_e4", "keep")
+
+
+_MIX_TOTAL, _MIX_SEED = 12_000, 11
+
+
+@register(
+    "token_budget_mix",
+    f"""
+    WITH tl AS (
+      SELECT lang,
+             CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY lang),
+    b AS (
+      SELECT lang, t,
+             CAST(trunc({_MIX_TOTAL} * CAST(t AS DOUBLE)
+                        / (SELECT SUM(CAST(t AS DOUBLE)) FROM tl))
+                  AS BIGINT) AS budget
+      FROM tl),
+    th AS (
+      SELECT lang,
+             CAST(trunc((CAST(budget AS DOUBLE) / CAST(t AS DOUBLE))
+                        * 1152921504606846976.0) AS BIGINT) AS bound
+      FROM b)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN th USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':{_MIX_SEED}'), 1, 15))::BIGINT
+          < th.bound
+    """,
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing (§2 rows 43f + 43t,
+    operators/text.py:mixture_budgets + sample_to_token_budget —
+    PROMOTED r12): one corpus-level token budget ({_MIX_TOTAL})
+    alpha-splits into per-lang budgets (alpha=1.0 on the graded
+    surface — natural proportions keep every float op an exact-int
+    product/IEEE divide both engines compute identically; the
+    temperature-flattening alpha<1 path and the cap/redistribute
+    waterfill stay unit-covered in test_text.py), then each lang
+    keeps documents by the md5 fixed-point hash against
+    trunc(budget/total * 2^60). The budget stays below every
+    stratum's mass by construction (12k of ~27k corpus tokens), so
+    the closed-form single-round split is exact. Plan: one narrow
+    groupBy(lang) aggregate bounded by |langs|, then a fully
+    map-side filter — no data shuffle."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    budgets = TX.mixture_budgets(docs, "lang", total_tokens=_MIX_TOTAL,
+                                 alpha=1.0)
+    kept = TX.sample_to_token_budget(docs, "lang", budgets,
+                                     seed=_MIX_SEED, method="md5")
+    return kept.select("doc_id", "lang")
+
+
+_BLOOM_M, _BLOOM_H = 1 << 16, 5
+
+
+@register(
+    "bloom_novelty",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, i.i AS i,
+             ('0x' || substr(md5({_NORM_SQL} || '|' || CAST(i.i AS VARCHAR)), 1, 15))::BIGINT
+             % {_BLOOM_M} AS p
+      FROM documents, (VALUES (0), (1), (2), (3), (4)) i(i)),
+    corpusp AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, p FROM pos
+              WHERE doc_id % 2 = 1 OR doc_id % 20 = 0),
+    need AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n
+             FROM batch GROUP BY doc_id),
+    hit AS (SELECT b.doc_id, CAST(COUNT(DISTINCT b.p) AS BIGINT) AS n
+            FROM batch b JOIN corpusp c ON b.p = c.p GROUP BY b.doc_id)
+    SELECT nd.doc_id, COALESCE(h.n, 0) = nd.n AS maybe_member
+    FROM need nd LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def q_bloom_novelty(spark, sf_dir):
+    """Bloom-filter novelty probe (§2 row 36c,
+    operators/dedup.py:build_bloom + filter_novel_bloom — PROMOTED
+    r12): the even-id half of the corpus folds into a {_BLOOM_M}-bit
+    bitmap ({_BLOOM_H} md5-family hashes — the engine-portable method;
+    xxhash64 stays the production default); the batch (odd ids, plus
+    every 20th doc re-presented as a KNOWN member) probes it. Bloom
+    semantics graded exactly: member iff every bit position is set in
+    the union of corpus positions — the planted members come back
+    true (no false negatives, the filter's contract), the novel odd
+    ids come back false at this load factor. Plan: the bitmap builds
+    as ONE groupBy(word).bit_or aggregate whose shuffle is bounded by
+    m/64 rows regardless of corpus size, ships via
+    sparkContext.broadcast, and the probe is fully map-side (codegen
+    positions + one Arrow-batched gather)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter((F.col("doc_id") % 2 == 1)
+                        | (F.col("doc_id") % 20 == 0))
+    W = DD.build_bloom(corpus, m_bits=_BLOOM_M, hashes=_BLOOM_H,
+                       method="md5")
+    return DD.filter_novel_bloom(batch, W, hashes=_BLOOM_H,
+                                 flag_col="maybe_member",
+                                 method="md5").select(
+        "doc_id", "maybe_member")
 
 
 assert len(QUERIES) <= 50, (
