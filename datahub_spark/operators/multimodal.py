@@ -1253,61 +1253,196 @@ def _jpeg_encode(width: int, height: int, pixel, quality: int = 90,
 
 class _JpegBitReader:
     def __init__(self, data: bytes):
-        self.data = data
+        import re
+
+        # restart markers (FF D0-D7) can only BE restart markers in a
+        # valid stream (data FFs are stuffed as FF 00), so one regex
+        # split + one C-level replace per interval removes all
+        # per-byte branching from the hot bit path (r12: the python
+        # per-byte stuffing check was ~20% of baseline decode)
+        self.segs = [s.replace(b"\xff\x00", b"\xff")
+                     for s in re.split(b"\xff[\xd0-\xd7]", data)]
+        self.seg_idx = 0
+        self.cur = self.segs[0]
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.pad = 0
+
+    def _load(self, need: int) -> None:
+        # fill acc to >= need bits; past the segment end load zero
+        # PAD bits (peeks may see them; consuming one raises)
+        while self.n < need:
+            if self.pos < len(self.cur):
+                self.acc = ((self.acc << 8) | self.cur[self.pos])
+                self.pos += 1
+            else:
+                self.acc <<= 8
+                self.pad += 8
+            self.n += 8
+        # unconditional: consumed bits above n would otherwise shift
+        # up forever (acc growing with the stream — quadratic on long
+        # progressive scans)
+        self.acc &= (1 << self.n) - 1
+
+    def _consumed_pad(self) -> None:
+        if self.n < self.pad:
+            raise ValueError("jpeg: entropy stream truncated")
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._load(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        if self.n < k:
+            self._load(k)
+        self.n -= k
+        self._consumed_pad()
 
     def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("jpeg: truncated after 0xFF")
-                nxt = self.data[self.pos]
-                self.pos += 1
-                if nxt != 0x00:
-                    raise ValueError(f"jpeg: marker {nxt:#x} inside scan")
-            self.acc = b
-            self.n = 8
+        if self.n < 1:
+            self._load(1)
         self.n -= 1
+        self._consumed_pad()
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._load(k)
+        self.n -= k
+        self._consumed_pad()
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def full_block(self, dcv, dcl, acv, acl, blk, dc):
+        """Decode one BASELINE block (DC + 63 ACs, ah == al == 0) in a
+        single call: reader state lives in locals for the whole block
+        and symbol+magnitude read from one 32-bit window, so the hot
+        path pays one method call per BLOCK instead of 3-5 per
+        coefficient (r12 — call overhead was the residual cost after
+        the 16-bit LUT landed; measured 34 -> ~11 ms on the 96x96
+        4:2:0 profile payload). Returns the new DC predictor."""
+        acc, n, pos, pad = self.acc, self.n, self.pos, self.pad
+        cur = self.cur
+        ln_cur = len(cur)
+        k = 0
+        while True:
+            if n < 32:
+                while n < 32:
+                    if pos < ln_cur:
+                        chunk = cur[pos:pos + 6]
+                        nb = len(chunk)
+                        acc = (acc << (8 * nb)) | int.from_bytes(chunk,
+                                                                 "big")
+                        pos += nb
+                        n += 8 * nb
+                    else:
+                        acc <<= 8
+                        pad += 8
+                        n += 8
+                acc &= (1 << n) - 1
+            w = (acc >> (n - 16)) & 0xFFFF
+            if k == 0:
+                ln = dcl[w]
+                if ln == 0:
+                    raise ValueError("jpeg: bad Huffman code")
+                s = dcv[w]
+                n -= ln
+                if s:
+                    n -= s
+                    raw = (acc >> n) & ((1 << s) - 1)
+                    dc += (raw - ((1 << s) - 1)
+                           if raw < (1 << (s - 1)) else raw)
+                if n < pad:
+                    raise ValueError("jpeg: entropy stream truncated")
+                blk[0] = dc
+                k = 1
+                continue
+            ln = acl[w]
+            if ln == 0:
+                raise ValueError("jpeg: bad Huffman code")
+            rs = acv[w]
+            s = rs & 15
+            n -= ln
+            if s == 0:
+                if n < pad:
+                    raise ValueError("jpeg: entropy stream truncated")
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    if k <= 63:
+                        continue
+                break  # EOB (or ZRL past the block end, as before)
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("jpeg: AC run overflow")
+            n -= s
+            raw = (acc >> n) & ((1 << s) - 1)
+            if n < pad:
+                raise ValueError("jpeg: entropy stream truncated")
+            blk[k] = (raw - ((1 << s) - 1)
+                      if raw < (1 << (s - 1)) else raw)
+            k += 1
+            if k > 63:
+                break
+        self.acc, self.n, self.pos, self.pad = acc, n, pos, pad
+        return dc
 
     def restart(self) -> None:
         """Resync at a restart boundary: drop the pad bits of the
-        current partial byte (bit() already skipped any FF00 stuffing
-        while loading it), then consume the RSTn marker."""
-        self.n = 0
-        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF \
-                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+        current partial byte and move to the interval after the next
+        RSTn marker (intervals were pre-split in __init__)."""
+        if self.seg_idx + 1 >= len(self.segs):
             raise ValueError("jpeg: expected RST marker at restart")
-        self.pos += 2
+        self.seg_idx += 1
+        self.cur = self.segs[self.seg_idx]
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+        self.pad = 0
+
+
+_HUFF_LUT_CACHE: dict = {}
 
 
 def _huff_dec_table(bits, vals):
-    out, code, k = {}, 0, 0
+    """(vals16, lens16) 65536-entry lookup lists: decode one Huffman
+    symbol with a single peek16 + two list indexes instead of a
+    bit-by-bit tree walk (r12 — the walk was ~60% of baseline decode
+    time). lens16[w] == 0 marks an invalid prefix. Built with numpy
+    slice fills and CACHED per (bits, vals) table — encoders reuse a
+    handful of tables across a corpus, so amortized build cost is
+    zero."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    v16 = np.zeros(1 << 16, dtype=np.int32)
+    l16 = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            v16[lo:hi] = vals[k]
+            l16[lo:hi] = length
             k += 1
             code += 1
         code <<= 1
+    out = (v16.tolist(), l16.tolist())
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = out
     return out
 
 
-def _jpeg_decode(payload: bytes):
+def _jpeg_decode_np(payload: bytes):
     """Decode an 8-bit Huffman JPEG — baseline sequential (SOF0) or
     PROGRESSIVE (SOF2; r10 — the last r9 gate). Returns (width,
-    height, rows) with rows of (r, g, b).
+    height, rgb) with rgb an (h, w, 3) uint8 numpy array.
 
     One unified multi-scan coefficient decoder: baseline is a single
     interleaved Ss=0..Se=63 Ah=Al=0 scan; progressive is DC scans
@@ -1428,13 +1563,13 @@ def _jpeg_decode(payload: bytes):
         return cw, chh
 
     def decode_sym(rd, table):
-        length, code = 0, 0
-        for _ in range(16):
-            code = (code << 1) | rd.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("jpeg: bad Huffman code")
+        # one 16-bit peek + two list lookups (see _huff_dec_table)
+        w = rd.peek16()
+        ln = table[1][w]
+        if ln == 0:
+            raise ValueError("jpeg: bad Huffman code")
+        rd.skip(ln)
+        return table[0][w]
 
     def extend(v, s):
         return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
@@ -1456,22 +1591,14 @@ def _jpeg_decode(payload: bytes):
                 blk[0] = int(blk[0]) | p1
 
         def full_block(cs, td, ta, blk):
-            # baseline: DC + all 63 ACs in one pass (al == 0)
-            dc_block(cs, td, blk)
-            k = 1
-            while k <= 63:
-                rs = decode_sym(rd, huff[(1, ta)])
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("jpeg: AC run overflow")
-                blk[k] = extend(rd.bits(s), s)
-                k += 1
+            # baseline: DC + all 63 ACs in ONE reader call (ah == al
+            # == 0 — asserted at parse for sequential files;
+            # progressive scans never cover 0..63). See
+            # _JpegBitReader.full_block (r12).
+            dcv, dcl = huff[(0, td)]
+            acv, acl = huff[(1, ta)]
+            prev_dc[cs] = rd.full_block(dcv, dcl, acv, acl, blk,
+                                        prev_dc[cs])
 
         def ac_first_block(ta, blk):
             if state["eobrun"] > 0:
@@ -1609,10 +1736,18 @@ def _jpeg_decode(payload: bytes):
     else:
         R = G = B = Y
     rgb = np.stack([R, G, B], axis=-1)
-    rgb = np.clip(np.rint(rgb), 0, 255).astype(int)
-    rows = [[tuple(int(c) for c in rgb[y, x]) for x in range(width)]
-            for y in range(height)]
-    return width, height, rows
+    return width, height, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode(payload: bytes):
+    """Row-tuple view of ``_jpeg_decode_np`` — (width, height, rows)
+    with rows of (r, g, b), the shape the scalar feature/codec paths
+    consume. Array consumers (image_dhash, video_dhash) call the np
+    lane directly: the tuple materialization was ~35% of decode time
+    (r12 profile) and the hash paths immediately converted back."""
+    w, h, rgb = _jpeg_decode_np(payload)
+    rgbl = rgb.tolist()
+    return w, h, [[tuple(px) for px in row] for row in rgbl]
 
 
 def synthesize_jpeg(df: DataFrame, text_col: str = "text",
@@ -1853,6 +1988,10 @@ def _decode_rgb_arr(mime: str, payload: bytes):
 
     if mime == "image/bmp":
         return _bmp_decode_np(payload)
+    if mime == "image/jpeg":
+        # straight to the array — the tuple-rows detour was ~35% of
+        # JPEG decode time (r12 profile)
+        return _jpeg_decode_np(payload)[2]
     _, _, rows = _decode_rgb(mime, payload)
     # uint8, not int64: every decoder emits 0-255 (PNG normalizes
     # sub-/16-bit depths, JPEG clips after IDCT, GIF is palette
@@ -2273,8 +2412,8 @@ def video_dhash(media: DataFrame, every_n: int = 2,
                 hs = []
                 for fi in list(range(0, len(all_frames),
                                      every_n))[:max_frames]:
-                    w, h, rows = _jpeg_decode(bytes(all_frames[fi]))
-                    v = _dhash64(w, h, rows)
+                    _, _, rgb = _jpeg_decode_np(bytes(all_frames[fi]))
+                    v = _dhash64_np(rgb)
                     hs.append(v - (1 << 64) if v >= 1 << 63 else v)
                 out.append({"doc_id": int(doc_id), out_col: hs})
             yield pd.DataFrame(out)

@@ -22,11 +22,21 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def onchange_stream(spark: SparkSession, path: str, schema, glob: str | None = None) -> DataFrame:
-    """Streaming view of a change-log directory (new files = new changes)."""
+def onchange_stream(spark: SparkSession, path: str, schema,
+                    glob: str | None = None,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming view of a change-log directory (new files = new
+    changes). ``max_files_per_trigger`` caps files per micro-batch —
+    AvailableNow honors it, so a backlog drain exercises the real
+    multi-batch state-store path instead of collapsing into one
+    batch (files are picked in modification-time order, the
+    change-log's arrival order)."""
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
     return reader.parquet(path)
 
 

@@ -697,7 +697,86 @@ def main() -> None:
     timings["image_dhash_jpeg2k_jvm_path"] = round(t_jvm, 2)
     timings["image_dhash_jvm_speedup"] = round(t_python / max(t_jvm, 1e-9), 2)
     timings["image_dhash_jvm_worst_hamming"] = worst_ham
-    assert timings["image_dhash_jvm_speedup"] >= 5.0, timings
+    # r12: the python Huffman path got ~4x faster (block-fused LUT
+    # entropy decode + direct numpy lane), shrinking the JVM lane's
+    # edge on 2k real JPEGs from the r11 11.6x (t_python 13.3s). Pin
+    # the improvement directly — >= 3x the r11 python-path time —
+    # rather than the jvm ratio, whose denominator moves with the
+    # host. JVM stays recorded (still ahead on decode-heavy JPEG).
+    assert timings["image_dhash_jpeg2k_python_path"] <= 13.3 / 3.0, timings
+
+    # --- r12: streaming sessionize at drift scale (state-store path) --
+    # 10M events / 200k users arrive as 10 TIME-ORDERED single-file
+    # batches; maxFilesPerTrigger=1 forces the AvailableNow drain
+    # through ten real micro-batches, so open sessions genuinely carry
+    # through the state store (the unit tests drain one batch). The
+    # invariant is EXACT set equality against the batch operator's
+    # sessions — not a row count. Event times: tick t = 20-minute
+    # steps plus an xxhash-derived {0, 15}-minute offset, so
+    # consecutive deltas land in {5, 20, 35} minutes (monotone per
+    # user, deterministic breaks against the 30-minute gap).
+    import shutil
+    import tempfile as _tf2
+
+    from datahub_spark import streaming as STm
+
+    n_sev, n_su, _M = 10_000_000, 200_000, 60_000_000
+    sess_tmp = _tf2.mkdtemp(prefix="smoke_sess_")
+    src_dir = f"{sess_tmp}/src"
+    jit = F.when(
+        F.pmod(F.xxhash64((F.col("id") % n_su),
+                          (F.col("id") / n_su).cast("long"),
+                          F.lit(12)), F.lit(4)) == 0,
+        F.lit(15 * _M)).otherwise(F.lit(0))
+    ticks_per_file = 5
+
+    def _sess_events(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_su).alias("user_id"),
+            ((F.col("id") / n_su).cast("long") * (20 * _M) + jit)
+            .alias("_us"))
+
+    t0 = time.monotonic()
+    per_file = n_su * ticks_per_file
+    for b in range(n_sev // per_file):
+        _sess_events(b * per_file, (b + 1) * per_file) \
+            .repartition(1).write.mode("append").parquet(src_dir)
+    timings["stream_sessionize_10m_gen"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    schema = "event_id long, user_id long, _us long"
+    stream = STm.onchange_stream(spark, src_dir, schema,
+                                 max_files_per_trigger=1)
+    out_dir, ck_dir = f"{sess_tmp}/out", f"{sess_tmp}/ck"
+    q = (STm.sessionize(stream, "_us", gap_minutes=30)
+         .writeStream
+         .foreachBatch(lambda bdf, _i: bdf.write.mode("append")
+                       .parquet(out_dir))
+         .option("checkpointLocation", ck_dir)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # latest state wins per (user, session_start): end + count grow
+    # monotonically across a session's emissions
+    got = (spark.read.parquet(out_dir)
+           .groupBy("user_id", "session_start")
+           .agg(F.max("session_end").alias("session_end"),
+                F.max("n_events").cast("long").alias("n_events")))
+    want = (TP.sessionize(_sess_events(0, n_sev), key_col="user_id",
+                          ts_col="_us", gap=str(30 * _M))
+            .groupBy("user_id", "session_id")
+            .agg(F.min("_us").alias("session_start"),
+                 F.max("_us").alias("session_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select("user_id", "session_start", "session_end",
+                    "n_events"))
+    n_extra = got.exceptAll(want).count()
+    n_missing = want.exceptAll(got).count()
+    n_stream_sessions = got.count()
+    timings["stream_sessionize_10m_drain"] = round(time.monotonic() - t0, 2)
+    assert n_extra == 0 and n_missing == 0, (n_extra, n_missing)
+    assert n_stream_sessions >= n_su, n_stream_sessions
+    shutil.rmtree(sess_tmp, ignore_errors=True)
 
     print(json.dumps({
         "rows": {"latest": n_latest, "changes": n_changes, "related": n_rel,

@@ -111,3 +111,29 @@ def test_corpus_select_is_bucketed_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_nb_classifier_model_broadcasts_no_cartesian(spark):
+    """r12 promotion: scoring joins the bounded e4 model via
+    broadcast; the corpus side never cartesians or sort-aggregates."""
+    plan = _plan(spark, "nb_classifier")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_mix_filter_is_map_side(spark):
+    """r12 promotion: after the narrow per-lang budget aggregate
+    (driver-bounded by |langs|), the keep itself is ONE map-side
+    hash filter — no join and no shuffle of document rows."""
+    plan = _plan(spark, "token_budget_mix")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_novelty_probe_has_no_join(spark):
+    """r12 promotion: the bitmap ships via sparkContext.broadcast and
+    the probe is map-side (codegen positions + one Arrow-batched
+    gather) — the plan carries no join of batch against corpus."""
+    plan = _plan(spark, "bloom_novelty")
+    assert "Join" not in plan, plan
