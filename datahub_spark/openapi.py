@@ -206,6 +206,10 @@ _R: list[tuple[str, str, str, str, str, str | None, str | None]] = [
      "Prefix for an expansion URI (?expansion=)", None, None),
     ("", "post", "/query", "query", "Entity lookup / graph traversal",
      "Query", "QueryResponse"),
+    ("", "get", "/query", "query",
+     "Entity lookup / graph traversal (same protocol as POST — the "
+     "reference registers one handler for both verbs)",
+     "Query", "QueryResponse"),
     ("", "get", "/datasets", "dataset", "List datasets", None, "Datasets"),
     ("", "get", "/datasets/{dataset}", "dataset", "Dataset info",
      None, "DatasetInfo"),

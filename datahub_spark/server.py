@@ -431,6 +431,11 @@ class UdaServer:
                 from datahub_spark.openapi import openapi_document
 
                 return self._reply(rq, 200, openapi_document(self))
+            if parts == ["query"]:
+                # the reference registers the SAME queryHandler for
+                # GET and POST (queryhandler.go:89-90) — a GET /query
+                # carries the same body/content-type protocol
+                return self._post_query(rq)
             if parts == ["query", "namespace"]:
                 # queryNamespacePrefix (queryhandler.go:94-109):
                 # expansion URI -> its registered prefix, 404 when absent

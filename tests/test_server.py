@@ -1059,3 +1059,21 @@ def test_lineage_per_dataset(spark, tmp_path):
             assert exc.code == 404
     finally:
         srv.stop()
+
+
+def test_query_get_and_post_same_protocol(served):
+    """GET /query is the same handler as POST /query in the reference
+    (queryhandler.go:89-90 registers queryHandler for both verbs) —
+    an entityId lookup body must answer identically via either."""
+    _, base = served
+    payload = {"entityId": "e:1"}
+    code_p, via_post = _post(f"{base}/query", payload)
+    req = urllib.request.Request(
+        f"{base}/query", data=json.dumps(payload).encode(), method="GET",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        code_g, via_get = resp.status, json.loads(resp.read().decode())
+    assert code_p == code_g == 200
+    assert via_get == via_post
+    assert any(e.get("id") == "e:1" for e in via_get
+               if isinstance(e, dict))
