@@ -1403,7 +1403,10 @@ class _JpegBitReader:
         self.pad = 0
 
 
-_HUFF_LUT_CACHE: dict = {}
+from collections import OrderedDict as _OrderedDict
+
+_HUFF_LUT_CACHE: "_OrderedDict" = _OrderedDict()
+_HUFF_LUT_CACHE_MAX = 16  # ~1 MB/entry: bounded per worker process
 
 
 def _huff_dec_table(bits, vals):
@@ -1411,12 +1414,16 @@ def _huff_dec_table(bits, vals):
     symbol with a single peek16 + two list indexes instead of a
     bit-by-bit tree walk (r12 — the walk was ~60% of baseline decode
     time). lens16[w] == 0 marks an invalid prefix. Built with numpy
-    slice fills and CACHED per (bits, vals) table — encoders reuse a
-    handful of tables across a corpus, so amortized build cost is
-    zero."""
+    slice fills and kept in a small LRU keyed by the (bits, vals)
+    table: standard-table corpora hit every time; optimized-Huffman
+    corpora (mozjpeg per-image tables) pay the ~1.5 ms build per
+    table, small against their per-image decode, while the hot
+    shared tables stay cached (single-eviction LRU — never a
+    clear-all) and the cache stays bounded at ~16 MB per worker."""
     key = (bytes(bits), bytes(vals))
     hit = _HUFF_LUT_CACHE.get(key)
     if hit is not None:
+        _HUFF_LUT_CACHE.move_to_end(key)
         return hit
     import numpy as np
 
@@ -1433,8 +1440,8 @@ def _huff_dec_table(bits, vals):
             code += 1
         code <<= 1
     out = (v16.tolist(), l16.tolist())
-    if len(_HUFF_LUT_CACHE) >= 64:
-        _HUFF_LUT_CACHE.clear()
+    while len(_HUFF_LUT_CACHE) >= _HUFF_LUT_CACHE_MAX:
+        _HUFF_LUT_CACHE.popitem(last=False)
     _HUFF_LUT_CACHE[key] = out
     return out
 

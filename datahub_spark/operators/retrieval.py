@@ -97,8 +97,7 @@ class Bm25Index:
 
     def __init__(self, spark, path: str, buckets: int = 64):
         self.spark, self.path, self.buckets = spark, path, int(buckets)
-        st = spark.read.parquet(f"{path}/stats").collect()[0]
-        self.n_docs, self.total_len = int(st["n_docs"]), int(st["total_len"])
+        self.n_docs, self.total_len = _read_stats(spark, path)
         self._bucket_of: dict[str, int] = {}
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
@@ -148,7 +147,7 @@ class Bm25Index:
                 .filter(F.col("term").isin(all_terms)))
         df_t = post.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df"))
-        dl = spark.read.parquet(f"{self.path}/doclens")
+        dl = _read_doclens(spark, self.path)
         qt = spark.createDataFrame(
             [(qid, t) for qid, ts in sorted(norm.items()) for t in ts],
             "query_id string, term string")
@@ -363,20 +362,40 @@ def _read_postings(spark, path: str) -> DataFrame:
     """The full postings table: base build + every COMMITTED delta
     generation. Each root is its own pruned scan (bucket partition
     filters apply per scan), unioned — a half-written delta is a
-    ``_stage-*`` dir and invisible here. Raises when an unhealed
-    half-applied batch exists (doclens/stats would be skewed against
-    these postings) instead of silently serving wrong BM25 stats."""
-    bad = _unhealed_pending(spark, path)
-    if bad:
-        raise IOError(
-            f"text index at {path} has half-applied update "
-            f"batch(es) {bad}: doclens/stats were folded but the "
-            "postings never committed — retry the batch or run "
-            "recover_text_index() first")
+    ``_stage-*`` dir and invisible here."""
     post = spark.read.parquet(f"{path}/postings")
     for d in _delta_dirs(spark, path):
         post = post.unionByName(spark.read.parquet(d))
     return post
+
+
+def _read_doclens(spark, path: str) -> DataFrame:
+    """doclens EXCLUDING any half-applied batch's rows (anti-join
+    against each unhealed ``_pending-<bk>`` marker): readers see the
+    exact PRE-BATCH view both during a live update's fold window and
+    after an abandoned crash, consistent with ``_read_postings``
+    (which never includes the uncommitted delta) — neither skewed
+    stats (pre-r12) nor refused service (ADVICE review r12)."""
+    dl = spark.read.parquet(f"{path}/doclens")
+    for bk in _unhealed_pending(spark, path):
+        pend = spark.read.parquet(f"{path}/postings_delta/_pending-{bk}")
+        dl = dl.join(pend.select("doc_id"), "doc_id", "left_anti")
+    return dl
+
+
+def _read_stats(spark, path: str) -> tuple[int, int]:
+    """(n_docs, total_len) consistent with ``_read_doclens``: the
+    stats table when no pending marker exists (the common case, one
+    tiny read), else derived from the compensated doclens — one
+    narrow scan, paid only inside the rare half-applied window."""
+    if not _unhealed_pending(spark, path):
+        r = spark.read.parquet(f"{path}/stats").collect()[0]
+        return int(r["n_docs"]), int(r["total_len"])
+    r = (_read_doclens(spark, path)
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.coalesce(F.sum("dl"), F.lit(0).cast("long"))
+              .alias("total_len"))).collect()[0]
+    return int(r["n_docs"]), int(r["total_len"])
 
 
 def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
@@ -401,12 +420,14 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
         only ever ADD postings;
       * BEFORE the doclens fold, the batch's new (doc_id, dl) rows
         commit as a ``_pending-<batch_key>`` marker; the marker is
-        removed only AFTER the postings delta renames. A crash in
-        between leaves a detectable state: readers raise instead of
-        serving stats that count docs with no postings, a retry of
-        the same batch heals it in place, and ``recover_text_index``
-        heals it without the batch (subtracting the marker's ids back
-        out of doclens);
+        removed only AFTER the postings delta renames. While the
+        marker exists — a live update's fold window or an abandoned
+        crash — readers COMPENSATE (``_read_doclens``/``_read_stats``
+        anti-join the marker's rows), serving exactly the pre-batch
+        index instead of stats that count docs with no postings; a
+        retry of the same batch heals in place, and
+        ``recover_text_index`` heals without the batch (subtracting
+        the marker's ids back out of doclens);
       * doclens/stats self-heal crashed swaps via ensure_recovered,
         and the batch is anti-joined against doclens before folding;
         stats derives from doclens alone, so recomputing it is always

@@ -138,6 +138,27 @@ def _tok_decode(token: str):
     return json.loads(base64.urlsafe_b64decode(token + pad).decode())
 
 
+def _parse_acls(raw):
+    """AccessControl list from a request body value, shared by the
+    per-client ACL route and the legacy clientclaims/clientacl
+    aliases. Returns None on any malformed shape (non-list value,
+    non-dict entries) so callers answer 400 instead of leaking a 500
+    from the comprehension."""
+    from datahub_spark.security import AccessControl
+
+    if not isinstance(raw, list):
+        return None
+    out = []
+    for a in raw:
+        if not isinstance(a, dict):
+            return None
+        out.append(AccessControl(
+            str(a.get("Resource", a.get("resource", ""))),
+            str(a.get("Action", a.get("action", "read"))),
+            bool(a.get("Deny", a.get("deny", False)))))
+    return out
+
+
 class FullSyncLease:
     """The reference's fullsync lease (dataset.go:81-207):
     StartFullSyncWithLease / RefreshFullSyncLease / ReleaseFullSyncLease
@@ -748,14 +769,12 @@ class UdaServer:
             if len(parts) == 4 and parts[:2] == ["security", "clients"] \
                     and parts[3] == "acl" and self.security is not None:
                 # securityhandler.go:151-168 set client ACLs
-                from datahub_spark.security import AccessControl
-                n = int(rq.headers.get("Content-Length", "0"))
-                acls = json.loads(rq.rfile.read(n).decode()) if n else []
-                self.security.set_acls(unquote(parts[2]), [
-                    AccessControl(a.get("Resource", a.get("resource", "")),
-                                  a.get("Action", a.get("action", "read")),
-                                  bool(a.get("Deny", a.get("deny", False))))
-                    for a in acls])
+                n = int(rq.headers.get("Content-Length", "0") or 0)
+                acls = _parse_acls(
+                    json.loads(rq.rfile.read(n).decode()) if n else [])
+                if acls is None:
+                    return self._error(rq, 400, "malformed ACL list")
+                self.security.set_acls(unquote(parts[2]), acls)
                 return self._reply(rq, 200, {})
             if parts in (["security", "clientclaims"],
                          ["security", "clientacl"]) \
@@ -990,8 +1009,6 @@ class UdaServer:
         ``{"clientId": str, "acls"|"claims": [AccessControl...]}``
         (case-tolerant). Routes to the same ``set_acls`` as
         POST /security/clients/{clientid}/acl."""
-        from datahub_spark.security import AccessControl
-
         try:
             claims = self.security.authorize(
                 rq.headers.get("Authorization"), rq.command,
@@ -1001,22 +1018,22 @@ class UdaServer:
         if "admin" not in (claims.get("roles") or []):
             # jwtMiddleware + MakeRoleCheckMiddleware("admin")
             return self._error(rq, 403, "admin role required")
-        n = int(rq.headers.get("Content-Length", "0"))
+        n = int(rq.headers.get("Content-Length", "0") or 0)
         try:
             obj = json.loads(rq.rfile.read(n).decode()) if n else {}
         except json.JSONDecodeError:
+            return self._error(rq, 400, "malformed body")
+        if not isinstance(obj, dict):
             return self._error(rq, 400, "malformed body")
         cid = obj.get("clientId") or obj.get("client_id") \
             or obj.get("ClientId") or obj.get("clientid")
         if not cid:
             return self._error(rq, 400, "missing client id")
-        acls = obj.get("acls") or obj.get("claims") \
-            or obj.get("Acls") or obj.get("Claims") or []
-        self.security.set_acls(str(cid), [
-            AccessControl(a.get("Resource", a.get("resource", "")),
-                          a.get("Action", a.get("action", "read")),
-                          bool(a.get("Deny", a.get("deny", False))))
-            for a in acls])
+        acls = _parse_acls(obj.get("acls") or obj.get("claims")
+                           or obj.get("Acls") or obj.get("Claims") or [])
+        if acls is None:
+            return self._error(rq, 400, "malformed ACL list")
+        self.security.set_acls(str(cid), acls)
         return self._reply(rq, 200, {})
 
     def _route_put(self, rq) -> None:

@@ -699,11 +699,13 @@ def main() -> None:
     timings["image_dhash_jvm_worst_hamming"] = worst_ham
     # r12: the python Huffman path got ~4x faster (block-fused LUT
     # entropy decode + direct numpy lane), shrinking the JVM lane's
-    # edge on 2k real JPEGs from the r11 11.6x (t_python 13.3s). Pin
-    # the improvement directly — >= 3x the r11 python-path time —
-    # rather than the jvm ratio, whose denominator moves with the
-    # host. JVM stays recorded (still ahead on decode-heavy JPEG).
-    assert timings["image_dhash_jpeg2k_python_path"] <= 13.3 / 3.0, timings
+    # edge on 2k real JPEGs from the r11 11.6x to ~2.5x. Gate on the
+    # same-run RATIO (host-speed-immune, unlike an absolute seconds
+    # pin): both lanes share the host, so a real python-path
+    # regression pushes the ratio back toward the old 11.6x while
+    # host slowness moves both numerators together. Band chosen wide
+    # of the measured 2.53 (r12) against run-to-run spread.
+    assert timings["image_dhash_jvm_speedup"] <= 6.0, timings
 
     # --- r12: streaming sessionize at drift scale (state-store path) --
     # 10M events / 200k users arrive as 10 TIME-ORDERED single-file

@@ -229,11 +229,13 @@ def test_update_text_index_content_change_raises(spark, tmp_path):
 
 def test_update_text_index_half_applied_batch_detected_and_healed(
         spark, tmp_path):
-    """ADVICE r11: a crash AFTER the doclens fold but BEFORE the
-    postings delta commits leaves a _pending marker. Readers refuse to
-    serve the skewed stats; a retry of the same batch heals in place;
-    recover_text_index heals WITHOUT the batch (unfolds doclens/stats)
-    when the caller gave up."""
+    """ADVICE r11/r12: a crash AFTER the doclens fold but BEFORE the
+    postings delta commits leaves a _pending marker. Readers
+    COMPENSATE (anti-join the marker's rows), serving exactly the
+    pre-batch index — correct both during a live update's fold window
+    and after an abandoned crash; a retry of the same batch heals in
+    place; recover_text_index heals WITHOUT the batch (unfolds
+    doclens/stats) when the caller gave up."""
     import shutil
 
     docs = spark.createDataFrame(
@@ -263,10 +265,12 @@ def test_update_text_index_half_applied_batch_detected_and_healed(
         dl.write.mode("overwrite").parquet(
             f"{path}/postings_delta/_pending-{bk}")
 
-    # 1) detection: readers raise rather than serve skewed stats
+    # 1) compensation: readers serve the exact PRE-BATCH answer while
+    # the marker exists (not skewed stats, not a refusal)
     crash_window()
-    with pytest.raises(IOError, match="half-applied"):
-        RT.bm25_search(spark, path, ["alpha"], k=5, buckets=4).collect()
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == base_search
     # 2) retry of the same batch heals in place
     RT.update_text_index(batch, path, buckets=4)
     assert sorted(map(tuple, RT.bm25_search(

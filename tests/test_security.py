@@ -325,3 +325,24 @@ def test_legacy_clientclaims_alias(secured):
     code, _ = _req(f"{base}/security/clientacl", "POST", token=admin,
                    payload={"acls": []})
     assert code == 400
+
+
+def test_legacy_clientclaims_malformed_acl_is_400(secured):
+    """Review r12: non-list ACL values and non-dict entries must be a
+    400 "malformed ACL list", never an escaping 500 — on BOTH the
+    legacy alias and the per-client route."""
+    base = secured
+    _, admin = _token(base, "admin", "admin-pw")
+    for bad in ("read", ["read"], [{"Resource": "/d*"}, "x"], 7):
+        code, body = _req(f"{base}/security/clientclaims", "POST",
+                          token=admin,
+                          payload={"clientId": "reader", "acls": bad})
+        assert code == 400, (bad, code, body)
+    code, _ = _req(f"{base}/security/clients/reader/acl", "POST",
+                   token=admin, payload=["oops"])
+    assert code == 400
+    # a valid list still lands
+    code, _ = _req(f"{base}/security/clients/reader/acl", "POST",
+                   token=admin,
+                   payload=[{"Resource": "/datasets/d*", "Action": "read"}])
+    assert code == 200
