@@ -120,39 +120,50 @@ def cap_bucket_members(banded: DataFrame, part_cols: list[str],
     ALL its pairs, exactly in the degenerate uniform-image/empty-doc
     case the cap targets. ``keeper_of=<elem col>`` therefore rewrites
     each member past the cap into its own SYNTHETIC two-member bucket
-    (key suffixed with the member's rank) holding the bucket's FIRST
-    member in cap order (its keeper) plus the cut member: the
-    downstream bucket aggregation then emits the (keeper, dropped)
-    pair like any other 2-bucket — a pair the uncapped bucket would
-    have produced anyway — restoring transitive clustering for every
-    dropped member at one extra row per drop, THROUGH the same pair
-    template and any hamming verify. Crucially this keeps ONE plan
+    holding the bucket's FIRST member in cap order (its keeper) plus
+    the cut member: the downstream bucket aggregation then emits the
+    (keeper, dropped) pair like any other 2-bucket — a pair the
+    uncapped bucket would have produced anyway — restoring transitive
+    clustering for every dropped member at one extra row per drop,
+    THROUGH the same pair template and any hamming verify. One plan
     chain (window -> project -> explode -> aggregate): an earlier
-    two-branch formulation (kept-filter + dropped-filter unioned)
-    executed the whole upstream signature pipeline TWICE — Spark does
-    not share unmaterialized subplans (caught by the one-shingle-
-    explode plan pin). The synthetic buckets stay bounded at 2, so
-    the collect buffer bound holds. Use ``bucket_overflow`` for the
-    loud accounting."""
+    two-branch formulation executed the whole upstream signature
+    pipeline TWICE (Spark does not share unmaterialized subplans).
+
+    Synthetic buckets ride an extra INT grouping column (r12):
+    ``_grp`` = 0 for kept rows, the cut member's rank for its
+    2-bucket — the bucket KEY is never rewritten. The downstream
+    aggregation groups by ``part_cols + ["_grp"]``, whose
+    ClusteredDistribution is satisfied by the window's
+    HashPartitioning(part_cols) (subset rule), so the aggregate adds
+    NO second Exchange of the banded rows. The previous
+    key-string-rewrite formulation broke that reuse and re-shuffled
+    everything: measured 37-42s vs 22-24s for the minhash x100 shape
+    (uncapped baseline 22s) — the cap's overhead is now ~the window
+    alone (~+2s at that shape). Synthetic buckets stay bounded at 2,
+    so the collect buffer bound holds. Use ``bucket_overflow`` for
+    the loud accounting."""
     w = Window.partitionBy(*part_cols).orderBy(order_col)
     tagged = banded.withColumn("_rn", F.row_number().over(w))
     if keeper_of is None:
         return tagged.filter(F.col("_rn") <= int(max_bucket)).drop("_rn")
-    tagged = tagged.withColumn("_keeper", F.first(keeper_of).over(w))
-    key_col = part_cols[-1]
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = tagged.withColumn("_keeper", F.first(keeper_of).over(wr))
     over = F.col("_rn") > int(max_bucket)
     proj = tagged.select(
-        *part_cols[:-1],
-        F.when(over, F.concat(F.col(key_col).cast("string"), F.lit("#"),
-                              F.col("_rn").cast("string")))
-        .otherwise(F.col(key_col).cast("string")).alias(key_col),
-        # null for kept rows — the explode's second slot filters out
-        F.when(over, F.col("_keeper")).alias("_k"),
-        F.col(keeper_of).alias("_e"),
+        *part_cols,
+        F.when(over, F.array(
+            F.struct(F.col("_rn").alias("g"),
+                     F.col("_keeper").alias("v")),
+            F.struct(F.col("_rn").alias("g"),
+                     F.col(keeper_of).alias("v"))))
+        .otherwise(F.array(F.struct(F.lit(0).alias("g"),
+                                    F.col(keeper_of).alias("v"))))
+        .alias("_es"),
     )
-    return (proj.select(*part_cols,
-                        F.explode(F.array("_k", "_e")).alias(keeper_of))
-            .filter(F.col(keeper_of).isNotNull()))
+    return (proj.select(*part_cols, F.explode("_es").alias("_e2"))
+            .select(*part_cols, F.col("_e2.g").alias("_grp"),
+                    F.col("_e2.v").alias(keeper_of)))
 
 
 def bucket_overflow(banded: DataFrame, part_cols: list[str],
@@ -198,12 +209,18 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows_per_band: int = 3,
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     # cap order is plain id asc -> each synthetic 2-bucket pairs the
-    # bucket's min id with one cut member (see cap_bucket_members)
-    kept = (cap_bucket_members(banded, ["band", "key"], F.col(id_col),
-                               max_bucket, keeper_of=id_col)
-            if max_bucket is not None else banded)
+    # bucket's min id with one cut member (see cap_bucket_members);
+    # the agg groups by the extra _grp column, reusing the window's
+    # partitioning (no second Exchange — r12)
+    if max_bucket is not None:
+        kept = cap_bucket_members(banded, ["band", "key"], F.col(id_col),
+                                  max_bucket, keeper_of=id_col)
+        group_cols = ["band", "key", "_grp"]
+    else:
+        kept = banded
+        group_cols = ["band", "key"]
     buckets = (
-        kept.groupBy("band", "key")
+        kept.groupBy(*group_cols)
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -331,13 +348,17 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    kept = (cap_bucket_members(
-        b, ["chunk", "key"],
-        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
-        keeper_of="e")
-        if max_bucket is not None else b)
+    if max_bucket is not None:
+        kept = cap_bucket_members(
+            b, ["chunk", "key"],
+            F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
+            keeper_of="e")
+        group_cols = ["chunk", "key", "_grp"]
+    else:
+        kept = b
+        group_cols = ["chunk", "key"]
     buckets = (
-        kept.groupBy("chunk", "key")
+        kept.groupBy(*group_cols)
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
         .filter(F.size("es") > 1)
     )

@@ -2317,13 +2317,17 @@ def dhash_candidates(sig: DataFrame, max_hamming: int = 3,
                  F.col(hash_col).alias("sig")).alias("e"),
         F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
     )
-    kept = (cap_bucket_members(
-        b, ["chunk", "key"],
-        F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
-        keeper_of="e")
-        if max_bucket is not None else b)
+    if max_bucket is not None:
+        kept = cap_bucket_members(
+            b, ["chunk", "key"],
+            F.struct(F.col("e.sig"), F.col("e.id")), max_bucket,
+            keeper_of="e")
+        group_cols = ["chunk", "key", "_grp"]
+    else:
+        kept = b
+        group_cols = ["chunk", "key"]
     buckets = (
-        kept.groupBy("chunk", "key")
+        kept.groupBy(*group_cols)
         .agg(F.array_sort(F.collect_set("e")).alias("es"))
         .filter(F.size("es") > 1)
     )
