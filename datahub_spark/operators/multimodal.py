@@ -7,7 +7,7 @@ transforms over ``mapInPandas``.
 Decode is REAL where the standard library can do it, gated where it
 cannot (r7 re-check, per round-6 review):
 
-* **WAV audio** — parsed with stdlib ``wave`` + ``audioop``: sample
+* **WAV audio** — parsed with stdlib ``wave`` + numpy PCM reductions: sample
   rate, channels, width, frame count, RMS energy, peak amplitude,
   zero-crossing rate are all extracted from the actual RIFF/PCM bytes
   (``decode_wav_features``). ``synthesize_wav`` writes genuine WAV
@@ -51,42 +51,53 @@ import struct
 import wave
 from collections.abc import Iterator
 
-try:  # removed from the stdlib in Python 3.13; pure-Python fallback below
-    import audioop
-except ImportError:  # pragma: no cover - container ships 3.11
-    import array as _array
-    import math as _math
+import math as _math
 
-    class audioop:  # type: ignore[no-redef]
-        """16-bit-PCM subset of the removed stdlib module (rms/max/cross
-        are all the decoder uses)."""
+import numpy as _np
 
-        @staticmethod
-        def _samples(frames: bytes, width: int):
-            if width != 2:
-                raise NotImplementedError("fallback handles 16-bit PCM only")
-            return _array.array("h", frames)
+# PCM signal reductions. These replace the stdlib `audioop` module
+# (removed in Python 3.13) with numpy reductions over the already-parsed
+# frames, pinned bit-equal to audioop's rms/max/cross semantics by
+# tests/test_multimodal.py (sum-of-squares in exact int64, C-double
+# division order, sign defined as `sample < 0`, first sample never a
+# crossing).
+_PCM_DTYPES = {1: _np.int8, 2: "<i2", 4: "<i4"}
 
-        @staticmethod
-        def rms(frames: bytes, width: int) -> int:
-            s = audioop._samples(frames, width)
-            return int(_math.sqrt(sum(v * v for v in s) / len(s))) if s else 0
 
-        @staticmethod
-        def max(frames: bytes, width: int) -> int:
-            s = audioop._samples(frames, width)
-            return max((abs(v) for v in s), default=0)
+def _pcm_samples(frames: bytes, width: int) -> "_np.ndarray":
+    dtype = _PCM_DTYPES.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    return _np.frombuffer(frames, dtype=dtype)
 
-        @staticmethod
-        def cross(frames: bytes, width: int) -> int:
-            s = audioop._samples(frames, width)
-            n, prev = 0, None
-            for v in s:
-                sign = v < 0
-                if prev is not None and sign != prev:
-                    n += 1
-                prev = sign
-            return n
+
+def _pcm_rms(frames: bytes, width: int) -> int:
+    s = _pcm_samples(frames, width)
+    if s.size == 0:
+        return 0
+    sq = s.astype(_np.int64)
+    sq *= sq  # per-element square of int32 max fits int64 (<= 2^62)
+    # exact integer sum via 32-bit hi/lo lanes — immune to int64 overflow
+    # at any buffer length, unlike a straight int64 reduction
+    hi = int(_np.sum(sq >> 32, dtype=_np.int64))
+    lo = int(_np.sum(sq & 0xFFFFFFFF, dtype=_np.int64))
+    sum_sq = (hi << 32) + lo
+    return int(_math.sqrt(sum_sq / s.size))
+
+
+def _pcm_peak(frames: bytes, width: int) -> int:
+    s = _pcm_samples(frames, width)
+    if s.size == 0:
+        return 0
+    return int(_np.max(_np.abs(s.astype(_np.int64))))
+
+
+def _pcm_cross(frames: bytes, width: int) -> int:
+    s = _pcm_samples(frames, width)
+    if s.size == 0:
+        return -1  # audioop quirk: crossing counter starts at -1
+    neg = s < 0
+    return int(_np.count_nonzero(neg[1:] != neg[:-1]))
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -138,7 +149,7 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 # ---------------------------------------------------------------------------
-# real WAV audio: synthesize + decode (stdlib wave/audioop)
+# real WAV audio: synthesize + decode (stdlib wave + numpy PCM reductions)
 # ---------------------------------------------------------------------------
 
 def _wav_bytes(seed: bytes, n_frames: int, rate: int) -> bytes:
@@ -196,7 +207,7 @@ WAV_FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_wav(payload: bytes) -> dict:
-    """Parse one WAV payload with stdlib wave/audioop — a REAL decode of
+    """Parse one WAV payload with stdlib wave + numpy PCM reductions — a REAL decode of
     the RIFF container and PCM frames, no media library involved."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
@@ -208,9 +219,9 @@ def _decode_wav(payload: bytes) -> dict:
         "sample_width": width,
         "n_frames": n_frames,
         "duration_ms": n_frames * 1000.0 / rate,
-        "rms": audioop.rms(frames, width),
-        "peak": audioop.max(frames, width),
-        "zero_crossings": audioop.cross(frames, width),
+        "rms": _pcm_rms(frames, width),
+        "peak": _pcm_peak(frames, width),
+        "zero_crossings": _pcm_cross(frames, width),
     }
 
 

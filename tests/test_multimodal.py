@@ -1,4 +1,5 @@
-"""Real stdlib media decode: WAV (wave/audioop) and BMP (struct).
+"""Real stdlib media decode: WAV (wave + numpy PCM reductions) and BMP
+(struct).
 
 These are NOT stub tests — payloads are genuine RIFF/WAVE and BMP
 files, and the assertions check values that only a correct parse of the
@@ -7,13 +8,49 @@ pixel rows)."""
 
 from __future__ import annotations
 
-import audioop
+import array
 import io
+import math
+import random
 import wave
 
 import pytest
 
 from datahub_spark.operators import multimodal as MM
+
+# Independent slow reference for the PCM reductions, transcribing the
+# removed stdlib audioop's C semantics (Modules/audioop.c): rms
+# accumulates sum-of-squares and truncates sqrt(sum/len); max is the
+# peak absolute value; cross counts sign flips with the counter quirk
+# of starting at -1 (so an empty buffer yields -1). This pins
+# multimodal's numpy implementations bit-equal to the pre-3.13 values.
+_TYPECODES = {1: "b", 2: "h", 4: "i"}
+
+
+def _ref_samples(frames: bytes, width: int):
+    return array.array(_TYPECODES[width], frames)
+
+
+def _ref_rms(frames: bytes, width: int) -> int:
+    s = _ref_samples(frames, width)
+    if not s:
+        return 0
+    return int(math.sqrt(sum(v * v for v in s) / len(s)))
+
+
+def _ref_peak(frames: bytes, width: int) -> int:
+    s = _ref_samples(frames, width)
+    return max((abs(v) for v in s), default=0)
+
+
+def _ref_cross(frames: bytes, width: int) -> int:
+    n, prev = -1, 17  # audioop starts prevval=17 so sample 0 always flips
+    for v in _ref_samples(frames, width):
+        sign = 1 if v < 0 else 0
+        if sign != prev:
+            n += 1
+        prev = sign
+    return n
 
 
 def _docs(spark, rows):
@@ -36,23 +73,58 @@ def test_wav_synthesize_then_decode_roundtrip(spark):
         assert r["peak"] > 0
 
 
-def test_wav_decode_matches_local_audioop(spark):
+def test_wav_decode_matches_local_reference(spark):
     """The distributed decode agrees bit-for-bit with a driver-side
     decode of the same payload — i.e. the mapInPandas stage decodes the
-    real bytes, not a lookalike."""
+    real bytes, not a lookalike. The driver-side expectation comes from
+    the independent pure-Python transcription of audioop's semantics,
+    NOT from the numpy functions under test."""
     docs = _docs(spark, [(7, "signal under test")])
     media = MM.synthesize_wav(docs)
     payload = bytes(media.collect()[0]["payload"])
 
     with wave.open(io.BytesIO(payload), "rb") as w:
         frames = w.readframes(w.getnframes())
-    expect_rms = audioop.rms(frames, 2)
-    expect_peak = audioop.max(frames, 2)
-    expect_cross = audioop.cross(frames, 2)
+    expect_rms = _ref_rms(frames, 2)
+    expect_peak = _ref_peak(frames, 2)
+    expect_cross = _ref_cross(frames, 2)
 
     row = MM.decode_wav_features(media).collect()[0]
     assert (row["rms"], row["peak"], row["zero_crossings"]) == \
         (expect_rms, expect_peak, expect_cross)
+
+
+def test_pcm_reductions_bit_equal_audioop_semantics():
+    """Pin the numpy PCM reductions bit-equal to the removed stdlib
+    audioop module across widths 1/2/4, random buffers, extremes, and
+    the empty-buffer cross()=-1 quirk (verified once against the real
+    audioop on Python 3.11 before its removal)."""
+    rng = random.Random(13)
+    for width in (1, 2, 4):
+        for trial in range(40):
+            n = rng.randrange(0, 400)
+            frames = bytes(rng.randrange(256) for _ in range(n * width))
+            got = (
+                MM._pcm_rms(frames, width),
+                MM._pcm_peak(frames, width),
+                MM._pcm_cross(frames, width),
+            )
+            want = (
+                _ref_rms(frames, width),
+                _ref_peak(frames, width),
+                _ref_cross(frames, width),
+            )
+            assert got == want, (width, n)
+    # extremes: int16 min/max, alternating signs
+    frames = b"\x00\x80\xff\x7f\x00\x00\x01\x00\xff\xff" * 7
+    assert MM._pcm_peak(frames, 2) == 32768
+    assert MM._pcm_cross(frames, 2) == _ref_cross(frames, 2)
+    # empty-buffer quirk pins
+    assert MM._pcm_rms(b"", 2) == 0
+    assert MM._pcm_peak(b"", 2) == 0
+    assert MM._pcm_cross(b"", 2) == -1
+    with pytest.raises(NotImplementedError):
+        MM._pcm_rms(b"\x00" * 3, 3)
 
 
 def test_wav_payload_is_valid_riff(spark):
