@@ -317,39 +317,70 @@ def _clear_persisted(spark) -> None:
 
 
 def run_legs(spark, sf_dir: str, names, queries, runs: int,
-             label: str = "", budgets: dict | None = None):
+             label: str = "", budgets: dict | None = None,
+             extra_if_stalls: int = 0):
     """Time each leg (1 warmup + `runs` timed noop-writes, median).
     CRASH-ISOLATED: a leg that raises (flaky OOM, planner bug) records
     its error and the remaining legs still run — one failure must never
     zero a whole round's perf evidence (BENCH_r09 lesson). Returns
-    (timings, spreads, errors); each spread is [min, max, n_stalls]
-    where a STALL is a sample > 2x the leg's min — this container
-    shows isolated host-level pauses (up to 5x, hitting random legs
-    regardless of plan shape or heap: a 13s outlier on a 4.5s
-    map-only projection), so the median plus the stall count is the
-    honest signal, not the raw max. The forced-failure path is
-    unit-tested via a raising query fn (test_plans.py)."""
+    (timings, spreads, errors, clean_medians, n_samples); each spread
+    is [min, max, n_stalls] where a STALL is a sample > 2x the leg's
+    min — this container shows isolated host-level pauses (up to 5x,
+    hitting random legs regardless of plan shape or heap: a 13s
+    outlier on a 4.5s map-only projection). The r12 driver run showed
+    a raw median of 5 with 3 stalls measures the HOST, not the code
+    (parts_per_nation 25.9s median vs 9.27s min), so alongside the raw
+    median each leg reports a STALL-EXCLUDED median (median of the
+    samples <= 2x min — the samples the machine didn't pause), and
+    when `extra_if_stalls` > 0 a leg whose first `runs` samples show
+    >= 2 stalls takes that many EXTRA samples so the clean median
+    rests on enough real measurements. The forced-failure and
+    forced-stall paths are unit-tested (test_bench_harness.py) via
+    SPARK_GRAFT_BENCH_FORCE_FAIL / SPARK_GRAFT_BENCH_FORCE_STALL
+    (the latter inflates every odd-indexed sample 10x — a synthetic
+    host pause, drill only)."""
     timings: dict[str, float] = {}
     spreads: dict[str, list] = {}
     errors: dict[str, str] = {}
+    clean_medians: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
     force_fail = os.environ.get("SPARK_GRAFT_BENCH_FORCE_FAIL", "")
+    force_stall = os.environ.get("SPARK_GRAFT_BENCH_FORCE_STALL", "")
     for name in names:
         fn = queries[name]
         try:
             if name == force_fail:
                 raise MemoryError("forced failure (SPARK_GRAFT_BENCH_FORCE_FAIL)")
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
-            samples = []
-            for _ in range(runs):
+            samples: list[float] = []
+            target = runs
+            while len(samples) < target:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(round(time.monotonic() - t0, 3))
+                dt = time.monotonic() - t0
+                if name == force_stall and len(samples) % 2 == 1:
+                    dt *= 10  # synthetic host pause (drill only)
+                samples.append(round(dt, 3))
+                if (len(samples) == runs and target == runs
+                        and extra_if_stalls > 0):
+                    early_stalls = sum(
+                        1 for s in samples if s > 2 * min(samples))
+                    if early_stalls >= 2:
+                        target = runs + extra_if_stalls
+                        print(f"  {label}{name}: {early_stalls} stalls in "
+                              f"first {runs} samples -> extending to "
+                              f"n={target}", file=sys.stderr)
+            mn = min(samples)
+            clean = [s for s in samples if s <= 2 * mn]
+            stalls = len(samples) - len(clean)
             timings[name] = round(statistics.median(samples), 3)
-            stalls = sum(1 for s in samples if s > 2 * min(samples))
-            spreads[name] = [min(samples), max(samples), stalls]
+            clean_medians[name] = round(statistics.median(clean), 3)
+            n_samples[name] = len(samples)
+            spreads[name] = [mn, max(samples), stalls]
             budget = f", budget={budgets[name]}" if budgets else ""
-            print(f"  {label}{name}: {timings[name]}s (n={runs}, "
-                  f"min={min(samples)}, max={max(samples)}, "
+            print(f"  {label}{name}: {timings[name]}s "
+                  f"(clean_median={clean_medians[name]}, n={len(samples)}, "
+                  f"min={mn}, max={max(samples)}, "
                   f"stalls={stalls}{budget})",
                   file=sys.stderr)
         except Exception as exc:
@@ -357,7 +388,7 @@ def run_legs(spark, sf_dir: str, names, queries, runs: int,
             print(f"  {label}{name}: ERROR {errors[name]}", file=sys.stderr)
         finally:
             _clear_persisted(spark)
-    return timings, spreads, errors
+    return timings, spreads, errors, clean_medians, n_samples
 
 
 def main() -> None:
@@ -407,8 +438,9 @@ def main() -> None:
     queries = dict(QUERIES)
     queries.update(_BENCH_LOCAL)
 
-    timings, spreads, errors = run_legs(
-        spark, sf_dir, HEADLINERS, queries, runs, budgets=BUDGETS)
+    timings, spreads, errors, clean_medians, n_samples = run_legs(
+        spark, sf_dir, HEADLINERS, queries, runs, budgets=BUDGETS,
+        extra_if_stalls=2)
 
     try:
         store_write = bench_store_write(spark)
@@ -433,18 +465,25 @@ def main() -> None:
             SparkContext._gateway = None
             SparkContext._jvm = None
         try:
-            x100 = bench_x100_subprocess(base_dir, timings)
+            x100 = bench_x100_subprocess(base_dir, timings, clean_medians)
         except Exception as exc:
             x100 = {"error": repr(exc)[:500]}
             print(f"  x100 leg ERROR {x100['error']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    over = {k: v for k, v in timings.items() if v > BUDGETS[k]}
+    # the regression gate compares the STALL-EXCLUDED median to budget:
+    # a stall is a host pause (measured up to 5x on an idle map-only
+    # leg), so gating on the raw median would flag the machine, not the
+    # code; both medians are emitted so either view is auditable
+    over = {k: clean_medians[k] for k in timings
+            if clean_medians[k] > BUDGETS[k]}
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stall_excluded_medians": clean_medians,
+        "n_samples": n_samples,
         "sf": sf,
         "runs_per_query": runs,
         "min_max": spreads,
@@ -462,7 +501,8 @@ def main() -> None:
     }))
 
 
-def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
+def bench_x100_subprocess(base_dir: str, x10_timings: dict,
+                          x10_clean: dict | None = None) -> dict:
     """Launch the scale-decade legs in fresh python processes — one
     per HEAP GROUP (a running JVM cannot resize its heap): the
     sort/GC-churn legs (X100_SMALL_HEAP_LEGS) in a 16g child, the
@@ -472,6 +512,7 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
     one Spark driver at a time."""
     import subprocess
 
+    x10_clean = x10_clean or {}
     special = set(X100_SMALL_HEAP_LEGS) | set(X100_CAPPED_POOL_LEGS)
     groups = [
         (X100_BIG_MEM, None,
@@ -482,7 +523,8 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
         (X100_SMALL_MEM, None,
          [l for l in X100_HEADLINERS if l in X100_SMALL_HEAP_LEGS]),
     ]
-    out = {"queries": {}, "min_max": {}, "errors": {}, "regime": {}}
+    out = {"queries": {}, "min_max": {}, "errors": {}, "regime": {},
+           "stall_excluded_medians": {}, "n_samples": {}}
     for mem, frac, legs in groups:
         if not legs:
             continue
@@ -504,6 +546,9 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
         out["queries"].update(child.get("queries", {}))
         out["min_max"].update(child.get("min_max", {}))
         out["errors"].update(child.get("errors", {}))
+        out["stall_excluded_medians"].update(
+            child.get("stall_excluded_medians", {}))
+        out["n_samples"].update(child.get("n_samples", {}))
         out["repl"] = child.get("repl")
         out["runs_per_query"] = child.get("runs_per_query")
         for leg in legs:
@@ -511,6 +556,12 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict) -> dict:
     out["scale_vs_x10"] = {
         k: round(v / x10_timings[k], 2)
         for k, v in out["queries"].items() if x10_timings.get(k)
+    }
+    # the round-over-round-comparable ratio: both sides stall-excluded
+    out["scale_vs_x10_clean"] = {
+        k: round(v / x10_clean[k], 2)
+        for k, v in out["stall_excluded_medians"].items()
+        if x10_clean.get(k)
     }
     return out
 
@@ -544,12 +595,15 @@ def main_x100_child() -> None:
     print(f"  derived {sf_dir} ({round(time.monotonic() - t0, 1)}s)",
           file=sys.stderr)
 
-    timings, spreads, errors = run_legs(
-        spark, sf_dir, legs, queries, runs, label=f"x{repl} ")
+    timings, spreads, errors, clean_medians, n_samples = run_legs(
+        spark, sf_dir, legs, queries, runs, label=f"x{repl} ",
+        extra_if_stalls=2)
     print(json.dumps({
         "repl": repl,
         "runs_per_query": runs,
         "queries": timings,
+        "stall_excluded_medians": clean_medians,
+        "n_samples": n_samples,
         "min_max": spreads,
         "errors": errors,
     }))
