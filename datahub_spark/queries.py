@@ -1124,6 +1124,30 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def _cc_oracle() -> str:
+    # same candidate graph as dedup_minhash, resolved to components via a
+    # recursive transitive closure + min-reachable-id per node
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL.lstrip()},
+    sig AS (SELECT doc_id, {', '.join(
+        f"min(('0x' || substr(md5('{i // 2}|' || sh), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
+        for i in range(12))} FROM sh GROUP BY doc_id),
+    band AS ({' UNION ALL '.join(
+        "SELECT doc_id, %d AS band, md5(%s) AS key FROM sig" % (
+            b, " || '|' || ".join(f"mh{b * 3 + r}::VARCHAR" for r in range(3)))
+        for b in range(4))}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM band l JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    edges AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+    """
+
+
 @register(
     "dedup_pairs",
     f"""
@@ -1144,6 +1168,9 @@ def q_dedup_simhash(spark, sf_dir):
                    CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY digest)
       SELECT g.keeper AS id_a, d.doc_id AS id_b, g.n AS metric
       FROM dg d JOIN g USING (digest) WHERE d.doc_id <> g.keeper)
+    UNION ALL
+    SELECT 'cluster', id, component, CAST(-1 AS BIGINT)
+    FROM ({_cc_oracle()})
     """,
 )
 def q_dedup_pairs(spark, sf_dir):
@@ -1163,7 +1190,12 @@ def q_dedup_pairs(spark, sf_dir):
       (keeper, member) pairs, metric = group size. The synthetic
       corpus has no byte-identical texts, so every tenth document is
       re-planted under a shifted id — the hash-aggregate and the
-      group join are exercised on real collisions."""
+      group join are exercised on real collisions;
+    * cluster (§2 row 47, merged r13 — graded standalone r1-r12):
+      connected components (iterative min-label pointer jumping) over
+      the minhash candidate graph; id_a=member, id_b=component root,
+      metric=-1. The oracle resolves the same graph via a recursive
+      transitive closure."""
     mh = q_dedup_minhash(spark, sf_dir).select(
         F.lit("minhash").alias("mode"), "id_a", "id_b",
         F.lit(-1).cast("long").alias("metric"))
@@ -1185,7 +1217,13 @@ def q_dedup_pairs(spark, sf_dir):
                   F.col("keeper").cast("long").alias("id_a"),
                   F.col("doc_id").cast("long").alias("id_b"),
                   F.col("n_docs").cast("long").alias("metric")))
-    return mh.unionByName(ng).unionByName(sh).unionByName(ex)
+    cl = q_dedup_clusters(spark, sf_dir).select(
+        F.lit("cluster").alias("mode"),
+        F.col("id").cast("long").alias("id_a"),
+        F.col("component").cast("long").alias("id_b"),
+        F.lit(-1).cast("long").alias("metric"))
+    return mh.unionByName(ng).unionByName(sh).unionByName(ex) \
+        .unionByName(cl)
 
 
 # fixed-point dot threshold: cosine 0.4 at scale 1e14
@@ -1213,6 +1251,9 @@ def q_dedup_embedding(spark, sf_dir):
     + ") UNION ALL SELECT 'ivf' AS method, * FROM ("
     + SIM.ann_ivf_oracle(k=5, n_clusters=16, n_probe=4,
                          lloyd_rounds=2, dim=64, query_pred="cid < 10")
+    + ") UNION ALL SELECT 'two_stage' AS method, * FROM ("
+    + SIM.ann_two_stage_oracle(k=5, rerank_factor=4, n_clusters=16,
+                               n_probe=4, lloyd_rounds=2)
     + f""") UNION ALL SELECT 'brute' AS method, * FROM (
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     s AS (
@@ -1241,7 +1282,13 @@ def q_ann_bucketed(spark, sf_dir):
       (similarity.kmeans_inverted); probing is an equi-join on cluster
       id — the persisted-index scale path; exact integer
       assignment/means make index construction oracle-verifiable
-      bit-for-bit."""
+      bit-for-bit;
+    * two_stage (§2 row 41h, merged r13 — graded standalone r11-r12):
+      the production FAISS/ScaNN shape — quantized persisted IVF index
+      (int8 codes + per-vector scale, parquet partitioned by cluster)
+      serves the coarse probe, exact fixed-point rerank on the
+      shortlist only. The oracle reproduces kmeans, quantization,
+      probe, shortlist and rerank exactly."""
     from pyspark.sql import Window
 
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
@@ -1251,6 +1298,8 @@ def q_ann_bucketed(spark, sf_dir):
     ivf = SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4,
                       lloyd_rounds=2, dim=64) \
         .withColumn("method", F.lit("ivf"))
+    two = q_ann_two_stage(spark, sf_dir).withColumn(
+        "method", F.lit("two_stage"))
     qb = q.select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("_qv"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
@@ -1266,7 +1315,7 @@ def q_ann_bucketed(spark, sf_dir):
     brute = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
              .filter(F.col("rank") <= 5)
              .withColumn("method", F.lit("brute")))
-    return lsh.unionByName(ivf).unionByName(brute).select(
+    return lsh.unionByName(ivf).unionByName(two).unionByName(brute).select(
         "method", "query_id", "rank", "neighbor_id", "dot_fp")
 
 
@@ -1379,35 +1428,12 @@ def q_entity_details(spark, sf_dir):
 # see q_stream_agg's mode='stateful' leg)
 
 
-def _cc_oracle() -> str:
-    # same candidate graph as dedup_minhash, resolved to components via a
-    # recursive transitive closure + min-reachable-id per node
-    return f"""
-    WITH RECURSIVE {_SHINGLE_SQL.lstrip()},
-    sig AS (SELECT doc_id, {', '.join(
-        f"min(('0x' || substr(md5('{i // 2}|' || sh), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
-        for i in range(12))} FROM sh GROUP BY doc_id),
-    band AS ({' UNION ALL '.join(
-        "SELECT doc_id, %d AS band, md5(%s) AS key FROM sig" % (
-            b, " || '|' || ".join(f"mh{b * 3 + r}::VARCHAR" for r in range(3)))
-        for b in range(4))}),
-    cand AS (
-      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM band l JOIN band r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-    edges AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
-    reach(src, dst) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-    SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
-    """
-
-
-@register("dedup_clusters", _cc_oracle())
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components (iterative
     DataFrame min-label propagation) over the MinHash+LSH candidate
-    graph — candidate pairs become transitive duplicate groups."""
+    graph — candidate pairs become transitive duplicate groups.
+    (Graded standalone r1-r12; merged into dedup_pairs mode='cluster'
+    in the r13 window rotation.)"""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     sig = DD.minhash_signature(docs, k=12, n=3)
     pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3)
@@ -1913,6 +1939,28 @@ def q_asof_join(spark, sf_dir):
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
            MIN(value), MAX(value)
     FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session', event_id, session_id,
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE)
+    FROM (
+      WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), s AS (
+        SELECT event_id, user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS seq
+        FROM g
+      )
+      SELECT event_id,
+             CAST(user_id AS VARCHAR) || '#' ||
+             CAST(MIN(ts) OVER (PARTITION BY user_id, seq) AS VARCHAR)
+             AS session_id
+      FROM s)
     """,
 )
 def q_rollup_time(spark, sf_dir):
@@ -1928,7 +1976,12 @@ def q_rollup_time(spark, sf_dir):
       folded into the persisted hour rollup via the crash-safe
       stage+swap (fsio.parquet_atomic_overwrite); decomposable
       measures make the three-step result bit-identical to the
-      one-shot rollup the oracle computes."""
+      one-shot rollup the oracle computes;
+    * mode='session' (temporal.sessionize, §2 row 49b — merged r13,
+      graded standalone r9-r12): 30-minute-gap sessionization, one
+      keyed shuffle (lag + running-sum windows). Rides the generic
+      columns as bucket_us=event_id, event_type=session_id,
+      -1 pads elsewhere."""
     events = ingest.load_tables(spark, sf_dir)["events"]
     day = TP.rollup_time(events, "ts", "day", ["event_type"]).select(
         F.lit("day").alias("mode"),
@@ -1942,34 +1995,21 @@ def q_rollup_time(spark, sf_dir):
         F.lit("hour_merge").alias("mode"),
         F.unix_micros("bucket").alias("bucket_us"),
         "event_type", "n", "value_cents", "value_min", "value_max")
-    return day.unionByName(merged)
+    sess = q_sessionize(spark, sf_dir).select(
+        F.lit("session").alias("mode"),
+        F.col("event_id").cast("long").alias("bucket_us"),
+        F.col("session_id").alias("event_type"),
+        F.lit(-1).cast("long").alias("n"),
+        F.lit(-1).cast("long").alias("value_cents"),
+        F.lit(-1).cast("double").alias("value_min"),
+        F.lit(-1).cast("double").alias("value_max"))
+    return day.unionByName(merged).unionByName(sess)
 
 
-@register(
-    "sessionize",
-    """
-    WITH g AS (
-      SELECT event_id, user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-      SELECT event_id, user_id, ts,
-             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS seq
-      FROM g
-    )
-    SELECT event_id,
-           CAST(user_id AS VARCHAR) || '#' ||
-           CAST(MIN(ts) OVER (PARTITION BY user_id, seq) AS VARCHAR)
-           AS session_id
-    FROM s
-    """,
-)
 def q_sessionize(spark, sf_dir):
     """Batch sessionization (§2 row 49b, operators/temporal.py:sessionize
-    — promoted r9): 30-minute-gap sessions per user, id =
+    — promoted r9; merged into rollup_time mode='session' in the r13
+    window rotation): 30-minute-gap sessions per user, id =
     '<user>#<first event ts>' — deterministic, reprocessing-stable,
     identical to what the streaming operator assigns. ONE keyed
     shuffle (lag + running sum windows), no self-join."""
@@ -2314,21 +2354,11 @@ _BIGRAM_LM_SQL = """
 _PPL_CUTS = (344, 335)  # corpus tertiles at sf0.01, pinned as literals
 
 
-@register(
-    "ppl_buckets",
-    f"""
-    WITH s AS ({_BIGRAM_LM_SQL})
-    SELECT id, CAST(score_e4 AS BIGINT) AS score_e4,
-           CASE WHEN score_e4 >= {_PPL_CUTS[0]} THEN 'head'
-                WHEN score_e4 >= {_PPL_CUTS[1]} THEN 'middle'
-                ELSE 'tail' END AS bucket
-    FROM s
-    """,
-)
 def q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail bucketing (§2 row 43l/43s,
     operators/text.py:perplexity_buckets — PROMOTED to the graded
-    window r11): rank documents by bigram-LM familiarity (the
+    window r11; merged into lm_familiarity mode='ppl' in the r13
+    window rotation): rank documents by bigram-LM familiarity (the
     integer-exact rational stand-in for KenLM perplexity; corpus-
     trained bigram + unigram tables, both bounded and broadcastable)
     and split head / middle / tail on EXPLICIT cutoffs — the
@@ -2396,11 +2426,10 @@ def q_ann_pq_adc(spark, sf_dir):
     return SIM.ann_pq_adc(q, codes, _PQ_BOOKS, k=5)
 
 
-@register("ann_two_stage", SIM.ann_two_stage_oracle(
-    k=5, rerank_factor=4, n_clusters=16, n_probe=4, lloyd_rounds=2))
 def q_ann_two_stage(spark, sf_dir):
     """Two-stage retrieval (§2 row 41h,
-    operators/similarity.py:ann_two_stage — PROMOTED r11): the
+    operators/similarity.py:ann_two_stage — PROMOTED r11, merged into
+    ann_bucketed method='two_stage' in the r13 window rotation): the
     production ANN shape (FAISS/ScaNN). A quantized persisted IVF
     index (save_ivf_index(quantize=True): int8 codes + per-vector
     scale, parquet partitioned by cluster) serves the COARSE pass —
@@ -2713,27 +2742,56 @@ def q_gopher_rules(spark, sf_dir):
              CAST(sum(p_e4) AS BIGINT) AS sum_p_e4
       FROM j GROUP BY doc_id
     )
-    SELECT d.doc_id AS id,
-           coalesce(a.n_bigrams, 0) AS n_bigrams,
-           coalesce(a.sum_bigram_freq, 0) AS sum_bigram_freq,
-           coalesce((20000 * a.n_novel + a.n_bigrams) // (2 * a.n_bigrams), 0) AS novel_ratio_e4,
-           coalesce((2 * a.sum_p_e4 + a.n_bigrams) // (2 * a.n_bigrams), 0) AS cond_familiarity_e4
+    SELECT 'feat' AS mode, d.doc_id AS id, '~' AS k,
+           coalesce(a.n_bigrams, 0) AS n1,
+           coalesce(a.sum_bigram_freq, 0) AS n2,
+           coalesce((20000 * a.n_novel + a.n_bigrams) // (2 * a.n_bigrams), 0) AS e4a,
+           coalesce((2 * a.sum_p_e4 + a.n_bigrams) // (2 * a.n_bigrams), 0) AS e4b
     FROM documents d LEFT JOIN agg2 a USING (doc_id)
+    UNION ALL
+    SELECT 'ppl', id, bucket, score_e4,
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM (
+      WITH s AS ({_BIGRAM_LM_SQL})
+      SELECT id, CAST(score_e4 AS BIGINT) AS score_e4,
+             CASE WHEN score_e4 >= {_PPL_CUTS[0]} THEN 'head'
+                  WHEN score_e4 >= {_PPL_CUTS[1]} THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s)
     """,
 )
 def q_lm_familiarity(spark, sf_dir):
-    """Bigram-LM familiarity features (§2 row 43l,
-    operators/text.py:bigram_lm_features — PROMOTED r12; the
-    ppl_buckets key grades the downstream CCNet bucketing, this one
-    grades the full per-document FEATURE ROW): corpus-trained bigram
-    + unigram tables, integer-exact conditionals — n_bigrams, total
-    corpus bigram frequency, novel-bigram ratio (count <= 1) and the
-    mean conditional P(w2|w1), all in e4 fixed point (round half up
-    by exact integer division; no float log-probs anywhere). Scale
-    shape: bounded tables broadcast; the only corpus-wide shuffle is
-    the per-doc groupBy."""
+    """Bigram-LM scoring, BOTH surfaces in one graded key (§2 rows
+    43l + 43s; ppl_buckets merged r13 — each individually hash-green
+    since r11/r12). Generic columns (mode, id, k VARCHAR, n1, n2,
+    e4a, e4b):
+
+    * mode='feat' (text.bigram_lm_features — PROMOTED r12): the full
+      per-document FEATURE ROW — corpus-trained bigram + unigram
+      tables, integer-exact conditionals: n1=n_bigrams, n2=total
+      corpus bigram frequency, e4a=novel-bigram ratio (count <= 1),
+      e4b=mean conditional P(w2|w1), all e4 fixed point (round half
+      up by exact integer division; no float log-probs anywhere).
+      Scale shape: bounded tables broadcast; the only corpus-wide
+      shuffle is the per-doc groupBy.
+    * mode='ppl' (text.perplexity_buckets, §2 row 43s — merged r13,
+      graded standalone r11-r12): CCNet head/middle/tail bucketing on
+      explicit pinned cutoffs (the percentile_approx sketch path
+      stays the scale default). k=bucket, n1=score_e4."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    return TX.bigram_lm_features(docs)
+    feat = TX.bigram_lm_features(docs).select(
+        F.lit("feat").alias("mode"), "id", F.lit("~").alias("k"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        F.col("sum_bigram_freq").cast("long").alias("n2"),
+        F.col("novel_ratio_e4").cast("long").alias("e4a"),
+        F.col("cond_familiarity_e4").cast("long").alias("e4b"))
+    ppl = q_ppl_buckets(spark, sf_dir).select(
+        F.lit("ppl").alias("mode"), "id", F.col("bucket").alias("k"),
+        F.col("score_e4").cast("long").alias("n1"),
+        F.lit(-1).cast("long").alias("n2"),
+        F.lit(-1).cast("long").alias("e4a"),
+        F.lit(-1).cast("long").alias("e4b"))
+    return feat.unionByName(ppl)
 
 
 _NB_VOCAB = 2000
