@@ -4,21 +4,22 @@ entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, pinned
                 to the driver's 50-entry grading window. Rotated again
-                in r12 onto the remaining exact-potential operators:
-                five new graded keys (gopher_rules, lm_familiarity,
-                nb_classifier, token_budget_mix, bloom_novelty); five
-                long-green keys merged into mode-tagged unions to free
-                the slots (dedup_exact->dedup_pairs,
-                decontaminate->corpus_diff, data_splits->sample_select,
+                in r13 onto the remaining exact-potential operators:
+                four new graded keys (audio_dedup, skew_salted,
+                curriculum_export, contrastive_mining); four long-green
+                keys merged into mode-tagged unions to free the slots
+                (ann_two_stage->ann_bucketed method=two_stage,
+                sessionize->rollup_time mode=session,
+                ppl_buckets->lm_familiarity mode=ppl,
+                dedup_clusters->dedup_pairs mode=cluster) — every
+                retired surface still grades inside its merged key and
+                keeps its unit/parity tests. (r12 rotation:
+                gopher_rules, lm_familiarity, nb_classifier,
+                token_budget_mix, bloom_novelty in;
+                dedup_exact->dedup_pairs, decontaminate->corpus_diff,
+                data_splits->sample_select,
                 pack_sequences->export_shards,
-                domain_stats->corpus_frequency) — every retired
-                surface still grades inside its merged key and keeps
-                its unit/parity tests. (r11 rotation: ann_pq_adc,
-                ann_two_stage, dsir_select, ppl_buckets,
-                chunk_documents in; range_join->asof_join,
-                rollup_merge->rollup_time, stream_stateful->stream_agg,
-                orders_per_customer+parts_per_nation->graph_aggregates,
-                filter_novel->corpus_diff merged.)
+                domain_stats->corpus_frequency merged.)
 oracle_sql()  — DuckDB-equivalent SQL per query: 50 of 50 — every
                 entry value-hash verifiable, including both approximate
                 ANN variants (int64 fixed-point reformulation), the

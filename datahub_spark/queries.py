@@ -2956,6 +2956,284 @@ def q_bloom_novelty(spark, sf_dir):
         "doc_id", "maybe_member")
 
 
+# --------------------------------------------------------------------------
+# r13 window rotation: four previously-ungraded exact-potential operators
+# promoted — perceptual audio dedup, the skew utilities, contrastive-pair
+# mining, and the curriculum shard export (physical order graded through
+# the written files). Slots freed by the r13 mode-tagged merges
+# (ann_two_stage->ann_bucketed, sessionize->rollup_time,
+# ppl_buckets->lm_familiarity, dedup_clusters->dedup_pairs).
+# --------------------------------------------------------------------------
+
+
+_AUDIO_GROUPS = 10
+
+
+def _audio_group_wav(g: int, gain_div: int) -> bytes:
+    """Deterministic 16-bit mono WAV for audio group ``g``: 65 constant-
+    amplitude windows of 8 samples whose window-energy comparisons spell
+    a period-(g+2) block-alternation bit pattern — the 10 group
+    fingerprints are pairwise >= 19 Hamming bits apart and the two gain
+    variants (full / halved, byte-DISTINCT payloads) fingerprint
+    IDENTICALLY because all amplitudes are even and the energy contour
+    is gain-invariant (both pinned in test_multimodal.py)."""
+    import struct
+    import wave
+
+    p = g + 2
+    bits = [(k // p) % 2 for k in range(64)]
+    c, cs = 0, [0]
+    for b in bits:
+        c = c - 1 if b else c + 1
+        cs.append(c)
+    amps = [2 * round(600 * 1.25 ** cv) for cv in cs]  # even, < 2^15
+    samples = []
+    for a in amps:
+        samples.extend([a // gain_div] * 8)
+    buf = __import__("io").BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+@register(
+    "audio_dedup",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % {_AUDIO_GROUPS})
+                AS BIGINT) AS keeper
+    FROM documents
+    """,
+)
+def q_audio_dedup(spark, sf_dir):
+    """Perceptual audio dedup end-to-end (§2 row 46g,
+    operators/multimodal.py:dedup_audio — PROMOTED r13): every document
+    carries a REAL WAV payload from one of {_AUDIO_GROUPS} audio groups,
+    two byte-distinct GAIN variants per group (the re-encoded-copy
+    case byte dedup cannot catch). The pipeline really parses each
+    RIFF container, fingerprints the 65-window energy contour, bands
+    the 64-bit fingerprint, clusters candidates by pointer-jumping
+    connected components, and keeps the min id per audio cluster. The
+    oracle can predict keepers because groups are id-derived, group
+    fingerprints sit >= 19 Hamming bits apart (> max_hamming=3, so the
+    pigeonhole bands' cross-group collisions are filtered), and gain
+    variants fingerprint identically (all pinned in
+    test_multimodal.py)."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    lut_rows = [(g, v, bytearray(_audio_group_wav(g, v + 1)))
+                for g in range(_AUDIO_GROUPS) for v in (0, 1)]
+    lut = spark.createDataFrame(lut_rows, "g int, v int, payload binary")
+    media = (docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % _AUDIO_GROUPS).cast("int").alias("g"),
+        (F.floor(F.col("doc_id") / _AUDIO_GROUPS) % 2).cast("int")
+        .alias("v"))
+        .join(F.broadcast(lut), ["g", "v"])
+        .select("doc_id", "payload"))
+    return MM.dedup_audio(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keeper").cast("long").alias("keeper"))
+
+
+@register(
+    "skew_salted",
+    """
+    SELECT 'count' AS mode, event_type AS k,
+           CAST(COUNT(*) AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'join', CAST(c.c_nationkey AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(o.o_orderkey) AS BIGINT)
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    UNION ALL
+    SELECT 'hot', event_type, n, share_e4 FROM (
+      WITH counts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY event_type),
+      tot AS (SELECT SUM(n) AS t FROM counts)
+      SELECT event_type, n, CAST((10000 * n) // t AS BIGINT) AS share_e4
+      FROM counts, tot
+      WHERE (10000 * n) // t >= 500
+      ORDER BY n DESC, event_type LIMIT 10)
+    """,
+)
+def q_skew_salted(spark, sf_dir):
+    """The skew-mitigation utilities, salted == plain pinned by value
+    hash (§2 row 53, operators/skew.py — PROMOTED r13). Generic
+    columns (mode, k VARCHAR, v1, v2):
+
+    * mode='count' (skew.salted_count, salt=16): two-phase count of
+      the hot event_type groups — groupBy(key, salt) partials then
+      key finals; the oracle is the PLAIN single-phase count, so the
+      hash match IS the salted==plain equivalence.
+    * mode='join' (skew.salted_join, salt=8): orders (probe, hot
+      custkeys spread over 8 salt values via deterministic row hash)
+      joined to the replicated customer side, aggregated per nation
+      (v1=orders, v2=sum of order keys); oracle = plain join.
+    * mode='hot' (skew.hot_keys): the diagnostic — keys holding
+      >= 5% of events with exact-e4 shares (v1=n, v2=share_e4)."""
+    from datahub_spark.operators import skew as SK
+
+    tables = ingest.load_tables(spark, sf_dir)
+    events = tables["events"]
+    cnt = SK.salted_count(events, on="event_type", salt=16).select(
+        F.lit("count").alias("mode"),
+        F.col("event_type").alias("k"),
+        F.col("n").cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"))
+    orders = tables["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"))
+    customer = tables["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey")
+    j = (SK.salted_join(orders, customer, on="custkey", salt=8,
+                        id_col="o_orderkey")
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("v1"),
+              F.sum("o_orderkey").cast("long").alias("v2"))
+         .select(F.lit("join").alias("mode"),
+                 F.col("c_nationkey").cast("string").alias("k"),
+                 "v1", "v2"))
+    hot = SK.hot_keys(events, "event_type", top=10,
+                      min_share_e4=500).select(
+        F.lit("hot").alias("mode"),
+        F.col("event_type").alias("k"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("share_e4").cast("long").alias("v2"))
+    return cnt.unionByName(j).unionByName(hot)
+
+
+_CURR_SHARDS = 4
+
+
+@register(
+    "curriculum_export",
+    f"""
+    WITH a AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS difficulty,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))::BIGINT
+               % {_CURR_SHARDS} AS shard
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY difficulty, doc_id) AS BIGINT)
+             AS pos,
+           doc_id, difficulty
+    FROM a
+    """,
+)
+def q_curriculum_export(spark, sf_dir):
+    """Curriculum shard export with the PHYSICAL file order graded
+    (§2 row 43h2, operators/export.py:export_shards(order_col=...) —
+    PROMOTED r13): md5 hash-uniform placement into {_CURR_SHARDS}
+    shards, in-shard easy-to-hard order on a deterministic difficulty
+    column (text length, ties on id), partitioned parquet write. The
+    graded rows come back FROM THE WRITTEN FILES with positions taken
+    from Spark's file-metadata row index (_metadata.file_path,
+    row_index — written order, robust to read splits), so placement,
+    the keyed shuffle, the local sort direction, the partitioned
+    write, AND the physical row order are all end-to-end verified
+    against the oracle's analytic (difficulty, id) ranking."""
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    path = _scratch("curriculum_export") + "/out"
+    EX.export_shards(
+        docs.withColumn("difficulty", F.length("text").cast("long")),
+        path, n_shards=_CURR_SHARDS, order_col="difficulty",
+        ascending=True, hash_family="md5")
+    back = spark.read.parquet(path)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_metadata.file_path"), F.col("_metadata.row_index"))
+    return back.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("difficulty").cast("long").alias("difficulty"))
+
+
+def _contrastive_oracle(k_neg: int = 4, n_probe_rank: int = 16,
+                        n_planes: int = 6, lsh_bands: int = 4,
+                        dim: int = 64, seed: int = 42) -> str:
+    """DuckDB SQL computing exactly mine_contrastive_pairs(): the
+    minhash-LSH positives (the dedup_pairs oracle's candidate graph),
+    the banded hyperplane ANN probe with the same seeded plane
+    literals (bands x n_planes planes, sliced per band exactly like
+    similarity.ann_lsh's banded path), positive/self exclusion, and
+    the (rank, id)-ordered top-k_neg fold into a sorted id list."""
+    planes = SIM.planes_fixed(dim, lsh_bands * n_planes, seed)
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, "
+        + SIM._bucket_sql("embedding", planes[b * n_planes:(b + 1) * n_planes])
+        + " AS bucket FROM embeddings"
+        for b in range(lsh_bands))
+    dot = SIM.DOT_FIXED_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH mh AS ({_minhash_oracle()}),
+    pos AS (SELECT id_a AS anchor_id, id_b AS positive_id FROM mh
+            UNION ALL SELECT id_b, id_a FROM mh),
+    anc AS (SELECT DISTINCT anchor_id FROM pos),
+    cb AS ({band_sel}),
+    qb AS (SELECT cb.* FROM cb JOIN anc ON cb.vec_id = anc.anchor_id),
+    s AS (
+      SELECT DISTINCT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+             {dot} AS dot_fp
+      FROM qb q JOIN cb c USING (band, bucket)
+      WHERE c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT anchor_id, neighbor_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY dot_fp DESC, neighbor_id) AS rnk
+      FROM s),
+    nn AS (
+      SELECT k.anchor_id, k.neighbor_id, k.rnk
+      FROM (SELECT * FROM ranked WHERE rnk <= {n_probe_rank}) k
+      LEFT JOIN pos p ON p.anchor_id = k.anchor_id
+                     AND p.positive_id = k.neighbor_id
+      WHERE p.anchor_id IS NULL),
+    top AS (
+      SELECT anchor_id, neighbor_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY rnk, neighbor_id) AS rn2
+      FROM nn),
+    negs AS (
+      SELECT anchor_id,
+             array_to_string(list(CAST(neighbor_id AS VARCHAR)
+                                  ORDER BY neighbor_id), '|') AS ids
+      FROM top WHERE rn2 <= {k_neg} GROUP BY anchor_id)
+    SELECT p.anchor_id, p.positive_id,
+           coalesce(n.ids, '') AS negs
+    FROM pos p LEFT JOIN negs n USING (anchor_id)
+    """
+
+
+@register("contrastive_mining", _contrastive_oracle())
+def q_contrastive_mining(spark, sf_dir):
+    """Contrastive training-pair mining (§2 row 54,
+    operators/mining.py:mine_contrastive_pairs — PROMOTED r13): the
+    DPR/E5 recipe over the corpus itself — minhash-LSH near-dup pairs
+    as positives, banded hyperplane-LSH approximate neighbors (minus
+    self and positives) as HARD negatives, one keyed fold per anchor.
+    Every stage is a bucketed equi-join (no all-pairs anywhere); the
+    oracle reproduces positives, the 4-band seeded-plane probe, the
+    exclusions, and the (rank, id) top-4 fold exactly. The negative
+    list surfaces as a '|'-joined sorted string (arrays never surface
+    directly — registry portability rule)."""
+    from datahub_spark.operators import mining as MN
+
+    tables = ingest.load_tables(spark, sf_dir)
+    out = MN.mine_contrastive_pairs(tables["documents"],
+                                    tables["embeddings"])
+    return out.select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("positive_id").cast("long").alias("positive_id"),
+        F.array_join(F.transform(F.col("negative_ids"),
+                                 lambda x: x.cast("string")), "|")
+        .alias("negs"))
+
+
 assert len(QUERIES) <= 50, (
     f"{len(QUERIES)} queries registered; the driver grades only the first 50 — "
     "merge or retire an entry instead of exceeding the window"

@@ -1397,3 +1397,27 @@ def test_image_dhash_budget_flush_value_identical(spark, monkeypatch):
     got = {r["doc_id"]: r["dhash"]
            for r in MM.image_dhash(media).collect()}
     assert got == want and len(got) == 24
+
+
+def test_audio_group_wavs_pin_dedup_oracle_assumptions():
+    """The audio_dedup graded key's oracle (min id per id-derived group)
+    is only valid if (a) the two gain variants of each group
+    fingerprint IDENTICALLY (byte-distinct payloads, same energy
+    contour — all amplitudes even so halving is exact), and (b) group
+    fingerprints sit far enough apart that the banded Hamming-3
+    clustering can never merge groups. Pin both."""
+    from datahub_spark.queries import _AUDIO_GROUPS, _audio_group_wav
+
+    fps = {}
+    for g in range(_AUDIO_GROUPS):
+        full = MM._audio_fp64(MM._wav_samples(_audio_group_wav(g, 1)))
+        half = MM._audio_fp64(MM._wav_samples(_audio_group_wav(g, 2)))
+        assert full == half, f"group {g}: gain variant drifted the fp"
+        fps[g] = full
+    payload_full = _audio_group_wav(3, 1)
+    payload_half = _audio_group_wav(3, 2)
+    assert payload_full != payload_half  # byte-distinct, fp-identical
+    worst = min(
+        bin(fps[a] ^ fps[b]).count("1")
+        for a in range(_AUDIO_GROUPS) for b in range(a + 1, _AUDIO_GROUPS))
+    assert worst >= 10, f"group fp separation collapsed to {worst} bits"
