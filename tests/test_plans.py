@@ -137,3 +137,31 @@ def test_bloom_novelty_probe_has_no_join(spark):
     gather) — the plan carries no join of batch against corpus."""
     plan = _plan(spark, "bloom_novelty")
     assert "Join" not in plan, plan
+
+
+def test_contrastive_mining_is_bucketed_not_cartesian(spark):
+    """r13 promotion: positives come from banded minhash equi-joins,
+    hard negatives from (band, bucket) hyperplane equi-joins — no
+    stage may degrade to an all-pairs join."""
+    plan = _plan(spark, "contrastive_mining")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_salted_join_has_no_cartesian_and_hash_aggregates(spark):
+    """r13 promotion: the salted join is an equi-join on (key, salt)
+    — the build-side replication is an explode, never a nested-loop —
+    and both count phases stay hash aggregates."""
+    plan = _plan(spark, "skew_salted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_audio_dedup_candidates_are_banded_equi_joins(spark):
+    """r13 promotion: fingerprints band into 16-bit chunks and meet in
+    an equi-join; clustering is the pointer-jumping CC — the audio
+    corpus never all-pairs."""
+    plan = _plan(spark, "audio_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
