@@ -784,6 +784,75 @@ def main() -> None:
     vmedia.unpersist()
     spark.catalog.clearCache()
 
+    # --- r13: perceptual AUDIO dedup at scale ------------------------
+    # (completes the media-dedup scale evidence: image 200k r10, video
+    # 21k above, audio had only unit-scale.) 100k real RIFF/WAVE
+    # payloads: 50k full-entropy clips (65 constant-amplitude windows
+    # drawn from an 8-level even-amplitude ladder, adjacent ties
+    # rerolled so every energy comparison is strict) x 2 GAIN variants
+    # (samples halved — even amplitudes make it exact, so the variant
+    # is byte-distinct but fingerprint-IDENTICAL). max_hamming=0 makes
+    # the invariant exact: every variant clusters onto its source,
+    # 50k keepers, all originals (full-entropy 64-bit contours make
+    # cross-clip collisions ~2^-50 per pair).
+    n_aud = 50_000
+
+    def gen_wavs(batches):
+        import io as _io
+        import struct as _st
+        import wave as _wv
+
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                src, variant = i % n_aud, i // n_aud
+                rng = _np.random.RandomState(src)
+                ladder = [2 * round(600 * 1.35 ** lv) for lv in range(8)]
+                amps, prev = [], -1
+                for _ in range(65):
+                    a = int(rng.randint(8))
+                    while a == prev:
+                        a = int(rng.randint(8))
+                    amps.append(ladder[a])
+                    prev = a
+                div = variant + 1
+                samples = []
+                for a in amps:
+                    samples.extend([a // div] * 8)
+                buf = _io.BytesIO()
+                with _wv.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_st.pack(f"<{len(samples)}h", *samples))
+                pay = buf.getvalue()
+                rows.append((i, pay, {"mime": "audio/wav",
+                                      "n_bytes": len(pay),
+                                      "width": -1, "height": -1}))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    amedia = spark.range(2 * n_aud).mapInPandas(
+        gen_wavs, MM.MEDIA_SCHEMA).persist()
+    t0 = time.monotonic()
+    amedia.count()
+    timings["audio_dedup_100k_fixture_gen"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    astats = MM.dedup_audio(amedia, max_hamming=0).select(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("keeper").alias("clusters"),
+        F.sum(F.when(F.col("keeper") != F.col("doc_id") % n_aud, 1)
+              .otherwise(0)).alias("bad"),
+    ).collect()[0]
+    timings["audio_dedup_100k_op_only"] = round(time.monotonic() - t0, 2)
+    timings["audio_dedup_clips_per_s"] = round(
+        2 * n_aud / max(timings["audio_dedup_100k_op_only"], 1e-9))
+    assert (astats["rows"], astats["clusters"], astats["bad"]) \
+        == (2 * n_aud, n_aud, 0), astats
+    amedia.unpersist()
+    spark.catalog.clearCache()
+
     # --- r12: streaming sessionize at drift scale (state-store path) --
     # 10M events / 200k users arrive as 10 TIME-ORDERED single-file
     # batches; maxFilesPerTrigger=1 forces the AvailableNow drain
