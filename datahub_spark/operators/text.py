@@ -224,23 +224,42 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+# trigger substrings a match REQUIRES, checked with one instr before the
+# regex runs (r13): email needs '@', url literally starts 'http', ipv4
+# needs '.', phone starts '+'. card has NO safe single-substring guard
+# (its group separator is space OR dash) and stays unguarded. Guards
+# probe the ORIGINAL text — replacement tokens (<EMAIL> etc.) can never
+# introduce a trigger, so a doc without one has no match in the
+# accumulated scrub either.
+_PII_GUARDS = {"email": "@", "url": "http", "ipv4": ".", "phone": "+"}
+
+
 def _pii_cols(t: Column) -> list[Column]:
     """The PII output columns (n_<kind>..., scrubbed) as per-pattern
-    regexp_count + chained regexp_replace. MEASURED decision (r11): a
-    single-alternation formulation (one regexp_extract_all for spans +
-    one split for segments + array-builtin classify/count/rebuild) was
-    prototyped and benchmarked at sf1: 1.33s vs 0.55s for this chain
-    standalone, and far worse inside text_suite (duplicated
-    evaluation past the janino codegen limit) — Java's leftmost-first
-    alternation tries all five alternatives at nearly every character
-    (the union of first-char sets covers most of the alphabet), while
-    each simple pattern scan skips via its own first-char class.
-    2*|patterns| cheap passes beat 2 expensive ones; the chain stays."""
+    regexp_count + chained regexp_replace, each pass behind a cheap
+    instr() trigger guard where one exists (_PII_GUARDS). MEASURED
+    decisions: r11 — a single-alternation formulation (one
+    regexp_extract_all for spans + one split for segments +
+    array-builtin classify/count/rebuild) benchmarked 1.33s vs 0.55s
+    for this chain standalone and far worse inside text_suite (Java's
+    leftmost-first alternation tries all five alternatives at nearly
+    every character, while each simple pattern scan skips via its own
+    first-char class); r13 — the instr guards skip the regex scan
+    entirely on rows without the trigger substring: 3.08s -> 1.47s
+    standalone at sf1, value-identical on the full corpus and inside
+    text_suite (bench-harness A/B in SURVEY §6). The when() branches
+    duplicate the accumulated scrub expression in CODE (both branches
+    are generated) but only one branch executes per row."""
     counts, out = [], t
     for kind, pat in PII_PATTERNS.items():
-        counts.append(F.regexp_count(t, F.lit(pat))
-                      .cast("long").alias(f"n_{kind}"))
-        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+        g = _PII_GUARDS.get(kind)
+        has = (F.instr(t, g) > 0) if g is not None else None
+        c = F.regexp_count(t, F.lit(pat)).cast("long")
+        if g is not None:
+            c = F.when(has, c).otherwise(F.lit(0).cast("long"))
+        counts.append(c.alias(f"n_{kind}"))
+        rep = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+        out = F.when(has, rep).otherwise(out) if g is not None else rep
     return counts + [out.alias("scrubbed")]
 
 
