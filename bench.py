@@ -543,16 +543,29 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict,
             out["errors"][f"child_{regime}"] = f"exited rc={proc.returncode}"
             continue
         child = json.loads(proc.stdout.strip().splitlines()[-1])
-        out["queries"].update(child.get("queries", {}))
-        out["min_max"].update(child.get("min_max", {}))
-        out["errors"].update(child.get("errors", {}))
-        out["stall_excluded_medians"].update(
-            child.get("stall_excluded_medians", {}))
-        out["n_samples"].update(child.get("n_samples", {}))
-        out["repl"] = child.get("repl")
-        out["runs_per_query"] = child.get("runs_per_query")
-        for leg in legs:
-            out["regime"][leg] = regime
+        _merge_x100_child(out, child, legs, regime)
+    _finish_x100(out, x10_timings, x10_clean)
+    return out
+
+
+def _merge_x100_child(out: dict, child: dict, legs, regime: str) -> None:
+    """Fold one heap-group child's JSON line into the x100 result —
+    pure dict plumbing, unit-tested (test_bench_harness.py) so a field
+    added to the child's output cannot silently vanish from the
+    merged driver artifact again."""
+    out["queries"].update(child.get("queries", {}))
+    out["min_max"].update(child.get("min_max", {}))
+    out["errors"].update(child.get("errors", {}))
+    out["stall_excluded_medians"].update(
+        child.get("stall_excluded_medians", {}))
+    out["n_samples"].update(child.get("n_samples", {}))
+    out["repl"] = child.get("repl")
+    out["runs_per_query"] = child.get("runs_per_query")
+    for leg in legs:
+        out["regime"][leg] = regime
+
+
+def _finish_x100(out: dict, x10_timings: dict, x10_clean: dict) -> None:
     out["scale_vs_x10"] = {
         k: round(v / x10_timings[k], 2)
         for k, v in out["queries"].items() if x10_timings.get(k)
@@ -563,7 +576,6 @@ def bench_x100_subprocess(base_dir: str, x10_timings: dict,
         for k, v in out["stall_excluded_medians"].items()
         if x10_clean.get(k)
     }
-    return out
 
 
 def main_x100_child() -> None:

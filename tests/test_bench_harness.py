@@ -87,3 +87,39 @@ def test_clear_persisted_between_legs(spark):
         spark, SF_SMALL, ["pr"], {"pr": _pr}, runs=2)
     assert not errors and "pr" in timings
     assert _persisted_ids(spark.sparkContext) == set()
+
+
+def test_x100_child_merge_carries_every_field():
+    """The x100 driver artifact is assembled from per-heap-group child
+    JSON lines; r13 made the merge a pure function so the contract is
+    pinned: every reported field (raw + stall-excluded medians,
+    spreads, sample counts, errors, regimes) survives the merge, and
+    the clean scale ratio pairs stall-excluded medians on BOTH sides."""
+    out = {"queries": {}, "min_max": {}, "errors": {}, "regime": {},
+           "stall_excluded_medians": {}, "n_samples": {}}
+    bench._merge_x100_child(out, {
+        "repl": 100, "runs_per_query": 5,
+        "queries": {"a": 10.0, "b": 4.0},
+        "stall_excluded_medians": {"a": 8.0, "b": 4.0},
+        "n_samples": {"a": 7, "b": 5},
+        "min_max": {"a": [7.5, 40.0, 2], "b": [3.9, 4.2, 0]},
+        "errors": {},
+    }, ["a", "b"], "48g")
+    bench._merge_x100_child(out, {
+        "repl": 100, "runs_per_query": 5,
+        "queries": {"c": 30.0},
+        "stall_excluded_medians": {"c": 30.0},
+        "n_samples": {"c": 5},
+        "min_max": {"c": [28.0, 33.0, 0]},
+        "errors": {"d": "MemoryError(...)"},
+    }, ["c", "d"], "16g")
+    bench._finish_x100(out, {"a": 1.0, "b": 2.0, "c": 3.0},
+                       {"a": 0.8, "b": 2.0, "c": 3.0})
+    assert out["queries"] == {"a": 10.0, "b": 4.0, "c": 30.0}
+    assert out["stall_excluded_medians"]["a"] == 8.0
+    assert out["n_samples"] == {"a": 7, "b": 5, "c": 5}
+    assert out["regime"] == {"a": "48g", "b": "48g", "c": "16g", "d": "16g"}
+    assert out["errors"] == {"d": "MemoryError(...)"}
+    assert out["scale_vs_x10"] == {"a": 10.0, "b": 2.0, "c": 10.0}
+    # clean ratio uses clean medians on BOTH sides: 8.0/0.8 = 10.0
+    assert out["scale_vs_x10_clean"] == {"a": 10.0, "b": 2.0, "c": 10.0}
