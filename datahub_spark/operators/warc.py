@@ -1,0 +1,208 @@
+"""WARC / WET ingest: Common Crawl's container format as a Spark source.
+
+A training-data pipeline's raw input is usually Common Crawl: WARC
+files (HTTP captures) and their WET siblings (pre-extracted plain
+text). Both are sequences of WARC records, each:
+
+    WARC/1.0\r\n
+    <Name>: <value>\r\n ...          (headers, \r\n line endings)
+    \r\n                             (blank line)
+    <Content-Length bytes of body>
+    \r\n\r\n                         (record separator)
+
+concatenated and (in the wild) gzip-compressed with ONE GZIP MEMBER
+PER RECORD so readers can split on member boundaries. Python's gzip
+handles member-concatenated streams transparently.
+
+Spark mapping — files are the unit of parallelism, exactly how Common
+Crawl is laid out (segments of ~1 GB-decompressed files, tens of
+thousands per crawl): `spark.read.format("binaryFile")` distributes
+whole files to tasks, and the parser walks ONE record at a time off a
+streaming gzip reader, so task memory is bounded by the largest
+single record (CC caps records at ~1 MB for WET), never the file. At
+100 TB the plan is a file-parallel scan: no shuffle, no driver-side
+anything; downstream operators (text_suite, dedup tiers, lang-ID)
+compose on the returned text column.
+
+No WARC library exists in this container and none is needed: the
+format is line-oriented headers + a counted body, fully expressible
+with stdlib gzip/io. Parsing is strict by default (a malformed
+record RAISES with the file path and byte offset — silent truncation
+of a crawl is how corpora quietly lose tails); pass lenient=True to
+skip trailing garbage instead.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WET_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _read_record(stream, path: str, lenient: bool):
+    """One WARC record off ``stream`` (a decompressed file-like), or
+    None at clean end-of-stream. Raises ValueError on malformation
+    unless lenient."""
+    # skip inter-record blank lines
+    line = stream.readline()
+    while line in (b"\r\n", b"\n"):
+        line = stream.readline()
+    if line == b"":
+        return None
+    if not line.startswith(b"WARC/"):
+        if lenient:
+            return None
+        raise ValueError(
+            f"warc: expected WARC/ version line in {path}, got {line[:40]!r}")
+    headers: dict[str, str] = {}
+    while True:
+        line = stream.readline()
+        if line in (b"\r\n", b"\n"):
+            break
+        if line == b"":
+            if lenient:
+                return None
+            raise ValueError(f"warc: truncated header block in {path}")
+        try:
+            name, value = line.decode("utf-8", "replace").split(":", 1)
+        except ValueError:
+            if lenient:
+                continue
+            raise ValueError(
+                f"warc: malformed header line in {path}: {line[:60]!r}")
+        headers[name.strip().lower()] = value.strip()
+    try:
+        n = int(headers["content-length"])
+    except (KeyError, ValueError):
+        if lenient:
+            return None
+        raise ValueError(f"warc: missing/bad Content-Length in {path}")
+    body = stream.read(n)
+    if len(body) != n:
+        if lenient:
+            return None
+        raise ValueError(
+            f"warc: body truncated in {path} "
+            f"(wanted {n} bytes, got {len(body)})")
+    return headers, body
+
+
+def _iter_records(payload: bytes, path: str, lenient: bool):
+    """Stream records out of one (possibly multi-member-gzip) WARC/WET
+    payload — one record in memory at a time."""
+    if payload[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=io.BytesIO(payload))
+    else:
+        stream = io.BytesIO(payload)
+    while True:
+        rec = _read_record(stream, path, lenient)
+        if rec is None:
+            return
+        yield rec
+
+
+def read_wet(spark: SparkSession, path: str, glob: str | None = None,
+             record_types: tuple[str, ...] = ("conversion",),
+             lenient: bool = False) -> DataFrame:
+    """Distributed WET/WARC text ingest: one row per record whose
+    WARC-Type is in ``record_types`` ('conversion' = WET plain text;
+    pass ('response',) for raw WARC bodies, or () for every type).
+    Columns: (file, record_id, url, warc_date, warc_type,
+    content_length, text). Plan: binaryFile scan (files = tasks) ->
+    one Arrow-batched streaming parse, no shuffle."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    want = tuple(record_types)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                for headers, body in _iter_records(
+                        bytes(payload), str(fpath), lenient):
+                    wtype = headers.get("warc-type", "")
+                    if want and wtype not in want:
+                        continue
+                    rows.append({
+                        "file": str(fpath),
+                        "record_id": headers.get("warc-record-id", ""),
+                        "url": headers.get("warc-target-uri", ""),
+                        "warc_date": headers.get("warc-date", ""),
+                        "warc_type": wtype,
+                        "content_length": len(body),
+                        "text": body.decode("utf-8", "replace"),
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WET_SCHEMA.fields])
+
+    return files.mapInPandas(run, schema=WET_SCHEMA)
+
+
+def wet_record_bytes(url: str, text: str, record_id: str,
+                     date: str = "2024-01-01T00:00:00Z") -> bytes:
+    """One spec-shaped WET 'conversion' record (\\r\\n headers, exact
+    Content-Length, record separator)."""
+    body = text.encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "Content-Type: text/plain\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + body + b"\r\n\r\n"
+
+
+def write_wet(df: DataFrame, path: str, url_col: str = "url",
+              text_col: str = "text", id_col: str = "doc_id",
+              files: int | None = None) -> None:
+    """Write (url, text) rows as real WET files — one gzip MEMBER per
+    record (the Common Crawl layout, so any member-aware reader can
+    split), one file per partition, named part-<pid>.warc.wet.gz.
+    Round-trips through read_wet byte-exactly (pinned in
+    tests/test_warc.py)."""
+    src = df.select(F.col(id_col).cast("string").alias("_id"),
+                    F.col(url_col).alias("_url"),
+                    F.col(text_col).alias("_text"))
+    if files:
+        src = src.repartition(files)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(path, exist_ok=True)
+        out, n = io.BytesIO(), 0
+        for pdf in batches:
+            for rid, url, text in zip(pdf["_id"], pdf["_url"], pdf["_text"]):
+                out.write(gzip.compress(
+                    wet_record_bytes(str(url), str(text), str(rid))))
+                n += 1
+        if n:
+            with open(f"{path}/part-{pid:05d}.warc.wet.gz", "wb") as fh:
+                fh.write(out.getvalue())
+        yield pd.DataFrame({"n": [n]})
+
+    src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
