@@ -95,7 +95,16 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
      .sortWithinPartitions(F.col("shard").asc(), okey, F.col(id_col).asc())
      .drop("sort_key")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
-    written = df.sparkSession.read.parquet(path)
+    spark = df.sparkSession
+    try:
+        written = spark.read.parquet(path)
+    except Exception:
+        # an EMPTY corpus (e.g. a fold that drew no documents) writes
+        # only _SUCCESS — no footer to infer from. The manifest is
+        # honestly empty rather than a crash; the directory exists, so
+        # downstream loaders see a valid (zero-shard) export.
+        return spark.createDataFrame(
+            [], "shard int, n_docs long, n_tokens long")
     # tokenized frames (e.g. bpe.encode_bpe_ids output) carry an exact
     # count column; text frames fall back to the whitespace proxy
     n_tok = (F.sum(F.col(token_count_col)) if token_count_col

@@ -192,3 +192,15 @@ def test_export_shards_descending_and_non_numeric_order(spark, tmp_path):
     EX.export_shards(docs, path2, 2)
     for d in glob.glob(f"{path2}/shard=*"):
         assert "sort_key" not in pq.read_table(d).column_names
+
+
+def test_export_shards_empty_corpus_returns_empty_manifest(spark, tmp_path):
+    """r13: a fold that drew no documents exports an honest EMPTY
+    manifest (dir exists, zero shards) instead of crashing the whole
+    prepare_training_data run on the read-back schema inference."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    from datahub_spark.operators import export as EX
+
+    m = EX.export_shards(empty, str(tmp_path / "out"), n_shards=4)
+    assert m.count() == 0
+    assert [f.name for f in m.schema.fields] == ["shard", "n_docs", "n_tokens"]
