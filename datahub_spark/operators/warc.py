@@ -18,11 +18,14 @@ Spark mapping — files are the unit of parallelism, exactly how Common
 Crawl is laid out (segments of ~1 GB-decompressed files, tens of
 thousands per crawl): `spark.read.format("binaryFile")` distributes
 whole files to tasks, and the parser walks ONE record at a time off a
-streaming gzip reader, so task memory is bounded by the largest
-single record (CC caps records at ~1 MB for WET), never the file. At
-100 TB the plan is a file-parallel scan: no shuffle, no driver-side
-anything; downstream operators (text_suite, dedup tiers, lang-ID)
-compose on the returned text column.
+streaming gzip reader. Task memory honestly stated: binaryFile
+materializes the COMPRESSED file bytes (~150 MB for a real WET
+segment) per in-flight file, plus one decompressed record at a time
+(CC caps WET records at ~1 MB) — the ~1 GB decompressed stream never
+exists in memory at once. At 100 TB the plan is a file-parallel scan:
+no shuffle, no driver-side anything; downstream operators
+(text_suite, dedup tiers, lang-ID) compose on the returned text
+column.
 
 No WARC library exists in this container and none is needed: the
 format is line-oriented headers + a counted body, fully expressible
@@ -194,15 +197,23 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
 
         pid = TaskContext.get().partitionId()
         os.makedirs(path, exist_ok=True)
-        out, n = io.BytesIO(), 0
-        for pdf in batches:
-            for rid, url, text in zip(pdf["_id"], pdf["_url"], pdf["_text"]):
-                out.write(gzip.compress(
-                    wet_record_bytes(str(url), str(text), str(rid))))
-                n += 1
-        if n:
-            with open(f"{path}/part-{pid:05d}.warc.wet.gz", "wb") as fh:
-                fh.write(out.getvalue())
+        # stream records straight to disk — task memory stays one
+        # record regardless of partition size (an empty partition
+        # leaves no file behind)
+        fh, n = None, 0
+        try:
+            for pdf in batches:
+                for rid, url, text in zip(pdf["_id"], pdf["_url"],
+                                          pdf["_text"]):
+                    if fh is None:
+                        fh = open(f"{path}/part-{pid:05d}.warc.wet.gz",
+                                  "wb")
+                    fh.write(gzip.compress(
+                        wet_record_bytes(str(url), str(text), str(rid))))
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
         yield pd.DataFrame({"n": [n]})
 
     src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
