@@ -190,3 +190,86 @@ def pack_sequences(df: DataFrame, max_tokens: int,
         (hi - F.col("_s")).cast("long").alias("doc_to"),
         (lo - F.col("seq_id") * C).cast("long").alias("seq_off"),
     )
+
+
+def export_jsonl(df: DataFrame, path: str, n_shards: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 seed: int = 42, hash_family: str = "xxhash",
+                 compress: bool = True) -> DataFrame:
+    """The interchange twin of export_shards (r13): the same
+    hash-uniform placement and reproducible in-shard hash order, but
+    written as gzip JSONL — the format most training loaders and
+    hub-style datasets exchange. One file per shard
+    (``shard-K.jsonl.gz``), every row ``to_json`` of the full record
+    (minus the helper sort key), streamed to disk one line at a time
+    (task memory = one record). Returns the same
+    ``(shard, n_docs, n_tokens)`` manifest read back FROM THE WRITTEN
+    FILES, so placement, order, serialization, and the bytes on disk
+    are all covered by the round-trip tests (test_export.py).
+
+    Plan shape: identical to export_shards — map-side assign, ONE
+    keyed shuffle, local sort, file-parallel write; reading back is a
+    file-parallel text scan + from_json (schema carried explicitly,
+    no inference pass at scale)."""
+    import gzip as _gz
+    import io as _io
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    assigned = assign_shards(df, n_shards, id_col, seed, hash_family)
+    cols = [c for c in assigned.columns if c != "sort_key"]
+    src = (assigned
+           .repartition(n_shards, F.col("shard"))
+           .sortWithinPartitions(F.col("shard").asc(),
+                                 F.col("sort_key").asc(),
+                                 F.col(id_col).asc())
+           .select(F.col("shard"),
+                   F.to_json(F.struct(*[F.col(c) for c in cols]))
+                   .alias("_line")))
+
+    def dump(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        handles: dict[int, object] = {}
+        n = 0
+        try:
+            for pdf in batches:
+                for shard, line in zip(pdf["shard"], pdf["_line"]):
+                    shard = int(shard)
+                    fh = handles.get(shard)
+                    if fh is None:
+                        name = (f"{path}/shard-{shard:05d}.jsonl"
+                                + (".gz" if compress else ""))
+                        raw = open(name, "wb")
+                        fh = _gz.GzipFile(fileobj=raw, mode="wb") \
+                            if compress else raw
+                        handles[shard] = fh
+                    fh.write((str(line) + "\n").encode("utf-8"))
+                    n += 1
+        finally:
+            for fh in handles.values():
+                fh.close()
+        yield _pd.DataFrame({"n": [n]})
+
+    src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
+    spark = df.sparkSession
+    schema = df.select(*[F.col(c) for c in df.columns]).schema
+    import pyspark.sql.types as _T
+
+    full = _T.StructType(list(schema.fields)
+                         + [_T.StructField("shard", _T.IntegerType())])
+    glob = f"{path}/shard-*.jsonl" + (".gz" if compress else "")
+    try:
+        lines = spark.read.text(glob)
+    except Exception:
+        return spark.createDataFrame(
+            [], "shard int, n_docs long, n_tokens long")
+    written = lines.select(
+        F.from_json(F.col("value"), full).alias("r")).select("r.*")
+    return (written.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(token_count_whitespace(F.col(text_col)))
+                 .cast("long").alias("n_tokens"))
+            .orderBy("shard"))
