@@ -217,3 +217,79 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
         yield pd.DataFrame({"n": [n]})
 
     src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (r13): the CCNet/C4 first step for RESPONSE
+# records. WET text is the crawl's own extraction; modern pipelines
+# re-extract from raw HTML with their own rules. No HTML library ships
+# in this container and none is needed for the deterministic core:
+# drop non-content subtrees (script/style/head/noscript/template/svg),
+# break on block-level tags, strip remaining tags, decode entities,
+# collapse whitespace. This is a RULES extractor (the C4 lineage), not
+# a DOM renderer — documented gate, not a stub: malformed nesting
+# degrades to text-with-extra-breaks, never an exception.
+# ---------------------------------------------------------------------------
+
+_DROP_SUBTREES = ("script", "style", "head", "noscript", "template",
+                  "svg", "iframe")
+_BLOCK_TAGS = ("p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3",
+               "h4", "h5", "h6", "tr", "table", "section", "article",
+               "header", "footer", "blockquote", "pre", "hr")
+
+
+def html_to_text(html: str) -> str:
+    """Deterministic rules-based HTML text extraction (one string in,
+    one string out; pure function — usable driver-side, in tests, and
+    inside the Arrow batch loop of extract_warc_text)."""
+    import html as _entities
+    import re
+
+    s = html
+    # strip comments first (they may contain tag-like text)
+    s = re.sub(r"<!--.*?-->", " ", s, flags=re.S)
+    for tag in _DROP_SUBTREES:
+        s = re.sub(rf"<{tag}\b.*?</{tag}\s*>", " ", s,
+                   flags=re.S | re.I)
+    # block-level boundaries become newlines so words don't fuse
+    s = re.sub(rf"</?(?:{'|'.join(_BLOCK_TAGS)})\b[^>]*>", "\n", s,
+               flags=re.I)
+    s = re.sub(r"<[^>]*>", " ", s)          # any remaining tag
+    s = _entities.unescape(s).replace("\xa0", " ")  # &nbsp; -> space
+    # collapse: spaces within lines, blank lines between blocks
+    lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip()
+             for ln in s.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_warc_text(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      lenient: bool = False) -> DataFrame:
+    """RESPONSE-record pipeline head: read raw WARC captures, split the
+    HTTP header block off each body, run html_to_text on the payload.
+    Returns (file, record_id, url, warc_date, content_length, text) —
+    the same downstream shape as read_wet, so every quality/dedup
+    operator composes unchanged. File-parallel, no shuffle."""
+    raw = read_wet(spark, path, glob=glob, record_types=("response",),
+                   lenient=lenient)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for body in pdf["text"]:
+                body = str(body)
+                # WARC response bodies carry the HTTP message: headers,
+                # blank line, then the entity (the HTML)
+                for sep in ("\r\n\r\n", "\n\n"):
+                    if sep in body:
+                        body = body.split(sep, 1)[1]
+                        break
+                texts.append(html_to_text(body))
+            out = pdf.copy()
+            out["text"] = texts
+            yield out[["file", "record_id", "url", "warc_date",
+                       "content_length", "text"]]
+
+    schema = ("file string, record_id string, url string, "
+              "warc_date string, content_length long, text string")
+    return raw.mapInPandas(run, schema=schema)

@@ -163,3 +163,61 @@ def test_wet_to_training_shards_e2e(spark, tmp_path):
              .filter(F.col("url").isin(*dup_urls)).collect()}
     assert set(folds) == dup_urls
     assert len(set(folds.values())) == 1, folds
+
+
+def _warc_response_bytes(url, html, record_id):
+    http = ("HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html\r\n"
+            "\r\n" + html).encode("utf-8")
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n").encode("utf-8")
+    return head + http + b"\r\n\r\n"
+
+
+def test_html_to_text_rules():
+    h = ("<html><head><title>skip me</title><style>p{}</style></head>"
+         "<body><h1>Title &amp; More</h1>"
+         "<p>first <b>bold</b> para</p>"
+         "<script>var x = '<p>not text</p>';</script>"
+         "<!-- a comment with <p>tags</p> -->"
+         "<ul><li>one</li><li>two</li></ul>"
+         "<div>tail&nbsp;words</div></body></html>")
+    t = W.html_to_text(h)
+    assert "Title & More" in t
+    assert "first bold para" in t
+    assert "one" in t and "two" in t
+    assert "not text" not in t and "skip me" not in t
+    assert "comment" not in t
+    assert "tail words" in t  # &nbsp; decoded, line kept
+    # block boundaries became line breaks, words never fused
+    assert "paraone" not in t and "\n" in t
+
+
+def test_extract_warc_text_from_response_records(spark, tmp_path):
+    """Raw WARC response captures -> clean text with the same schema
+    as read_wet, so the whole quality/dedup pipeline composes on
+    re-extracted HTML (the CCNet/C4 shape) exactly as on WET."""
+    recs = [
+        _warc_response_bytes(
+            "https://h/1",
+            "<html><body><h1>Doc one</h1><p>alpha beta</p>"
+            "<script>no()</script></body></html>", "a"),
+        _warc_response_bytes(
+            "https://h/2",
+            "<html><body><p>gamma <i>delta</i></p></body></html>", "b"),
+    ]
+    # one WET conversion record mixed in: response extraction must skip it
+    recs.append(W.wet_record_bytes("https://h/wet", "plain wet text", "c"))
+    p = tmp_path / "raw.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    out = {r["url"]: r["text"]
+           for r in W.extract_warc_text(spark, str(tmp_path)).collect()}
+    assert set(out) == {"https://h/1", "https://h/2"}
+    assert out["https://h/1"] == "Doc one\nalpha beta"
+    assert out["https://h/2"] == "gamma delta"
