@@ -14,6 +14,7 @@ dir-per-shard layout a training loader can consume shard-at-a-time.
 
 from __future__ import annotations
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,11 +99,13 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
     spark = df.sparkSession
     try:
         written = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         # an EMPTY corpus (e.g. a fold that drew no documents) writes
-        # only _SUCCESS — no footer to infer from. The manifest is
-        # honestly empty rather than a crash; the directory exists, so
-        # downstream loaders see a valid (zero-shard) export.
+        # only _SUCCESS — no footer to infer the schema from. Only the
+        # schema-inference AnalysisException is converted to an
+        # honestly-empty manifest; real read failures (corrupt footer,
+        # IO errors) still raise — masking them as "empty" would hide
+        # write corruption.
         return spark.createDataFrame(
             [], "shard int, n_docs long, n_tokens long")
     # tokenized frames (e.g. bpe.encode_bpe_ids output) carry an exact
@@ -217,6 +220,15 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
 
     import pandas as _pd
 
+    # overwrite semantics, driver-side before tasks launch: a
+    # re-export (fewer shards, smaller corpus) must not leave stale
+    # shard files for the manifest glob to fold back in
+    import glob as _glob
+    import os as _os
+
+    for old in _glob.glob(f"{path}/shard-*.jsonl*"):
+        _os.remove(old)
+
     assigned = assign_shards(df, n_shards, id_col, seed, hash_family)
     cols = [c for c in assigned.columns if c != "sort_key"]
     src = (assigned
@@ -242,9 +254,12 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
                     if fh is None:
                         name = (f"{path}/shard-{shard:05d}.jsonl"
                                 + (".gz" if compress else ""))
-                        raw = open(name, "wb")
-                        fh = _gz.GzipFile(fileobj=raw, mode="wb") \
-                            if compress else raw
+                        # gzip.open owns and deterministically closes
+                        # the underlying file (a GzipFile over a
+                        # manually opened fileobj leaves the trailer
+                        # in the outer buffer until GC)
+                        fh = (_gz.open(name, "wb") if compress
+                              else open(name, "wb"))
                         handles[shard] = fh
                     fh.write((str(line) + "\n").encode("utf-8"))
                     n += 1
@@ -255,15 +270,16 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
 
     src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
     spark = df.sparkSession
-    schema = df.select(*[F.col(c) for c in df.columns]).schema
     import pyspark.sql.types as _T
 
-    full = _T.StructType(list(schema.fields)
+    full = _T.StructType(list(df.schema.fields)
                          + [_T.StructField("shard", _T.IntegerType())])
     glob = f"{path}/shard-*.jsonl" + (".gz" if compress else "")
     try:
         lines = spark.read.text(glob)
-    except Exception:
+    except AnalysisException:
+        # empty corpus: no shard files were written (PATH_NOT_FOUND) —
+        # the honest empty manifest; real IO errors still raise
         return spark.createDataFrame(
             [], "shard int, n_docs long, n_tokens long")
     written = lines.select(

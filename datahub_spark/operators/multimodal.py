@@ -65,6 +65,12 @@ _PCM_DTYPES = {1: _np.int8, 2: "<i2", 4: "<i4"}
 
 
 def _pcm_samples(frames: bytes, width: int) -> "_np.ndarray":
+    if width == 3:  # 24-bit PCM: audioop handled it, so must we
+        a = _np.frombuffer(frames, _np.uint8).reshape(-1, 3)
+        v = (a[:, 0].astype(_np.int32)
+             | (a[:, 1].astype(_np.int32) << 8)
+             | (a[:, 2].astype(_np.int32) << 16))
+        return _np.where(v >= 1 << 23, v - (1 << 24), v)
     dtype = _PCM_DTYPES.get(width)
     if dtype is None:
         raise NotImplementedError(f"unsupported PCM sample width {width}")

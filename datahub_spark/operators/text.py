@@ -256,7 +256,12 @@ def _pii_cols(t: Column) -> list[Column]:
         has = (F.instr(t, g) > 0) if g is not None else None
         c = F.regexp_count(t, F.lit(pat)).cast("long")
         if g is not None:
-            c = F.when(has, c).otherwise(F.lit(0).cast("long"))
+            # NULL text keeps regexp_count's NULL (instr(NULL) is NULL
+            # so the when-branch would otherwise coerce it to 0 while
+            # the unguarded card column stayed NULL — one row,
+            # inconsistent counts)
+            c = F.when(t.isNull(), F.lit(None).cast("long")) \
+                .when(has, c).otherwise(F.lit(0).cast("long"))
         counts.append(c.alias(f"n_{kind}"))
         rep = F.regexp_replace(out, pat, f"<{kind.upper()}>")
         out = F.when(has, rep).otherwise(out) if g is not None else rep

@@ -57,10 +57,22 @@ WET_SCHEMA = T.StructType([
 ])
 
 
+class _Resync(Exception):
+    """Lenient-mode malformation: skip forward to the next record
+    instead of aborting the file — dropping the tail of a 50k-record
+    segment over one bad record is exactly the silent-truncation
+    failure this module exists to prevent."""
+
+
 def _read_record(stream, path: str, lenient: bool):
     """One WARC record off ``stream`` (a decompressed file-like), or
     None at clean end-of-stream. Raises ValueError on malformation
-    unless lenient."""
+    (strict) or _Resync (lenient — caller scans to the next record)."""
+    def bad(msg):
+        if lenient:
+            raise _Resync()
+        raise ValueError(msg)
+
     # skip inter-record blank lines
     line = stream.readline()
     while line in (b"\r\n", b"\n"):
@@ -68,19 +80,15 @@ def _read_record(stream, path: str, lenient: bool):
     if line == b"":
         return None
     if not line.startswith(b"WARC/"):
-        if lenient:
-            return None
-        raise ValueError(
-            f"warc: expected WARC/ version line in {path}, got {line[:40]!r}")
+        bad(f"warc: expected WARC/ version line in {path}, "
+            f"got {line[:40]!r}")
     headers: dict[str, str] = {}
     while True:
         line = stream.readline()
         if line in (b"\r\n", b"\n"):
             break
         if line == b"":
-            if lenient:
-                return None
-            raise ValueError(f"warc: truncated header block in {path}")
+            bad(f"warc: truncated header block in {path}")
         try:
             name, value = line.decode("utf-8", "replace").split(":", 1)
         except ValueError:
@@ -92,31 +100,67 @@ def _read_record(stream, path: str, lenient: bool):
     try:
         n = int(headers["content-length"])
     except (KeyError, ValueError):
-        if lenient:
-            return None
-        raise ValueError(f"warc: missing/bad Content-Length in {path}")
+        bad(f"warc: missing/bad Content-Length in {path}")
     body = stream.read(n)
     if len(body) != n:
-        if lenient:
-            return None
-        raise ValueError(
-            f"warc: body truncated in {path} "
+        bad(f"warc: body truncated in {path} "
             f"(wanted {n} bytes, got {len(body)})")
     return headers, body
 
 
 def _iter_records(payload: bytes, path: str, lenient: bool):
     """Stream records out of one (possibly multi-member-gzip) WARC/WET
-    payload — one record in memory at a time."""
+    payload — one record in memory at a time. In lenient mode a
+    malformed record triggers a RESYNC (scan forward to the next
+    WARC/ version line) so one bad record costs itself, never the
+    file's tail."""
     if payload[:2] == b"\x1f\x8b":
         stream = gzip.GzipFile(fileobj=io.BytesIO(payload))
     else:
         stream = io.BytesIO(payload)
     while True:
-        rec = _read_record(stream, path, lenient)
+        try:
+            rec = _read_record(stream, path, lenient)
+        except _Resync:
+            rec = _scan_resync(stream, path)
         if rec is None:
             return
         yield rec
+
+
+def _scan_resync(stream, path: str):
+    """Lenient recovery: scan forward for the next WARC/ version line
+    and parse from there; keep scanning past further malformations.
+    Returns a record or None at EOF."""
+    while True:
+        line = stream.readline()
+        if line == b"":
+            return None
+        if not line.startswith(b"WARC/"):
+            continue
+        headers: dict[str, str] = {}
+        ok = True
+        while True:
+            line = stream.readline()
+            if line in (b"\r\n", b"\n"):
+                break
+            if line == b"":
+                return None
+            if b":" not in line:
+                ok = False
+                break  # header soup: resync again from here
+            name, value = line.decode("utf-8", "replace").split(":", 1)
+            headers[name.strip().lower()] = value.strip()
+        if not ok:
+            continue
+        try:
+            n = int(headers["content-length"])
+        except (KeyError, ValueError):
+            continue  # no usable length: resync again
+        body = stream.read(n)
+        if len(body) != n:
+            return None  # truncated body at EOF
+        return headers, body
 
 
 def read_wet(spark: SparkSession, path: str, glob: str | None = None,
@@ -134,9 +178,17 @@ def read_wet(spark: SparkSession, path: str, glob: str | None = None,
     files = reader.load(path).select("path", "content")
     want = tuple(record_types)
 
+    # flush accumulated records to Arrow every ~64 MB of text so task
+    # memory stays bounded by the CHUNK, not the file's ~1 GB
+    # decompressed stream (the module docstring's memory claim is only
+    # true because of this)
+    _CHUNK_BYTES = 64 << 20
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WET_SCHEMA.fields]
+        rows: list[dict] = []
+        pending = 0
         for pdf in batches:
-            rows = []
             for fpath, payload in zip(pdf["path"], pdf["content"]):
                 for headers, body in _iter_records(
                         bytes(payload), str(fpath), lenient):
@@ -152,8 +204,11 @@ def read_wet(spark: SparkSession, path: str, glob: str | None = None,
                         "content_length": len(body),
                         "text": body.decode("utf-8", "replace"),
                     })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WET_SCHEMA.fields])
+                    pending += len(body)
+                    if pending >= _CHUNK_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pending = [], 0
+        yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=WET_SCHEMA)
 
@@ -189,6 +244,14 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
                     F.col(text_col).alias("_text"))
     if files:
         src = src.repartition(files)
+    # overwrite semantics (driver-side, before tasks launch): a
+    # re-export with fewer partitions must not leave stale part files
+    # for read_wet to silently mix back into the corpus
+    import glob as _glob
+    import os as _os
+
+    for old in _glob.glob(f"{path}/part-*.warc.wet.gz"):
+        _os.remove(old)
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os

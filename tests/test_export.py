@@ -238,3 +238,20 @@ def test_export_jsonl_matches_parquet_placement_and_round_trips(spark, tmp_path)
     # values survive the JSON round trip
     assert all(r["text"].startswith(f"text body {r['doc_id']} ")
                for r in rows)
+
+
+def test_export_jsonl_overwrites_stale_shards(spark, tmp_path):
+    """r13 review finding: a re-export with fewer shards must not fold
+    a previous run's stale shard files into the manifest."""
+    from datahub_spark.operators import export as EX
+
+    jdir = str(tmp_path / "j")
+    big = spark.createDataFrame(
+        [(i, f"old {i}") for i in range(100)], "doc_id long, text string")
+    EX.export_jsonl(big, jdir, n_shards=8)
+    small = spark.createDataFrame(
+        [(i, f"new {i}") for i in range(10)], "doc_id long, text string")
+    m = EX.export_jsonl(small, jdir, n_shards=2)
+    assert m.agg({"n_docs": "sum"}).collect()[0][0] == 10
+    import glob as _g
+    assert len(_g.glob(f"{jdir}/shard-*.jsonl.gz")) <= 2

@@ -27,7 +27,17 @@ from datahub_spark.operators import multimodal as MM
 _TYPECODES = {1: "b", 2: "h", 4: "i"}
 
 
+def _ref_samples3(frames: bytes):
+    out = []
+    for i in range(0, len(frames), 3):
+        v = frames[i] | (frames[i + 1] << 8) | (frames[i + 2] << 16)
+        out.append(v - (1 << 24) if v >= (1 << 23) else v)
+    return out
+
+
 def _ref_samples(frames: bytes, width: int):
+    if width == 3:
+        return _ref_samples3(frames)
     return array.array(_TYPECODES[width], frames)
 
 
@@ -100,7 +110,7 @@ def test_pcm_reductions_bit_equal_audioop_semantics():
     the empty-buffer cross()=-1 quirk (verified once against the real
     audioop on Python 3.11 before its removal)."""
     rng = random.Random(13)
-    for width in (1, 2, 4):
+    for width in (1, 2, 3, 4):
         for trial in range(40):
             n = rng.randrange(0, 400)
             frames = bytes(rng.randrange(256) for _ in range(n * width))
@@ -124,7 +134,7 @@ def test_pcm_reductions_bit_equal_audioop_semantics():
     assert MM._pcm_peak(b"", 2) == 0
     assert MM._pcm_cross(b"", 2) == -1
     with pytest.raises(NotImplementedError):
-        MM._pcm_rms(b"\x00" * 3, 3)
+        MM._pcm_rms(b"\x00" * 5, 5)
 
 
 def test_wav_payload_is_valid_riff(spark):

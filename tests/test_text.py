@@ -989,3 +989,17 @@ def test_text_suite_equals_joined_operators_and_plan(spark):
     assert a == b
     plan = suite._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_pii_scrub_null_text_counts_stay_null(spark):
+    """r13 review finding: the instr guards must not coerce a NULL
+    text's guarded counts to 0 while the unguarded card count stays
+    NULL — all five counts and the scrub agree on NULL."""
+    df = spark.createDataFrame([(1, None), (2, "mail a@b.io now")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.pii_scrub(df).collect()}
+    r = out[1]
+    assert all(r[f"n_{k}"] is None
+               for k in ("email", "url", "ipv4", "phone", "card")), r
+    assert r["scrubbed"] is None
+    assert out[2]["n_email"] == 1 and out[2]["scrubbed"].startswith("mail <EMAIL>")

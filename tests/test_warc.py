@@ -221,3 +221,34 @@ def test_extract_warc_text_from_response_records(spark, tmp_path):
     assert set(out) == {"https://h/1", "https://h/2"}
     assert out["https://h/1"] == "Doc one\nalpha beta"
     assert out["https://h/2"] == "gamma delta"
+
+
+def test_read_wet_lenient_resyncs_past_a_mid_file_bad_record(spark, tmp_path):
+    """r13 review finding: lenient mode must cost one bad record, not
+    the file's tail — a corrupt record in the middle of a single-member
+    stream resyncs to the next WARC/ line and keeps every later
+    record."""
+    good = [W.wet_record_bytes(f"https://ok/{i}", f"doc {i}", f"r{i}")
+            for i in range(6)]
+    corrupt = b"WARC/1.0\r\nGARBAGE NO COLON\r\n\r\nnot a real body"
+    stream = b"".join(good[:3]) + corrupt + b"\r\n\r\n" + b"".join(good[3:])
+    (tmp_path / "mid.warc.wet").write_bytes(stream)
+    out = W.read_wet(spark, str(tmp_path), lenient=True).collect()
+    assert sorted(r["url"] for r in out) == \
+        [f"https://ok/{i}" for i in range(6)]
+
+
+def test_write_wet_overwrites_stale_parts(spark, tmp_path):
+    """r13 review finding: re-exporting with fewer partitions must not
+    leave stale part files for read_wet to mix back in."""
+    out_dir = str(tmp_path / "w")
+    big = spark.createDataFrame(
+        [(i, f"https://s/{i}", f"body {i}") for i in range(40)],
+        "doc_id long, url string, text string")
+    W.write_wet(big, out_dir, files=5)
+    small = spark.createDataFrame(
+        [(i, f"https://t/{i}", f"new {i}") for i in range(4)],
+        "doc_id long, url string, text string")
+    W.write_wet(small, out_dir, files=1)
+    urls = {r["url"] for r in W.read_wet(spark, out_dir).collect()}
+    assert urls == {f"https://t/{i}" for i in range(4)}, urls
