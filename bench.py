@@ -438,6 +438,33 @@ def main() -> None:
     queries = dict(QUERIES)
     queries.update(_BENCH_LOCAL)
 
+    # data-mass profile of the derived bench input (r13): testdata is
+    # REGENERATED every round, so round-over-round timing deltas on
+    # unchanged code can be data drift (the r7 dedup_minhash re-pin;
+    # the r13 x100 minhash question). These four scalars let the next
+    # round separate "data got heavier" from "code got slower" with
+    # numbers instead of archaeology. One scan each, ~2s total at x10.
+    from pyspark.sql import functions as F
+
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tok = F.size(F.split(F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "))
+        drow = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(tok).alias("toks")).collect()[0]
+        data_profile = {
+            "documents": int(drow["n"]),
+            "doc_chars": int(drow["chars"]),
+            "doc_ws_tokens": int(drow["toks"]),
+            "events": spark.read.parquet(
+                f"{sf_dir}/events.parquet").count(),
+        }
+    except Exception as exc:  # profiling must never kill the bench
+        data_profile = {"error": repr(exc)[:200]}
+    print(f"  data_profile: {data_profile}", file=sys.stderr)
+
     timings, spreads, errors, clean_medians, n_samples = run_legs(
         spark, sf_dir, HEADLINERS, queries, runs, budgets=BUDGETS,
         extra_if_stalls=2)
@@ -484,6 +511,13 @@ def main() -> None:
         "queries": timings,
         "stall_excluded_medians": clean_medians,
         "n_samples": n_samples,
+        "data_profile": data_profile,
+        # host load observability (r13): this box shows hour-scale
+        # phases of EXTERNAL load (load average ~10 with zero local
+        # JVMs measured mid-round) that inflate every leg uniformly —
+        # stall exclusion can't catch uniform slowness, so the load
+        # triple travels with the numbers for the reader to weigh
+        "loadavg_1_5_15": list(os.getloadavg()),
         "sf": sf,
         "runs_per_query": runs,
         "min_max": spreads,
