@@ -123,3 +123,36 @@ def test_x100_child_merge_carries_every_field():
     assert out["scale_vs_x10"] == {"a": 10.0, "b": 2.0, "c": 10.0}
     # clean ratio uses clean medians on BOTH sides: 8.0/0.8 = 10.0
     assert out["scale_vs_x10_clean"] == {"a": 10.0, "b": 2.0, "c": 10.0}
+
+
+def test_payload_tail_carries_the_verdict_fields():
+    """r14 (closing the r13 verdict's truncation finding): the driver
+    sometimes preserves only the TAIL of the bench JSON line, so the
+    round-over-round essentials must be the LAST keys — whatever tail
+    survives always carries the verdict. json.dumps respects dict
+    insertion order, so pinning the key order pins the line layout."""
+    payload = bench.build_payload(
+        total=12.3, sf=1.0, runs=5,
+        spreads={"a": [1.0, 2.0, 0]}, n_samples={"a": 5},
+        store_write={"eps": 1},
+        x100={"queries": {"a": 9.0},
+              "stall_excluded_medians": {"a": 8.5},
+              "scale_vs_x10_clean": {"a": 7.1},
+              "errors": {}},
+        timings={"a": 1.2}, data_profile={"documents": 10},
+        clean_medians={"a": 1.1}, errors={}, over={})
+    keys = list(payload.keys())
+    tail = ["data_profile", "loadavg_1_5_15", "stall_excluded_medians",
+            "x100_summary", "errors", "over_budget", "budget_ok"]
+    assert keys[-len(tail):] == tail
+    # the bulky blobs sit in the sacrificial head
+    for bulky in ("min_max", "x100", "store_write", "queries"):
+        assert keys.index(bulky) < keys.index("data_profile")
+    # the compact x100 summary restates the clean medians + ratios
+    assert payload["x100_summary"]["clean_medians"] == {"a": 8.5}
+    assert payload["x100_summary"]["scale_vs_x10_clean"] == {"a": 7.1}
+    assert payload["budget_ok"] is True
+    # an errored x100 leg keeps the summary honest (None, not a fake)
+    p2 = bench.build_payload(1.0, 1.0, 5, {}, {}, {}, {"error": "boom"},
+                             {}, {}, {}, {}, {})
+    assert p2["x100_summary"] is None
