@@ -108,21 +108,126 @@ def _read_record(stream, path: str, lenient: bool):
     return headers, body
 
 
+class _MemberReader(io.RawIOBase):
+    """Streaming decompressor over CONCATENATED gzip members that knows
+    exactly where the current member started in the raw bytes — the
+    piece stdlib GzipFile lacks for lenient recovery. GzipFile's
+    read-ahead buffering makes the raw offset at failure time useless
+    (it may sit an arbitrary distance past, or before, the next good
+    member), so gzip-level corruption there can only abort the file.
+    Here each member is fed to its own zlib.decompressobj(wbits=31)
+    (which parses the gzip header AND verifies the CRC32/ISIZE
+    trailer, exactly like GzipFile), member boundaries come from
+    ``unused_data``, and ``resync()`` scans the raw payload for the
+    next member magic AFTER the failed member's start — so one corrupt
+    member costs itself, never the file's tail, and never duplicates
+    already-read records. Memory stays one compressed chunk + its
+    decompressed output, preserving the module's streaming claim."""
+
+    _CHUNK = 1 << 16
+
+    def __init__(self, payload: bytes):
+        self._p = payload
+        self._pos = 0           # next raw byte to feed the decompressor
+        self._d = None          # in-flight member's decompressobj
+        self.member_start = 0   # raw offset of the current member
+        self._out = b""
+        self._done = False
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        while not self._out and not self._done:
+            self._fill()
+        n = min(len(b), len(self._out))
+        b[:n] = self._out[:n]
+        self._out = self._out[n:]
+        return n
+
+    def _fill(self) -> None:
+        import zlib
+
+        if self._d is None:
+            if self._pos >= len(self._p):
+                self._done = True
+                return
+            if self._p[self._pos:self._pos + 2] != b"\x1f\x8b":
+                # attribute the failure to the garbage itself so
+                # resync scans forward from here, and the strict
+                # error names the right offset
+                self.member_start = self._pos
+                raise gzip.BadGzipFile(
+                    f"not a gzip member at byte {self._pos}")
+            self.member_start = self._pos
+            self._d = zlib.decompressobj(wbits=31)
+        chunk = self._p[self._pos:self._pos + self._CHUNK]
+        if not chunk:
+            raise EOFError(
+                f"truncated gzip member starting at byte "
+                f"{self.member_start}")
+        self._out = self._d.decompress(chunk)  # zlib.error if corrupt
+        self._pos += len(chunk)
+        if self._d.eof:
+            self._pos -= len(self._d.unused_data)
+            self._d = None
+
+    def resync(self) -> bool:
+        """After a corruption raise: skip to the next gzip member magic
+        strictly after the failed member's start. False at end of
+        payload (the corrupt member WAS the tail). A false magic inside
+        corrupt compressed data just fails fast and resyncs again."""
+        nxt = self._p.find(b"\x1f\x8b\x08", self.member_start + 1)
+        self._d, self._out = None, b""
+        if nxt == -1:
+            self._done = True
+            return False
+        self._pos, self._done = nxt, False
+        return True
+
+
 def _iter_records(payload: bytes, path: str, lenient: bool):
     """Stream records out of one (possibly multi-member-gzip) WARC/WET
     payload — one record in memory at a time. In lenient mode a
-    malformed record triggers a RESYNC (scan forward to the next
-    WARC/ version line) so one bad record costs itself, never the
-    file's tail."""
+    malformation at EITHER layer costs only itself: a malformed WARC
+    record triggers a resync to the next WARC/ version line, and a
+    corrupt/truncated gzip member (EOFError, BadGzipFile, zlib.error —
+    all observed in real crawl tails) triggers a raw-byte resync to
+    the next member magic. Strict mode converts gzip-layer errors to
+    ValueError carrying the file path and member offset."""
+    import zlib
+
     if payload[:2] == b"\x1f\x8b":
-        stream = gzip.GzipFile(fileobj=io.BytesIO(payload))
+        raw = _MemberReader(payload)
+        stream = io.BufferedReader(raw)
     else:
-        stream = io.BytesIO(payload)
+        raw, stream = None, io.BytesIO(payload)
     while True:
         try:
-            rec = _read_record(stream, path, lenient)
-        except _Resync:
-            rec = _scan_resync(stream, path)
+            # the gzip-layer catch wraps BOTH reads: corruption can
+            # surface mid-record or mid-WARC-resync alike
+            try:
+                rec = _read_record(stream, path, lenient)
+            except _Resync:
+                rec = _scan_resync(stream, path)
+        except (EOFError, OSError, zlib.error) as exc:
+            # gzip-layer failure (BadGzipFile is an OSError; truncated
+            # members raise EOFError; corrupt DEFLATE / bad CRC raise
+            # zlib.error) — never reachable for uncompressed payloads
+            if raw is None or not lenient:
+                where = raw.member_start if raw is not None else 0
+                raise ValueError(
+                    f"warc: gzip-level corruption in {path} (member at "
+                    f"byte {where}): {exc}") from exc
+            if not raw.resync():
+                return
+            # fresh buffer: the old one holds decompressed bytes of the
+            # abandoned partial record — and must be DETACHED first, or
+            # its deallocation closes the shared raw reader underneath
+            # the replacement
+            stream.detach()
+            stream = io.BufferedReader(raw)
+            continue
         if rec is None:
             return
         yield rec

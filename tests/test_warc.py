@@ -252,3 +252,73 @@ def test_write_wet_overwrites_stale_parts(spark, tmp_path):
     W.write_wet(small, out_dir, files=1)
     urls = {r["url"] for r in W.read_wet(spark, out_dir).collect()}
     assert urls == {f"https://t/{i}" for i in range(4)}, urls
+
+
+def test_lenient_survives_gzip_level_corruption(spark, tmp_path):
+    """r14 (ADVICE r13, medium): lenient=True must survive corruption
+    at the GZIP layer, not just inside a valid member — a truncated
+    final member (EOFError), garbage bytes between members
+    (BadGzipFile), and a corrupted middle member (zlib CRC/DEFLATE
+    error) each cost themselves, never the file's tail. Strict mode
+    raises ValueError naming the file and member offset for all
+    three."""
+    recs = [W.wet_record_bytes(f"https://ok/{i}", f"doc {i}", f"r{i}")
+            for i in range(4)]
+    members = [gzip.compress(b) for b in recs]
+
+    # (a) truncated FINAL gzip member: the tail is genuinely gone —
+    # lenient keeps everything before it
+    (tmp_path / "a" ).mkdir()
+    (tmp_path / "a" / "t.warc.wet.gz").write_bytes(
+        members[0] + members[1] + members[2][: len(members[2]) // 2])
+    # (b) non-gzip garbage BETWEEN members: skipped, both sides kept
+    (tmp_path / "b").mkdir()
+    (tmp_path / "b" / "g.warc.wet.gz").write_bytes(
+        members[0] + b"NOT GZIP DATA AT ALL\x00\xff" + members[1])
+    # (c) corrupted DEFLATE bytes mid-member: that member lost, tail kept
+    (tmp_path / "c").mkdir()
+    bad = bytearray(members[1])
+    for off in range(12, min(40, len(bad) - 12)):
+        bad[off] ^= 0xFF
+    (tmp_path / "c" / "c.warc.wet.gz").write_bytes(
+        members[0] + bytes(bad) + members[2] + members[3])
+
+    for sub, want in (("a", {"https://ok/0", "https://ok/1"}),
+                      ("b", {"https://ok/0", "https://ok/1"}),
+                      ("c", {"https://ok/0", "https://ok/2",
+                             "https://ok/3"})):
+        got = {r["url"] for r in W.read_wet(
+            spark, str(tmp_path / sub), lenient=True).collect()}
+        assert got == want, (sub, got)
+        with pytest.raises(Exception) as e:
+            W.read_wet(spark, str(tmp_path / sub)).collect()
+        assert "gzip-level corruption" in str(e.value), sub
+        assert "member at byte" in str(e.value), sub
+
+
+def test_member_reader_boundaries_and_resync():
+    """Unit pin for the streaming member reader: exact member-boundary
+    tracking (unused_data arithmetic), CRC verification, and resync
+    never re-reading an already-consumed member (no duplicate
+    records)."""
+    import io as _io
+
+    a, b = gzip.compress(b"A" * 100), gzip.compress(b"B" * 100)
+    r = W._MemberReader(a + b)
+    buf = _io.BufferedReader(r)
+    assert buf.read(100) == b"A" * 100
+    assert buf.read(100) == b"B" * 100
+    assert buf.read() == b""
+    # corrupt CRC in the SECOND member: first survives, resync finds
+    # nothing after (the bad member was the tail)
+    bad = bytearray(a + b)
+    bad[-5] ^= 0xFF  # inside b's CRC/ISIZE trailer
+    r2 = W._MemberReader(bytes(bad))
+    buf2 = _io.BufferedReader(r2)
+    assert buf2.read(100) == b"A" * 100
+    import zlib
+
+    with pytest.raises((zlib.error, EOFError, OSError)):
+        buf2.read(100)
+    assert r2.member_start == len(a)  # failure attributed to member 2
+    assert r2.resync() is False  # no member after the corrupt tail
