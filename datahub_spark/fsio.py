@@ -87,6 +87,75 @@ def ensure_recovered(spark: SparkSession, path: str) -> bool:
     return True
 
 
+def strip_scheme(path: str) -> str:
+    """The POSIX view of a ``file:``-scheme path (``file:/x``,
+    ``file://x``, ``file:///x`` -> ``/x``) for the streamed writers'
+    task-side ``open()``. Other schemes pass through unchanged — the
+    open() then fails loudly, which is honest: a Python-streamed
+    writer needs a task-writable POSIX view (local disk, NFS, or a
+    FUSE mount); its METADATA operations (stale-file deletes, the
+    stage swap) go through the Hadoop FileSystem API and are correct
+    on any scheme."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
+
+
+def begin_staged_export(spark: SparkSession, path: str) -> str:
+    """Start a crash-safe streamed export into ``path``: make the
+    target, clear any ``_stage-export-*`` leftovers from a crashed
+    previous run (their files were never swapped in, so they are pure
+    garbage), and return a fresh stage directory path for the tasks to
+    write into. Until ``finish_staged_export`` runs, the previous
+    export is untouched — a failed job leaves old files live and new
+    files quarantined in the stage dir (the r13 verdict's object-store
+    finding: the old driver-side glob+os.remove destroyed the previous
+    export BEFORE the job ran, and silently matched nothing on
+    non-POSIX paths)."""
+    fs, target = _fs(spark, path)
+    fs.mkdirs(target)
+    for st in fs.listStatus(target):
+        if st.getPath().getName().startswith("_stage-export-"):
+            fs.delete(st.getPath(), True)
+    jvm = spark._jvm
+    stage = jvm.org.apache.hadoop.fs.Path(
+        target, f"_stage-export-{uuid.uuid4().hex}")
+    fs.mkdirs(stage)
+    return stage.toString()
+
+
+def finish_staged_export(spark: SparkSession, path: str, stage: str,
+                         pattern: str) -> int:
+    """Commit a staged streamed export: delete the target's stale
+    files matching ``pattern`` (Hadoop glob — correct on HDFS/object
+    stores where a driver-local ``glob.glob`` silently matches
+    nothing), move every staged file in, drop the stage dir. Returns
+    the number of files swapped in. Runs ONLY after the write job
+    succeeded, so a mid-job crash never destroys the previous
+    export."""
+    fs, target = _fs(spark, path)
+    jvm = spark._jvm
+    stale = fs.globStatus(jvm.org.apache.hadoop.fs.Path(
+        target, pattern))
+    for st in (stale or []):
+        fs.delete(st.getPath(), False)
+    spath = jvm.org.apache.hadoop.fs.Path(stage)
+    n = 0
+    if fs.exists(spath):
+        for st in fs.listStatus(spath):
+            dst = jvm.org.apache.hadoop.fs.Path(
+                target, st.getPath().getName())
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"staged export: rename {st.getPath()} -> {dst}")
+            n += 1
+        fs.delete(spath, True)
+    return n
+
+
 def parquet_atomic_overwrite(df: DataFrame, path: str) -> None:
     """Materialize ``df`` as parquet at ``path``, crash-safely, even
     when ``df``'s plan READS ``path``. Stage-write first (the only step

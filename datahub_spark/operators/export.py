@@ -198,7 +198,8 @@ def pack_sequences(df: DataFrame, max_tokens: int,
 def export_jsonl(df: DataFrame, path: str, n_shards: int,
                  id_col: str = "doc_id", text_col: str = "text",
                  seed: int = 42, hash_family: str = "xxhash",
-                 compress: bool = True) -> DataFrame:
+                 compress: bool = True,
+                 token_count_col: str | None = None) -> DataFrame:
     """The interchange twin of export_shards (r13): the same
     hash-uniform placement and reproducible in-shard hash order, but
     written as gzip JSONL — the format most training loaders and
@@ -208,26 +209,32 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
     (task memory = one record). Returns the same
     ``(shard, n_docs, n_tokens)`` manifest read back FROM THE WRITTEN
     FILES, so placement, order, serialization, and the bytes on disk
-    are all covered by the round-trip tests (test_export.py).
+    are all covered by the round-trip tests (test_export.py);
+    ``token_count_col`` switches n_tokens to an exact per-row count
+    column (same rule as export_shards, so the two manifests agree on
+    tokenized corpora too).
 
     Plan shape: identical to export_shards — map-side assign, ONE
     keyed shuffle, local sort, file-parallel write; reading back is a
     file-parallel text scan + from_json (schema carried explicitly,
     no inference pass at scale)."""
     import gzip as _gz
-    import io as _io
     from collections.abc import Iterator as _It
 
     import pandas as _pd
 
-    # overwrite semantics, driver-side before tasks launch: a
-    # re-export (fewer shards, smaller corpus) must not leave stale
-    # shard files for the manifest glob to fold back in
-    import glob as _glob
-    import os as _os
+    from datahub_spark import fsio
 
-    for old in _glob.glob(f"{path}/shard-*.jsonl*"):
-        _os.remove(old)
+    # overwrite semantics (r14, object-store-safe): tasks write into a
+    # STAGE directory; stale shard files are deleted and the staged
+    # ones swapped in only AFTER the job succeeds, through the Hadoop
+    # FileSystem of the path's scheme — a re-export (fewer shards,
+    # smaller corpus) can never fold stale shards back into the
+    # manifest, and a mid-job crash leaves the previous export intact
+    # (the old driver-local glob+os.remove did neither off POSIX)
+    spark = df.sparkSession
+    stage = fsio.begin_staged_export(spark, path)
+    stage_local = fsio.strip_scheme(stage)
 
     assigned = assign_shards(df, n_shards, id_col, seed, hash_family)
     cols = [c for c in assigned.columns if c != "sort_key"]
@@ -243,7 +250,7 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
     def dump(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
         import os
 
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(stage_local, exist_ok=True)
         handles: dict[int, object] = {}
         n = 0
         try:
@@ -252,7 +259,7 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
                     shard = int(shard)
                     fh = handles.get(shard)
                     if fh is None:
-                        name = (f"{path}/shard-{shard:05d}.jsonl"
+                        name = (f"{stage_local}/shard-{shard:05d}.jsonl"
                                 + (".gz" if compress else ""))
                         # gzip.open owns and deterministically closes
                         # the underlying file (a GzipFile over a
@@ -269,7 +276,7 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
         yield _pd.DataFrame({"n": [n]})
 
     src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
-    spark = df.sparkSession
+    fsio.finish_staged_export(spark, path, stage, "shard-*.jsonl*")
     import pyspark.sql.types as _T
 
     full = _T.StructType(list(df.schema.fields)
@@ -284,8 +291,13 @@ def export_jsonl(df: DataFrame, path: str, n_shards: int,
             [], "shard int, n_docs long, n_tokens long")
     written = lines.select(
         F.from_json(F.col("value"), full).alias("r")).select("r.*")
+    # same manifest token rule as export_shards (r14, ADVICE r13):
+    # tokenized frames carry an exact count column; text frames fall
+    # back to the whitespace proxy — the 'interchange twin' promise
+    # holds for both kinds of corpus
+    n_tok = (F.sum(F.col(token_count_col)) if token_count_col
+             else F.sum(token_count_whitespace(F.col(text_col))))
     return (written.groupBy("shard")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum(token_count_whitespace(F.col(text_col)))
-                 .cast("long").alias("n_tokens"))
+                 n_tok.cast("long").alias("n_tokens"))
             .orderBy("shard"))

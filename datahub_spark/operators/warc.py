@@ -344,19 +344,23 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
     split), one file per partition, named part-<pid>.warc.wet.gz.
     Round-trips through read_wet byte-exactly (pinned in
     tests/test_warc.py)."""
+    from datahub_spark import fsio
+
     src = df.select(F.col(id_col).cast("string").alias("_id"),
                     F.col(url_col).alias("_url"),
                     F.col(text_col).alias("_text"))
     if files:
         src = src.repartition(files)
-    # overwrite semantics (driver-side, before tasks launch): a
-    # re-export with fewer partitions must not leave stale part files
-    # for read_wet to silently mix back into the corpus
-    import glob as _glob
-    import os as _os
-
-    for old in _glob.glob(f"{path}/part-*.warc.wet.gz"):
-        _os.remove(old)
+    # overwrite semantics (r14, object-store-safe): tasks write into a
+    # STAGE directory; only after the job succeeds are the target's
+    # stale part files deleted and the staged files swapped in —
+    # through the Hadoop FileSystem of the path's scheme, so a
+    # re-export with fewer partitions can never fold stale shards back
+    # into read_wet, on local disk OR HDFS/object-store layouts, and a
+    # mid-job crash leaves the previous export intact
+    spark = df.sparkSession
+    stage = fsio.begin_staged_export(spark, path)
+    stage_local = fsio.strip_scheme(stage)
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
@@ -364,7 +368,7 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(stage_local, exist_ok=True)
         # stream records straight to disk — task memory stays one
         # record regardless of partition size (an empty partition
         # leaves no file behind)
@@ -374,8 +378,9 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
                 for rid, url, text in zip(pdf["_id"], pdf["_url"],
                                           pdf["_text"]):
                     if fh is None:
-                        fh = open(f"{path}/part-{pid:05d}.warc.wet.gz",
-                                  "wb")
+                        fh = open(
+                            f"{stage_local}/part-{pid:05d}.warc.wet.gz",
+                            "wb")
                     fh.write(gzip.compress(
                         wet_record_bytes(str(url), str(text), str(rid))))
                     n += 1
@@ -385,6 +390,7 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
         yield pd.DataFrame({"n": [n]})
 
     src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
+    fsio.finish_staged_export(spark, path, stage, "part-*.warc.wet.gz")
 
 
 # ---------------------------------------------------------------------------
