@@ -436,34 +436,142 @@ def html_to_text(html: str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+def _dechunk(ent: bytes) -> bytes | None:
+    """Decode a Transfer-Encoding: chunked entity (hex size line,
+    optional ;extensions, chunk bytes, CRLF — RFC 9112 §7.1). Returns
+    None on malformed framing (the caller nulls the text out rather
+    than emitting chunk-size lines as 'content'). Trailers after the
+    0-chunk are ignored. Bare-LF line endings are tolerated — real
+    crawls contain them."""
+    out, pos = [], 0
+    while True:
+        j = ent.find(b"\n", pos)
+        if j == -1:
+            return None  # no terminating 0-chunk
+        line = ent[pos:j].strip()
+        try:
+            size = int(line.split(b";", 1)[0], 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start = j + 1
+        chunk = ent[start:start + size]
+        if len(chunk) != size:
+            return None  # truncated chunk
+        out.append(chunk)
+        pos = start + size
+        # consume the chunk-terminating CRLF / LF
+        if ent[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif ent[pos:pos + 1] == b"\n":
+            pos += 1
+        else:
+            return None
+
+
+def _http_entity_text(body: bytes) -> str:
+    """The entity text of one raw HTTP response message: split the
+    header block off (no header/body separator -> empty text, never
+    the headers-as-text bug), undo Transfer-Encoding: chunked, undo
+    Content-Encoding gzip/x-gzip/deflate (unsupported codings like br
+    -> empty text — detected and nulled, not mojibake), then decode
+    with the Content-Type charset (unknown/absent -> utf-8), always
+    errors=replace. Deterministic: every malformed layer yields ''
+    for that record, never an exception (one bad capture must not
+    cost a Spark task)."""
+    import re
+    import zlib
+
+    sep_r, sep_n = body.find(b"\r\n\r\n"), body.find(b"\n\n")
+    cut = min(i for i in (sep_r, sep_n) if i >= 0) if max(
+        sep_r, sep_n) >= 0 else -1
+    if cut == -1:
+        return ""
+    head = body[:cut].decode("iso-8859-1")  # headers are octet-safe
+    ent = body[cut + (4 if cut == sep_r else 2):]
+    headers: dict[str, str] = {}
+    for line in head.splitlines()[1:]:  # [0] is the status line
+        if ":" in line:
+            name, value = line.split(":", 1)
+            headers[name.strip().lower()] = value.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        ent = _dechunk(ent)
+        if ent is None:
+            return ""
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            ent = gzip.decompress(ent)
+        except Exception:
+            return ""
+    elif ce == "deflate":
+        try:  # RFC says zlib-wrapped; the wild also ships raw DEFLATE
+            ent = zlib.decompress(ent)
+        except Exception:
+            try:
+                ent = zlib.decompress(ent, -zlib.MAX_WBITS)
+            except Exception:
+                return ""
+    elif ce not in ("", "identity"):
+        return ""  # br/zstd/unknown: detect and null, don't garble
+    charset = "utf-8"
+    m = re.search(r"charset\s*=\s*\"?([\w.:-]+)",
+                  headers.get("content-type", ""), re.I)
+    if m:
+        import codecs
+
+        try:
+            codecs.lookup(m.group(1))
+            charset = m.group(1)
+        except LookupError:
+            pass  # unknown label: fall back to utf-8
+    return ent.decode(charset, "replace")
+
+
 def extract_warc_text(spark: SparkSession, path: str,
                       glob: str | None = None,
                       lenient: bool = False) -> DataFrame:
-    """RESPONSE-record pipeline head: read raw WARC captures, split the
-    HTTP header block off each body, run html_to_text on the payload.
-    Returns (file, record_id, url, warc_date, content_length, text) —
-    the same downstream shape as read_wet, so every quality/dedup
-    operator composes unchanged. File-parallel, no shuffle."""
-    raw = read_wet(spark, path, glob=glob, record_types=("response",),
-                   lenient=lenient)
+    """RESPONSE-record pipeline head: read raw WARC captures, parse
+    each record's HTTP message AT THE BYTE LEVEL (r14 — de-chunk
+    Transfer-Encoding: chunked, undo Content-Encoding gzip/deflate,
+    honor the Content-Type charset; all present in real Common Crawl
+    response records), then run html_to_text on the entity. Returns
+    (file, record_id, url, warc_date, content_length, text) — the same
+    downstream shape as read_wet, so every quality/dedup operator
+    composes unchanged. File-parallel binaryFile scan, no shuffle,
+    streaming record parse (same task-memory shape as read_wet)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    cols = ["file", "record_id", "url", "warc_date", "content_length",
+            "text"]
+    _CHUNK_BYTES = 64 << 20
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        pending = 0
         for pdf in batches:
-            texts = []
-            for body in pdf["text"]:
-                body = str(body)
-                # WARC response bodies carry the HTTP message: headers,
-                # blank line, then the entity (the HTML)
-                for sep in ("\r\n\r\n", "\n\n"):
-                    if sep in body:
-                        body = body.split(sep, 1)[1]
-                        break
-                texts.append(html_to_text(body))
-            out = pdf.copy()
-            out["text"] = texts
-            yield out[["file", "record_id", "url", "warc_date",
-                       "content_length", "text"]]
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                for headers, body in _iter_records(
+                        bytes(payload), str(fpath), lenient):
+                    if headers.get("warc-type", "") != "response":
+                        continue
+                    rows.append({
+                        "file": str(fpath),
+                        "record_id": headers.get("warc-record-id", ""),
+                        "url": headers.get("warc-target-uri", ""),
+                        "warc_date": headers.get("warc-date", ""),
+                        "content_length": len(body),
+                        "text": html_to_text(_http_entity_text(body)),
+                    })
+                    pending += len(body)
+                    if pending >= _CHUNK_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pending = [], 0
+        yield pd.DataFrame(rows, columns=cols)
 
     schema = ("file string, record_id string, url string, "
               "warc_date string, content_length long, text string")
-    return raw.mapInPandas(run, schema=schema)
+    return files.mapInPandas(run, schema=schema)

@@ -350,3 +350,87 @@ def test_write_wet_scheme_path_staged_overwrite(spark, tmp_path):
     assert _g.glob(f"{out_posix}/_stage-export-*") == []
     rows = W.read_wet(spark, out).collect()
     assert [r["text"] for r in rows] == ["new 0"]
+
+
+def _raw_response(url, http_bytes, record_id):
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+            f"Content-Length: {len(http_bytes)}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n").encode("utf-8")
+    return head + http_bytes + b"\r\n\r\n"
+
+
+def test_extract_warc_text_chunked_gzip_charset(spark, tmp_path):
+    """r14 (r13 verdict 'What's wrong #3'): real Common Crawl response
+    records ship chunked transfer coding, gzip content coding, and
+    non-UTF-8 charsets — the extractor must de-chunk, decompress, and
+    honor the Content-Type charset at the BYTE level, and a message
+    with no header/body separator yields empty text, never the HTTP
+    headers as 'content'."""
+    html = "<html><body><p>alpha beta gamma</p></body></html>"
+    # (1) chunked: body split across two chunks with an extension
+    hb = html.encode()
+    chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               + f"{len(hb[:10]):x};ext=1\r\n".encode() + hb[:10]
+               + b"\r\n" + f"{len(hb[10:]):x}\r\n".encode() + hb[10:]
+               + b"\r\n0\r\nX-Trailer: t\r\n\r\n")
+    # (2) gzip content coding
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+          b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(hb))
+    # (3) latin-1 charset with a non-ASCII char
+    lat = ("HTTP/1.1 200 OK\r\n"
+           "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+           "<p>café latte</p>").encode("iso-8859-1")
+    # (4) chunked AND gzipped together (coding order: gzip then chunk)
+    both = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            + f"{len(gzip.compress(hb)):x}\r\n".encode()
+            + gzip.compress(hb) + b"\r\n0\r\n\r\n")
+    # (5) no header/body separator at all
+    nosep = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    # (6) unsupported coding: detected and nulled, not mojibake
+    br = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+          b"\x1b\x2e\x00compressed-junk")
+    # (7) malformed chunk framing: nulled
+    badchunk = (b"HTTP/1.1 200 OK\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nnope")
+    recs = [_raw_response(f"https://h/{i}", b, f"r{i}") for i, b in
+            enumerate([chunked, gz, lat, both, nosep, br, badchunk])]
+    (tmp_path / "r.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    out = {r["url"]: r["text"]
+           for r in W.extract_warc_text(spark, str(tmp_path)).collect()}
+    assert out["https://h/0"] == "alpha beta gamma"
+    assert out["https://h/1"] == "alpha beta gamma"
+    assert out["https://h/2"] == "café latte"
+    assert out["https://h/3"] == "alpha beta gamma"
+    assert out["https://h/4"] == ""
+    assert out["https://h/5"] == ""
+    assert out["https://h/6"] == ""
+
+
+def test_dechunk_and_entity_units():
+    """Driver-side pins for the byte-level HTTP helpers."""
+    assert W._dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+    assert W._dechunk(b"3\nabc\n0\n\n") == b"abc"  # bare-LF tolerated
+    assert W._dechunk(b"3\r\nab") is None           # truncated chunk
+    assert W._dechunk(b"q\r\nabc\r\n0\r\n") is None  # bad hex
+    assert W._dechunk(b"3\r\nabc") is None           # no 0-chunk
+    # deflate, both zlib-wrapped and raw
+    import zlib
+    c = zlib.compressobj(wbits=-15)
+    raw = c.compress(b"<p>x y</p>") + c.flush()
+    for payload in (zlib.compress(b"<p>x y</p>"), raw):
+        msg = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+               + payload)
+        assert W._http_entity_text(msg) == "<p>x y</p>"
+    # unknown charset label falls back to utf-8
+    msg = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/html; charset=not-a-codec\r\n\r\nhi")
+    assert W._http_entity_text(msg) == "hi"
