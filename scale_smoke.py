@@ -853,6 +853,104 @@ def main() -> None:
     amedia.unpersist()
     spark.catalog.clearCache()
 
+    # --- r14: WARC/WET ingest at segment scale ------------------------
+    # The unit fixtures are KB-scale; the design claim is CC-segment
+    # scale. 400k ~1 KB records written by write_wet as 4 multi-member
+    # WET files (~400 MB decompressed — the CC member-per-record
+    # layout), then: strict read records/s, lenient read records/s
+    # (overhead check), ONE planted mid-file gzip corruption proving
+    # the raw-byte resync keeps the file's tail at volume (exactly one
+    # member = one record lost), and a WET -> export_shards e2e on the
+    # same files. File-parallel end to end — 4 files = 4 tasks.
+    import shutil as _sh
+    import tempfile as _tf_w
+
+    from datahub_spark.operators import export as EX
+    from datahub_spark.operators import warc as WC
+
+    n_wet = 400_000
+    wet_tmp = _tf_w.mkdtemp(prefix="smoke_wet_")
+    wet_dir = f"{wet_tmp}/clean"
+    wdocs = spark.range(n_wet).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://ex.org/d/"), F.col("id")).alias("url"),
+        F.concat(
+            F.lit("document "), F.col("id"), F.lit(" "),
+            F.array_join(F.transform(
+                F.sequence(F.lit(1), F.lit(150)),
+                lambda j: F.concat(F.lit("w"),
+                                   F.pmod(F.col("id") * 31 + j,
+                                          F.lit(9973)))), " "),
+        ).alias("text"))
+    t0 = time.monotonic()
+    WC.write_wet(wdocs, wet_dir, files=4)
+    timings["warc_write_400k"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    wrow = WC.read_wet(spark, wet_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("url").alias("u"),
+        F.sum("content_length").alias("bytes")).collect()[0]
+    timings["warc_read_strict_400k"] = round(time.monotonic() - t0, 2)
+    timings["warc_strict_rec_per_s"] = round(
+        n_wet / max(timings["warc_read_strict_400k"], 1e-9))
+    assert (wrow["n"], wrow["u"]) == (n_wet, n_wet), wrow
+
+    t0 = time.monotonic()
+    n_len = WC.read_wet(spark, wet_dir, lenient=True).count()
+    timings["warc_read_lenient_400k"] = round(time.monotonic() - t0, 2)
+    timings["warc_lenient_rec_per_s"] = round(
+        n_len / max(timings["warc_read_lenient_400k"], 1e-9))
+    assert n_len == n_wet, n_len
+
+    # plant gzip-level corruption mid-file: find a TRUE member boundary
+    # past the midpoint (validated by decompressing to a WARC/ line —
+    # magic bytes alone can false-positive inside DEFLATE data) and
+    # flip the following DEFLATE bytes; lenient must lose EXACTLY that
+    # one member's record and keep the tail
+    import glob as _g
+    import zlib as _zl
+
+    bad_dir = f"{wet_tmp}/corrupt"
+    os.makedirs(bad_dir)
+    parts = sorted(_g.glob(f"{wet_dir}/part-*.warc.wet.gz"))
+    assert len(parts) == 4, parts
+    payload = open(parts[0], "rb").read()
+    pos = len(payload) // 2
+    while True:
+        pos = payload.find(b"\x1f\x8b\x08", pos + 1)
+        assert pos > 0, "no member boundary found past midpoint"
+        try:
+            head = _zl.decompressobj(wbits=31).decompress(
+                payload[pos:pos + 4096], 32)
+        except _zl.error:
+            continue
+        if head.startswith(b"WARC/"):
+            break
+    corrupted = bytearray(payload)
+    for off in range(pos + 20, pos + 50):
+        corrupted[off] ^= 0xFF
+    open(f"{bad_dir}/part-00000.warc.wet.gz", "wb").write(
+        bytes(corrupted))
+    for p in parts[1:]:
+        os.link(p, f"{bad_dir}/{os.path.basename(p)}")
+    t0 = time.monotonic()
+    n_after = WC.read_wet(spark, bad_dir, lenient=True).count()
+    timings["warc_lenient_corrupt_400k"] = round(time.monotonic() - t0, 2)
+    assert n_after == n_wet - 1, (n_after, n_wet)
+
+    # WET -> training shards e2e at the same volume: the corpus mouth
+    # composes straight into the export tail
+    t0 = time.monotonic()
+    wet_df = WC.read_wet(spark, wet_dir).withColumn(
+        "doc_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long"))
+    man = EX.export_shards(wet_df, f"{wet_tmp}/shards", n_shards=8,
+                           id_col="doc_id").collect()
+    timings["warc_to_shards_e2e_400k"] = round(time.monotonic() - t0, 2)
+    assert sum(r["n_docs"] for r in man) == n_wet, man
+    assert len(man) == 8, man
+    _sh.rmtree(wet_tmp, ignore_errors=True)
+
     # --- r12: streaming sessionize at drift scale (state-store path) --
     # 10M events / 200k users arrive as 10 TIME-ORDERED single-file
     # batches; maxFilesPerTrigger=1 forces the AvailableNow drain
