@@ -3,7 +3,14 @@
 entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, pinned
-                to the driver's 50-entry grading window. Rotated again
+                to the driver's 50-entry grading window. Rotated in
+                r14: warc_ingest promoted (WET round trip + response
+                extraction across plain/chunked/gzip codings, planted
+                from the documents table so DuckDB knows the truth
+                without parsing WARC); semantic_dedup merged into
+                dedup_embedding (mode=semdedup) to free the slot —
+                the retired surface still grades inside the merged
+                key. Previously rotated
                 in r13 onto the remaining exact-potential operators:
                 four new graded keys (audio_dedup, skew_salted,
                 curriculum_export, contrastive_mining); four long-green

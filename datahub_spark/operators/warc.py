@@ -336,6 +336,96 @@ def wet_record_bytes(url: str, text: str, record_id: str,
     return head + body + b"\r\n\r\n"
 
 
+def warc_response_bytes(url: str, html: str, record_id: str,
+                        coding: str = "plain",
+                        date: str = "2024-01-01T00:00:00Z") -> bytes:
+    """One spec-shaped WARC 'response' record whose HTTP entity is
+    ``html`` under the given coding — 'plain', 'chunked' (two-chunk
+    RFC 9112 framing), or 'gzip' (Content-Encoding, mtime=0 for
+    deterministic bytes). extract_warc_text's output is
+    coding-INVARIANT by contract, which is what makes planted response
+    corpora gradeable without the oracle modeling codings."""
+    ent = html.encode("utf-8")
+    extra = ""
+    if coding == "gzip":
+        ent = gzip.compress(ent, mtime=0)
+        extra = "Content-Encoding: gzip\r\n"
+    elif coding == "chunked":
+        mid = len(ent) // 2
+        chunks = [c for c in (ent[:mid], ent[mid:]) if c]
+        ent = (b"".join(f"{len(c):x}\r\n".encode() + c + b"\r\n"
+                        for c in chunks) + b"0\r\n\r\n")
+        extra = "Transfer-Encoding: chunked\r\n"
+    elif coding != "plain":
+        raise ValueError(f"warc_response_bytes: unknown coding {coding!r}")
+    http = ("HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            + extra + "\r\n").encode("utf-8") + ent
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(df: DataFrame, path: str, url_col: str = "url",
+               html_col: str = "html", id_col: str = "doc_id",
+               coding_col: str | None = None,
+               files: int | None = None) -> None:
+    """Write (url, html) rows as real WARC files of HTTP response
+    captures — one gzip member per record (the CC layout), one file
+    per partition (part-<pid>.warc.gz). ``coding_col`` optionally
+    names a per-record coding ('plain'/'chunked'/'gzip') so a planted
+    corpus exercises every decode lane of extract_warc_text. Same
+    staged, object-store-safe overwrite as write_wet."""
+    from datahub_spark import fsio
+
+    cols = [F.col(id_col).cast("string").alias("_id"),
+            F.col(url_col).alias("_url"),
+            F.col(html_col).alias("_html"),
+            (F.col(coding_col) if coding_col
+             else F.lit("plain")).alias("_coding")]
+    src = df.select(*cols)
+    if files:
+        src = src.repartition(files)
+    spark = df.sparkSession
+    stage = fsio.begin_staged_export(spark, path)
+    stage_local = fsio.strip_scheme(stage)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(stage_local, exist_ok=True)
+        fh, n = None, 0
+        try:
+            for pdf in batches:
+                for rid, url, html, coding in zip(
+                        pdf["_id"], pdf["_url"], pdf["_html"],
+                        pdf["_coding"]):
+                    if fh is None:
+                        fh = open(
+                            f"{stage_local}/part-{pid:05d}.warc.gz", "wb")
+                    fh.write(gzip.compress(warc_response_bytes(
+                        str(url), str(html), str(rid), str(coding))))
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"n": [n]})
+
+    src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
+    fsio.finish_staged_export(spark, path, stage, "part-*.warc.gz")
+
+
 def write_wet(df: DataFrame, path: str, url_col: str = "url",
               text_col: str = "text", id_col: str = "doc_id",
               files: int | None = None) -> None:
