@@ -7,9 +7,14 @@ queries()     — every implemented operator from SURVEY.md §2, pinned
                 r14: warc_ingest promoted (WET round trip + response
                 extraction across plain/chunked/gzip codings, planted
                 from the documents table so DuckDB knows the truth
-                without parsing WARC); semantic_dedup merged into
-                dedup_embedding (mode=semdedup) to free the slot —
-                the retired surface still grades inside the merged
+                without parsing WARC) and unigram_pieces promoted
+                (train_unigram's deterministic integer piece table —
+                seed counts, tie-broken selection, char protection,
+                prune, and model rank; the float-EM rounds stay
+                unit-covered); slots freed by merging semantic_dedup
+                into dedup_embedding (mode=semdedup) and
+                chunk_documents into text_cleaning (mode=chunk) —
+                every retired surface still grades inside its merged
                 key. Previously rotated
                 in r13 onto the remaining exact-potential operators:
                 four new graded keys (audio_dedup, skew_salted,

@@ -1729,6 +1729,26 @@ def q_span_dedup(spark, sf_dir):
     return DD.remove_duplicate_substrings(docs, window=8, min_docs=2)
 
 
+_CHUNK_K, _CHUNK_STRIDE = 32, 24
+
+_CHUNK_SQL = f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, gs.i AS chunk_id,
+             array_to_string(ws[gs.i*{_CHUNK_STRIDE}+1 : gs.i*{_CHUNK_STRIDE}+{_CHUNK_K}], ' ') AS chunk_text,
+             len(ws[gs.i*{_CHUNK_STRIDE}+1 : gs.i*{_CHUNK_STRIDE}+{_CHUNK_K}]) AS n_tokens
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+            greatest(CAST(ceil((len(ws) - {_CHUNK_K}) / CAST({_CHUNK_STRIDE} AS double) + 1) AS int), 1) - 1)) AS i) gs
+    )
+    SELECT doc_id AS id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE trim(chunk_text) != ''
+    """
+
+
 @register(
     "text_cleaning",
     f"""
@@ -1741,19 +1761,26 @@ def q_span_dedup(spark, sf_dir):
     SELECT 'span', id, clean_text,
            n_words, n_removed_words, n_dup_windows
     FROM ({_SPAN_SQL})
+    UNION ALL
+    SELECT 'chunk', id, chunk_text, chunk_id, n_tokens,
+           CAST(-1 AS BIGINT)
+    FROM ({_CHUNK_SQL})
     """,
 )
 def q_text_cleaning(spark, sf_dir):
-    """The two full-rewrite corpus cleaners, one graded key (§2 rows
-    43e+38c merged in the r10 window rotation; each graded standalone
-    r7-r9, both rewrites fully computed and value-hash compared —
-    clean_text included, not just counts):
+    """The full-rewrite corpus text transforms, one graded key (§2
+    rows 43e+38c merged in the r10 window rotation, row 43g folded in
+    r14; each graded standalone first, every rewrite fully computed
+    and value-hash compared — clean_text included, not just counts):
 
     * boiler — C4-style corpus-frequency boilerplate removal (window-8
       segments in >= 2 docs cut; a=kept_segments, b=dropped_segments);
     * span — exact-substring span removal (every shared 8-word window
       cut from every occurrence; a=n_words, b=n_removed_words,
-      c=n_dup_windows)."""
+      c=n_dup_windows);
+    * chunk — context-window chunking (32-token windows, stride 24;
+      the clean_text column carries the chunk text, a=chunk_id,
+      b=n_tokens — hash-green standalone r11-r13)."""
     boiler = q_boilerplate_removal(spark, sf_dir).select(
         F.lit("boiler").alias("mode"), F.col("doc_id").alias("id"),
         "clean_text",
@@ -1765,7 +1792,14 @@ def q_text_cleaning(spark, sf_dir):
         F.col("n_words").cast("long").alias("a"),
         F.col("n_removed_words").cast("long").alias("b"),
         F.col("n_dup_windows").cast("long").alias("c"))
-    return boiler.unionByName(span)
+    chunk = q_chunk_documents(spark, sf_dir).select(
+        F.lit("chunk").alias("mode"),
+        F.col("id").cast("long").alias("id"),
+        F.col("chunk_text").alias("clean_text"),
+        F.col("chunk_id").cast("long").alias("a"),
+        F.col("n_tokens").cast("long").alias("b"),
+        F.lit(-1).cast("long").alias("c"))
+    return boiler.unionByName(span).unionByName(chunk)
 
 
 _DOMAIN_STATS_SQL = """
@@ -2407,35 +2441,15 @@ def q_ppl_buckets(spark, sf_dir):
         .select("id", "score_e4", "bucket")
 
 
-_CHUNK_K, _CHUNK_STRIDE = 32, 24
-
-
-@register(
-    "chunk_documents",
-    f"""
-    WITH w AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
-      FROM documents
-    ), c AS (
-      SELECT doc_id, gs.i AS chunk_id,
-             array_to_string(ws[gs.i*{_CHUNK_STRIDE}+1 : gs.i*{_CHUNK_STRIDE}+{_CHUNK_K}], ' ') AS chunk_text,
-             len(ws[gs.i*{_CHUNK_STRIDE}+1 : gs.i*{_CHUNK_STRIDE}+{_CHUNK_K}]) AS n_tokens
-      FROM w, LATERAL (SELECT unnest(generate_series(0,
-            greatest(CAST(ceil((len(ws) - {_CHUNK_K}) / CAST({_CHUNK_STRIDE} AS double) + 1) AS int), 1) - 1)) AS i) gs
-    )
-    SELECT doc_id AS id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
-           CAST(n_tokens AS BIGINT) AS n_tokens
-    FROM c WHERE trim(chunk_text) != ''
-    """,
-)
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (§2 row 43g,
     operators/text.py:chunk_documents — PROMOTED r11 from in-suite
-    DuckDB parity): split every document into 32-token windows with
-    stride 24 (sliding overlap, the packing-prep shape). Map-side
-    explode of per-doc window starts — no shuffle, no Python; chunk
-    ids are deterministic positions so reprocessing is stable."""
+    DuckDB parity; merged into text_cleaning mode='chunk' in the r14
+    window rotation to free the slot for unigram_pieces): split every
+    document into 32-token windows with stride 24 (sliding overlap,
+    the packing-prep shape). Map-side explode of per-doc window
+    starts — no shuffle, no Python; chunk ids are deterministic
+    positions so reprocessing is stable."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     return TX.chunk_documents(docs, max_tokens=_CHUNK_K,
                               stride=_CHUNK_STRIDE)
@@ -3269,6 +3283,74 @@ def q_contrastive_mining(spark, sf_dir):
         F.array_join(F.transform(F.col("negative_ids"),
                                  lambda x: x.cast("string")), "|")
         .alias("negs"))
+
+
+_UG_VOCAB, _UG_SEED, _UG_MAXLEN = 60, 120, 4
+
+_UNIGRAM_PIECES_ORACLE = f"""
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word),
+    sub AS (
+      SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+               i -> list_transform(
+                 range(1, least({_UG_MAXLEN}, length(word) - i + 1) + 1),
+                 l -> substr(word, CAST(i AS INT), CAST(l AS INT))))))
+             AS piece, n
+      FROM w),
+    pc AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           FROM sub GROUP BY piece),
+    top AS (SELECT piece, cnt FROM pc
+            ORDER BY cnt DESC, piece LIMIT {_UG_SEED}),
+    seeded AS (SELECT piece, cnt FROM top
+               UNION
+               SELECT piece, cnt FROM pc WHERE length(piece) = 1),
+    ranked AS (SELECT piece, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+               FROM seeded),
+    kept AS (SELECT piece, cnt FROM ranked WHERE rk <= {_UG_VOCAB}),
+    final AS (
+      SELECT piece, cnt FROM kept
+      UNION ALL
+      SELECT p.piece, CAST(0 AS BIGINT) FROM pc p
+      WHERE length(p.piece) = 1
+        AND p.piece NOT IN (SELECT piece FROM kept))
+    SELECT piece, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
+             AS rank
+    FROM final
+    """
+
+
+@register("unigram_pieces", _UNIGRAM_PIECES_ORACLE)
+def q_unigram_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training, graded on the deterministic
+    piece TABLE (§2 row 43u, operators/unigram.py:train_unigram —
+    PROMOTED r14 with the safer formulation the r13 verdict asked
+    for: integer substring counts + tie-broken selection, not the
+    float-EM per-word segmentations). em_rounds=0 grades the whole
+    training pipeline EXCEPT the EM refinement: the weighted
+    distinct-word collapse (one explode + HashAggregate — the
+    corpus-size-independent scale contract), the bounded substring
+    explode, the (count DESC, piece) seed selection at seed_size=120,
+    single-character protection, and the vocab_size=60 prune — piece,
+    count, AND model rank all value-hashed. The float-EM rounds stay
+    covered by the python-reference parity units (test_unigram.py).
+
+    Scale shape: both aggregates are keyed HashAggregates over the
+    bounded distinct-word table; the model collect is bounded by the
+    piece vocabulary, never the corpus."""
+    from datahub_spark.operators import unigram as UG
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    model = UG.train_unigram(docs, vocab_size=_UG_VOCAB,
+                             max_piece_len=_UG_MAXLEN, em_rounds=0,
+                             seed_size=_UG_SEED)
+    rows = [(m["piece"], int(m["count"]), i + 1)
+            for i, m in enumerate(model)]
+    return spark.createDataFrame(rows, "piece string, cnt long, rank long")
 
 
 _WARC_INGEST_ORACLE = """
