@@ -29,10 +29,13 @@ column.
 
 No WARC library exists in this container and none is needed: the
 format is line-oriented headers + a counted body, fully expressible
-with stdlib gzip/io. Parsing is strict by default (a malformed
-record RAISES with the file path and byte offset — silent truncation
-of a crawl is how corpora quietly lose tails); pass lenient=True to
-skip trailing garbage instead.
+with stdlib gzip/zlib/io. Parsing is strict by default (a malformed
+record or a corrupt gzip member RAISES with the file path and member
+offset — silent truncation of a crawl is how corpora quietly lose
+tails); lenient=True instead resyncs at BOTH layers (to the next
+WARC/ line inside a valid stream, to the next gzip member magic on
+raw-byte corruption), so one bad record or member costs itself,
+never the file's tail.
 """
 
 from __future__ import annotations
@@ -560,16 +563,17 @@ def _dechunk(ent: bytes) -> bytes | None:
             return None
 
 
-def _http_entity_text(body: bytes) -> str:
-    """The entity text of one raw HTTP response message: split the
-    header block off (no header/body separator -> empty text, never
-    the headers-as-text bug), undo Transfer-Encoding: chunked, undo
-    Content-Encoding gzip/x-gzip/deflate (unsupported codings like br
-    -> empty text — detected and nulled, not mojibake), then decode
-    with the Content-Type charset (unknown/absent -> utf-8), always
-    errors=replace. Deterministic: every malformed layer yields ''
-    for that record, never an exception (one bad capture must not
-    cost a Spark task)."""
+def _http_response(body: bytes) -> tuple[int | None, str]:
+    """(status, entity text) of one raw HTTP response message: split
+    the header block off (no header/body separator -> empty text,
+    never the headers-as-text bug), undo Transfer-Encoding: chunked,
+    undo Content-Encoding gzip/x-gzip/deflate (unsupported codings
+    like br -> empty text — detected and nulled, not mojibake), then
+    decode with the Content-Type charset (unknown/absent -> utf-8),
+    always errors=replace. Deterministic: every malformed layer yields
+    '' for that record, never an exception (one bad capture must not
+    cost a Spark task). status is None when the status line does not
+    parse."""
     import re
     import zlib
 
@@ -577,24 +581,27 @@ def _http_entity_text(body: bytes) -> str:
     cut = min(i for i in (sep_r, sep_n) if i >= 0) if max(
         sep_r, sep_n) >= 0 else -1
     if cut == -1:
-        return ""
+        return None, ""
     head = body[:cut].decode("iso-8859-1")  # headers are octet-safe
     ent = body[cut + (4 if cut == sep_r else 2):]
+    lines = head.splitlines()
+    m = re.match(r"HTTP/\d(?:\.\d)?\s+(\d{3})", lines[0] if lines else "")
+    status = int(m.group(1)) if m else None
     headers: dict[str, str] = {}
-    for line in head.splitlines()[1:]:  # [0] is the status line
+    for line in lines[1:]:  # [0] is the status line
         if ":" in line:
             name, value = line.split(":", 1)
             headers[name.strip().lower()] = value.strip()
     if "chunked" in headers.get("transfer-encoding", "").lower():
         ent = _dechunk(ent)
         if ent is None:
-            return ""
+            return status, ""
     ce = headers.get("content-encoding", "").strip().lower()
     if ce in ("gzip", "x-gzip"):
         try:
             ent = gzip.decompress(ent)
         except Exception:
-            return ""
+            return status, ""
     elif ce == "deflate":
         try:  # RFC says zlib-wrapped; the wild also ships raw DEFLATE
             ent = zlib.decompress(ent)
@@ -602,9 +609,9 @@ def _http_entity_text(body: bytes) -> str:
             try:
                 ent = zlib.decompress(ent, -zlib.MAX_WBITS)
             except Exception:
-                return ""
+                return status, ""
     elif ce not in ("", "identity"):
-        return ""  # br/zstd/unknown: detect and null, don't garble
+        return status, ""  # br/zstd/unknown: detect and null, don't garble
     charset = "utf-8"
     m = re.search(r"charset\s*=\s*\"?([\w.:-]+)",
                   headers.get("content-type", ""), re.I)
@@ -616,21 +623,32 @@ def _http_entity_text(body: bytes) -> str:
             charset = m.group(1)
         except LookupError:
             pass  # unknown label: fall back to utf-8
-    return ent.decode(charset, "replace")
+    return status, ent.decode(charset, "replace")
+
+
+def _http_entity_text(body: bytes) -> str:
+    """Entity text only — the unit-test-facing wrapper."""
+    return _http_response(body)[1]
 
 
 def extract_warc_text(spark: SparkSession, path: str,
                       glob: str | None = None,
-                      lenient: bool = False) -> DataFrame:
+                      lenient: bool = False,
+                      statuses: tuple[int, ...] | None = (200,)
+                      ) -> DataFrame:
     """RESPONSE-record pipeline head: read raw WARC captures, parse
     each record's HTTP message AT THE BYTE LEVEL (r14 — de-chunk
     Transfer-Encoding: chunked, undo Content-Encoding gzip/deflate,
     honor the Content-Type charset; all present in real Common Crawl
-    response records), then run html_to_text on the entity. Returns
+    response records), then run html_to_text on the entity. Only
+    ``statuses`` responses are kept (default 200 — the CCNet/C4 rule:
+    error and redirect bodies pollute a corpus; pass None to keep
+    every parseable response). Returns
     (file, record_id, url, warc_date, content_length, text) — the same
     downstream shape as read_wet, so every quality/dedup operator
     composes unchanged. File-parallel binaryFile scan, no shuffle,
     streaming record parse (same task-memory shape as read_wet)."""
+    want_status = tuple(statuses) if statuses is not None else None
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -648,13 +666,17 @@ def extract_warc_text(spark: SparkSession, path: str,
                         bytes(payload), str(fpath), lenient):
                     if headers.get("warc-type", "") != "response":
                         continue
+                    status, entity = _http_response(body)
+                    if want_status is not None \
+                            and status not in want_status:
+                        continue
                     rows.append({
                         "file": str(fpath),
                         "record_id": headers.get("warc-record-id", ""),
                         "url": headers.get("warc-target-uri", ""),
                         "warc_date": headers.get("warc-date", ""),
                         "content_length": len(body),
-                        "text": html_to_text(_http_entity_text(body)),
+                        "text": html_to_text(entity),
                     })
                     pending += len(body)
                     if pending >= _CHUNK_BYTES:

@@ -410,9 +410,14 @@ def test_extract_warc_text_chunked_gzip_charset(spark, tmp_path):
     assert out["https://h/1"] == "alpha beta gamma"
     assert out["https://h/2"] == "café latte"
     assert out["https://h/3"] == "alpha beta gamma"
-    assert out["https://h/4"] == ""
+    # no header/body separator -> status unparseable -> dropped by the
+    # default 200-only filter; kept (with empty text) when statuses=None
+    assert "https://h/4" not in out
     assert out["https://h/5"] == ""
     assert out["https://h/6"] == ""
+    all_out = {r["url"]: r["text"] for r in W.extract_warc_text(
+        spark, str(tmp_path), statuses=None).collect()}
+    assert all_out["https://h/4"] == ""
 
 
 def test_dechunk_and_entity_units():
@@ -463,3 +468,30 @@ def test_write_warc_coding_invariant_round_trip(spark, tmp_path):
         rec = W.warc_response_bytes("u", "<p>x y</p>", "r1", coding=c)
         hdrs, body = next(W._iter_records(rec, "p", False))
         assert W.html_to_text(W._http_entity_text(body)) == "x y"
+
+
+def test_extract_warc_text_status_filter(spark, tmp_path):
+    """r14: only statuses responses survive (default 200 — the
+    CCNet/C4 rule: 404/301 bodies pollute the corpus); statuses=None
+    keeps every parseable response."""
+    ok = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          b"<p>keep me</p>")
+    gone = (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+            b"<p>error page</p>")
+    moved = (b"HTTP/1.1 301 Moved\r\nLocation: /x\r\n\r\n"
+             b"<p>redirect body</p>")
+    recs = [_raw_response("https://s/ok", ok, "a"),
+            _raw_response("https://s/404", gone, "b"),
+            _raw_response("https://s/301", moved, "c")]
+    (tmp_path / "s.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    got = {r["url"]: r["text"]
+           for r in W.extract_warc_text(spark, str(tmp_path)).collect()}
+    assert got == {"https://s/ok": "keep me"}
+    allr = {r["url"]: r["text"] for r in W.extract_warc_text(
+        spark, str(tmp_path), statuses=None).collect()}
+    assert set(allr) == {"https://s/ok", "https://s/404", "https://s/301"}
+    assert allr["https://s/404"] == "error page"
+    # status parse unit: malformed status line -> None
+    assert W._http_response(b"NOT HTTP\r\n\r\nbody")[0] is None
+    assert W._http_response(ok)[0] == 200
