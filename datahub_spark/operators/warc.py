@@ -271,25 +271,13 @@ def _scan_resync(stream, path: str):
         return headers, body
 
 
-def read_wet(spark: SparkSession, path: str, glob: str | None = None,
-             record_types: tuple[str, ...] = ("conversion",),
-             lenient: bool = False) -> DataFrame:
-    """Distributed WET/WARC text ingest: one row per record whose
-    WARC-Type is in ``record_types`` ('conversion' = WET plain text;
-    pass ('response',) for raw WARC bodies, or () for every type).
-    Columns: (file, record_id, url, warc_date, warc_type,
-    content_length, text). Plan: binaryFile scan (files = tasks) ->
-    one Arrow-batched streaming parse, no shuffle."""
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(path).select("path", "content")
+def _wet_mapper(record_types: tuple[str, ...], lenient: bool):
+    """The Arrow-batched WET parse closure shared by the batch and
+    streaming readers. Flushes accumulated records every ~64 MB of
+    text so task memory stays bounded by the CHUNK, not the file's
+    ~1 GB decompressed stream (the module docstring's memory claim is
+    only true because of this)."""
     want = tuple(record_types)
-
-    # flush accumulated records to Arrow every ~64 MB of text so task
-    # memory stays bounded by the CHUNK, not the file's ~1 GB
-    # decompressed stream (the module docstring's memory claim is only
-    # true because of this)
     _CHUNK_BYTES = 64 << 20
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,7 +306,54 @@ def read_wet(spark: SparkSession, path: str, glob: str | None = None,
                         rows, pending = [], 0
         yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(run, schema=WET_SCHEMA)
+    return run
+
+
+def read_wet(spark: SparkSession, path: str, glob: str | None = None,
+             record_types: tuple[str, ...] = ("conversion",),
+             lenient: bool = False) -> DataFrame:
+    """Distributed WET/WARC text ingest: one row per record whose
+    WARC-Type is in ``record_types`` ('conversion' = WET plain text;
+    pass ('response',) for raw WARC bodies, or () for every type).
+    Columns: (file, record_id, url, warc_date, warc_type,
+    content_length, text). Plan: binaryFile scan (files = tasks) ->
+    one Arrow-batched streaming parse, no shuffle."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_wet_mapper(record_types, lenient),
+                             schema=WET_SCHEMA)
+
+
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def stream_wet(spark: SparkSession, path: str, glob: str | None = None,
+               record_types: tuple[str, ...] = ("conversion",),
+               lenient: bool = False,
+               max_files_per_trigger: int | None = None) -> DataFrame:
+    """CONTINUOUS crawl ingestion (r14): the Structured-Streaming twin
+    of read_wet — readStream over a WET landing directory, so new
+    segments dropped by a fetcher flow straight into the pipeline
+    (checkpointed file tracking = each segment ingested exactly once
+    across restarts). Same schema, same Arrow-batched parse, same
+    strict/lenient contract; composes with the streaming dedup /
+    decontamination operators (streaming.py) exactly like the batch
+    reader composes with their batch twins. ``max_files_per_trigger``
+    bounds a micro-batch for backpressure; files remain the unit of
+    parallelism. Drain == batch parity pinned in test_warc.py."""
+    reader = spark.readStream.format("binaryFile") \
+        .schema(_BINARY_FILE_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(int(max_files_per_trigger)))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_wet_mapper(record_types, lenient),
+                             schema=WET_SCHEMA)
 
 
 def wet_record_bytes(url: str, text: str, record_id: str,

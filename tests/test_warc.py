@@ -495,3 +495,42 @@ def test_extract_warc_text_status_filter(spark, tmp_path):
     # status parse unit: malformed status line -> None
     assert W._http_response(b"NOT HTTP\r\n\r\nbody")[0] is None
     assert W._http_response(ok)[0] == 200
+
+
+def test_stream_wet_incremental_ingest(spark, tmp_path):
+    """r14: the streaming twin of read_wet — a WET landing dir drained
+    with availableNow equals the batch read exactly, and a SECOND
+    drain from the same checkpoint ingests only the newly-landed
+    segment (checkpointed exactly-once file tracking, the continuous
+    crawl-ingestion shape)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def _segment(name, lo, hi):
+        (land / name).write_bytes(b"".join(
+            gzip.compress(W.wet_record_bytes(f"https://s/{i}",
+                                             f"doc {i}", f"r{i}"))
+            for i in range(lo, hi)))
+
+    def _drain():
+        q = (W.stream_wet(spark, str(land))
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _segment("seg1.warc.wet.gz", 0, 10)
+    _segment("seg2.warc.wet.gz", 10, 25)
+    _drain()
+    got = {r["url"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    want = {r["url"]: r["text"]
+            for r in W.read_wet(spark, str(land)).collect()}
+    assert got == want and len(got) == 25  # drain == batch
+    _segment("seg3.warc.wet.gz", 25, 32)
+    _drain()
+    after = spark.read.parquet(out)
+    assert after.count() == 32  # only the new segment was appended
+    assert after.select("url").distinct().count() == 32  # no re-ingest
