@@ -156,7 +156,9 @@ def finish_staged_export(spark: SparkSession, path: str, stage: str,
     return n
 
 
-def parquet_atomic_overwrite(df: DataFrame, path: str) -> None:
+def parquet_atomic_overwrite(df: DataFrame, path: str,
+                             partition_by: list[str] | None = None
+                             ) -> None:
     """Materialize ``df`` as parquet at ``path``, crash-safely, even
     when ``df``'s plan READS ``path``. Stage-write first (the only step
     that executes the plan — the old table is still intact if it
@@ -165,7 +167,9 @@ def parquet_atomic_overwrite(df: DataFrame, path: str) -> None:
     orphaned ``_old-*`` generation exists, a previous swap crashed
     mid-window and the CALLER's plan was built against a missing table
     — refuse loudly instead of burying the recoverable history (run
-    ``ensure_recovered`` first, as the maintenance bootstraps do)."""
+    ``ensure_recovered`` first, as the maintenance bootstraps do).
+    ``partition_by`` keeps a dir-partitioned layout (e.g. the minhash
+    index's band partitions) through the rewrite."""
     spark = df.sparkSession
     fs, target = _fs(spark, path)
     jvm = spark._jvm
@@ -177,7 +181,10 @@ def parquet_atomic_overwrite(df: DataFrame, path: str) -> None:
             "before rebuilding")
     stage = jvm.org.apache.hadoop.fs.Path(
         parent, f"_stage-{target.getName()}-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage.toString())
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage.toString())
     if not fs.exists(target):
         if not fs.rename(stage, target):
             raise IOError(f"atomic overwrite: rename {stage} -> {target}")

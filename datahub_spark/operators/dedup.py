@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datahub_spark.operators.text import normalize
@@ -901,6 +901,50 @@ def filter_novel(new_docs: DataFrame, index_path: str, k: int = 12,
         (novel_bands.repartition("band")
          .write.mode("append").partitionBy("band").parquet(index_path))
     return novel
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str,
+                          dedupe: bool = True) -> dict:
+    """Maintenance twin of save_minhash_index (r14): every
+    filter_novel(update_index=True) batch APPENDS one parquet file
+    per band partition, so a long-running incremental corpus build
+    accumulates thousands of tiny files — each probe then pays file
+    listing + footer reads proportional to BATCH COUNT, not data.
+    This rewrites the index as one file per band partition (band-keyed
+    repartition, key-sorted rows for row-group pruning + compression),
+    crash-safely via the stage+swap machinery the store itself uses
+    (fsio.parquet_atomic_overwrite — a crash mid-compaction leaves the
+    old index intact, a crashed swap is healed by ensure_recovered).
+    ``dedupe`` drops duplicate (id, band, key) rows — harmless in the
+    index semantics (membership) and exactly what a crash between a
+    batch's append and its checkpoint can leave behind.
+
+    Returns {"files_before", "files_after", "rows"} so a maintenance
+    scheduler can log the win. Probe results are IDENTICAL before and
+    after (pinned in test_dedup.py)."""
+    from datahub_spark import fsio
+
+    def _count_part_files() -> int:
+        fs, root = fsio._fs(spark, index_path)
+        it = fs.listFiles(root, True)
+        n = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.endswith(".parquet") and not name.startswith("_"):
+                n += 1
+        return n
+
+    before = _count_part_files()
+    idx = spark.read.parquet(index_path)
+    if dedupe:
+        idx = idx.distinct()
+    compacted = (idx.repartition("band")
+                 .sortWithinPartitions("band", "key"))
+    fsio.parquet_atomic_overwrite(compacted, index_path,
+                                  partition_by=["band"])
+    after = _count_part_files()
+    rows = spark.read.parquet(index_path).count()
+    return {"files_before": before, "files_after": after, "rows": rows}
 
 
 # ---------------------------------------------------------------------------

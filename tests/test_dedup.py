@@ -631,3 +631,50 @@ def test_capped_dhash_candidates_uniform_images(spark):
     # hashes 0,1,2 share upper chunk keys and sit within hamming 3,
     # so every pair qualifies
     assert a == b and len(a) == 6 * 5 // 2
+
+
+def test_compact_minhash_index_preserves_probes(spark, tmp_path):
+    """r14: a long-running incremental build appends one file per band
+    per batch; compaction rewrites the index to one file per band
+    partition, crash-safely, with probe results IDENTICAL before and
+    after, a duplicate-append heal (dedupe), and the band=... layout
+    preserved for partition pruning."""
+    import glob as _g
+    import os
+
+    idx = str(tmp_path / "idx")
+    texts = [(i, f"document number {i} about subject {i % 7} with "
+                 f"plenty of distinct filler words item{i} detail{i*3} "
+                 f"note{i*7} widget{i*11} gadget{i*13}")
+             for i in range(12)]
+    DD.save_minhash_index(
+        spark.createDataFrame(texts[:4], "doc_id long, text string"), idx)
+    for lo in (4, 6, 8, 10):  # four append batches
+        batch = spark.createDataFrame(texts[lo:lo + 2],
+                                      "doc_id long, text string")
+        DD.filter_novel(batch, idx, update_index=True)
+    # plant a duplicate-append (the crash-between-append-and-checkpoint
+    # shape): re-append batch 4's band rows verbatim
+    dup = spark.read.parquet(idx).filter("id = 10")
+    dup.write.mode("append").partitionBy("band").parquet(idx)
+
+    probe = spark.createDataFrame(
+        [(100, texts[5][1]), (101, "totally new prose about something "
+                                   "else entirely unseen before now")],
+        "doc_id long, text string")
+    before_novel = sorted(r["doc_id"] for r in
+                          DD.filter_novel(probe, idx).collect())
+    before_rows = spark.read.parquet(idx).distinct().count()
+    files_before = len(_g.glob(f"{idx}/band=*/*.parquet"))
+
+    stats = DD.compact_minhash_index(spark, idx)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < files_before
+    assert stats["rows"] == before_rows  # dedupe healed the double append
+    # one file per band partition, layout preserved
+    for band_dir in _g.glob(f"{idx}/band=*"):
+        assert len(_g.glob(f"{band_dir}/*.parquet")) == 1, band_dir
+    assert any(d.startswith("band=") for d in os.listdir(idx))
+    after_novel = sorted(r["doc_id"] for r in
+                         DD.filter_novel(probe, idx).collect())
+    assert after_novel == before_novel == [101]
