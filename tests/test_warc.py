@@ -534,3 +534,16 @@ def test_stream_wet_incremental_ingest(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == 32  # only the new segment was appended
     assert after.select("url").distinct().count() == 32  # no re-ingest
+
+
+def test_warc_read_plans_have_no_exchange(spark, tmp_path):
+    """Scale-shape pin: both WARC readers are file-parallel scans — a
+    binaryFile scan feeding one Arrow-batched MapInPandas, no Exchange
+    anywhere (the CC segment layout IS the parallelism; a shuffle here
+    would serialize raw crawl bytes across the cluster)."""
+    _wet_file(tmp_path, "p.warc.wet.gz", [("https://p/1", "text one")])
+    for df in (W.read_wet(spark, str(tmp_path)),
+               W.extract_warc_text(spark, str(tmp_path))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan, plan
