@@ -356,6 +356,126 @@ def stream_wet(spark: SparkSession, path: str, glob: str | None = None,
                              schema=WET_SCHEMA)
 
 
+def _iter_members(payload: bytes):
+    """(offset, decompressed bytes) per gzip member — LINEAR in file
+    size (chunked feeding; a naive decompress(payload[pos:]) per
+    member would re-copy the whole tail per member, quadratic).
+    Memory = one decompressed member (~1 MB in CC layouts)."""
+    import zlib
+
+    pos, n = 0, len(payload)
+    while pos < n:
+        start = pos
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        while not d.eof:
+            chunk = payload[pos:pos + 65536]
+            if not chunk:
+                raise EOFError(
+                    f"truncated gzip member starting at byte {start}")
+            out.append(d.decompress(chunk))
+            pos += len(chunk)
+        pos -= len(d.unused_data)
+        yield start, b"".join(out)
+
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+])
+
+
+def _indexed_records(payload: bytes, path: str):
+    """(member offset, parsed record) pairs for one WARC payload —
+    the index builder's walk. Gzip: records of a member share its
+    offset (1:1 in the CC one-member-per-record layout). Uncompressed:
+    exact per-record byte offsets via one linear pass (seek/tell on a
+    single BytesIO — no per-record tail copies)."""
+    if payload[:2] == b"\x1f\x8b":
+        for off, data in _iter_members(payload):
+            stream = io.BytesIO(data)
+            while True:
+                rec = _read_record(stream, path, False)
+                if rec is None:
+                    break
+                yield off, rec
+        return
+    bio = io.BytesIO(payload)
+    while True:
+        off = bio.tell()
+        line = bio.readline()
+        while line in (b"\r\n", b"\n"):
+            off = bio.tell()
+            line = bio.readline()
+        if line == b"":
+            return
+        bio.seek(off)
+        rec = _read_record(bio, path, False)
+        if rec is None:
+            return
+        yield off, rec
+
+
+def build_warc_index(spark: SparkSession, path: str,
+                     glob: str | None = None) -> DataFrame:
+    """CDX-style random-access index (r14): one row per record with
+    the byte OFFSET of the gzip member containing it — the Common
+    Crawl index shape, where a consumer range-requests [offset, next)
+    and gunzips ONE member instead of scanning the segment. Offsets
+    come from the member walk itself (exact boundaries via
+    unused_data, never magic-byte guesses). Uncompressed files get
+    the record's own byte offset; records sharing a multi-record
+    member share its offset. Read a record back with
+    ``read_record_at``. File-parallel, no shuffle — the same scale
+    shape as read_wet; persist the result partitioned however the
+    lookup side prunes (by file, by url host, ...)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    cols = [f.name for f in INDEX_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        for pdf in batches:
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                for off, (headers, body) in _indexed_records(
+                        bytes(payload), str(fpath)):
+                    rows.append({
+                        "file": str(fpath),
+                        "offset": int(off),
+                        "record_id": headers.get("warc-record-id", ""),
+                        "url": headers.get("warc-target-uri", ""),
+                        "warc_type": headers.get("warc-type", ""),
+                        "content_length": len(body),
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+            rows = []
+
+    return files.mapInPandas(run, schema=INDEX_SCHEMA)
+
+
+def read_record_at(payload: bytes, offset: int):
+    """Random access: parse the FIRST record of the gzip member (or
+    uncompressed record) starting at ``offset`` in a WARC payload —
+    the consumer side of build_warc_index. Returns (headers, body).
+    For a range-requested slice, pass the slice with offset=0."""
+    chunk = payload[offset:]
+    if chunk[:2] == b"\x1f\x8b":
+        _, data = next(_iter_members(chunk))
+        stream = io.BytesIO(data)
+    else:
+        stream = io.BytesIO(chunk)
+    rec = _read_record(stream, f"<offset {offset}>", False)
+    if rec is None:
+        raise ValueError(f"warc: no record at offset {offset}")
+    return rec
+
+
 def wet_record_bytes(url: str, text: str, record_id: str,
                      date: str = "2024-01-01T00:00:00Z") -> bytes:
     """One spec-shaped WET 'conversion' record (\\r\\n headers, exact

@@ -547,3 +547,49 @@ def test_warc_read_plans_have_no_exchange(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "MapInPandas" in plan, plan
+
+
+def test_build_warc_index_random_access(spark, tmp_path):
+    """r14: the CDX-style index maps every record to the byte offset
+    of its gzip member; range-reading the file at that offset and
+    decompressing ONE member reproduces the record exactly — the
+    Common Crawl index consumption shape, no full-file scan."""
+    docs = spark.createDataFrame(
+        [(i, f"https://ix/{i}", f"payload text {i} " * (i % 4 + 1))
+         for i in range(30)],
+        "doc_id long, url string, text string")
+    out = str(tmp_path / "wet")
+    W.write_wet(docs, out, files=3)
+    idx = W.build_warc_index(spark, out).collect()
+    assert len(idx) == 30
+    assert {r["url"] for r in idx} == {f"https://ix/{i}" for i in range(30)}
+    by_file: dict = {}
+    for r in idx:
+        by_file.setdefault(r["file"], []).append(r)
+    assert len(by_file) == 3
+    for fpath, rows in by_file.items():
+        payload = open(fpath.replace("file:", ""), "rb").read()
+        offs = sorted(r["offset"] for r in rows)
+        assert offs[0] == 0 and len(set(offs)) == len(offs)
+        for r in rows:
+            headers, body = W.read_record_at(payload, r["offset"])
+            assert headers["warc-target-uri"] == r["url"]
+            assert len(body) == r["content_length"]
+            # the real consumption shape: a RANGE request [offset, next)
+            nxt = ([o for o in offs if o > r["offset"]] + [len(payload)])[0]
+            h2, b2 = W.read_record_at(payload[r["offset"]:nxt], 0)
+            assert b2 == body
+    # uncompressed layout: exact per-record offsets
+    raw = b"".join(W.wet_record_bytes(f"https://u/{i}", f"t{i}", f"r{i}")
+                   for i in range(3))
+    (tmp_path / "u").mkdir()
+    (tmp_path / "u" / "f.warc.wet").write_bytes(raw)
+    urows = W.build_warc_index(spark, str(tmp_path / "u")).collect()
+    assert len(urows) == 3
+    for r in sorted(urows, key=lambda r: r["offset"]):
+        h, b = W.read_record_at(raw, r["offset"])
+        assert h["warc-target-uri"] == r["url"]
+    # index plan: file-parallel scan, no Exchange
+    plan = (W.build_warc_index(spark, out)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
