@@ -106,21 +106,43 @@ def strip_scheme(path: str) -> str:
 
 def begin_staged_export(spark: SparkSession, path: str) -> str:
     """Start a crash-safe streamed export into ``path``: make the
-    target, clear any ``_stage-export-*`` leftovers from a crashed
-    previous run (their files were never swapped in, so they are pure
-    garbage), and return a fresh stage directory path for the tasks to
-    write into. Until ``finish_staged_export`` runs, the previous
-    export is untouched — a failed job leaves old files live and new
-    files quarantined in the stage dir (the r13 verdict's object-store
-    finding: the old driver-side glob+os.remove destroyed the previous
-    export BEFORE the job ran, and silently matched nothing on
-    non-POSIX paths)."""
+    target, HEAL any crashed previous run, and return a fresh stage
+    directory for the tasks to write into. Until
+    ``finish_staged_export`` runs, the previous export is untouched —
+    a failed job leaves old files live and new files quarantined in
+    the stage dir (the r13 verdict's object-store finding: the old
+    driver-side glob+os.remove destroyed the previous export BEFORE
+    the job ran, and silently matched nothing on non-POSIX paths).
+
+    Heal policy (r14 review catch): a crash inside finish's swap
+    leaves the previous generation parked in ``_old-export-*`` — NOT
+    garbage. Restore those files into the target (overwriting any
+    same-name partial of the interrupted new generation: the heal
+    target is the last COMPLETE generation; the caller's re-run then
+    produces the new one), and only then drop the old and stage
+    leftovers."""
     fs, target = _fs(spark, path)
+    jvm = spark._jvm
     fs.mkdirs(target)
     for st in fs.listStatus(target):
-        if st.getPath().getName().startswith("_stage-export-"):
+        name = st.getPath().getName()
+        if name.startswith("_old-export-"):
+            for f in fs.listStatus(st.getPath()):
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    target, f.getPath().getName())
+                if fs.exists(dst):
+                    fs.delete(dst, False)
+                if not fs.rename(f.getPath(), dst):
+                    raise IOError(
+                        f"staged export heal: rename {f.getPath()} "
+                        f"-> {dst}")
             fs.delete(st.getPath(), True)
-    jvm = spark._jvm
+    for st in fs.listStatus(target):
+        if st.getPath().getName().startswith("_stage-export-"):
+            # stage leftovers are from a crashed WRITE (never swapped)
+            # or a crashed finish whose old generation was restored
+            # above — either way the partial new copy is garbage now
+            fs.delete(st.getPath(), True)
     stage = jvm.org.apache.hadoop.fs.Path(
         target, f"_stage-export-{uuid.uuid4().hex}")
     fs.mkdirs(stage)
@@ -129,19 +151,32 @@ def begin_staged_export(spark: SparkSession, path: str) -> str:
 
 def finish_staged_export(spark: SparkSession, path: str, stage: str,
                          pattern: str) -> int:
-    """Commit a staged streamed export: delete the target's stale
-    files matching ``pattern`` (Hadoop glob — correct on HDFS/object
-    stores where a driver-local ``glob.glob`` silently matches
-    nothing), move every staged file in, drop the stage dir. Returns
-    the number of files swapped in. Runs ONLY after the write job
-    succeeded, so a mid-job crash never destroys the previous
-    export."""
+    """Commit a staged streamed export: park the target's stale files
+    matching ``pattern`` in an ``_old-export-*`` dir (Hadoop glob —
+    correct on HDFS/object stores where a driver-local ``glob.glob``
+    silently matches nothing), move every staged file in, then drop
+    the parked generation and the stage dir. Returns the number of
+    files swapped in. Runs ONLY after the write job succeeded, and a
+    crash at ANY point inside this swap is recoverable: every file of
+    the previous generation exists in the target or the _old dir
+    until the new generation is fully renamed in, and the next
+    ``begin_staged_export`` heals back to the last complete
+    generation (r14 review catch — the previous delete-then-rename
+    order had a window that destroyed both copies)."""
     fs, target = _fs(spark, path)
     jvm = spark._jvm
-    stale = fs.globStatus(jvm.org.apache.hadoop.fs.Path(
-        target, pattern))
-    for st in (stale or []):
-        fs.delete(st.getPath(), False)
+    stale = list(fs.globStatus(jvm.org.apache.hadoop.fs.Path(
+        target, pattern)) or [])
+    old = jvm.org.apache.hadoop.fs.Path(
+        target, f"_old-export-{uuid.uuid4().hex}")
+    if stale:
+        fs.mkdirs(old)
+        for st in stale:
+            dst = jvm.org.apache.hadoop.fs.Path(
+                old, st.getPath().getName())
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"staged export: rename {st.getPath()} -> {dst}")
     spath = jvm.org.apache.hadoop.fs.Path(stage)
     n = 0
     if fs.exists(spath):
@@ -153,6 +188,8 @@ def finish_staged_export(spark: SparkSession, path: str, stage: str,
                     f"staged export: rename {st.getPath()} -> {dst}")
             n += 1
         fs.delete(spath, True)
+    if stale:
+        fs.delete(old, True)
     return n
 
 

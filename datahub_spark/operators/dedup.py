@@ -938,12 +938,18 @@ def compact_minhash_index(spark: SparkSession, index_path: str,
     idx = spark.read.parquet(index_path)
     if dedupe:
         idx = idx.distinct()
+    # persist so the returned row count and the rewrite share ONE read
+    # of the old index (r14 review: a post-write count re-scanned the
+    # whole compacted table just for the stat)
     compacted = (idx.repartition("band")
-                 .sortWithinPartitions("band", "key"))
-    fsio.parquet_atomic_overwrite(compacted, index_path,
-                                  partition_by=["band"])
+                 .sortWithinPartitions("band", "key")).persist()
+    try:
+        rows = compacted.count()
+        fsio.parquet_atomic_overwrite(compacted, index_path,
+                                      partition_by=["band"])
+    finally:
+        compacted.unpersist()
     after = _count_part_files()
-    rows = spark.read.parquet(index_path).count()
     return {"files_before": before, "files_after": after, "rows": rows}
 
 

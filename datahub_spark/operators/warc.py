@@ -127,31 +127,28 @@ class _MemberReader(io.RawIOBase):
     already-read records. Memory stays one compressed chunk + its
     decompressed output, preserving the module's streaming claim."""
 
-    _CHUNK = 1 << 16
-
     def __init__(self, payload: bytes):
         self._p = payload
-        self._pos = 0           # next raw byte to feed the decompressor
-        self._d = None          # in-flight member's decompressobj
+        self._pos = 0           # raw offset of the NEXT member
+        self._gen = None        # in-flight member's chunk generator
         self.member_start = 0   # raw offset of the current member
         self._out = b""
-        self._done = False
+        self._off = 0           # cursor into _out (r14 review: slicing
+        self._done = False      # _out per 8KB read re-copied the tail)
 
     def readable(self) -> bool:
         return True
 
     def readinto(self, b) -> int:
-        while not self._out and not self._done:
+        while self._off >= len(self._out) and not self._done:
             self._fill()
-        n = min(len(b), len(self._out))
-        b[:n] = self._out[:n]
-        self._out = self._out[n:]
+        n = min(len(b), len(self._out) - self._off)
+        b[:n] = self._out[self._off:self._off + n]
+        self._off += n
         return n
 
     def _fill(self) -> None:
-        import zlib
-
-        if self._d is None:
+        if self._gen is None:
             if self._pos >= len(self._p):
                 self._done = True
                 return
@@ -163,17 +160,14 @@ class _MemberReader(io.RawIOBase):
                 raise gzip.BadGzipFile(
                     f"not a gzip member at byte {self._pos}")
             self.member_start = self._pos
-            self._d = zlib.decompressobj(wbits=31)
-        chunk = self._p[self._pos:self._pos + self._CHUNK]
-        if not chunk:
-            raise EOFError(
-                f"truncated gzip member starting at byte "
-                f"{self.member_start}")
-        self._out = self._d.decompress(chunk)  # zlib.error if corrupt
-        self._pos += len(chunk)
-        if self._d.eof:
-            self._pos -= len(self._d.unused_data)
-            self._d = None
+            self._gen = _decompress_member(self._p, self._pos)
+        try:
+            # EOFError (truncated member) and zlib.error (corrupt
+            # DEFLATE / bad CRC) propagate from the shared walk
+            self._out, self._off = next(self._gen), 0
+        except StopIteration as done:
+            self._pos = done.value  # exact member end (unused_data)
+            self._gen = None
 
     def resync(self) -> bool:
         """After a corruption raise: skip to the next gzip member magic
@@ -181,7 +175,7 @@ class _MemberReader(io.RawIOBase):
         payload (the corrupt member WAS the tail). A false magic inside
         corrupt compressed data just fails fast and resyncs again."""
         nxt = self._p.find(b"\x1f\x8b\x08", self.member_start + 1)
-        self._d, self._out = None, b""
+        self._gen, self._out, self._off = None, b"", 0
         if nxt == -1:
             self._done = True
             return False
@@ -271,42 +265,55 @@ def _scan_resync(stream, path: str):
         return headers, body
 
 
-def _wet_mapper(record_types: tuple[str, ...], lenient: bool):
-    """The Arrow-batched WET parse closure shared by the batch and
-    streaming readers. Flushes accumulated records every ~64 MB of
-    text so task memory stays bounded by the CHUNK, not the file's
-    ~1 GB decompressed stream (the module docstring's memory claim is
-    only true because of this)."""
+def _record_mapper(record_types: tuple[str, ...], lenient: bool,
+                   row_of, columns: list[str]):
+    """The Arrow-batched record-parse scaffold shared by EVERY reader
+    (read_wet, stream_wet, extract_warc_text — r14 review: three
+    hand-copied loops). ``row_of(file, headers, body) -> dict | None``
+    builds (or skips) one output row. Flushes accumulated rows every
+    ~64 MB of body bytes so task memory stays bounded by the CHUNK,
+    not the file's ~1 GB decompressed stream (the module docstring's
+    memory claim is only true because of this)."""
     want = tuple(record_types)
     _CHUNK_BYTES = 64 << 20
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WET_SCHEMA.fields]
         rows: list[dict] = []
         pending = 0
         for pdf in batches:
             for fpath, payload in zip(pdf["path"], pdf["content"]):
                 for headers, body in _iter_records(
                         bytes(payload), str(fpath), lenient):
-                    wtype = headers.get("warc-type", "")
-                    if want and wtype not in want:
+                    if want and headers.get("warc-type", "") not in want:
                         continue
-                    rows.append({
-                        "file": str(fpath),
-                        "record_id": headers.get("warc-record-id", ""),
-                        "url": headers.get("warc-target-uri", ""),
-                        "warc_date": headers.get("warc-date", ""),
-                        "warc_type": wtype,
-                        "content_length": len(body),
-                        "text": body.decode("utf-8", "replace"),
-                    })
+                    row = row_of(str(fpath), headers, body)
+                    if row is None:
+                        continue
+                    rows.append(row)
                     pending += len(body)
                     if pending >= _CHUNK_BYTES:
-                        yield pd.DataFrame(rows, columns=cols)
+                        yield pd.DataFrame(rows, columns=columns)
                         rows, pending = [], 0
-        yield pd.DataFrame(rows, columns=cols)
+        yield pd.DataFrame(rows, columns=columns)
 
     return run
+
+
+def _wet_mapper(record_types: tuple[str, ...], lenient: bool):
+    """WET-row builder over the shared scaffold."""
+    def row_of(fpath: str, headers: dict, body: bytes):
+        return {
+            "file": fpath,
+            "record_id": headers.get("warc-record-id", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "warc_type": headers.get("warc-type", ""),
+            "content_length": len(body),
+            "text": body.decode("utf-8", "replace"),
+        }
+
+    return _record_mapper(record_types, lenient, row_of,
+                          [f.name for f in WET_SCHEMA.fields])
 
 
 def read_wet(spark: SparkSession, path: str, glob: str | None = None,
@@ -356,32 +363,55 @@ def stream_wet(spark: SparkSession, path: str, glob: str | None = None,
                              schema=WET_SCHEMA)
 
 
-def _iter_members(payload: bytes):
+def _decompress_member(payload, start: int, chunk_size: int = 1 << 16):
+    """Decompressed chunks of the ONE gzip member at ``start``; the
+    generator's return value (StopIteration.value) is the member's
+    exact END offset from ``unused_data``. The single home for the
+    member-boundary arithmetic — both the streaming reader
+    (_MemberReader) and the whole-member walks (_iter_members) drive
+    this (r14 review: two divergent copies of the trickiest logic).
+    Raises EOFError on a truncated member, zlib.error on corrupt
+    DEFLATE or a failed CRC32/ISIZE check. Accepts bytes or
+    memoryview (chunk slices of a view are zero-copy)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    pos = start
+    while not d.eof:
+        buf = payload[pos:pos + chunk_size]
+        if not len(buf):
+            raise EOFError(
+                f"truncated gzip member starting at byte {start}")
+        yield d.decompress(buf)
+        pos += len(buf)
+    return pos - len(d.unused_data)
+
+
+def _iter_members(payload):
     """(offset, decompressed bytes) per gzip member — LINEAR in file
     size (chunked feeding; a naive decompress(payload[pos:]) per
     member would re-copy the whole tail per member, quadratic).
-    Memory = one decompressed member (~1 MB in CC layouts)."""
-    import zlib
-
+    Memory = one decompressed member (~1 MB in CC layouts) — the
+    deliberate trade vs the streaming reader: index building needs
+    whole-member extents."""
     pos, n = 0, len(payload)
     while pos < n:
         start = pos
-        d = zlib.decompressobj(wbits=31)
         out = []
-        while not d.eof:
-            chunk = payload[pos:pos + 65536]
-            if not chunk:
-                raise EOFError(
-                    f"truncated gzip member starting at byte {start}")
-            out.append(d.decompress(chunk))
-            pos += len(chunk)
-        pos -= len(d.unused_data)
+        gen = _decompress_member(payload, pos)
+        while True:
+            try:
+                out.append(next(gen))
+            except StopIteration as done:
+                pos = done.value
+                break
         yield start, b"".join(out)
 
 
 INDEX_SCHEMA = T.StructType([
     T.StructField("file", T.StringType()),
     T.StructField("offset", T.LongType()),
+    T.StructField("slot", T.LongType()),
     T.StructField("record_id", T.StringType()),
     T.StructField("url", T.StringType()),
     T.StructField("warc_type", T.StringType()),
@@ -394,15 +424,29 @@ def _indexed_records(payload: bytes, path: str):
     the index builder's walk. Gzip: records of a member share its
     offset (1:1 in the CC one-member-per-record layout). Uncompressed:
     exact per-record byte offsets via one linear pass (seek/tell on a
-    single BytesIO — no per-record tail copies)."""
-    if payload[:2] == b"\x1f\x8b":
+    single BytesIO — no per-record tail copies); slot is always 0
+    there. A record whose body SPANS gzip members cannot be
+    random-accessed member-at-a-time — that layout raises a NAMED
+    error (read_wet parses it fine; it just cannot be indexed)."""
+    if bytes(payload[:2]) == b"\x1f\x8b":
         for off, data in _iter_members(payload):
             stream = io.BytesIO(data)
+            slot = 0
             while True:
-                rec = _read_record(stream, path, False)
+                try:
+                    rec = _read_record(stream, path, False)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"warc index: record at member offset {off} of "
+                        f"{path} is not member-aligned (its body spans "
+                        "gzip members, or the member is malformed) — "
+                        "member-at-a-time random access needs the CC "
+                        "one-record-per-member layout; use read_wet "
+                        f"for sequential access ({exc})") from exc
                 if rec is None:
                     break
-                yield off, rec
+                yield off, slot, rec
+                slot += 1
         return
     bio = io.BytesIO(payload)
     while True:
@@ -417,7 +461,7 @@ def _indexed_records(payload: bytes, path: str):
         rec = _read_record(bio, path, False)
         if rec is None:
             return
-        yield off, rec
+        yield off, 0, rec
 
 
 def build_warc_index(spark: SparkSession, path: str,
@@ -443,11 +487,12 @@ def build_warc_index(spark: SparkSession, path: str,
         rows: list[dict] = []
         for pdf in batches:
             for fpath, payload in zip(pdf["path"], pdf["content"]):
-                for off, (headers, body) in _indexed_records(
+                for off, slot, (headers, body) in _indexed_records(
                         bytes(payload), str(fpath)):
                     rows.append({
                         "file": str(fpath),
                         "offset": int(off),
+                        "slot": int(slot),
                         "record_id": headers.get("warc-record-id", ""),
                         "url": headers.get("warc-target-uri", ""),
                         "warc_type": headers.get("warc-type", ""),
@@ -459,20 +504,27 @@ def build_warc_index(spark: SparkSession, path: str,
     return files.mapInPandas(run, schema=INDEX_SCHEMA)
 
 
-def read_record_at(payload: bytes, offset: int):
-    """Random access: parse the FIRST record of the gzip member (or
-    uncompressed record) starting at ``offset`` in a WARC payload —
-    the consumer side of build_warc_index. Returns (headers, body).
-    For a range-requested slice, pass the slice with offset=0."""
-    chunk = payload[offset:]
-    if chunk[:2] == b"\x1f\x8b":
+def read_record_at(payload: bytes, offset: int, slot: int = 0):
+    """Random access: parse record ``slot`` of the gzip member (or
+    the uncompressed record) starting at ``offset`` in a WARC
+    payload — the consumer side of build_warc_index. Returns
+    (headers, body). For a range-requested slice, pass the slice with
+    offset=0. A memoryview avoids copying the payload tail for the
+    gzip (CC) layout (r14 review catch: the tail slice copied up to a
+    whole segment per lookup — the cost the index exists to avoid);
+    the uncompressed fallback pays one BytesIO copy of the tail."""
+    chunk = memoryview(payload)[offset:]
+    if bytes(chunk[:2]) == b"\x1f\x8b":
         _, data = next(_iter_members(chunk))
         stream = io.BytesIO(data)
     else:
         stream = io.BytesIO(chunk)
-    rec = _read_record(stream, f"<offset {offset}>", False)
-    if rec is None:
-        raise ValueError(f"warc: no record at offset {offset}")
+    rec = None
+    for _ in range(int(slot) + 1):
+        rec = _read_record(stream, f"<offset {offset}>", False)
+        if rec is None:
+            raise ValueError(
+                f"warc: no record at offset {offset} slot {slot}")
     return rec
 
 
@@ -542,46 +594,17 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
     names a per-record coding ('plain'/'chunked'/'gzip') so a planted
     corpus exercises every decode lane of extract_warc_text. Same
     staged, object-store-safe overwrite as write_wet."""
-    from datahub_spark import fsio
-
-    cols = [F.col(id_col).cast("string").alias("_id"),
-            F.col(url_col).alias("_url"),
-            F.col(html_col).alias("_html"),
-            (F.col(coding_col) if coding_col
-             else F.lit("plain")).alias("_coding")]
-    src = df.select(*cols)
+    src = df.select(F.col(id_col).cast("string").alias("_id"),
+                    F.col(url_col).alias("_url"),
+                    F.col(html_col).alias("_html"),
+                    (F.col(coding_col) if coding_col
+                     else F.lit("plain")).alias("_coding"))
     if files:
         src = src.repartition(files)
-    spark = df.sparkSession
-    stage = fsio.begin_staged_export(spark, path)
-    stage_local = fsio.strip_scheme(stage)
-
-    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        os.makedirs(stage_local, exist_ok=True)
-        fh, n = None, 0
-        try:
-            for pdf in batches:
-                for rid, url, html, coding in zip(
-                        pdf["_id"], pdf["_url"], pdf["_html"],
-                        pdf["_coding"]):
-                    if fh is None:
-                        fh = open(
-                            f"{stage_local}/part-{pid:05d}.warc.gz", "wb")
-                    fh.write(gzip.compress(warc_response_bytes(
-                        str(url), str(html), str(rid), str(coding))))
-                    n += 1
-        finally:
-            if fh is not None:
-                fh.close()
-        yield pd.DataFrame({"n": [n]})
-
-    src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
-    fsio.finish_staged_export(spark, path, stage, "part-*.warc.gz")
+    _write_staged_records(
+        src, path, "part-*.warc.gz", "part-{pid:05d}.warc.gz",
+        lambda rid, url, html, coding:
+            warc_response_bytes(url, html, rid, coding))
 
 
 def write_wet(df: DataFrame, path: str, url_col: str = "url",
@@ -591,24 +614,36 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
     record (the Common Crawl layout, so any member-aware reader can
     split), one file per partition, named part-<pid>.warc.wet.gz.
     Round-trips through read_wet byte-exactly (pinned in
-    tests/test_warc.py)."""
-    from datahub_spark import fsio
-
+    tests/test_warc.py). Staged, object-store-safe overwrite (see
+    _write_staged_records)."""
     src = df.select(F.col(id_col).cast("string").alias("_id"),
                     F.col(url_col).alias("_url"),
                     F.col(text_col).alias("_text"))
     if files:
         src = src.repartition(files)
-    # overwrite semantics (r14, object-store-safe): tasks write into a
-    # STAGE directory; only after the job succeeds are the target's
-    # stale part files deleted and the staged files swapped in —
-    # through the Hadoop FileSystem of the path's scheme, so a
-    # re-export with fewer partitions can never fold stale shards back
-    # into read_wet, on local disk OR HDFS/object-store layouts, and a
-    # mid-job crash leaves the previous export intact
-    spark = df.sparkSession
+    _write_staged_records(
+        src, path, "part-*.warc.wet.gz", "part-{pid:05d}.warc.wet.gz",
+        lambda rid, url, text: wet_record_bytes(url, text, rid))
+
+
+def _write_staged_records(src: DataFrame, path: str, pattern: str,
+                          filename: str, to_bytes) -> None:
+    """The staged gzip-member record writer shared by write_wet and
+    write_warc (r14 review: two hand-copied dump scaffolds). Each
+    task streams its partition's records — one gzip member each,
+    built by ``to_bytes(*row_strings)`` from ``src``'s columns in
+    order — into ONE file in the stage dir (task memory = one record;
+    empty partitions leave no file). The stage is swapped into the
+    target only after the job succeeds: a re-export with fewer
+    partitions can never fold stale files back in, on local disk OR
+    HDFS/object-store layouts, and a mid-job crash leaves the
+    previous export intact (fsio.begin/finish_staged_export)."""
+    from datahub_spark import fsio
+
+    spark = src.sparkSession
     stage = fsio.begin_staged_export(spark, path)
     stage_local = fsio.strip_scheme(stage)
+    cols = src.columns
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
@@ -617,20 +652,16 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
 
         pid = TaskContext.get().partitionId()
         os.makedirs(stage_local, exist_ok=True)
-        # stream records straight to disk — task memory stays one
-        # record regardless of partition size (an empty partition
-        # leaves no file behind)
         fh, n = None, 0
         try:
             for pdf in batches:
-                for rid, url, text in zip(pdf["_id"], pdf["_url"],
-                                          pdf["_text"]):
+                for vals in zip(*(pdf[c] for c in cols)):
                     if fh is None:
                         fh = open(
-                            f"{stage_local}/part-{pid:05d}.warc.wet.gz",
+                            f"{stage_local}/{filename.format(pid=pid)}",
                             "wb")
                     fh.write(gzip.compress(
-                        wet_record_bytes(str(url), str(text), str(rid))))
+                        to_bytes(*(str(v) for v in vals))))
                     n += 1
         finally:
             if fh is not None:
@@ -638,7 +669,7 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
         yield pd.DataFrame({"n": [n]})
 
     src.mapInPandas(dump, schema="n long").agg(F.sum("n")).collect()
-    fsio.finish_staged_export(spark, path, stage, "part-*.warc.wet.gz")
+    fsio.finish_staged_export(spark, path, stage, pattern)
 
 
 # ---------------------------------------------------------------------------
@@ -810,35 +841,21 @@ def extract_warc_text(spark: SparkSession, path: str,
     files = reader.load(path).select("path", "content")
     cols = ["file", "record_id", "url", "warc_date", "content_length",
             "text"]
-    _CHUNK_BYTES = 64 << 20
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[dict] = []
-        pending = 0
-        for pdf in batches:
-            for fpath, payload in zip(pdf["path"], pdf["content"]):
-                for headers, body in _iter_records(
-                        bytes(payload), str(fpath), lenient):
-                    if headers.get("warc-type", "") != "response":
-                        continue
-                    status, entity = _http_response(body)
-                    if want_status is not None \
-                            and status not in want_status:
-                        continue
-                    rows.append({
-                        "file": str(fpath),
-                        "record_id": headers.get("warc-record-id", ""),
-                        "url": headers.get("warc-target-uri", ""),
-                        "warc_date": headers.get("warc-date", ""),
-                        "content_length": len(body),
-                        "text": html_to_text(entity),
-                    })
-                    pending += len(body)
-                    if pending >= _CHUNK_BYTES:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows, pending = [], 0
-        yield pd.DataFrame(rows, columns=cols)
+    def row_of(fpath: str, headers: dict, body: bytes):
+        status, entity = _http_response(body)
+        if want_status is not None and status not in want_status:
+            return None
+        return {
+            "file": fpath,
+            "record_id": headers.get("warc-record-id", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "content_length": len(body),
+            "text": html_to_text(entity),
+        }
 
+    run = _record_mapper(("response",), lenient, row_of, cols)
     schema = ("file string, record_id string, url string, "
               "warc_date string, content_length long, text string")
     return files.mapInPandas(run, schema=schema)

@@ -3353,10 +3353,18 @@ def q_unigram_pieces(spark, sf_dir):
     return spark.createDataFrame(rows, "piece string, cnt long, rank long")
 
 
-_WARC_INGEST_ORACLE = """
+# the sanitize class strips [<>&] (markup), NBSP and VT as LITERAL
+# characters (embedded in the pattern, no escape-syntax parity risk):
+# \x0b sits inside Java's \s but OUTSIDE RE2's, and html_to_text maps
+# \xa0 to space — removing both up front makes the remaining \s+
+# collapse IDENTICAL across Spark/DuckDB/html_to_text for any corpus
+# (r14 review catch; latent-only today, every testdata SF is ASCII)
+_WARC_SAN_CLASS = "[<>&" + chr(0xA0) + chr(0x0B) + "]"
+
+_WARC_INGEST_ORACLE = f"""
     WITH san AS (
       SELECT doc_id,
-             trim(regexp_replace(regexp_replace(text, '[<>&]', ' ', 'g'),
+             trim(regexp_replace(regexp_replace(text, '{_WARC_SAN_CLASS}', ' ', 'g'),
                                  '\\s+', ' ', 'g')) AS s
       FROM documents)
     SELECT 'wet' AS mode,
@@ -3409,7 +3417,8 @@ def q_warc_ingest(spark, sf_dir):
     docs = ingest.load_tables(spark, sf_dir)["documents"]
     base = _scratch("warc_ingest")
     san = F.trim(F.regexp_replace(
-        F.regexp_replace(F.col("text"), "[<>&]", " "), r"\s+", " "))
+        F.regexp_replace(F.col("text"), _WARC_SAN_CLASS, " "),
+        r"\s+", " "))
 
     wet_src = docs.select(
         F.col("doc_id"),
@@ -3434,7 +3443,11 @@ def q_warc_ingest(spark, sf_dir):
                              F.lit("gzip")),
                      (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
         .alias("coding"))
-    WC.write_warc(resp_src, f"{base}/resp", files=4)
+    # coding_col is the point of the resp lane — without it every
+    # record writes 'plain' and the chunked/gzip decode paths grade
+    # nothing (r14 review catch)
+    WC.write_warc(resp_src, f"{base}/resp", coding_col="coding",
+                  files=4)
     resp = WC.extract_warc_text(spark, f"{base}/resp").select(
         F.lit("resp").alias("mode"),
         F.col("url"),

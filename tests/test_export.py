@@ -306,3 +306,53 @@ def test_export_jsonl_exact_token_count_col(spark, tmp_path):
         == [(r["shard"], r["n_docs"], r["n_tokens"]) for r in mp]
     # exact counts, not the whitespace proxy (which would be 2/doc)
     assert sum(r["n_tokens"] for r in mj) == sum(range(1000, 1020))
+
+
+def test_staged_export_heals_crashed_finish(spark, tmp_path):
+    """r14 review catch: a crash INSIDE finish_staged_export's swap
+    used to leave the old generation parked in _old-export-* where the
+    next begin deleted it as garbage — losing both copies. Now every
+    previous-generation file survives in target-or-_old at all times,
+    and the next begin restores the last COMPLETE generation
+    (overwriting any partial of the interrupted new one) before
+    staging fresh."""
+    from datahub_spark import fsio
+
+    tdir = tmp_path / "exp"
+    tdir.mkdir()
+    # the previous complete generation: shards 0..3
+    for i in range(4):
+        (tdir / f"shard-{i:05d}.jsonl.gz").write_bytes(b"old%d" % i)
+    # simulate a finish that crashed mid-swap: all old files parked,
+    # one new file already renamed in, the rest still in the stage
+    old_dir = tdir / "_old-export-cafe"
+    old_dir.mkdir()
+    for i in range(4):
+        (tdir / f"shard-{i:05d}.jsonl.gz").rename(
+            old_dir / f"shard-{i:05d}.jsonl.gz")
+    (tdir / "shard-00000.jsonl.gz").write_bytes(b"new0")  # partial new
+    stage_dir = tdir / "_stage-export-beef"
+    stage_dir.mkdir()
+    (stage_dir / "shard-00001.jsonl.gz").write_bytes(b"new1")
+
+    stage = fsio.begin_staged_export(spark, str(tdir))
+    # healed: the complete OLD generation is live, partial new gone
+    for i in range(4):
+        assert (tdir / f"shard-{i:05d}.jsonl.gz").read_bytes() \
+            == b"old%d" % i, i
+    assert not old_dir.exists()
+    assert not stage_dir.exists()
+    # and a fresh stage is ready for the caller's re-run
+    assert stage.split("/")[-1].startswith("_stage-export-")
+    # a normal finish afterwards still swaps atomically
+    import os
+    new_stage_local = fsio.strip_scheme(stage)
+    os.makedirs(new_stage_local, exist_ok=True)
+    with open(f"{new_stage_local}/shard-00000.jsonl.gz", "wb") as fh:
+        fh.write(b"fresh")
+    n = fsio.finish_staged_export(spark, str(tdir), stage,
+                                  "shard-*.jsonl*")
+    assert n == 1
+    assert (tdir / "shard-00000.jsonl.gz").read_bytes() == b"fresh"
+    assert not (tdir / "shard-00001.jsonl.gz").exists()  # stale gone
+    assert [d for d in os.listdir(tdir) if d.startswith("_")] == []

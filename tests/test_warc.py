@@ -593,3 +593,29 @@ def test_build_warc_index_random_access(spark, tmp_path):
     plan = (W.build_warc_index(spark, out)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_warc_sanitize_class_cross_engine_parity(spark):
+    """r14 review catch: Java's \\s includes \\x0b, RE2's does not, and
+    html_to_text maps \\xa0 to space — the warc_ingest sanitize strips
+    both as LITERAL class members so Spark, DuckDB, and the extractor
+    agree on ANY corpus, not just the ASCII testdata."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from datahub_spark.queries import _WARC_SAN_CLASS
+
+    tricky = "a\x0bb  c\xa0d <e>&f\tg\r\nh plain tail"
+    df = spark.createDataFrame([(1, tricky)], "doc_id long, text string")
+    san_expr = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), _WARC_SAN_CLASS, " "),
+        r"\s+", " "))
+    spark_san = df.select(san_expr.alias("s")).collect()[0]["s"]
+    duck_san = duckdb.sql(
+        "SELECT trim(regexp_replace(regexp_replace(?, "
+        f"'{_WARC_SAN_CLASS}', ' ', 'g'), '\\s+', ' ', 'g'))",
+        params=[tricky]).fetchone()[0]
+    assert spark_san == duck_san
+    # and the rules extractor is the identity on the sanitized text
+    assert W.html_to_text(f"<html><body><p>{spark_san}</p></body></html>") \
+        == spark_san
