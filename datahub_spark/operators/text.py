@@ -1022,6 +1022,58 @@ def filter_blocked_domains(df: DataFrame, blocklist: list[str],
     return df.filter(~F.exists(hosts, _blocked))
 
 
+_TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid",
+                            "mc_cid", "mc_eid", "igshid", "ref")
+
+
+def canonicalize_url(col: Column,
+                     tracking_prefixes: tuple[str, ...]
+                     = _TRACKING_PARAM_PREFIXES) -> Column:
+    """Canonical URL form for URL-level dedup — the step crawl
+    pipelines run BEFORE content dedup (the same page arrives under
+    thousands of tracking-param/fragment/case variants): scheme and
+    host lowercased, default ports stripped (http:80/https:443),
+    fragment dropped, tracking params removed (name-prefix match) and
+    the surviving query params SORTED, empty path normalized to '/'.
+    Path and param values keep their case (case-sensitive by spec).
+    Pure ``try_parse_url`` built-ins (the non-try form RAISES on any
+    invalid URL in Spark 4) — JVM-side, map-side, no UDF; a
+    string it cannot parse (no scheme/host) passes through
+    unchanged rather than nulling out. Compose with dedup_exact or a
+    groupBy on the result for URL dedup."""
+    scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    auth = F.try_parse_url(col, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | \
+        ((scheme == "https") & (port == "443"))
+    port_part = F.when((port == "") | default_port, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path = F.try_parse_url(col, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")) \
+        .otherwise(path)
+    query = F.try_parse_url(col, F.lit("QUERY"))
+    parts = F.filter(F.split(F.coalesce(query, F.lit("")), "&"),
+                     lambda p: p != "")
+
+    def _tracked(p):
+        cond = F.lit(False)
+        for pre in tracking_prefixes:
+            # prefix families (utm_*) and exact names (ref, ref=v)
+            cond = cond | p.startswith(pre + "=") | (p == pre) \
+                | (p.startswith(pre) if pre.endswith("_") else F.lit(False))
+        return cond
+
+    kept = F.array_sort(F.filter(parts, lambda p: ~_tracked(p)))
+    query_part = F.when(F.size(kept) > 0,
+                        F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(F.lit(""))
+    rebuilt = F.concat(scheme, F.lit("://"), host, port_part, path,
+                       query_part)
+    return F.when(scheme.isNull() | host.isNull() | (host == ""),
+                  col).otherwise(rebuilt)
+
+
 def bigram_keys(col: Column) -> Column:
     """Space-joined consecutive word pairs of the normalized text (words
     cannot contain spaces post-normalization, so ``w1 || ' ' || w2`` is

@@ -1003,3 +1003,41 @@ def test_pii_scrub_null_text_counts_stay_null(spark):
                for k in ("email", "url", "ipv4", "phone", "card")), r
     assert r["scrubbed"] is None
     assert out[2]["n_email"] == 1 and out[2]["scrubbed"].startswith("mail <EMAIL>")
+
+
+def test_canonicalize_url(spark):
+    """r14: URL canonicalization for URL-level dedup — tracking params
+    stripped, surviving params sorted, scheme/host lowercased, default
+    ports dropped, fragments gone, empty paths normalized; unparseable
+    strings pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://Example.COM:80/a/B?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/B?a=1&b=2"),
+        ("https://site.org:443/", "https://site.org/"),
+        ("https://site.org:8443/x", "https://site.org:8443/x"),
+        ("https://Site.org", "https://site.org/"),
+        ("http://h/p?fbclid=abc&gclid=1&ref=tw", "http://h/p"),
+        ("http://h/p?ref=tw&keep=1&utm_campaign=z",
+         "http://h/p?keep=1"),
+        # param VALUES keep case; names sort byte-wise
+        ("http://h/P?z=UP&A=low", "http://h/P?A=low&z=UP"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", TX.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # the dedup composition: variants of one page collapse to one key
+    variants = spark.createDataFrame(
+        [(1, "http://A.com/x?utm_source=a"),
+         (2, "HTTP://a.com:80/x#top"),
+         (3, "http://a.com/x?utm_medium=b")],
+        "doc_id long, url string")
+    n = variants.select(
+        TX.canonicalize_url(F.col("url")).alias("c")).distinct().count()
+    assert n == 1
