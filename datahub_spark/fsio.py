@@ -22,6 +22,7 @@ with a committer, as they must for any Spark write).
 
 from __future__ import annotations
 
+import base64
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,29 +115,64 @@ def begin_staged_export(spark: SparkSession, path: str) -> str:
     driver-side glob+os.remove destroyed the previous export BEFORE
     the job ran, and silently matched nothing on non-POSIX paths).
 
-    Heal policy (r14 review catch): a crash inside finish's swap
+    Heal policy (r14 review catch; marker-hardened r15 after the r14
+    ADVICE mixed-generation finding): a crash inside finish's swap
     leaves the previous generation parked in ``_old-export-*`` — NOT
-    garbage. Restore those files into the target (overwriting any
-    same-name partial of the interrupted new generation: the heal
-    target is the last COMPLETE generation; the caller's re-run then
-    produces the new one), and only then drop the old and stage
-    leftovers."""
+    garbage. The park dir carries up to two atomically-created marker
+    files that say exactly how far the swap got:
+
+    * ``_committed`` present — every staged file was renamed in, the
+      new generation is complete; the park dir is cleanup debris,
+      delete it without touching the target.
+    * ``_parked-<base64url(pattern)>`` present (no ``_committed``) —
+      the old generation was FULLY parked and staged renames may have
+      begun. Heal = delete every target file matching the recorded
+      pattern (this removes partial new files even when their NAMES
+      are absent from the old generation, e.g. a shard count grown
+      4→8), then restore the parked files. The healed target is then
+      exactly the last complete generation.
+    * neither marker — the crash hit while files were still being
+      parked (no staged file was renamed in yet). Heal = restore-only:
+      parked files go back over any same-named entry; target files not
+      in the park dir are live old-generation files and must survive.
+
+    The caller's re-run then produces the new generation."""
     fs, target = _fs(spark, path)
     jvm = spark._jvm
     fs.mkdirs(target)
     for st in fs.listStatus(target):
         name = st.getPath().getName()
         if name.startswith("_old-export-"):
-            for f in fs.listStatus(st.getPath()):
-                dst = jvm.org.apache.hadoop.fs.Path(
-                    target, f.getPath().getName())
+            odir = st.getPath()
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    odir, "_committed")):
+                fs.delete(odir, True)
+                continue
+            pattern = None
+            entries = list(fs.listStatus(odir))
+            for f in entries:
+                n = f.getPath().getName()
+                if n.startswith("_parked-"):
+                    b64 = n[len("_parked-"):]
+                    pattern = base64.urlsafe_b64decode(
+                        b64 + "=" * (-len(b64) % 4)).decode()
+            if pattern:
+                for g in (fs.globStatus(jvm.org.apache.hadoop.fs.Path(
+                        target, pattern)) or []):
+                    if not g.getPath().getName().startswith("_"):
+                        fs.delete(g.getPath(), False)
+            for f in entries:
+                n = f.getPath().getName()
+                if n.startswith("_parked-"):
+                    continue
+                dst = jvm.org.apache.hadoop.fs.Path(target, n)
                 if fs.exists(dst):
                     fs.delete(dst, False)
                 if not fs.rename(f.getPath(), dst):
                     raise IOError(
                         f"staged export heal: rename {f.getPath()} "
                         f"-> {dst}")
-            fs.delete(st.getPath(), True)
+            fs.delete(odir, True)
     for st in fs.listStatus(target):
         if st.getPath().getName().startswith("_stage-export-"):
             # stage leftovers are from a crashed WRITE (never swapped)
@@ -162,21 +198,32 @@ def finish_staged_export(spark: SparkSession, path: str, stage: str,
     until the new generation is fully renamed in, and the next
     ``begin_staged_export`` heals back to the last complete
     generation (r14 review catch — the previous delete-then-rename
-    order had a window that destroyed both copies)."""
+    order had a window that destroyed both copies). Marker protocol
+    (r15, closing the r14 ADVICE mixed-generation window): after the
+    old generation is fully parked, an atomically-created
+    ``_parked-<base64url(pattern)>`` marker records the swap's file
+    pattern; after every staged file is renamed in, a ``_committed``
+    marker declares the new generation complete. begin's heal reads
+    the markers to pick restore-only / delete-then-restore / discard —
+    so a crash between those points can no longer leave new-named
+    files (e.g. a grown shard count) mixed into a healed old
+    generation."""
     fs, target = _fs(spark, path)
     jvm = spark._jvm
-    stale = list(fs.globStatus(jvm.org.apache.hadoop.fs.Path(
+    stale = [st for st in (fs.globStatus(jvm.org.apache.hadoop.fs.Path(
         target, pattern)) or [])
+        if not st.getPath().getName().startswith("_")]
     old = jvm.org.apache.hadoop.fs.Path(
         target, f"_old-export-{uuid.uuid4().hex}")
-    if stale:
-        fs.mkdirs(old)
-        for st in stale:
-            dst = jvm.org.apache.hadoop.fs.Path(
-                old, st.getPath().getName())
-            if not fs.rename(st.getPath(), dst):
-                raise IOError(
-                    f"staged export: rename {st.getPath()} -> {dst}")
+    fs.mkdirs(old)
+    for st in stale:
+        dst = jvm.org.apache.hadoop.fs.Path(
+            old, st.getPath().getName())
+        if not fs.rename(st.getPath(), dst):
+            raise IOError(
+                f"staged export: rename {st.getPath()} -> {dst}")
+    b64 = base64.urlsafe_b64encode(pattern.encode()).decode().rstrip("=")
+    fs.createNewFile(jvm.org.apache.hadoop.fs.Path(old, f"_parked-{b64}"))
     spath = jvm.org.apache.hadoop.fs.Path(stage)
     n = 0
     if fs.exists(spath):
@@ -188,13 +235,14 @@ def finish_staged_export(spark: SparkSession, path: str, stage: str,
                     f"staged export: rename {st.getPath()} -> {dst}")
             n += 1
         fs.delete(spath, True)
-    if stale:
-        fs.delete(old, True)
+    fs.createNewFile(jvm.org.apache.hadoop.fs.Path(old, "_committed"))
+    fs.delete(old, True)
     return n
 
 
 def parquet_atomic_overwrite(df: DataFrame, path: str,
-                             partition_by: list[str] | None = None
+                             partition_by: list[str] | None = None,
+                             markers: list[str] | None = None
                              ) -> None:
     """Materialize ``df`` as parquet at ``path``, crash-safely, even
     when ``df``'s plan READS ``path``. Stage-write first (the only step
@@ -206,7 +254,11 @@ def parquet_atomic_overwrite(df: DataFrame, path: str,
     — refuse loudly instead of burying the recoverable history (run
     ``ensure_recovered`` first, as the maintenance bootstraps do).
     ``partition_by`` keeps a dir-partitioned layout (e.g. the minhash
-    index's band partitions) through the rewrite."""
+    index's band partitions) through the rewrite. ``markers`` are
+    zero-byte ``_``-prefixed file names created INSIDE the staged dir
+    before the swap — metadata that must flip atomically WITH the
+    table generation (Spark's scans ignore ``_`` files); the BM25
+    compaction's ``_includes-*`` fold records ride here (r15)."""
     spark = df.sparkSession
     fs, target = _fs(spark, path)
     jvm = spark._jvm
@@ -222,6 +274,11 @@ def parquet_atomic_overwrite(df: DataFrame, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage.toString())
+    for m in markers or []:
+        if not m.startswith("_"):
+            raise ValueError(f"atomic overwrite: marker {m!r} must be "
+                             "_-prefixed so scans ignore it")
+        fs.createNewFile(jvm.org.apache.hadoop.fs.Path(stage, m))
     if not fs.exists(target):
         if not fs.rename(stage, target):
             raise IOError(f"atomic overwrite: rename {stage} -> {target}")

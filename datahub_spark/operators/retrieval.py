@@ -280,17 +280,47 @@ def _batch_keys(docs: DataFrame, id_col: str,
             hashlib.md5(f"{r['n']}|{r['sc']}".encode()).hexdigest())
 
 
-def _delta_dirs(spark, path: str) -> list[str]:
-    """Committed postings delta generations under ``path``
-    (postings_delta/<batch_key>), skipping in-flight ``_stage-*``."""
+def _folded_markers(spark, path: str) -> dict[str, str]:
+    """batch_key -> content_digest of every delta generation already
+    FOLDED into the base postings by compact_text_index (r15). The
+    record is a zero-byte ``_includes-<bk>-<ck>`` file INSIDE the
+    postings dir, so it flips atomically with the compacted
+    generation's swap — readers can never see a delta both inside the
+    base and as its own dir. The markers are durable across later
+    compactions (carried forward into each new generation), preserving
+    update_text_index's retry-no-op and changed-content guards after
+    the folded delta dirs are deleted."""
     from datahub_spark.fsio import _fs
 
+    fs, root = _fs(spark, f"{path}/postings")
+    if not fs.exists(root):
+        return {}
+    out: dict[str, str] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_includes-"):
+            bk, _, ck = name[len("_includes-"):].partition("-")
+            out[bk] = ck
+    return out
+
+
+def _delta_dirs(spark, path: str) -> list[str]:
+    """Committed postings delta generations under ``path``
+    (postings_delta/<batch_key>), skipping in-flight ``_stage-*`` and
+    generations the base already folded in (``_includes-*`` markers —
+    a compaction that crashed after its swap but before deleting the
+    folded dirs must not double-count them)."""
+    from datahub_spark.fsio import _fs
+
+    folded = _folded_markers(spark, path)
     fs, root = _fs(spark, f"{path}/postings_delta")
     if not fs.exists(root):
         return []
     return sorted(
         st.getPath().toString() for st in fs.listStatus(root)
-        if st.isDirectory() and not st.getPath().getName().startswith("_"))
+        if st.isDirectory()
+        and not st.getPath().getName().startswith("_")
+        and st.getPath().getName() not in folded)
 
 
 def _unhealed_pending(spark, path: str) -> list[str]:
@@ -328,6 +358,9 @@ def recover_text_index(spark, path: str) -> bool:
 
     ensure_recovered(spark, f"{path}/doclens")
     ensure_recovered(spark, f"{path}/stats")
+    # the base postings swap too (compact_text_index, r15): a crash
+    # between its two renames parks the old base as _old-postings-*
+    ensure_recovered(spark, f"{path}/postings")
     fs, root = _fs(spark, f"{path}/postings_delta")
     if not fs.exists(root):
         return False
@@ -356,6 +389,101 @@ def recover_text_index(spark, path: str) -> bool:
         fs.delete(st.getPath(), True)
         healed = True
     return healed
+
+
+def compact_text_index(spark, path: str) -> dict:
+    """Maintenance twin of dedup.compact_minhash_index for the BM25
+    index (r15, r14 verdict #2): every update_text_index batch parks
+    its postings as a delta generation, and every search unions base +
+    deltas — so probe cost grows with BATCH COUNT, not data. This
+    folds all committed deltas into the bucket-partitioned base
+    postings: ONE key-sorted file per bucket partition (row-group
+    pruning + compression restored), written crash-safely through the
+    store's own stage+swap (fsio.parquet_atomic_overwrite).
+
+    Correctness under crash — unlike the minhash index, duplicated
+    postings here CHANGE results (df doubles, scores double-fold), so
+    the "which deltas are folded" record must flip atomically with
+    the base generation: each folded delta leaves a zero-byte
+    ``_includes-<batch_key>-<content_digest>`` marker INSIDE the new
+    postings dir (created in the stage, renamed in with the swap).
+    A crash mid-write leaves the old base + deltas serving untouched;
+    a crash after the swap but before the delta dirs are deleted is
+    read-consistent because ``_delta_dirs`` skips marker-named dirs
+    (this compaction run then finishes the deletes). Markers carry
+    forward through later compactions, so update_text_index's
+    retry-no-op and changed-content guards survive the delta dirs'
+    deletion. doclens/stats are already incrementally folded by
+    update_text_index and are only healed here (recover_text_index),
+    never rewritten.
+
+    Search results are IDENTICAL before/after (pinned in
+    test_retrieval.py). Single-writer, like every fsio maintenance
+    op. Returns {"files_before", "files_after", "deltas_folded",
+    "rows"}."""
+    from datahub_spark import fsio
+
+    recover_text_index(spark, path)
+    fs, root = fsio._fs(spark, path)
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    def _count_part_files() -> int:
+        n = 0
+        for sub in ("postings", "postings_delta"):
+            p = Path(root, sub)
+            if not fs.exists(p):
+                continue
+            it = fs.listFiles(p, True)
+            while it.hasNext():
+                name = it.next().getPath().getName()
+                if name.endswith(".parquet") and not name.startswith("_"):
+                    n += 1
+        return n
+
+    # sweep delta dirs a previous compaction folded but crashed before
+    # deleting (readers were already skipping them via the markers)
+    folded = _folded_markers(spark, path)
+    droot = Path(root, "postings_delta")
+    if fs.exists(droot):
+        for st in fs.listStatus(droot):
+            if st.getPath().getName() in folded:
+                fs.delete(st.getPath(), True)
+
+    before = _count_part_files()
+    deltas = _delta_dirs(spark, path)
+    if not deltas:
+        return {"files_before": before, "files_after": before,
+                "deltas_folded": 0, "rows": None}
+    # (batch_key, content_digest) of each delta about to be folded —
+    # read from the dirs BEFORE they are deleted
+    new_marks = []
+    for d in deltas:
+        bk = d.rsplit("/", 1)[-1]
+        ck = ""
+        for st in fs.listStatus(Path(d)):
+            n = st.getPath().getName()
+            if n.startswith("_content-"):
+                ck = n[len("_content-"):]
+        new_marks.append(f"_includes-{bk}-{ck}")
+    carried = [f"_includes-{bk}-{ck}" for bk, ck in sorted(folded.items())]
+
+    merged = _read_postings(spark, path)
+    compacted = (merged.repartition("bucket")
+                 .sortWithinPartitions("bucket", "term", "doc_id")
+                 ).persist()
+    try:
+        rows = compacted.count()
+        fsio.parquet_atomic_overwrite(compacted, f"{path}/postings",
+                                      partition_by=["bucket"],
+                                      markers=carried + new_marks)
+    finally:
+        compacted.unpersist()
+    for d in deltas:
+        fs.delete(Path(d), True)
+    after = _count_part_files()
+    return {"files_before": before, "files_after": after,
+            "deltas_folded": len(deltas), "rows": rows}
 
 
 def _read_postings(spark, path: str) -> DataFrame:
@@ -466,6 +594,18 @@ def update_text_index(docs: DataFrame, path: str, buckets: int = 64,
                 "with the same doc ids but DIFFERENT text content — "
                 "deltas only add postings, so corrected content needs "
                 f"a full rebuild (save_text_index) of {path}")
+        return
+    folded = _folded_markers(spark, path)
+    if bk in folded:
+        # the batch committed AND was compacted into the base (r15):
+        # its delta dir is gone but the _includes marker preserves the
+        # retry/no-op contract — and the content-change guard
+        if folded[bk] and ck != folded[bk]:
+            raise ValueError(
+                f"update_text_index: batch {bk} was already folded "
+                "into the base postings with the same doc ids but "
+                "DIFFERENT text content — corrected content needs a "
+                f"full rebuild (save_text_index) of {path}")
         return
 
     postings, doclens = build_text_index(docs, text_col, id_col)

@@ -1022,8 +1022,15 @@ def filter_blocked_domains(df: DataFrame, blocklist: list[str],
     return df.filter(~F.exists(hosts, _blocked))
 
 
+# NOTE: bare "ref" is deliberately NOT in the default set (r15, r14
+# ADVICE): many sites use ?ref= for CONTENT ROUTING rather than
+# referral tracking (github's ?ref=<branch> selects a different page),
+# so stripping it by default would collapse genuinely distinct URLs
+# and make downstream URL-level dedup drop distinct content. Callers
+# whose corpora use ?ref= as a tracking param can opt in via
+# ``tracking_prefixes=_TRACKING_PARAM_PREFIXES + ("ref",)``.
 _TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid",
-                            "mc_cid", "mc_eid", "igshid", "ref")
+                            "mc_cid", "mc_eid", "igshid")
 
 
 def canonicalize_url(col: Column,

@@ -356,3 +356,61 @@ def test_staged_export_heals_crashed_finish(spark, tmp_path):
     assert (tdir / "shard-00000.jsonl.gz").read_bytes() == b"fresh"
     assert not (tdir / "shard-00001.jsonl.gz").exists()  # stale gone
     assert [d for d in os.listdir(tdir) if d.startswith("_")] == []
+
+
+def test_staged_export_heal_drops_new_named_partials(spark, tmp_path):
+    """r15 (r14 ADVICE medium): when the new generation has names the
+    old one lacks (shard count grew 4->8) and finish crashes after
+    renaming them in but before committing, heal must DELETE those
+    extra files — the _parked marker records the pattern, so the
+    healed target is exactly the last complete generation, never an
+    old+new mix."""
+    import base64 as _b64
+    import os
+
+    from datahub_spark import fsio
+
+    tdir = tmp_path / "exp"
+    tdir.mkdir()
+    old_dir = tdir / "_old-export-feed"
+    old_dir.mkdir()
+    for i in range(4):  # the parked complete old generation
+        (old_dir / f"shard-{i:05d}.jsonl.gz").write_bytes(b"old%d" % i)
+    b64 = _b64.urlsafe_b64encode(b"shard-*.jsonl*").decode().rstrip("=")
+    (old_dir / f"_parked-{b64}").touch()
+    for i in range(8):  # the interrupted new generation, fully renamed in
+        (tdir / f"shard-{i:05d}.jsonl.gz").write_bytes(b"new%d" % i)
+    # no _committed marker: the crash hit before the commit point
+
+    fsio.begin_staged_export(spark, str(tdir))
+    shards = sorted(f for f in os.listdir(tdir)
+                    if f.startswith("shard-"))
+    assert shards == [f"shard-{i:05d}.jsonl.gz" for i in range(4)]
+    for i in range(4):
+        assert (tdir / f"shard-{i:05d}.jsonl.gz").read_bytes() \
+            == b"old%d" % i, i
+    assert not old_dir.exists()
+
+
+def test_staged_export_heal_discards_committed_park(spark, tmp_path):
+    """r15: a park dir carrying _committed is cleanup debris from a
+    finish that completed its swap — heal must drop it WITHOUT
+    touching the live (new) generation."""
+    import os
+
+    from datahub_spark import fsio
+
+    tdir = tmp_path / "exp"
+    tdir.mkdir()
+    for i in range(2):
+        (tdir / f"shard-{i:05d}.jsonl.gz").write_bytes(b"new%d" % i)
+    old_dir = tdir / "_old-export-dead"
+    old_dir.mkdir()
+    (old_dir / "shard-00000.jsonl.gz").write_bytes(b"stale")
+    (old_dir / "_committed").touch()
+
+    fsio.begin_staged_export(spark, str(tdir))
+    assert not old_dir.exists()
+    for i in range(2):
+        assert (tdir / f"shard-{i:05d}.jsonl.gz").read_bytes() \
+            == b"new%d" % i

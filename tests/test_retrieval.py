@@ -288,3 +288,124 @@ def test_update_text_index_half_applied_batch_detected_and_healed(
         == base_search
     # idempotent once healed
     assert RT.recover_text_index(spark, path) is False
+
+
+def test_compact_text_index_probe_identical_and_deltas_gone(
+        spark, tmp_path):
+    """r15 (r14 verdict #2): compaction folds every committed delta
+    into the bucket-partitioned base — search results IDENTICAL
+    before/after (exact floats), delta dirs gone, per-partition file
+    count collapses to one, and the folded batches' retry/no-op +
+    changed-content guards survive via the _includes markers."""
+    import glob as _g
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(8)],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    RT.save_text_index(docs, path, buckets=4)
+    b1 = spark.createDataFrame(
+        [(100, "gamma gamma alpha"), (101, "beta delta")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame([(200, "delta epsilon alpha")],
+                               "doc_id long, text string")
+    b3 = spark.createDataFrame([(300, "alpha zeta")],
+                               "doc_id long, text string")
+    for b in (b1, b2, b3):
+        RT.update_text_index(b, path, buckets=4)
+    assert len(RT._delta_dirs(spark, path)) == 3
+    queries = {"q1": ["alpha", "gamma"], "q2": ["delta", "epsilon"]}
+    ix = RT.Bm25Index(spark, path, buckets=4)
+    before = sorted(map(tuple, ix.search_many(queries, k=20).collect()))
+
+    out = RT.compact_text_index(spark, path)
+    assert out["deltas_folded"] == 3
+    assert out["files_after"] < out["files_before"]
+    assert RT._delta_dirs(spark, path) == []
+    assert _g.glob(f"{path}/postings_delta/[!_]*") == []
+    # one data file per bucket partition
+    for bdir in _g.glob(f"{path}/postings/bucket=*"):
+        files = [f for f in _g.glob(f"{bdir}/*.parquet")]
+        assert len(files) == 1, bdir
+    ix2 = RT.Bm25Index(spark, path, buckets=4)
+    after = sorted(map(tuple, ix2.search_many(queries, k=20).collect()))
+    assert after == before
+    # folded batches keep their guards: straight retry no-ops...
+    RT.update_text_index(b2, path, buckets=4)
+    assert RT._delta_dirs(spark, path) == []
+    assert sorted(map(tuple, RT.Bm25Index(spark, path, buckets=4)
+                      .search_many(queries, k=20).collect())) == before
+    # ...and a changed-content resubmission still raises
+    changed = spark.createDataFrame([(200, "totally different words")],
+                                    "doc_id long, text string")
+    with pytest.raises(ValueError, match="DIFFERENT text"):
+        RT.update_text_index(changed, path, buckets=4)
+    # idempotent: a second compaction is a no-op
+    out2 = RT.compact_text_index(spark, path)
+    assert out2["deltas_folded"] == 0
+    # and new batches keep flowing after compaction
+    b4 = spark.createDataFrame([(400, "gamma eta")],
+                               "doc_id long, text string")
+    RT.update_text_index(b4, path, buckets=4)
+    got = RT.bm25_search(spark, path, ["eta"], k=5, buckets=4).collect()
+    assert [r["doc_id"] for r in got] == [400]
+
+
+def test_compact_text_index_crash_contract(spark, tmp_path):
+    """r15: the two crash windows. (a) Mid-write: a crashed stage dir
+    beside postings leaves the old base + deltas serving exactly as
+    before; the next compaction completes. (b) Post-swap pre-delete:
+    the new base carries _includes markers while the folded delta
+    dirs still exist — readers must NOT double-count (df/scores would
+    change), and the next compaction finishes the deletes."""
+    import glob as _g
+    import os
+    import shutil
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(5)],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    RT.save_text_index(docs, path, buckets=4)
+    batch = spark.createDataFrame([(100, "alpha alpha gamma")],
+                                  "doc_id long, text string")
+    RT.update_text_index(batch, path, buckets=4)
+    baseline = sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect()))
+
+    # (a) crashed mid-write: orphan stage dir, nothing swapped
+    os.makedirs(f"{path}/_stage-postings-deadbeef/bucket=0")
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == baseline
+    out = RT.compact_text_index(spark, path)
+    assert out["deltas_folded"] == 1
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == baseline
+
+    # (b) post-swap pre-delete: resurrect the folded delta dir beside
+    # the marker-carrying base — the exact state a crash between the
+    # swap and the delta deletes leaves
+    marks = [f for f in os.listdir(f"{path}/postings")
+             if f.startswith("_includes-")]
+    assert len(marks) == 1
+    bk = marks[0][len("_includes-"):].rsplit("-", 1)[0]
+    fake = f"{path}/postings_delta/{bk}"
+    os.makedirs(f"{path}/postings_delta", exist_ok=True)
+    # a delta dir whose rows would visibly corrupt df if unioned in
+    spark.createDataFrame([("alpha", 100, 99)],
+                          "term string, doc_id long, tf long") \
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(4))
+                    .cast("int")) \
+        .write.partitionBy("bucket").parquet(fake)
+    assert RT._delta_dirs(spark, path) == []  # marker masks it
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == baseline
+    out2 = RT.compact_text_index(spark, path)
+    assert out2["deltas_folded"] == 0
+    assert not os.path.exists(fake)  # sweep finished the deletes
+    assert sorted(map(tuple, RT.bm25_search(
+        spark, path, ["alpha", "gamma"], k=10, buckets=4).collect())) \
+        == baseline

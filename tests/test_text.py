@@ -1019,9 +1019,13 @@ def test_canonicalize_url(spark):
         ("https://site.org:443/", "https://site.org/"),
         ("https://site.org:8443/x", "https://site.org:8443/x"),
         ("https://Site.org", "https://site.org/"),
-        ("http://h/p?fbclid=abc&gclid=1&ref=tw", "http://h/p"),
+        ("http://h/p?fbclid=abc&gclid=1", "http://h/p"),
         ("http://h/p?ref=tw&keep=1&utm_campaign=z",
-         "http://h/p?keep=1"),
+         "http://h/p?keep=1&ref=tw"),
+        # bare ref is CONTENT ROUTING on many sites (r15, r14 ADVICE):
+        # kept by default, distinct branches stay distinct URLs
+        ("https://github.com/o/r/tree?ref=main",
+         "https://github.com/o/r/tree?ref=main"),
         # param VALUES keep case; names sort byte-wise
         ("http://h/P?z=UP&A=low", "http://h/P?A=low&z=UP"),
         ("not a url at all", "not a url at all"),
@@ -1041,3 +1045,11 @@ def test_canonicalize_url(spark):
     n = variants.select(
         TX.canonicalize_url(F.col("url")).alias("c")).distinct().count()
     assert n == 1
+    # corpora where ?ref= IS a tracking param opt in explicitly
+    got_ref = spark.createDataFrame(
+        [(1, "http://h/p?ref=tw&keep=1")], "i long, url string").select(
+        TX.canonicalize_url(
+            F.col("url"),
+            tracking_prefixes=TX._TRACKING_PARAM_PREFIXES + ("ref",)
+        ).alias("c")).collect()[0]["c"]
+    assert got_ref == "http://h/p?keep=1"

@@ -619,3 +619,24 @@ def test_warc_sanitize_class_cross_engine_parity(spark):
     # and the rules extractor is the identity on the sanitized text
     assert W.html_to_text(f"<html><body><p>{spark_san}</p></body></html>") \
         == spark_san
+
+
+def test_check_segment_sizes_names_oversized_files(spark, tmp_path):
+    """r15 (r14 verdict #8): the binaryFile per-file ceiling gets a
+    NAMED pre-flight guard — a metadata-only scan that raises listing
+    the offending files instead of letting Spark die mid-job on an
+    opaque array-limit error. The cap is parameterized so the guard
+    logic is testable without a real 2 GiB file."""
+    import pytest
+
+    from datahub_spark.operators import warc as W
+
+    (tmp_path / "small.warc.gz").write_bytes(b"x" * 100)
+    (tmp_path / "big.warc.gz").write_bytes(b"y" * 5000)
+    with pytest.raises(ValueError) as ei:
+        W.check_segment_sizes(spark, str(tmp_path), max_bytes=1000)
+    msg = str(ei.value)
+    assert "big.warc.gz" in msg and "5000" in msg
+    assert "small.warc.gz" not in msg
+    # under the (real, default) ceiling: returns the observed max
+    assert W.check_segment_sizes(spark, str(tmp_path)) == 5000
