@@ -4,6 +4,17 @@ entry(spark)  — flagship query (pricing-summary aggregate over the
                 lineitem entity dataset) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, pinned
                 to the driver's 50-entry grading window. Rotated in
+                r15: warc_index promoted (the CDX-style random-access
+                index graded end-to-end on UNCOMPRESSED planted WET
+                shards — offsets are a SQL window cumsum of exact
+                record byte sizes, each record re-read through
+                read_record_at from its [offset, next) range slice);
+                the slot freed by merging dsir_select into
+                sample_select (mode=dsir — the union oracle still
+                value-hashes the exact 200-doc selection); plus
+                canonicalize_url newly graded inside text_cleaning
+                (mode=url, six analytic variant-collapse families).
+                Previously rotated in
                 r14: warc_ingest promoted (WET round trip + response
                 extraction across plain/chunked/gzip codings, planted
                 from the documents table so DuckDB knows the truth

