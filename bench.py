@@ -516,11 +516,11 @@ def build_payload(total, sf, runs, spreads, n_samples, store_write, x100,
     dict. FIELD ORDER IS LOAD-BEARING (r14, closing the r13 verdict's
     truncation finding): the committed driver artifact sometimes
     preserves only the TAIL of the line, so the round-over-round
-    essentials — clean x10 medians, a compact x100 summary, loadavg,
-    data_profile, budget_ok — are emitted LAST. Bulky detail blobs
-    (per-run spreads, the full x100 dict, store_write) go first, where
-    a head cut costs detail, never the verdict. The tail-key invariant
-    is pinned in tests/test_bench_harness.py."""
+    essentials — the store-write eps lane (r15), clean x10 medians, a
+    compact x100 summary, loadavg, data_profile, budget_ok — are
+    emitted LAST. Bulky detail blobs (per-run spreads, the full x100
+    dict) go first, where a head cut costs detail, never the verdict.
+    The tail-key invariant is pinned in tests/test_bench_harness.py."""
     x100_summary = None
     if isinstance(x100, dict) and "error" not in x100:
         x100_summary = {
@@ -539,10 +539,13 @@ def build_payload(total, sf, runs, spreads, n_samples, store_write, x100,
                          "pinned_at": "r8 sf0.1x10 local[32] n=5 (r9 pins for pagerank_orders/text_suite from the r9 clean run)"},
         "min_max": spreads,
         "n_samples": n_samples,
-        "store_write": store_write,
         "x100": x100,
         "queries": timings,
         # ---- tail: everything a grader needs even if the head is cut ----
+        # store_write moved here in r15 (r14 verdict "what's wrong" #1:
+        # the r14 field reorder pushed the write-path eps numbers into
+        # the truncated head — they are 5 small scalars, tail-cheap)
+        "store_write": store_write,
         "data_profile": data_profile,
         # host load observability (r13): this box shows hour-scale
         # phases of EXTERNAL load (load average ~10 with zero local

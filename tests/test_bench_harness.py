@@ -142,12 +142,15 @@ def test_payload_tail_carries_the_verdict_fields():
         timings={"a": 1.2}, data_profile={"documents": 10},
         clean_medians={"a": 1.1}, errors={}, over={})
     keys = list(payload.keys())
-    tail = ["data_profile", "loadavg_1_5_15", "stall_excluded_medians",
-            "x100_summary", "errors", "over_budget", "budget_ok"]
+    # store_write joined the tail in r15 (r14 verdict: the write-path
+    # eps lane fell into the truncated head — 5 scalars, tail-cheap)
+    tail = ["store_write", "data_profile", "loadavg_1_5_15",
+            "stall_excluded_medians", "x100_summary", "errors",
+            "over_budget", "budget_ok"]
     assert keys[-len(tail):] == tail
     # the bulky blobs sit in the sacrificial head
-    for bulky in ("min_max", "x100", "store_write", "queries"):
-        assert keys.index(bulky) < keys.index("data_profile")
+    for bulky in ("min_max", "x100", "queries"):
+        assert keys.index(bulky) < keys.index("store_write")
     # the compact x100 summary restates the clean medians + ratios
     assert payload["x100_summary"]["clean_medians"] == {"a": 8.5}
     assert payload["x100_summary"]["scale_vs_x10_clean"] == {"a": 7.1}
