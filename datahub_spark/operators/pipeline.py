@@ -281,3 +281,67 @@ def prepare_training_data(df: DataFrame, out_dir: str, *,
         packing.write.mode("overwrite").parquet(f"{out_dir}/pack_manifest")
         packing = df.sparkSession.read.parquet(f"{out_dir}/pack_manifest")
     return {"folds": manifests, "packing": packing, "out_dir": out_dir}
+
+
+def ingest_common_crawl(spark, path: str, *, source: str = "wet",
+                        glob: str | None = None, lenient: bool = True,
+                        statuses=(200,), url_dedup: bool = True,
+                        min_chars: int = 1, with_lang: bool = True
+                        ) -> DataFrame:
+    """The crawl mouth as ONE composition (r15): a WARC/WET landing
+    dir in, a documents-table-shaped corpus frame out — so
+    clean_corpus / prepare_training_data compose on real Common Crawl
+    input exactly as they do on the curated documents table.
+
+      1. read_wet (source='wet') or extract_warc_text
+         (source='warc': byte-level HTTP parse + rules HTML
+         extraction, 200-only by default) — file-parallel, lenient by
+         default (a corrupt record/member costs itself, the crawl
+         ingestion posture);
+      2. URL canonicalization (text.canonicalize_url — tracking
+         params, default ports, fragments, case);
+      3. URL-level first-copy dedup: one row per canonical URL,
+         deterministic winner = min (warc_date, record_id) — the
+         dedup step crawl pipelines run BEFORE content dedup, one
+         keyed shuffle;
+      4. stable ids: doc_id = xxhash64(record_id) (content-
+         independent, reproducible across re-reads), n_chars, and
+         optionally the marker-frequency lang prediction.
+
+    Returns (doc_id, record_id, url, lang, n_chars, text). Every
+    stage is an already-tested operator; this owns only composition,
+    one lazy plan (plus lang's staged projections when enabled)."""
+    from datahub_spark.operators import warc as WC
+
+    if source == "wet":
+        raw = WC.read_wet(spark, path, glob=glob, lenient=lenient)
+    elif source == "warc":
+        raw = WC.extract_warc_text(spark, path, glob=glob,
+                                   lenient=lenient, statuses=statuses)
+    else:
+        raise ValueError(
+            f"ingest_common_crawl: source must be 'wet' or 'warc', "
+            f"got {source!r}")
+    cur = (raw.filter(F.col("text").isNotNull())
+           .withColumn("url", TX.canonicalize_url(F.col("url"))))
+    if min_chars:
+        cur = cur.filter(F.length("text") >= int(min_chars))
+    if url_dedup:
+        keep = F.min_by(
+            F.struct("record_id", "warc_date", "text"),
+            F.struct("warc_date", "record_id")).alias("_k")
+        cur = (cur.groupBy("url").agg(keep)
+               .select("url", F.col("_k.record_id").alias("record_id"),
+                       F.col("_k.text").alias("text")))
+    else:
+        cur = cur.select("url", "record_id", "text")
+    cur = (cur.withColumn("doc_id", F.xxhash64("record_id"))
+           .withColumn("n_chars", F.length("text").cast("long")))
+    if with_lang:
+        lang = TX.lang_id_table(cur, text_col="text", id_col="doc_id") \
+            .withColumnRenamed("lang_pred", "lang")
+        cur = cur.join(lang, "doc_id")
+    else:
+        cur = cur.withColumn("lang", F.lit(None).cast("string"))
+    return cur.select("doc_id", "record_id", "url", "lang", "n_chars",
+                      "text")

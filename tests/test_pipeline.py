@@ -273,3 +273,64 @@ def test_prepare_training_data_end_to_end(spark, tmp_path):
     want = (spark.read.parquet(f"{out}/train")
             .agg(F.sum(token_count_whitespace(F.col("text")))).collect()[0][0])
     assert covered == want
+
+
+def test_ingest_common_crawl_end_to_end(spark, tmp_path):
+    """r15: the crawl mouth compositor — planted WET segments (with
+    URL-variant duplicates) flow through read_wet -> canonicalize ->
+    URL-level first-copy dedup -> stable ids -> lang, and the result
+    composes straight into prepare_training_data."""
+    import gzip
+
+    from datahub_spark.operators import pipeline as PL
+    from datahub_spark.operators import warc as W
+
+    land = tmp_path / "land"
+    land.mkdir()
+    # two tracking-variant copies of page 1 (same canonical URL,
+    # distinct record ids — the EARLIER (warc_date, record_id) wins),
+    # one distinct page, one too-short page, one German page
+    recs = [
+        ("http://a.com/x?utm_source=tw", "the quick brown fox and the "
+         "lazy dog with some words of content here", "r2"),
+        ("HTTP://A.com:80/x#frag", "the quick brown fox LATER COPY "
+         "that must lose the url dedup", "r1"),
+        ("https://b.org/y", "and another page with its own words that "
+         "is kept as the only copy", "r9"),
+        ("https://c.net/tiny", "x", "r5"),
+        ("https://d.de/s", "der und die das ist ein text mit der und "
+         "das und die wörter", "r7"),
+    ]
+    # r1 sorts before r2 but carries a LATER warc_date -> r2 must win
+    payload = b"".join(
+        gzip.compress(W.wet_record_bytes(
+            u, t, rid,
+            date=("2024-02-02T00:00:00Z" if rid == "r1"
+                  else "2024-01-01T00:00:00Z")))
+        for u, t, rid in recs)
+    (land / "seg0.warc.wet.gz").write_bytes(payload)
+
+    corpus = PL.ingest_common_crawl(spark, str(land), min_chars=10)
+    rows = {r["url"]: r for r in corpus.collect()}
+    assert set(rows) == {"http://a.com/x", "https://b.org/y",
+                         "https://d.de/s"}  # variants collapsed, tiny dropped
+    a = rows["http://a.com/x"]
+    assert a["record_id"] == "<urn:uuid:r2>"  # earlier date wins, not min id
+    assert "LATER COPY" not in a["text"]
+    assert a["n_chars"] == len(a["text"]) and a["doc_id"] is not None
+    assert rows["https://d.de/s"]["lang"] == "de"
+    assert rows["https://b.org/y"]["lang"] == "en"
+    # distinct stable ids, reproducible across a re-read
+    ids = sorted(r["doc_id"] for r in rows.values())
+    assert len(set(ids)) == 3
+    again = sorted(r["doc_id"] for r in
+                   PL.ingest_common_crawl(spark, str(land),
+                                          min_chars=10).collect())
+    assert again == ids
+
+    # and the shape composes straight into the training-artifact tail
+    out = str(tmp_path / "out")
+    res = PL.prepare_training_data(
+        corpus, out, n_shards=2, splits={"train": 1.0})
+    total = sum(r["n_docs"] for r in res["folds"]["train"].collect())
+    assert total == 3
