@@ -1340,3 +1340,48 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
         return col.map(lambda s: clean(s) if s is not None else None)
 
     return df.withColumn(out_col or text_col, norm(F.col(text_col)))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """Deflate-compressibility quality signal (r15): adds
+    ``(n_bytes, n_deflate, compress_ratio_e4)`` per document — the
+    cheap redundancy proxy corpus-curation recipes use beside the
+    dup-line/dup-trigram ratios (a doc whose zlib ratio sits far
+    below the natural-language band is templated/repetitive spam; far
+    above ~1.0 is binary junk or already-compressed noise; both are
+    drop candidates the repetition REGEX features can miss, e.g.
+    long-period boilerplate beyond the trigram horizon).
+
+    ``compress_ratio_e4`` = floor(1e4 * deflate_bytes / utf8_bytes)
+    in exact integer fixed-point (engine-portable convention);
+    empty/null text gets NULLs. ONE Arrow-batched pandas UDF — the
+    documented slow path (no Spark built-in exposes deflate), same
+    contract as normalize_unicode; zlib level 6 default (the
+    signal's discrimination, not its speed, is the point — use
+    level=1 when throughput matters, the BAND shifts but ordering is
+    stable)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("n_bytes long, n_deflate long, compress_ratio_e4 long")
+    def comp(col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in col:
+            if s is None or s == "":
+                rows.append((None, None, None))
+                continue
+            raw = s.encode("utf-8")
+            nd = len(zlib.compress(raw, lvl))
+            rows.append((len(raw), nd, 10_000 * nd // len(raw)))
+        return pd.DataFrame(rows,
+                            columns=["n_bytes", "n_deflate",
+                                     "compress_ratio_e4"])
+
+    out = df.withColumn("_cr", comp(F.col(text_col)))
+    return (out.select("*", "_cr.n_bytes", "_cr.n_deflate",
+                       "_cr.compress_ratio_e4").drop("_cr"))

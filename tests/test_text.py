@@ -1053,3 +1053,39 @@ def test_canonicalize_url(spark):
             tracking_prefixes=TX._TRACKING_PARAM_PREFIXES + ("ref",)
         ).alias("c")).collect()[0]["c"]
     assert got_ref == "http://h/p?keep=1"
+
+
+def test_compression_ratio_signal(spark):
+    """r15: deflate-compressibility quality proxy — repetitive text
+    compresses far below prose, the ratio is exact integer e4
+    fixed-point against a driver-side zlib recompute, and null/empty
+    docs null out."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "discusses several unrelated topics at considerable length "
+            "with varied vocabulary throughout the whole passage"),
+        (2, "spam spam spam spam " * 50),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.compression_ratio(df).collect()}
+    for i, text in rows:
+        if not text:
+            assert got[i]["compress_ratio_e4"] is None, i
+            continue
+        raw = text.encode()
+        nd = len(zlib.compress(raw, 6))
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_deflate"] == nd
+        assert got[i]["compress_ratio_e4"] == 10_000 * nd // len(raw)
+    # the discrimination the signal exists for
+    assert got[2]["compress_ratio_e4"] < got[1]["compress_ratio_e4"] // 3
+    # composes as a filter on any corpus frame
+    kept = TX.compression_ratio(df).filter(
+        F.col("compress_ratio_e4").between(2000, 9000)).count()
+    assert kept == 1
