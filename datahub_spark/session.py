@@ -14,6 +14,24 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # Pin BLAS/OpenMP to ONE thread per python worker (r15): Spark's
+    # task-level parallelism already saturates the cores, so an
+    # unpinned OpenBLAS spawns nproc threads in EVERY worker (32x32
+    # threads here) — any float BLAS kernel reached from a worker
+    # (image resize paths, future float GEMMs) would pay
+    # oversubscription scheduling instead of compute. Hygiene pin,
+    # setdefault so deployments can override. NOTE (measured r15): the
+    # int64 kernels (kmeans assignment, SemDeDup probe, PQ ADC) do NOT
+    # go through BLAS (numpy integer matmul is its own single-threaded
+    # loop), so this pin is NOT a fix for the SemDeDup smoke-leg
+    # variance — that was traced to hypervisor CPU STEAL (8.6%
+    # measured under a 32-core spin on a quiet guest, with hour-scale
+    # worse phases; see SMOKE_r15.json context). Must be set before
+    # the JVM forks the python worker daemon (workers inherit this
+    # environment).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
