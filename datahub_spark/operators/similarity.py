@@ -249,6 +249,21 @@ def _int_mean_exprs(dim: int) -> list[str]:
     ]
 
 
+def lloyd_update(assigned: DataFrame, dim: int) -> DataFrame:
+    """One Lloyd centroid update over an assigned frame (cid, cv, cl):
+    per-DIMENSION scalar F.sum columns — bounded row width (dim longs),
+    hash-aggregable, map-side partials — then the exact integer mean.
+    Never gathers whole clusters into single rows (no collect_list);
+    the plan pin lives in test_plans.py. Shared by every Lloyd round of
+    kmeans_inverted."""
+    sums = assigned.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("cv")[i]).alias(f"s{i}") for i in range(dim)],
+    )
+    return sums.selectExpr(
+        "cl", f"array({', '.join(_int_mean_exprs(dim))}) AS m")
+
+
 def centroid_score(v: Column, m: Column) -> Column:
     """Cluster-affinity score: double(dot_int)/sqrt(double(normsq_int))
     — one IEEE division and sqrt of exact ints, bit-identical across
@@ -278,19 +293,36 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
         partials. Never collects whole clusters into single rows.
     The final assignment is the inverted file (at scale: persist it,
     bucketed by cluster). Shared by ann_ivf (probe path) and
-    dedup.semantic_dedup (within-cluster pruning)."""
+    dedup.semantic_dedup (within-cluster pruning).
+
+    Lloyd cost shape (r15 optimization round): each round's centroid
+    table is COLLECTED (it is a bounded n_clusters-row model table,
+    like train_pq's codebooks) and the next assignment pass ships the
+    driver-held matrix — so round r costs exactly ONE corpus pass.
+    The pre-r15 formulation chained lazy frames and let assign()
+    collect a DataFrame whose uncached lineage re-ran every earlier
+    round (O(rounds^2) corpus passes at construction), and returned a
+    lazy ``centroids`` whose every consumer (the probe broadcast, the
+    index write) re-executed the whole chain again. Returning the
+    collected rows as a literal createDataFrame truncates that
+    lineage; values are bit-identical (same arithmetic, collected and
+    re-emitted as the same longs)."""
+    spark = corpus.sparkSession
     c = corpus.select(F.col(id_col).alias("cid"), fixed_vec(F.col(vec_col)).alias("cv"))
 
     w_init = Window.orderBy("cid")
-    centroids = (
+    cent0 = (
         c.orderBy("cid").limit(n_clusters)
         .withColumn("cl", (F.row_number().over(w_init) - 1).cast("long"))
         .select("cl", F.col("cv").alias("m"))
     )
+    # one bounded collect per round; rows sorted by cl so the argmax
+    # tie-break (first max = lowest cl) is preserved exactly
+    rows = sorted(cent0.collect(), key=lambda r: r["cl"])
 
-    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-        """Nearest-centroid assignment, vectorized: centroids (a bounded
-        <= n_clusters-row model table) are collected and shipped to an
+    def assign(vectors: DataFrame, cent_rows) -> DataFrame:
+        """Nearest-centroid assignment, vectorized: the bounded
+        <= n_clusters-row centroid table rides the closure into an
         Arrow-batched mapInPandas where the score matrix is ONE int64
         matmul per batch. Bit-identical to the broadcast-join + max_by
         formulation it replaces: the dot is exact int64 in both (numpy
@@ -301,9 +333,8 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
         max_by(struct(_s, -cl)). Replaces N x n_clusters crossJoin rows
         (interpreted per-element HOF dots) with one GEMM-shaped kernel —
         the Lloyd pass goes from the pipeline's bottleneck to ~free."""
-        rows = sorted(cents.collect(), key=lambda r: r["cl"])
-        M = np.array([r["m"] for r in rows], dtype=np.int64)
-        cls = np.array([r["cl"] for r in rows], dtype=np.int64)
+        M = np.array([r["m"] for r in cent_rows], dtype=np.int64)
+        cls = np.array([r["cl"] for r in cent_rows], dtype=np.int64)
         mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
 
         def fn(it):
@@ -319,14 +350,14 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
         return vectors.mapInPandas(fn, schema="cid long, cv array<long>, cl long")
 
     for _ in range(lloyd_rounds):
-        assigned = assign(c, centroids)
-        sums = assigned.groupBy("cl").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("cv")[i]).alias(f"s{i}") for i in range(dim)],
-        )
-        centroids = sums.selectExpr("cl", f"array({', '.join(_int_mean_exprs(dim))}) AS m")
+        assigned = assign(c, rows)
+        rows = sorted(lloyd_update(assigned, dim).collect(),
+                      key=lambda r: r["cl"])
 
-    return assign(c, centroids), centroids
+    centroids = spark.createDataFrame(
+        [(int(r["cl"]), [int(x) for x in r["m"]]) for r in rows],
+        "cl bigint, m array<bigint>")
+    return assign(c, rows), centroids
 
 
 def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,

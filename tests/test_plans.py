@@ -87,7 +87,24 @@ def test_ann_ivf_quantizer_never_collects_vectors(spark):
     # (bounded row width), never whole clusters gathered into one row
     plan = _plan(spark, "ann_bucketed")
     assert "array_agg" not in plan and "collect_list" not in plan
-    assert "partial_sum" in plan  # map-side combine in the update agg
+    # r15 optimization round: Lloyd rounds execute EAGERLY inside
+    # kmeans_inverted (one bounded centroid collect per round — the
+    # O(rounds^2) lineage re-execution fix), so the update aggregate no
+    # longer appears in the final query plan. Pin the shared update
+    # helper's plan directly instead: scalar partial sums, no gathers.
+    from pyspark.sql import functions as F
+
+    from datahub_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    assigned = emb.select(
+        F.col("vec_id").alias("cid"),
+        SIM.fixed_vec(F.col("embedding")).alias("cv"),
+        (F.col("vec_id") % 4).alias("cl"))
+    uplan = SIM.lloyd_update(assigned, dim=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "array_agg" not in uplan and "collect_list" not in uplan
+    assert "partial_sum" in uplan  # map-side combine in the update agg
 
 
 def test_dedup_embedding_is_blocked_not_cartesian(spark):
