@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 from datahub_spark.ingest import TABLES
 
 _MARKER = "_DERIVED.json"
-_VERSION = 1
+# version 2 (r15 optimization round): tables are written as ~core-count
+# part files (was rows//20_000-capped, which left e.g. the x10
+# documents table as TWO files — a 2-task scan on a 32-core box that
+# every consumer then paid a blanket repartition shuffle to undo; see
+# ingest.load_tables). Bumping the version invalidates cached derived
+# dirs so the driver regenerates them in the new layout.
+_VERSION = 2
 
 # key columns shifted per-replica: table -> [(column, offset_source_table, offset_source_key)]
 # offset source is where the key's domain lives (fkeys shift by the
@@ -145,7 +151,11 @@ def ensure_derived(spark: SparkSession, base_dir: str, repl: int,
                     "embedding",
                     F.when(rep == 0, F.col("embedding")).otherwise(rolled))
             out = out.drop("__r")
-        n_files = max(1, min(par, out.count() // 20_000 or 1))
+        # target one file per core so the scan parallelizes without a
+        # downstream repartition (floor: >= 250 rows per file, so dim
+        # tables stay single-file); ingest.load_tables skips its spread
+        # shuffle when it sees >= par files
+        n_files = max(1, min(par, out.count() // 250 or 1))
         (out.repartition(n_files)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"{t}.parquet")))

@@ -73,6 +73,21 @@ def _local_input_bytes(path: str) -> int:
         return _SPREAD_MAX_BYTES
 
 
+def _local_parquet_files(path: str) -> int:
+    """Part-file count behind a local parquet path — the spread check's
+    second input (r15 optimization round): a table laid out as >= core
+    count files parallelizes AT THE SCAN (session.py sets
+    spark.sql.files.minPartitionNum to the core count, so the splitter
+    stops packing small files into one split) and a blanket
+    repartition would be a pure extra shuffle of the whole table."""
+    try:
+        if os.path.isdir(path):
+            return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        return 1
+    except OSError:  # non-local path: treat as many-filed, no spread
+        return 1 << 20
+
+
 class _LazyFrames:
     """Build-on-first-access mapping of name -> DataFrame. Plan
     construction is driver-side py4j work (~0.2s per entity dataset);
@@ -156,7 +171,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> _LazyFrames:
             path = f"{sf_dir}/{t}.parquet"
             df = spark.read.parquet(path)
             size = _local_input_bytes(path)
-            if _SPREAD_MIN_BYTES < size < _SPREAD_MAX_BYTES:
+            # spread only when the layout CANNOT parallelize at the
+            # scan: small totals in fewer files than cores (the
+            # driver's single-file testdata). A >= par-file layout
+            # (derive.py writes par files) splits one-file-per-task
+            # under the minPartitionNum floor, and the repartition
+            # here measured as a pure extra shuffle of the whole
+            # table (r15: the RoundRobin Exchange was the only
+            # data-proportional shuffle in the flagship's plan).
+            if (_SPREAD_MIN_BYTES < size < _SPREAD_MAX_BYTES
+                    and _local_parquet_files(path) < par):
                 df = df.repartition(par)
             return df
         return _b

@@ -39,6 +39,19 @@ def get_spark(app_name: str = "datahub-spark", shuffle_partitions: int | None = 
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # floor on scan-split count (r15 optimization round, guide §6):
+        # without it a multi-file-but-small table packs into a couple of
+        # 128 MB splits (x100 lineitem read 1.4 GB on ~11 tasks of a
+        # 32-core box; a 25-file 81 MB documents table packed into 2)
+        # and every downstream map stage inherits the starved
+        # parallelism — which ingest.load_tables then papered over with
+        # a blanket repartition (a full shuffle of the table). The floor
+        # derives from the core count (SPARK_GRAFT_CPUS), never a
+        # constant, so the driver's lower-core bench runs scale it down
+        # automatically; on a cluster it is the executor-core floor any
+        # scan should meet. Splits stay row-group-bounded, so tiny
+        # single-file inputs just get empty extra splits (harmless).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
