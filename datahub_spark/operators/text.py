@@ -185,6 +185,20 @@ def word_trigrams(w: Column) -> Column:
         .otherwise(F.array().cast("array<string>"))
 
 
+def n_word_trigrams(w: Column) -> Column:
+    """|word_trigrams(w)| WITHOUT building the gram array (r15
+    optimization round): the chained zip_with yields exactly
+    size(w)-2 grams when size(w) >= 3 and an empty array otherwise,
+    so the count is pure arithmetic. Building the array just to size()
+    it measured ~3.8s of text_suite's 10.6s at x100 — the gram strings
+    were constructed TWICE (once for the count column, once for the
+    distinct count; no common-subexpression elimination across output
+    columns). Null input: size(null) is null, the >= 3 guard falls to
+    the 0 branch, matching size(empty array) = 0 exactly."""
+    return F.when(F.size(w) >= 3, F.size(w) - 2) \
+        .otherwise(F.lit(0)).cast("long")
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition signals for quality filtering: duplicate-line ratio and
     duplicate token-trigram ratio, both exact integer fixed-point e4
@@ -198,7 +212,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id"),
         F.size(lines).cast("long").alias("_nl"),
         F.size(F.array_distinct(lines)).cast("long").alias("_dl"),
-        F.size(tri).cast("long").alias("_nt"),
+        n_word_trigrams(w).alias("_nt"),
         F.size(F.array_distinct(tri)).cast("long").alias("_dt"),
     )
     return staged.selectExpr(
@@ -321,7 +335,7 @@ def text_suite(df: DataFrame, text_col: str = "text",
         F.md5(F.col("_n")).alias("fingerprint"),
         F.size(lines).cast("long").alias("_nl"),
         F.size(F.array_distinct(lines)).cast("long").alias("_dl"),
-        F.size(tri).cast("long").alias("_ntri"),
+        n_word_trigrams(w).alias("_ntri"),
         F.size(F.array_distinct(tri)).cast("long").alias("_dtri"),
         *pii_out,
     )
