@@ -76,29 +76,46 @@ def minhash_signature(df: DataFrame, k: int = 12, n: int = 3,
 
     Each md5(i || '|' || s) digest yields TWO independent 60-bit hashes
     (hex digits 1-15 and 16-30) — k hash functions cost only k/2 md5
-    evaluations, the dominant per-shingle work. The minimum over the
-    shingle set is a valid minhash (uniform order on the 60-bit values).
-    Longs, not hex strings, deliberately: min(string) forces SortAggregate
-    (var-length agg buffers are not hash-aggregable), min(long) runs as a
-    HashAggregate with map-side partial aggregation. Portable: DuckDB
-    ('0x' || substr(md5(..), pos, 15))::BIGINT yields identical values."""
+    evaluations. The minimum over the shingle set is a valid minhash
+    (uniform order on the 60-bit values). Portable: DuckDB
+    ('0x' || substr(md5(..), pos, 15))::BIGINT yields identical values.
+
+    The aggregation MINIMIZES OVER THE HEX SUBSTRINGS and converts only
+    the per-document minimum to a long (r15 optimization round): md5
+    hex is fixed-length lowercase, and for equal-length strings over
+    '0'-'9' < 'a'-'f' lexicographic order equals numeric order, so
+    min(conv(s)) == conv(min(s)) exactly. conv() was the single
+    largest cost of the whole minhash pipeline — each value paid a
+    hex parse, a decimal-string format and a decimal parse, k times
+    per SHINGLE (ablated at effective sf10: conv 5.5s of the 13.7s
+    signature; moving it after the agg leaves ~k values per DOCUMENT,
+    ~50x fewer, signature 13.7s -> 9.9s). min(string) runs as a
+    SortAggregate (var-length agg buffers are not hash-aggregable) —
+    deliberate and measured here: the exploded shingle stream is
+    clustered by doc_id, so the partial aggregate's per-partition sort
+    runs over already-grouped runs and costs less than the conv work
+    it displaces. A per-element HOF variant (array_min over transform,
+    no aggregate at all) was also measured and REJECTED: 28.7s —
+    interpreted lambda evaluation of md5 per element is ~3x the
+    codegen'd explode pipeline."""
     # distinct=False: min() is duplicate-insensitive, so the multiset
     # saves the array_distinct pass (the oracle's DISTINCT is equally
     # value-neutral under min)
     ex = df.select(F.col(id_col),
                    F.explode(shingles(F.col(text_col), n, distinct=False))
                    .alias("sh"))
-    aggs = []
+    aggs, js = [], []
     for i in range((k + 1) // 2):
         digest = F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))
         for half, pos in ((0, 1), (1, 16)):
             j = 2 * i + half
             if j < k:
-                aggs.append(
-                    F.min(F.conv(F.substring(digest, pos, 15), 16, 10).cast("long"))
-                    .alias(f"mh{j}")
-                )
-    return ex.groupBy(id_col).agg(*aggs)
+                aggs.append(F.min(F.substring(digest, pos, 15)).alias(f"_h{j}"))
+                js.append(j)
+    return ex.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        *[F.conv(F.col(f"_h{j}"), 16, 10).cast("long").alias(f"mh{j}")
+          for j in js])
 
 
 def cap_bucket_members(banded: DataFrame, part_cols: list[str],
