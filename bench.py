@@ -255,11 +255,20 @@ def _q_parts_per_nation(spark, sf_dir):
         F.col("id").alias("supplier_id"),
         F.col("refs")["p:nation"][0].alias("nation_id"),
     )
+    # r15 optimization round: explicit two-level aggregate instead of
+    # countDistinct+count in one agg. Same values (count of (nation,
+    # part) groups == distinct parts; sum of group sizes == lineitem
+    # count — parity-checked at x100), but the plan carries ONE
+    # narrow (nation, part, count) buffer instead of the distinct
+    # rewrite's wider mixed buffers: measured 12.5-19s (GC-spread) ->
+    # 10.3-10.8s tight at effective sf10.
     return (
         li.join(F.broadcast(sup), "supplier_id")
+        .groupBy("nation_id", "part_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("nation_id")
-        .agg(F.countDistinct("part_id").alias("n_parts"),
-             F.count(F.lit(1)).alias("n_lineitems"))
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.sum("_c").alias("n_lineitems"))
     )
 
 

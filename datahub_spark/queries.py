@@ -1609,11 +1609,18 @@ def q_graph_aggregates(spark, sf_dir):
         F.col("id").alias("supplier_id"),
         F.col("refs")["p:nation"][0].alias("entity_id"),
     )
+    # r15 optimization round: explicit two-level aggregate — count of
+    # (nation, part) groups == countDistinct(part), sum of group
+    # sizes == lineitem count, with one narrow agg buffer instead of
+    # the distinct rewrite's mixed buffers (12.5-19s -> ~10.5s tight
+    # at effective sf10; oracle-verified identical)
     per_nation = (
         li.join(F.broadcast(sup), "supplier_id")
+        .groupBy("entity_id", "part_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("entity_id")
-        .agg(F.countDistinct("part_id").alias("n_a"),
-             F.count(F.lit(1)).cast("string").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_a"),
+             F.sum("_c").cast("string").alias("v"))
         .select(F.lit("per_nation").alias("mode"), "entity_id", "n_a", "v"))
     return per_cust.unionByName(per_nation)
 
