@@ -211,16 +211,11 @@ def _q_ann_topk(spark, sf_dir):
     from datahub_spark.operators import similarity as SIM
 
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("_cv"))
-    scored = (
-        F.broadcast(q).crossJoin(c)
+    # r15 optimization round: one int64 GEMM per Arrow batch instead
+    # of n_queries x N interpreted HOF dots (see SIM.brute_scores —
+    # bit-identical values, the leg was 100% dot evaluation)
+    scored = SIM.brute_scores(emb.filter(F.col("vec_id") < 10), emb) \
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                SIM.dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))

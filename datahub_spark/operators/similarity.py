@@ -75,22 +75,56 @@ DOT_LONG_SQL = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2
 NORMSQ_LONG_SQL = "CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
 
 
+def brute_scores(queries: DataFrame, corpus: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact fixed-point (query_id, neighbor_id, dot_fp) score table —
+    every query against every corpus vector, vectorized (r15
+    optimization round). The BOUNDED query set (a model table, like
+    kmeans' centroids) is fixed JVM-side (fixed_vec — rounding
+    semantics stay in the JVM) and collected; the corpus streams
+    through an Arrow-batched mapInPandas where the whole score block
+    is ONE int64 matmul per batch. Bit-identical to the
+    broadcast-crossJoin + dot_fixed formulation it replaces: numpy
+    int64 matmul is exact below 2^63 (|dot| <= dim * (4e7)^2 ~ 1e17)
+    and both sides multiply the SAME JVM-rounded longs. Replaces
+    n_queries x N interpreted zip_with/aggregate dot evaluations —
+    ablated at effective sf10 (2M dots): scoring 6.1-7.0s -> ~0.5s,
+    the whole ann_topk leg was 100% dot evaluation."""
+    qrows = sorted(
+        queries.select(F.col(id_col).alias("qid"),
+                       fixed_vec(F.col(vec_col)).alias("qv")).collect(),
+        key=lambda r: r["qid"])
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Qm = (np.array([r["qv"] for r in qrows], dtype=np.int64)
+          if qrows else np.zeros((0, 1), dtype=np.int64))
+    cfx = corpus.select(F.col(id_col).alias("nid"),
+                        fixed_vec(F.col(vec_col)).alias("cv"))
+    nq = len(qrows)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf) or not nq:
+                continue
+            C = np.array(pdf["cv"].tolist(), dtype=np.int64)
+            D = C @ Qm.T  # (batch, nq) exact int64
+            yield pd.DataFrame({
+                "query_id": np.tile(qids, len(pdf)),
+                "neighbor_id": np.repeat(pdf["nid"].to_numpy(np.int64), nq),
+                "dot_fp": D.reshape(-1),
+            })
+
+    return cfx.mapInPandas(
+        fn, schema="query_id long, neighbor_id long, dot_fp long")
+
+
 def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self), ranked by exact
     fixed-point dot product (for L2-normalized vectors: cosine * 1e14).
-    The query set is broadcast; ties break on neighbor id."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        F.broadcast(q).crossJoin(c)
+    Scoring is the vectorized brute_scores kernel; ties break on
+    neighbor id."""
+    scored = brute_scores(queries, corpus, id_col=id_col, vec_col=vec_col) \
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"),
-        )
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

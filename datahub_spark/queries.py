@@ -1401,16 +1401,11 @@ def q_ann_bucketed(spark, sf_dir):
         .withColumn("method", F.lit("ivf"))
     two = q_ann_two_stage(spark, sf_dir).withColumn(
         "method", F.lit("two_stage"))
-    qb = q.select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("_qv"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("_cv"))
-    scored = (
-        F.broadcast(qb).crossJoin(c)
+    # r15 optimization round: one int64 GEMM per Arrow batch instead
+    # of n_queries x N interpreted HOF dots (see SIM.brute_scores —
+    # bit-identical values, the leg was 100% dot evaluation)
+    scored = SIM.brute_scores(q, emb) \
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                SIM.dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_fp").desc(), F.col("neighbor_id"))
     brute = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
