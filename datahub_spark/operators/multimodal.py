@@ -2397,17 +2397,58 @@ def dedup_images(media: DataFrame, max_hamming: int = 3,
     from datahub_spark.operators.dedup import connected_components
 
     sig = image_dhash(media).persist()
-    cand = dhash_candidates(sig, max_hamming, id_col,
-                            max_bucket=max_bucket,
-                            with_overflow=with_overflow)
-    pairs, overflow = cand if with_overflow else (cand, None)
+    if not with_overflow:
+        out = _keepers_via_reps(
+            sig, id_col, "dhash",
+            lambda reps: dhash_candidates(reps, max_hamming, id_col,
+                                          max_bucket=max_bucket))
+        out, _ = _release_signature(sig, out)
+        return out
+    # with_overflow: keep the full-membership path — the accounting
+    # frame must count every DOC in each bucket, not one rep per
+    # distinct hash
+    pairs, overflow = dhash_candidates(sig, max_hamming, id_col,
+                                       max_bucket=max_bucket,
+                                       with_overflow=True)
     comp = connected_components(pairs, "id_a", "id_b")
     out = (sig.select(id_col)
            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
            .select(id_col,
                    F.coalesce("component", F.col(id_col)).alias("keeper")))
     out, overflow = _release_signature(sig, out, overflow)
-    return (out, overflow) if with_overflow else out
+    return out, overflow
+
+
+def _keepers_via_reps(sig, id_col, sig_col, candidate_pairs):
+    """(id, keeper) clustering through one representative per EXACT
+    signature (r15 optimization round, guide §2: shuffle fewer bytes /
+    don't generate redundant pairs). Rows with identical signatures
+    are exact perceptual duplicates: an identical hash lands in
+    identical band buckets and pairs at distance 0, so a signature
+    group is one cluster by construction — candidate generation and
+    connected components need only the MIN-ID representative of each
+    distinct signature. The keeper algebra is unchanged: the rep is
+    the min id of its signature group and the component label is the
+    min rep id of the rep cluster, so component == min member id over
+    the whole merged cluster, exactly the labels the full graph
+    produces. What changes is the pair volume: a duplicate group of k
+    docs emitted O(k^2) in-bucket pairs (a capped uniform-image bucket
+    of 10k exact dups ~ 50M pairs, per band) and dragged them through
+    connected_components' per-round joins; its rep emits none. At web
+    scale exact-duplicate perceptual signatures are the COMMON case
+    (uniform/black images hash to one constant), so this is the
+    scale-limiting term. ``candidate_pairs(reps)`` builds the
+    (id_a, id_b) frame from the rep slice of ``sig``."""
+    from datahub_spark.operators.dedup import connected_components
+
+    reps = sig.groupBy(sig_col).agg(F.min(id_col).alias(id_col))
+    comp = connected_components(candidate_pairs(reps), "id_a", "id_b")
+    rep_keeper = (reps.join(comp.withColumnRenamed("id", id_col),
+                            id_col, "left")
+                  .select(sig_col,
+                          F.coalesce("component", F.col(id_col))
+                          .alias("keeper")))
+    return sig.join(rep_keeper, sig_col).select(id_col, "keeper")
 
 
 def _release_signature(sig, out, overflow=None):
@@ -2484,7 +2525,15 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
     # spine) must not re-decode the video corpus; released before
     # returning (ADVICE r11)
     sig = video_dhash(media, every_n, max_frames).persist()
-    frames = sig.select(F.col(id_col),
+    # r15 optimization round: candidate generation + verify + CC run
+    # over one min-id rep per distinct frame-hash SEQUENCE (identical
+    # sequences are exact dups: shift 0 aligns them at worst distance
+    # 0) — see _keepers_via_reps for the keeper-algebra argument. The
+    # with_overflow path keeps full membership for the accounting
+    # frame.
+    src = sig if with_overflow else \
+        sig.groupBy("frame_hashes").agg(F.min(id_col).alias(id_col))
+    frames = src.select(F.col(id_col),
                         F.explode("frame_hashes").alias("dhash"))
     cand = dhash_candidates(frames, max_hamming, id_col,
                             max_bucket=max_bucket,
@@ -2492,9 +2541,9 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
     cand, overflow = cand if with_overflow else (cand, None)
     # exploding frames lets two frames of ONE video share a bucket
     cand = cand.filter(F.col("id_a") != F.col("id_b"))
-    ha = sig.select(F.col(id_col).alias("id_a"),
+    ha = src.select(F.col(id_col).alias("id_a"),
                     F.col("frame_hashes").alias("_ha"))
-    hb = sig.select(F.col(id_col).alias("id_b"),
+    hb = src.select(F.col(id_col).alias("id_b"),
                     F.col("frame_hashes").alias("_hb"))
     na, nb = F.size("_ha"), F.size("_hb")
 
@@ -2521,12 +2570,22 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
              .filter(F.col("_best") <= max_hamming)
              .select("id_a", "id_b"))
     comp = connected_components(pairs, "id_a", "id_b")
+    if not with_overflow:
+        rep_keeper = (src.join(comp.withColumnRenamed("id", id_col),
+                               id_col, "left")
+                      .select("frame_hashes",
+                              F.coalesce("component", F.col(id_col))
+                              .alias("keeper")))
+        out = sig.join(rep_keeper, "frame_hashes") \
+            .select(id_col, "keeper")
+        out, _ = _release_signature(sig, out)
+        return out
     out = (sig.select(id_col)
            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
            .select(id_col,
                    F.coalesce("component", F.col(id_col)).alias("keeper")))
     out, overflow = _release_signature(sig, out, overflow)
-    return (out, overflow) if with_overflow else out
+    return out, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -2607,16 +2666,12 @@ def dedup_audio(media: DataFrame, max_hamming: int = 3,
     candidates -> connected components -> min-id keeper. Returns
     (doc_id, keeper); gain-scaled or re-encoded copies of one clip
     cluster together."""
-    from datahub_spark.operators.dedup import connected_components
-
     # persisted within the call: candidates + id spine must not
     # re-decode the corpus; released before returning (ADVICE r11)
     sig = audio_fingerprint(media).persist()
-    pairs = dhash_candidates(sig, max_hamming, id_col, hash_col="afp")
-    comp = connected_components(pairs, "id_a", "id_b")
-    out = (sig.select(id_col)
-           .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-           .select(id_col,
-                   F.coalesce("component", F.col(id_col)).alias("keeper")))
+    out = _keepers_via_reps(
+        sig, id_col, "afp",
+        lambda reps: dhash_candidates(reps, max_hamming, id_col,
+                                      hash_col="afp"))
     out, _ = _release_signature(sig, out)
     return out
