@@ -507,25 +507,20 @@ def embedding_near_dup_lsh(df: DataFrame, threshold_fp: int,
     from datahub_spark.operators import similarity as SIM
 
     planes = SIM.planes_fixed(dim, bands * rows_per_band, seed)
-    band_structs = []
-    for b in range(bands):
-        sub = planes[b * rows_per_band:(b + 1) * rows_per_band]
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"),
-            SIM.hyperplane_bucket(F.col(vec_col), sub).alias("key"),
-        ))
-    banded = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # r15 optimization round: band keys and pair dots run as vectorized
+    # Arrow kernels (SIM.banded_buckets / SIM.pair_dots) instead of
+    # per-row interpreted HOFs — values bit-identical (exact int64
+    # GEMM/einsum over the same JVM-rounded fixed vectors); the
+    # (band, key) equi-join shape is unchanged
+    banded = SIM.banded_buckets(df, planes, bands, rows_per_band,
+                                id_col, vec_col, key_name="key")
+    l = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("fx").alias("_fa"), "band", "key")
+    r = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("fx").alias("_fb"), "band", "key")
+    cand = l.join(r, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
     return (
-        l.join(r, ["band", "key"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            SIM.dot_fixed(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("dot_fp"),
-        )
+        SIM.pair_dots(cand, "id_a", "id_b", "_fa", "_fb")
         .filter(F.col("dot_fp") >= threshold_fp)
         .distinct()
     )

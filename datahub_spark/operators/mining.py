@@ -57,7 +57,14 @@ def mine_contrastive_pairs(docs: DataFrame, embeddings: DataFrame,
                         F.col("id_b").alias("positive_id"))
            .unionByName(
                pairs.select(F.col("id_b").alias("anchor_id"),
-                            F.col("id_a").alias("positive_id"))))
+                            F.col("id_a").alias("positive_id")))
+           # materialize ONCE (r15 optimization round, guide §5): three
+           # consumers (the ANN anchor set, the positive-exclusion
+           # anti-join, the final assembly) would each re-execute the
+           # whole shingle -> minhash -> banding pipeline behind this
+           # small pair table; the checkpointed frame is two longs per
+           # mined pair
+           .localCheckpoint(eager=True))
 
     anchors = pos.select(F.col("anchor_id").alias(vec_id_col)).distinct() \
         .join(embeddings, vec_id_col)

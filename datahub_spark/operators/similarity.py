@@ -133,6 +133,73 @@ def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+def banded_buckets(df: DataFrame, planes: list[list[int]], bands: int,
+                   rows_per_band: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding", out_id: str | None = None,
+                   fx_name: str = "fx",
+                   key_name: str = "bucket") -> DataFrame:
+    """(id, fx, band, key) banded hyperplane signatures, vectorized
+    (r15 optimization round). The interpreted hyperplane_bucket HOF
+    paid bands*rows_per_band zip_with/aggregate plane dots PER ROW
+    (measured 5.7s for 24 planes over just 2000 rows — HOFs never
+    enter WholeStageCodegen); here the whole plane-sign block is ONE
+    exact int64 GEMM per Arrow batch. Fixed-point conversion stays
+    JVM-side (fixed_vec), the sign test is on the exact int64 dot, so
+    keys equal hyperplane_bucket's bit for bit. The fixed vector rides
+    along (``fx_name``) for downstream exact pair dots:
+    dot of two fx vectors == dot_fixed of the original floats."""
+    oid = out_id or id_col
+    P = np.array(planes, dtype=np.int64)
+    nb, rpb = int(bands), int(rows_per_band)
+    w = 1 << np.arange(rpb, dtype=np.int64)
+    src = df.select(F.col(id_col).alias(oid),
+                    fixed_vec(F.col(vec_col)).alias(fx_name))
+
+    def fn(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            Fx = np.array(pdf[fx_name].tolist(), dtype=np.int64)
+            S = (Fx @ P.T) > 0
+            keys = np.empty((n, nb), dtype=np.int64)
+            for b in range(nb):
+                keys[:, b] = S[:, b * rpb:(b + 1) * rpb] @ w
+            yield pd.DataFrame({
+                oid: np.repeat(pdf[oid].to_numpy(np.int64), nb),
+                fx_name: [v for v in pdf[fx_name] for _ in range(nb)],
+                "band": np.tile(np.arange(nb, dtype=np.int64), n),
+                key_name: keys.reshape(-1),
+            })
+
+    return src.mapInPandas(
+        fn, schema=(f"{oid} long, {fx_name} array<long>, "
+                    f"band long, {key_name} long"))
+
+
+def pair_dots(df: DataFrame, ida: str, idb: str, a_col: str, b_col: str,
+              out_col: str = "dot_fp") -> DataFrame:
+    """(ida, idb, dot) — exact int64 dot of two already-fixed
+    array<long> columns per row, one vectorized einsum per Arrow batch
+    (r15 optimization round; replaces the interpreted per-pair
+    dot_fixed HOF on candidate-join outputs)."""
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(pdf[a_col].tolist(), dtype=np.int64)
+            B = np.array(pdf[b_col].tolist(), dtype=np.int64)
+            yield pd.DataFrame({
+                ida: pdf[ida].to_numpy(np.int64),
+                idb: pdf[idb].to_numpy(np.int64),
+                out_col: np.einsum("ij,ij->i", A, B),
+            })
+
+    return df.select(ida, idb, a_col, b_col).mapInPandas(
+        fn, schema=f"{ida} long, {idb} long, {out_col} long")
+
+
 def planes_fixed(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
     """Seeded random hyperplanes as fixed-point integer literals. Rounded
     ONCE on the driver, then embedded verbatim into both the Spark plan
@@ -196,53 +263,30 @@ def ann_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
     optimize for near-duplicate capture."""
     probe_bits = min(int(probe_bits), n_planes)
     planes = planes_fixed(dim, bands * n_planes, seed)
-    if bands == 1 and probe_bits == 0:
-        # single-band fast path: no explode, no candidate dedup shuffle
-        # (the graded oracle pins this plan)
-        qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        cb = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-            hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        scored = (
-            qb.join(cb, "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id",
-                    dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
-        )
-    else:
-        def banded(df: DataFrame, out_id: str, vec_alias: str,
-                   probes: int) -> DataFrame:
-            structs = []
-            for b in range(bands):
-                bucket = hyperplane_bucket(
-                    F.col(vec_col), planes[b * n_planes:(b + 1) * n_planes])
-                # exact bucket + Hamming-1 flips of the first `probes`
-                # plane signs (query side only: corpus stays unexploded)
-                structs.append(F.struct(F.lit(b).alias("band"),
-                                        bucket.alias("bucket")))
-                structs.extend(
-                    F.struct(F.lit(b).alias("band"),
-                             bucket.bitwiseXOR(F.lit(1 << i))
-                             .alias("bucket"))
-                    for i in range(probes))
-            return df.select(
-                F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_alias),
-                F.explode(F.array(*structs)).alias("bk"),
-            ).select(out_id, vec_alias, "bk.band", "bk.bucket")
-
-        qb = banded(queries, "query_id", "_qv", probe_bits)
-        cb = banded(corpus, "neighbor_id", "_cv", 0)
-        scored = (
-            qb.join(cb, ["band", "bucket"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id",
-                    dot_fixed(F.col("_qv"), F.col("_cv")).alias("dot_fp"))
-            .distinct()
-        )
+    # r15 optimization round: buckets and pair dots both run as
+    # vectorized Arrow kernels (banded_buckets / pair_dots) instead of
+    # per-row interpreted HOFs — values bit-identical, see the kernels'
+    # docstrings. The equi-join shape (the scale contract) is unchanged.
+    qb = banded_buckets(queries, planes, bands, n_planes,
+                        id_col, vec_col, out_id="query_id", fx_name="_qf")
+    cb = banded_buckets(corpus, planes, bands, n_planes,
+                        id_col, vec_col, out_id="neighbor_id",
+                        fx_name="_cf")
+    if probe_bits:
+        # exact bucket + Hamming-1 flips of the first `probe_bits`
+        # plane signs (query side only: corpus stays unexploded)
+        flips = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(probe_bits)])
+        qb = qb.select("query_id", "_qf", "band",
+                       F.explode(flips).alias("bucket"))
+    scored = pair_dots(
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id")),
+        "query_id", "neighbor_id", "_qf", "_cf")
+    if bands > 1 or probe_bits:
+        # one pair can surface from several bands/probes
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
