@@ -59,6 +59,32 @@ def run_available_now(stream_df: DataFrame, query_name: str | None = None,
     return spark.table(name)
 
 
+def run_available_now_all(streams) -> list[DataFrame]:
+    """Drain several INDEPENDENT streams concurrently into memory sinks
+    and return their result tables in order (r15 optimization round).
+    ``streams`` is a list of (stream_df, output_mode). Each
+    availableNow drain pays a fixed startup cost (source listing,
+    microbatch planning, query lifecycle) that serial run_available_now
+    calls stack end to end; starting all queries before awaiting any
+    overlaps that fixed cost while each query's own work and result are
+    untouched (independent sinks, same single-app scheduler pool)."""
+    qs, names = [], []
+    for stream_df, output_mode in streams:
+        name = f"onchange_{uuid.uuid4().hex[:12]}"
+        qs.append(
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        names.append(name)
+    for q in qs:
+        q.awaitTermination()
+    spark = streams[0][0].sparkSession
+    return [spark.table(n) for n in names]
+
+
 def run_available_now_to_files(stream_df: DataFrame, out_dir: str,
                                checkpoint_dir: str) -> DataFrame:
     """Drain the stream into an append-mode parquet sink sharing
