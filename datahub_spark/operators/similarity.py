@@ -440,13 +440,16 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
 
 def ann_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5, n_clusters: int = 16,
             n_probe: int = 4, lloyd_rounds: int = 2, dim: int = 64,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            model: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-style coarse quantizer
     (kmeans_inverted), then probe only the query's n_probe nearest
     clusters; probing is an equi-join on cluster id, never a cross-join
-    against the corpus."""
+    against the corpus. ``model`` takes a precomputed
+    kmeans_inverted(corpus, ...) result so callers building several
+    IVF consumers over the same corpus train the quantizer ONCE."""
     score = centroid_score
-    assigned, centroids = kmeans_inverted(
+    assigned, centroids = model if model is not None else kmeans_inverted(
         corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
     inverted = assigned.select(
         F.col("cid").alias("neighbor_id"), F.col("cv").alias("_cv"), "cl"
@@ -593,7 +596,8 @@ def save_ivf_index(corpus: DataFrame, path: str, n_clusters: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    quantize: bool = False,
                    pq_m: int | None = None, pq_ksub: int = 16,
-                   pq_rounds: int = 2) -> None:
+                   pq_rounds: int = 2,
+                   model: tuple[DataFrame, DataFrame] | None = None) -> None:
     """Persist the IVF index the docstrings keep promising: the
     inverted file lands as parquet PARTITIONED BY cluster id (one
     directory per cluster — the on-disk shape of an inverted file on a
@@ -612,8 +616,13 @@ def save_ivf_index(corpus: DataFrame, path: str, n_clusters: int = 16,
     ``pq_m=<m>`` stores PQ codes instead (FAISS's IVF-PQ shape): m
     BYTES per vector — the deepest compression tier. Probing scores
     asymmetrically through exact int64 ADC lookup tables; the per-
-    subspace codebooks land beside the index in ``pq_books``."""
-    inverted, centroids = kmeans_inverted(
+    subspace codebooks land beside the index in ``pq_books``.
+
+    ``model`` takes a precomputed kmeans_inverted(corpus, ...) result —
+    same contract as ann_ivf's: a caller that both probes in memory and
+    persists the index trains the coarse quantizer once, not per
+    consumer."""
+    inverted, centroids = model if model is not None else kmeans_inverted(
         corpus, n_clusters, lloyd_rounds, dim, id_col, vec_col)
     if pq_m is not None:
         books = train_pq(corpus, m=pq_m, ksub=pq_ksub,

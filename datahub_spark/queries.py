@@ -1396,10 +1396,17 @@ def q_ann_bucketed(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10)
     lsh = SIM.ann_lsh(q, emb, k=5, n_planes=6, dim=64) \
         .withColumn("method", F.lit("lsh"))
+    # r15 optimization round: the ivf leg and the two_stage leg's
+    # persisted index use the SAME coarse quantizer (same corpus,
+    # n_clusters, lloyd_rounds) — train it once and share the model
+    # instead of paying the eager Lloyd rounds twice; the model is
+    # deterministic, so per-leg results are bit-identical
+    model = SIM.kmeans_inverted(emb, n_clusters=16, lloyd_rounds=2,
+                                dim=64)
     ivf = SIM.ann_ivf(q, emb, k=5, n_clusters=16, n_probe=4,
-                      lloyd_rounds=2, dim=64) \
+                      lloyd_rounds=2, dim=64, model=model) \
         .withColumn("method", F.lit("ivf"))
-    two = q_ann_two_stage(spark, sf_dir).withColumn(
+    two = q_ann_two_stage(spark, sf_dir, model=model).withColumn(
         "method", F.lit("two_stage"))
     # r15 optimization round: one int64 GEMM per Arrow batch instead
     # of n_queries x N interpreted HOF dots (see SIM.brute_scores —
@@ -2590,7 +2597,7 @@ def q_ann_pq_adc(spark, sf_dir):
     return SIM.ann_pq_adc(q, codes, _PQ_BOOKS, k=5)
 
 
-def q_ann_two_stage(spark, sf_dir):
+def q_ann_two_stage(spark, sf_dir, model=None):
     """Two-stage retrieval (§2 row 41h,
     operators/similarity.py:ann_two_stage — PROMOTED r11, merged into
     ann_bucketed method='two_stage' in the r13 window rotation): the
@@ -2606,7 +2613,7 @@ def q_ann_two_stage(spark, sf_dir):
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
     path = _scratch("ann_two_stage") + "/ivf"
     SIM.save_ivf_index(emb, path, n_clusters=16, lloyd_rounds=2,
-                       quantize=True)
+                       quantize=True, model=model)
     q = emb.filter(F.col("vec_id") < 8)
     return SIM.ann_two_stage(spark, path, q, emb, k=5, rerank_factor=4,
                              n_probe=4)
