@@ -1260,7 +1260,15 @@ def q_dedup_pairs(spark, sf_dir):
       the minhash candidate graph; id_a=member, id_b=component root,
       metric=-1. The oracle resolves the same graph via a recursive
       transitive closure."""
-    mh = q_dedup_minhash(spark, sf_dir).select(
+    # r15 optimization round: the minhash branch and the cluster
+    # branch consume the IDENTICAL candidate pipeline (same shingle ->
+    # signature -> band join, same k/n/bands params); materialize the
+    # pair set once so connected_components' eager edge checkpoint and
+    # the minhash output rows both read the checkpointed pairs instead
+    # of each re-executing the whole signature pipeline. Values are
+    # unchanged — localCheckpoint is a pure materialization.
+    pairs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    mh = pairs.select(
         F.lit("minhash").alias("mode"), "id_a", "id_b",
         F.lit(-1).cast("long").alias("metric"))
     ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
@@ -1281,7 +1289,7 @@ def q_dedup_pairs(spark, sf_dir):
                   F.col("keeper").cast("long").alias("id_a"),
                   F.col("doc_id").cast("long").alias("id_b"),
                   F.col("n_docs").cast("long").alias("metric")))
-    cl = q_dedup_clusters(spark, sf_dir).select(
+    cl = DD.connected_components(pairs).select(
         F.lit("cluster").alias("mode"),
         F.col("id").cast("long").alias("id_a"),
         F.col("component").cast("long").alias("id_b"),
