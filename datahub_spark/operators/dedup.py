@@ -514,6 +514,12 @@ def embedding_near_dup_lsh(df: DataFrame, threshold_fp: int,
     # (band, key) equi-join shape is unchanged
     banded = SIM.banded_buckets(df, planes, bands, rows_per_band,
                                 id_col, vec_col, key_name="key")
+    # materialize the banded frame ONCE (r15): it feeds BOTH sides of
+    # the (band, key) self-join, and an unmaterialized subplan would
+    # execute the scan -> fixed_vec -> bucket kernel twice (Spark does
+    # not share duplicate subtrees). This is the in-memory form of the
+    # persisted LSH index the docstring describes; values unchanged.
+    banded = banded.localCheckpoint(eager=True)
     l = banded.select(F.col(id_col).alias("id_a"),
                       F.col("fx").alias("_fa"), "band", "key")
     r = banded.select(F.col(id_col).alias("id_b"),
