@@ -448,7 +448,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         )
         propagated = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least("component", F.coalesce("_nmin", "component")).alias("component"))
+            .select("id", F.col("component").alias("_old"),
+                    F.least("component", F.coalesce("_nmin", "component")).alias("component"))
         )
         if iteration >= 2:
             # pointer jump: every component value is itself a node id,
@@ -458,16 +459,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                 F.col("component").alias("_cc"))
             propagated = (
                 propagated.join(parent, "component", "left")
-                .select("id",
+                .select("id", "_old",
                         F.coalesce("_cc", "component").alias("component"))
             )
-        new_labels = propagated.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        # convergence flag rides the SAME materialization (r15): the old
+        # label is already in hand when the new one is computed, so the
+        # per-round check is a filter over the checkpointed partitions —
+        # the previous new-vs-old JOIN re-shuffled both label frames and
+        # cost a second full job per round
+        new_labels = propagated.select(
+            "id", "component",
+            (F.col("component") != F.col("_old")).alias("_changed"),
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
