@@ -428,7 +428,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
     Returns (id, component) where component = min id in the cluster;
     singleton nodes are included with component = their own id."""
-    edges = (
+    from datahub_spark.operators.graph import _ckpt_tracked, _free_rdds
+
+    sc = pairs.sparkSession.sparkContext
+    edges, edge_ids = _ckpt_tracked(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
@@ -436,10 +439,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # usually an unmaterialized candidate pipeline (shingle explode →
         # minhash agg → band join) that would otherwise re-execute per
         # round — the dominant cost of the loop, not the tiny label join
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("component", F.col("id"))
+    prev_ids: set = set()
     for iteration in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -467,13 +470,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # per-round check is a filter over the checkpointed partitions —
         # the previous new-vs-old JOIN re-shuffled both label frames and
         # cost a second full job per round
-        new_labels = propagated.select(
+        new_labels, new_ids = _ckpt_tracked(propagated.select(
             "id", "component",
             (F.col("component") != F.col("_old")).alias("_changed"),
-        ).localCheckpoint(eager=True)
+        ))
+        # free the superseded round's label blocks NOW (r15): checkpoint
+        # blocks are MEMORY_AND_DISK storage that otherwise stay pinned
+        # until session shutdown — at scale each round pins a full label
+        # set, and across a many-query session the leak squeezes later
+        # queries' execution memory (the pagerank r9 lesson applied here)
+        _free_rdds(sc, prev_ids)
+        prev_ids = new_ids
         changed = new_labels.filter("_changed").limit(1).count()
         labels = new_labels.select("id", "component")
         if changed == 0:
+            _free_rdds(sc, edge_ids)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
