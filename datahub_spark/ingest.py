@@ -57,11 +57,25 @@ _SPREAD_MAX_BYTES = 1 << 30
 _SPREAD_MIN_BYTES = 100 << 10
 
 
+def _is_remote_path(path: str) -> bool:
+    """True for URI-scheme paths the local os.path probes can't see
+    (s3://, hdfs://, abfs://...). Checked EXPLICITLY (ADVICE r15): for
+    a remote URI os.path.isdir returns False without raising, so the
+    OSError fallbacks below never fire for the case they were written
+    for — the scheme check is the contract, not the exception path.
+    file:// stays local (strippable prefix); a bare local path has no
+    scheme."""
+    scheme, sep, _ = path.partition("://")
+    return bool(sep) and scheme not in ("file", "")
+
+
 def _local_input_bytes(path: str) -> int:
     """Total bytes behind a local parquet path — a single file OR a
     directory of part files (a directory's own inode size is ~4 KB and
     must not be mistaken for a tiny input, or a multi-file table gets no
     spread and whole pipelines run on <= len(files) cores)."""
+    if _is_remote_path(path):
+        return _SPREAD_MAX_BYTES  # remote scans split naturally
     try:
         if os.path.isdir(path):
             return sum(
@@ -69,7 +83,7 @@ def _local_input_bytes(path: str) -> int:
                 for f in os.listdir(path) if f.endswith(".parquet")
             )
         return os.path.getsize(path)
-    except OSError:  # non-local path (hdfs/s3): scan splits naturally
+    except OSError:  # unreadable local path: let the scan decide
         return _SPREAD_MAX_BYTES
 
 
@@ -80,11 +94,13 @@ def _local_parquet_files(path: str) -> int:
     spark.sql.files.minPartitionNum to the core count, so the splitter
     stops packing small files into one split) and a blanket
     repartition would be a pure extra shuffle of the whole table."""
+    if _is_remote_path(path):
+        return 1 << 20  # remote: treat as many-filed, no spread
     try:
         if os.path.isdir(path):
             return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
         return 1
-    except OSError:  # non-local path: treat as many-filed, no spread
+    except OSError:  # unreadable local path: treat as many-filed
         return 1 << 20
 
 

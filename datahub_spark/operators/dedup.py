@@ -443,49 +443,64 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("component", F.col("id"))
     prev_ids: set = set()
-    for iteration in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("_nmin"))
-        )
-        propagated = (
-            labels.join(neighbor_min, "id", "left")
-            .select("id", F.col("component").alias("_old"),
-                    F.least("component", F.coalesce("_nmin", "component")).alias("component"))
-        )
-        if iteration >= 2:
-            # pointer jump: every component value is itself a node id,
-            # so rebind it to THAT node's current label — path halving
-            parent = propagated.select(
-                F.col("id").alias("component"),
-                F.col("component").alias("_cc"))
-            propagated = (
-                propagated.join(parent, "component", "left")
-                .select("id", "_old",
-                        F.coalesce("_cc", "component").alias("component"))
+    converged = False
+    try:
+        for iteration in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("component").alias("_nmin"))
             )
-        # convergence flag rides the SAME materialization (r15): the old
-        # label is already in hand when the new one is computed, so the
-        # per-round check is a filter over the checkpointed partitions —
-        # the previous new-vs-old JOIN re-shuffled both label frames and
-        # cost a second full job per round
-        new_labels, new_ids = _ckpt_tracked(propagated.select(
-            "id", "component",
-            (F.col("component") != F.col("_old")).alias("_changed"),
-        ))
-        # free the superseded round's label blocks NOW (r15): checkpoint
-        # blocks are MEMORY_AND_DISK storage that otherwise stay pinned
-        # until session shutdown — at scale each round pins a full label
-        # set, and across a many-query session the leak squeezes later
-        # queries' execution memory (the pagerank r9 lesson applied here)
-        _free_rdds(sc, prev_ids)
-        prev_ids = new_ids
-        changed = new_labels.filter("_changed").limit(1).count()
-        labels = new_labels.select("id", "component")
-        if changed == 0:
-            _free_rdds(sc, edge_ids)
-            return labels
+            propagated = (
+                labels.join(neighbor_min, "id", "left")
+                .select("id", F.col("component").alias("_old"),
+                        F.least("component",
+                                F.coalesce("_nmin", "component"))
+                        .alias("component"))
+            )
+            if iteration >= 2:
+                # pointer jump: every component value is itself a node
+                # id, so rebind it to THAT node's current label — path
+                # halving
+                parent = propagated.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("_cc"))
+                propagated = (
+                    propagated.join(parent, "component", "left")
+                    .select("id", "_old",
+                            F.coalesce("_cc", "component")
+                            .alias("component"))
+                )
+            # convergence flag rides the SAME materialization (r15): the
+            # old label is already in hand when the new one is computed,
+            # so the per-round check is a filter over the checkpointed
+            # partitions — the previous new-vs-old JOIN re-shuffled both
+            # label frames and cost a second full job per round
+            new_labels, new_ids = _ckpt_tracked(propagated.select(
+                "id", "component",
+                (F.col("component") != F.col("_old")).alias("_changed"),
+            ))
+            # free the superseded round's label blocks NOW (r15):
+            # checkpoint blocks are MEMORY_AND_DISK storage that
+            # otherwise stay pinned until session shutdown — at scale
+            # each round pins a full label set, and across a many-query
+            # session the leak squeezes later queries' execution memory
+            # (the pagerank r9 lesson applied here)
+            _free_rdds(sc, prev_ids)
+            prev_ids = new_ids
+            changed = new_labels.filter("_changed").limit(1).count()
+            labels = new_labels.select("id", "component")
+            if changed == 0:
+                converged = True
+                return labels
+    finally:
+        # the returned labels ride prev_ids' blocks — only the scratch
+        # edge frame is freed on success; every other exit (the
+        # non-convergence raise below, a mid-round executor failure)
+        # must also release the last round's label blocks or they stay
+        # pinned for the session (ADVICE r15: the raise path leaked
+        # edge_ids + prev_ids)
+        _free_rdds(sc, edge_ids if converged else edge_ids | prev_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — with pointer jumping this means a component of depth "

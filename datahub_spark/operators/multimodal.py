@@ -2438,7 +2438,17 @@ def _keepers_via_reps(sig, id_col, sig_col, candidate_pairs):
     scale exact-duplicate perceptual signatures are the COMMON case
     (uniform/black images hash to one constant), so this is the
     scale-limiting term. ``candidate_pairs(reps)`` builds the
-    (id_a, id_b) frame from the rep slice of ``sig``."""
+    (id_a, id_b) frame from the rep slice of ``sig``.
+
+    Capping caveat (ADVICE r15): ``max_bucket`` inside
+    ``candidate_pairs`` now applies at REP granularity — a bucket only
+    overflows past max_bucket DISTINCT signatures, where the old
+    full-membership graph capped on total members. The label
+    equivalence claimed above is vs the UNCAPPED graph (the ground
+    truth both formulations approximate); at bucket sizes where the
+    caps diverge, the rep-based clustering is strictly CLOSER to the
+    uncapped truth (exact dups can never be severed from their rep by
+    the cap). Any oracle emulating the cap must emulate it rep-based."""
     from datahub_spark.operators.dedup import connected_components
 
     reps = sig.groupBy(sig_col).agg(F.min(id_col).alias(id_col))
@@ -2531,8 +2541,16 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
     # 0) — see _keepers_via_reps for the keeper-algebra argument. The
     # with_overflow path keeps full membership for the accounting
     # frame.
+    # EMPTY signatures (zero sampled/decodable frames) are routed AROUND
+    # the rep grouping (ADVICE r15): "identical signature => exact dup"
+    # holds only when there are frames to compare — the full-membership
+    # path generates no candidate pairs for frameless videos and leaves
+    # each as its own keeper, so collapsing them into one cluster under
+    # the min id would make the two paths disagree on degenerate/corrupt
+    # inputs. They rejoin as self-keeper singletons at the end.
     src = sig if with_overflow else \
-        sig.groupBy("frame_hashes").agg(F.min(id_col).alias(id_col))
+        (sig.filter(F.size("frame_hashes") > 0)
+         .groupBy("frame_hashes").agg(F.min(id_col).alias(id_col)))
     frames = src.select(F.col(id_col),
                         F.explode("frame_hashes").alias("dhash"))
     cand = dhash_candidates(frames, max_hamming, id_col,
@@ -2576,8 +2594,13 @@ def dedup_videos(media: DataFrame, max_hamming: int = 3,
                       .select("frame_hashes",
                               F.coalesce("component", F.col(id_col))
                               .alias("keeper")))
-        out = sig.join(rep_keeper, "frame_hashes") \
-            .select(id_col, "keeper")
+        out = (sig.filter(F.size("frame_hashes") > 0)
+               .join(rep_keeper, "frame_hashes")
+               .select(id_col, "keeper")
+               .unionByName(  # frameless videos: self-keepers, as the
+                   # full-membership path labels them
+                   sig.filter(F.size("frame_hashes") == 0)
+                   .select(F.col(id_col), F.col(id_col).alias("keeper"))))
         out, _ = _release_signature(sig, out)
         return out
     out = (sig.select(id_col)

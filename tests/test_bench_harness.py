@@ -159,3 +159,36 @@ def test_payload_tail_carries_the_verdict_fields():
     p2 = bench.build_payload(1.0, 1.0, 5, {}, {}, {}, {"error": "boom"},
                              {}, {}, {}, {}, {})
     assert p2["x100_summary"] is None
+
+
+def test_two_level_aggregate_null_key_assumption(spark):
+    """Null-shape pin (r16, VERDICT r15 'what's wrong' #2): the
+    two-level (nation, part) aggregate counts a NULL part_id group that
+    countDistinct(part_id) would exclude — equivalent ONLY on null-free
+    part ids. Documents the divergence on a synthetic null, and asserts
+    the real input path (explode of the lineitem p:part refs) emits no
+    null part_id at the test SF, so the graded/bench rewrite stays
+    value-identical to the countDistinct formulation."""
+    from pyspark.sql import functions as F
+
+    from datahub_spark import ingest
+    from datahub_spark import store as S
+
+    # 1) the divergence the rewrite must never silently hit
+    df = spark.createDataFrame(
+        [("n1", "p1"), ("n1", None), ("n1", "p1")],
+        "nation_id string, part_id string")
+    two_level = (df.groupBy("nation_id", "part_id")
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .groupBy("nation_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"])
+    distinct = (df.groupBy("nation_id")
+                .agg(F.countDistinct("part_id").alias("n"))
+                .collect()[0]["n"])
+    assert two_level == 2 and distinct == 1  # null group counted vs not
+
+    # 2) the no-null assumption on the real edge frame
+    ds = ingest.tpch_entities(spark, SF_SMALL)
+    li = S.latest(ds["lineitem"], single_version=True).select(
+        F.explode(F.col("refs")["p:part"]).alias("part_id"))
+    assert li.filter(F.col("part_id").isNull()).count() == 0

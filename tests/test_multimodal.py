@@ -1431,3 +1431,56 @@ def test_audio_group_wavs_pin_dedup_oracle_assumptions():
         bin(fps[a] ^ fps[b]).count("1")
         for a in range(_AUDIO_GROUPS) for b in range(a + 1, _AUDIO_GROUPS))
     assert worst >= 10, f"group fp separation collapsed to {worst} bits"
+
+
+def test_video_dedup_empty_signatures_stay_self_keepers(spark):
+    """r16 (ADVICE r15, medium): videos with ZERO sampled/decodable
+    frames share the identical EMPTY frame-hash sequence, but 'same
+    signature => exact dup' carries no evidence there — the
+    full-membership path emits no candidate pairs for them and leaves
+    each as its own keeper. The rep path must agree: frameless videos
+    are routed around the signature grouping as self-keeper singletons
+    instead of collapsing into one cluster under the min id."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import datahub_spark.operators.multimodal as MM
+
+    def frame_payload(fi, phase):
+        fx = 0.25 + 0.17 * fi
+
+        def pixel(x, y):
+            v = int(110 * math.sin(x * fx + y * 0.12 + phase) + 128)
+            return (max(0, min(255, v)),) * 3
+        return MM._jpeg_encode(24, 16, pixel, 90)
+
+    clip = [frame_payload(fi, 0.0) for fi in range(4)]
+    empty = MM._avi_mjpeg_encode([], 24, 16)  # zero-frame container
+    rows = [(1, bytearray(MM._avi_mjpeg_encode(clip, 24, 16))),
+            (2, bytearray(MM._avi_mjpeg_encode(clip, 24, 16))),
+            (7, bytearray(empty)),
+            (9, bytearray(empty))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary") \
+        .withColumn("meta", F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(24).alias("width"), F.lit(16).alias("height")))
+
+    sig = {r["doc_id"]: list(r["frame_hashes"])
+           for r in MM.video_dhash(media, every_n=1, max_frames=4)
+           .collect()}
+    assert sig[7] == [] and sig[9] == []  # the degenerate inputs
+
+    keep = {r["doc_id"]: r["keeper"]
+            for r in MM.dedup_videos(media, max_hamming=3, every_n=1,
+                                     max_frames=4).collect()}
+    # identical clips cluster; frameless videos stay their own keepers
+    # (NOT collapsed to min(7, 9) == 7), matching the with_overflow
+    # full-membership path for the same input
+    assert keep == {1: 1, 2: 1, 7: 7, 9: 9}, keep
+
+    keep_full, _ = MM.dedup_videos(media, max_hamming=3, every_n=1,
+                                   max_frames=4, with_overflow=True)
+    keep_full = {r["doc_id"]: r["keeper"] for r in keep_full.collect()}
+    assert keep_full == keep, (keep_full, keep)

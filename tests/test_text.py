@@ -1089,3 +1089,26 @@ def test_compression_ratio_signal(spark):
     kept = TX.compression_ratio(df).filter(
         F.col("compress_ratio_e4").between(2000, 9000)).count()
     assert kept == 1
+
+
+def test_n_word_trigrams_matches_built_array_incl_null_and_short(spark):
+    """Null-shape pin (r16, VERDICT r15 'what's wrong' #2): the
+    arithmetic trigram count must equal size(word_trigrams(w)) on EVERY
+    input shape — including NULL text, where size(words(null)) is null
+    and the >= 3 guard falls to the 0 branch exactly like the built
+    empty array's size. If a corpus change ever lets the two diverge,
+    this pins the contract the text_suite oracle relies on."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "one two"),
+         (5, "one two three"), (6, "a b c d e f")],
+        "doc_id long, text string")
+    w = TX.words(F.col("text"))
+    out = df.select(
+        "doc_id",
+        TX.n_word_trigrams(w).alias("fast"),
+        F.size(TX.word_trigrams(w)).cast("long").alias("built"),
+    ).collect()
+    for r in out:
+        assert r["fast"] == r["built"], (r["doc_id"], r["fast"], r["built"])
+    vals = {r["doc_id"]: r["fast"] for r in out}
+    assert vals == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 4}
