@@ -213,9 +213,13 @@ def _q_ann_topk(spark, sf_dir):
     emb = ingest.load_tables(spark, sf_dir)["embeddings"]
     # r15 optimization round: one int64 GEMM per Arrow batch instead
     # of n_queries x N interpreted HOF dots (see SIM.brute_scores —
-    # bit-identical values, the leg was 100% dot evaluation)
-    scored = SIM.brute_scores(emb.filter(F.col("vec_id") < 10), emb) \
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    # bit-identical values, the leg was 100% dot evaluation).
+    # r16: in-kernel per-batch top-5 (VERDICT r15 item #5) — nq*5 rows
+    # per batch cross the boundary instead of nq*batch; the window
+    # below picks identical rows (value-hash parity verified, see
+    # OPTIMIZATION_r16.md), mirroring the graded ann_bucketed brute arm
+    scored = SIM.brute_scores(emb.filter(F.col("vec_id") < 10), emb,
+                              top_k=5, exclude_self=True)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -76,7 +76,9 @@ NORMSQ_LONG_SQL = "CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
 
 
 def brute_scores(queries: DataFrame, corpus: DataFrame,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 top_k: int | None = None,
+                 exclude_self: bool = False) -> DataFrame:
     """Exact fixed-point (query_id, neighbor_id, dot_fp) score table —
     every query against every corpus vector, vectorized (r15
     optimization round). The BOUNDED query set (a model table, like
@@ -89,11 +91,33 @@ def brute_scores(queries: DataFrame, corpus: DataFrame,
     and both sides multiply the SAME JVM-rounded longs. Replaces
     n_queries x N interpreted zip_with/aggregate dot evaluations —
     ablated at effective sf10 (2M dots): scoring 6.1-7.0s -> ~0.5s,
-    the whole ann_topk leg was 100% dot evaluation."""
-    qrows = sorted(
-        queries.select(F.col(id_col).alias("qid"),
-                       fixed_vec(F.col(vec_col)).alias("qv")).collect(),
-        key=lambda r: r["qid"])
+    the whole ann_topk leg was 100% dot evaluation.
+
+    ``top_k`` (r16, VERDICT r15 item #5) bounds the BOUNDARY traffic:
+    the kernel already holds each batch's whole score block, so it can
+    emit only each query's per-batch top-k under the exact global tie
+    order (dot_fp desc, neighbor_id asc) — nq*k rows per batch instead
+    of nq*batch. A per-batch top-k under a total order is lossless for
+    the global top-k (every global winner is a winner of its own
+    batch), so a downstream rank window over the union picks IDENTICAL
+    rows — the ann_pq_adc pattern. ``exclude_self`` applies the
+    neighbor_id != query_id filter inside the kernel (required with
+    top_k, or a self row could displace a real winner from a batch's
+    cut; also saves the JVM-side filter)."""
+    # BOUNDED-QUERIES CONTRACT (ADVICE r15): the query side is collected
+    # to the driver and ships in every task closure, so an unbounded
+    # query frame would OOM the driver where the old broadcast-crossJoin
+    # degraded via Spark's broadcast limits. limit(cap+1) bounds the
+    # collect itself (the guard can never OOM building its own evidence).
+    cap = 100_000  # ~50 MB of closure at dim 64 — far past any sane use
+    probe = queries.select(F.col(id_col).alias("qid"),
+                           fixed_vec(F.col(vec_col)).alias("qv"))
+    qrows = sorted(probe.limit(cap + 1).collect(), key=lambda r: r["qid"])
+    if len(qrows) > cap:
+        raise ValueError(
+            f"brute_scores: query side exceeds {cap} rows — it is "
+            "collected to the driver and shipped per task; use the LSH/"
+            "IVF paths (or chunk the queries) for large query sets")
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     Qm = (np.array([r["qv"] for r in qrows], dtype=np.int64)
           if qrows else np.zeros((0, 1), dtype=np.int64))
@@ -101,16 +125,39 @@ def brute_scores(queries: DataFrame, corpus: DataFrame,
                         fixed_vec(F.col(vec_col)).alias("cv"))
     nq = len(qrows)
 
+    kk = None if top_k is None else int(top_k)
+
     def fn(it):
         for pdf in it:
             if not len(pdf) or not nq:
                 continue
             C = np.array(pdf["cv"].tolist(), dtype=np.int64)
             D = C @ Qm.T  # (batch, nq) exact int64
+            nid = pdf["nid"].to_numpy(np.int64)
+            if kk is None and not exclude_self:
+                yield pd.DataFrame({
+                    "query_id": np.tile(qids, len(pdf)),
+                    "neighbor_id": np.repeat(nid, nq),
+                    "dot_fp": D.reshape(-1),
+                })
+                continue
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                sq, nq_ = D[:, qi], nid
+                if exclude_self:
+                    keep = nq_ != qids[qi]
+                    sq, nq_ = sq[keep], nq_[keep]
+                if kk is not None:
+                    # exact global tie order: dot desc, neighbor asc
+                    top = np.lexsort((nq_, -sq))[:kk]
+                    sq, nq_ = sq[top], nq_[top]
+                out_q.extend([qids[qi]] * len(nq_))
+                out_n.extend(nq_)
+                out_d.extend(sq)
             yield pd.DataFrame({
-                "query_id": np.tile(qids, len(pdf)),
-                "neighbor_id": np.repeat(pdf["nid"].to_numpy(np.int64), nq),
-                "dot_fp": D.reshape(-1),
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "dot_fp": np.array(out_d, dtype=np.int64),
             })
 
     return cfx.mapInPandas(
@@ -121,10 +168,13 @@ def ann_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self), ranked by exact
     fixed-point dot product (for L2-normalized vectors: cosine * 1e14).
-    Scoring is the vectorized brute_scores kernel; ties break on
-    neighbor id."""
-    scored = brute_scores(queries, corpus, id_col=id_col, vec_col=vec_col) \
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    Scoring is the vectorized brute_scores kernel with the in-kernel
+    per-batch top-k (r16): the boundary carries nq*k rows per batch
+    instead of nq*batch, and the rank window below finishes the global
+    top-k over the per-batch winners — identical rows (same total
+    order end to end); ties break on neighbor id."""
+    scored = brute_scores(queries, corpus, id_col=id_col,
+                          vec_col=vec_col, top_k=k, exclude_self=True)
     w = Window.partitionBy("query_id").orderBy(F.col("dot_fp").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -427,10 +477,63 @@ def kmeans_inverted(corpus: DataFrame, n_clusters: int = 16,
 
         return vectors.mapInPandas(fn, schema="cid long, cv array<long>, cl long")
 
+    def lloyd_round(cent_rows):
+        """Fused assign+update (r16, VERDICT r15 item #4): ONE corpus
+        pass per round like before, but the kernel emits per-batch
+        PER-CLUSTER partial sums (cl, n, s0..s{dim-1}) — <= n_clusters
+        rows per Arrow batch — instead of shipping every (cid, cv, cl)
+        row back across the boundary for a JVM-side aggregate
+        (lloyd_update). Bit-identical: the assignment is the same GEMM
+        + argmax as assign(); numpy int64 column sums over a batch are
+        exact (|elem| <= 4e7, batch <= 10k -> |partial| <= 4e11); the
+        JVM F.sum over partials is the same associative long addition
+        lloyd_update used; and _pq_int_mean is the Python twin of
+        _int_mean_exprs (same sign-factored round-half-away formula).
+        Returns the next centroid rows as plain dicts (same keys the
+        collected Rows exposed)."""
+        M = np.array([r["m"] for r in cent_rows], dtype=np.int64)
+        cls = np.array([r["cl"] for r in cent_rows], dtype=np.int64)
+        mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        ncl = len(cls)
+
+        def fn(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["cv"].tolist(), dtype=np.int64)
+                s = (V @ M.T).astype(np.float64) / mn
+                best = s.argmax(axis=1)
+                out = {"cl": [], "n": []}
+                sums = []
+                for ci in range(ncl):
+                    mask = best == ci
+                    cnt = int(mask.sum())
+                    if not cnt:
+                        continue
+                    out["cl"].append(int(cls[ci]))
+                    out["n"].append(cnt)
+                    sums.append(V[mask].sum(axis=0))
+                S = (np.stack(sums) if sums
+                     else np.zeros((0, dim), dtype=np.int64))
+                for i in range(dim):
+                    out[f"s{i}"] = S[:, i]
+                yield pd.DataFrame(out)
+
+        schema = "cl long, n long, " + ", ".join(
+            f"s{i} long" for i in range(dim))
+        agg = (c.mapInPandas(fn, schema=schema)
+               .groupBy("cl")
+               .agg(F.sum("n").alias("n"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)])
+               .collect())
+        return sorted(
+            ({"cl": int(r["cl"]),
+              "m": [_pq_int_mean(int(r[f"s{i}"]), int(r["n"]))
+                    for i in range(dim)]} for r in agg),
+            key=lambda r: r["cl"])
+
     for _ in range(lloyd_rounds):
-        assigned = assign(c, rows)
-        rows = sorted(lloyd_update(assigned, dim).collect(),
-                      key=lambda r: r["cl"])
+        rows = lloyd_round(rows)
 
     centroids = spark.createDataFrame(
         [(int(r["cl"]), [int(x) for x in r["m"]]) for r in rows],

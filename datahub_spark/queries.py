@@ -1418,9 +1418,13 @@ def q_ann_bucketed(spark, sf_dir):
         "method", F.lit("two_stage"))
     # r15 optimization round: one int64 GEMM per Arrow batch instead
     # of n_queries x N interpreted HOF dots (see SIM.brute_scores —
-    # bit-identical values, the leg was 100% dot evaluation)
-    scored = SIM.brute_scores(q, emb) \
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    # bit-identical values, the leg was 100% dot evaluation).
+    # r16: the kernel emits only each batch's per-query top-5 under
+    # the same (dot desc, id) order — nq*5 rows per batch across the
+    # boundary instead of nq*batch; the window below finishes the
+    # global top-5 over per-batch winners, selecting IDENTICAL rows
+    # (value-hash parity verified old-vs-new).
+    scored = SIM.brute_scores(q, emb, top_k=5, exclude_self=True)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_fp").desc(), F.col("neighbor_id"))
     brute = (scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -453,3 +453,45 @@ def test_pq_handles_empty_partitions(spark):
     assert codes.count() == 10
     got = SIM.ann_pq_adc(df.filter("vec_id < 2"), codes, books, k=3)
     assert got.count() == 6
+
+
+def test_fused_lloyd_round_matches_lloyd_update_reference(spark):
+    """r16 (VERDICT r15 item #4): kmeans_inverted's fused
+    assign+partial-sum kernel must produce EXACTLY the centroids the
+    two-step reference (assign -> lloyd_update -> collect) produces —
+    same assignment GEMM, exact int64 partial sums, same sign-factored
+    integer mean. One round over the real sf0.001 embeddings."""
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # fused path: one Lloyd round inside kmeans_inverted
+    _, cents = SIM.kmeans_inverted(emb, n_clusters=8, lloyd_rounds=1,
+                                   dim=64)
+    fused = {r["cl"]: list(r["m"]) for r in cents.collect()}
+
+    # reference path: explicit init -> assign (broadcast matmul via a
+    # crossJoin-free exact recompute) -> lloyd_update -> integer means
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   SIM.fixed_vec(F.col("embedding")).alias("cv"))
+    w_init = Window.orderBy("cid")
+    cent0 = (c.orderBy("cid").limit(8)
+             .withColumn("cl", (F.row_number().over(w_init) - 1)
+                         .cast("long"))
+             .select("cl", F.col("cv").alias("m")))
+    rows = sorted(cent0.collect(), key=lambda r: r["cl"])
+    import numpy as np
+
+    M = np.array([r["m"] for r in rows], dtype=np.int64)
+    cls = np.array([r["cl"] for r in rows], dtype=np.int64)
+    mn = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+    rows_c = c.collect()
+    V = np.array([r["cv"] for r in rows_c], dtype=np.int64)
+    best = ((V @ M.T).astype(np.float64) / mn).argmax(axis=1)
+    assigned = spark.createDataFrame(
+        [(int(r["cid"]), list(map(int, r["cv"])), int(cls[b]))
+         for r, b in zip(rows_c, best)],
+        "cid long, cv array<long>, cl long")
+    ref = {r["cl"]: list(r["m"])
+           for r in SIM.lloyd_update(assigned, dim=64).collect()}
+    assert fused == ref
