@@ -475,20 +475,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             # old label is already in hand when the new one is computed,
             # so the per-round check is a filter over the checkpointed
             # partitions — the previous new-vs-old JOIN re-shuffled both
-            # label frames and cost a second full job per round
+            # label frames and cost a second full job per round.
+            # r16: the checkpoint is marked LAZY and the changed-count
+            # below is the materializing action — ONE job per round
+            # where eager-checkpoint + probe cost two. The count is a
+            # full scan (no limit), so every partition is computed and
+            # stored by the checkpoint mark in that one pass; at the
+            # candidate-graph sizes CC sees (matched pair sets) the
+            # loop is job-latency-bound, not data-bound, and halving
+            # the job count halves the loop.
             new_labels, new_ids = _ckpt_tracked(propagated.select(
                 "id", "component",
                 (F.col("component") != F.col("_old")).alias("_changed"),
-            ))
-            # free the superseded round's label blocks NOW (r15):
-            # checkpoint blocks are MEMORY_AND_DISK storage that
-            # otherwise stay pinned until session shutdown — at scale
-            # each round pins a full label set, and across a many-query
-            # session the leak squeezes later queries' execution memory
-            # (the pagerank r9 lesson applied here)
+            ), eager=False)
+            changed = new_labels.filter("_changed").count()
+            # free the superseded round's label blocks only AFTER the
+            # count above materialized the lazy checkpoint (r15 freed
+            # before the probe, which was safe only while the
+            # checkpoint was eager: the new round's lineage READS the
+            # previous round's local-checkpoint blocks, which cannot
+            # be recomputed once unpersisted — freeing first raced the
+            # async unpersist and could kill the job with
+            # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Checkpoint blocks
+            # are MEMORY_AND_DISK storage that otherwise stay pinned
+            # until session shutdown — at scale each round pins a full
+            # label set, and across a many-query session the leak
+            # squeezes later queries' execution memory.
             _free_rdds(sc, prev_ids)
             prev_ids = new_ids
-            changed = new_labels.filter("_changed").limit(1).count()
             labels = new_labels.select("id", "component")
             if changed == 0:
                 converged = True

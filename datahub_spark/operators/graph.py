@@ -35,18 +35,22 @@ def _persisted_ids(sc) -> set:
     return ids
 
 
-def _ckpt_tracked(df: DataFrame):
-    """localCheckpoint(eager=True) + return the persisted-RDD ids the
-    call created, so the caller can free them when the frame is
-    superseded. Snapshot-diff is sound here: the driver is
-    single-threaded through this call, so the only ids that appear are
-    ours. Without this, every pagerank invocation pins its edge frame
-    and every rank generation in JVM storage until session shutdown —
-    the r9 bench OOM'd exactly this way (3 timed runs + warmup of the
-    x100 leg = 4 pinned 15M-row edge frames)."""
+def _ckpt_tracked(df: DataFrame, eager: bool = True):
+    """localCheckpoint + return the persisted-RDD ids the call created,
+    so the caller can free them when the frame is superseded.
+    Snapshot-diff is sound here: the driver is single-threaded through
+    this call, so the only ids that appear are ours (the mark itself
+    registers the RDD as persisted even when lazy). Without this, every
+    pagerank invocation pins its edge frame and every rank generation
+    in JVM storage until session shutdown — the r9 bench OOM'd exactly
+    this way (3 timed runs + warmup of the x100 leg = 4 pinned 15M-row
+    edge frames). ``eager=False`` marks without running a job: the
+    caller's NEXT full-scan action materializes the checkpoint as part
+    of its own run — one job where eager + action cost two (r16, the
+    connected-components round)."""
     sc = df.sparkSession.sparkContext
     before = _persisted_ids(sc)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     return out, _persisted_ids(sc) - before
 
 
