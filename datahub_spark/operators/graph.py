@@ -18,11 +18,23 @@ hash-matches instead of agreeing "to within float noise".
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RANK_ONE = 1_000_000_000  # fixed-point 1.0
 _BASE = 150_000_000       # (1 - d) with d = 0.85
+
+# Serializes the mark+snapshot-diff window of _ckpt_tracked across
+# driver threads (r16 optimization round, guide §2.6): overlapped query
+# branches materialize their checkpoints concurrently, and an unlocked
+# diff could capture a sibling thread's freshly-registered blocks —
+# which the tracker would later free while they are still live
+# (localCheckpoint blocks cannot be recomputed once unpersisted). The
+# lock is held only for the lazy MARK (no job), never for the
+# materialization, so concurrent threads still overlap the actual work.
+_MARK_LOCK = threading.Lock()
 
 
 def _persisted_ids(sc) -> set:
@@ -37,21 +49,29 @@ def _persisted_ids(sc) -> set:
 
 def _ckpt_tracked(df: DataFrame, eager: bool = True):
     """localCheckpoint + return the persisted-RDD ids the call created,
-    so the caller can free them when the frame is superseded.
-    Snapshot-diff is sound here: the driver is single-threaded through
-    this call, so the only ids that appear are ours (the mark itself
-    registers the RDD as persisted even when lazy). Without this, every
-    pagerank invocation pins its edge frame and every rank generation
-    in JVM storage until session shutdown — the r9 bench OOM'd exactly
-    this way (3 timed runs + warmup of the x100 leg = 4 pinned 15M-row
-    edge frames). ``eager=False`` marks without running a job: the
-    caller's NEXT full-scan action materializes the checkpoint as part
-    of its own run — one job where eager + action cost two (r16, the
-    connected-components round)."""
+    so the caller can free them when the frame is superseded. The
+    snapshot-diff runs under _MARK_LOCK around the LAZY mark only (the
+    mark itself registers the RDD as persisted, no job runs), so
+    concurrent driver threads (overlapped query branches, guide §2.6)
+    each see exactly their own ids; ``eager=True`` then materializes
+    OUTSIDE the lock with a JVM-side count over the checkpoint RDD —
+    the same action Spark's own eager checkpoint runs — so long
+    materializations still overlap across threads. Without the
+    tracking, every pagerank invocation pins its edge frame and every
+    rank generation in JVM storage until session shutdown — the r9
+    bench OOM'd exactly this way (3 timed runs + warmup of the x100
+    leg = 4 pinned 15M-row edge frames). ``eager=False`` marks without
+    running a job: the caller's NEXT full-scan action materializes the
+    checkpoint as part of its own run — one job where eager + action
+    cost two (r16, the connected-components round)."""
     sc = df.sparkSession.sparkContext
-    before = _persisted_ids(sc)
-    out = df.localCheckpoint(eager=eager)
-    return out, _persisted_ids(sc) - before
+    with _MARK_LOCK:
+        before = _persisted_ids(sc)
+        out = df.localCheckpoint(eager=False)
+        ids = _persisted_ids(sc) - before
+    if eager:
+        out._jdf.queryExecution().toRdd().count()
+    return out, ids
 
 
 def _free_rdds(sc, ids) -> None:

@@ -1267,7 +1267,17 @@ def q_dedup_pairs(spark, sf_dir):
     # the minhash output rows both read the checkpointed pairs instead
     # of each re-executing the whole signature pipeline. Values are
     # unchanged — localCheckpoint is a pure materialization.
-    pairs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    # r16: the mark is LAZY — connected_components' eager edge-set
+    # materialization scans `pairs` first, so the candidate pipeline
+    # runs (and its blocks store) inside THAT job; a separate eager
+    # pairs job paid one extra full pass over the pipeline output.
+    # (A ThreadPoolExecutor overlap of all five branches was measured
+    # and REJECTED here: the union action already runs the four bulk
+    # branches as concurrent stages of one job, and checkpointing them
+    # from threads added storage round-trips while CC's latency-bound
+    # round loop queued behind the bulk stages — totals went 8.1-10.6s
+    # -> 10.0-11.5s at sf0.1. See OPTIMIZATION_r16.md.)
+    pairs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=False)
     mh = pairs.select(
         F.lit("minhash").alias("mode"), "id_a", "id_b",
         F.lit(-1).cast("long").alias("metric"))
