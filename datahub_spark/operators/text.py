@@ -108,7 +108,8 @@ def lang_id_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return st2.select(id_col, pred.alias("lang_pred"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text",
+                     keep_cols: list[str] | None = None) -> DataFrame:
     """Quality-scoring features: token count, mean token length (fixed-point
     e4), stopword ratio, punctuation ratio, and a composite score in
     centi-points [0, 10000]. All arithmetic is exact integer fixed-point:
@@ -119,10 +120,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = min(nt/50,1)*40 + min(5*sh/nt,1)*30 + (1-min(10*np/nc,1))*30
     over common denominator D = 5*nt*nc:
     N = 4*min(nt,50)*nt*nc + 5*nc*min(150*sh,30*nt) + 5*nt*max(30*nc-300*np,0)
+
+    ``keep_cols`` names input columns to carry through unchanged (r16:
+    lets a caller compute the score AND another per-row derivation —
+    e.g. the content digest — in ONE corpus scan instead of joining
+    two scans on doc_id).
     """
+    keep = [F.col(c) for c in (keep_cols or [])]
     # stage normalization once (see lang_id_table on the 64 KB codegen limit)
     df = df.select(
         F.col("doc_id"),
+        *keep,
         F.col(text_col).alias("_t"),
         F.concat(F.lit(" "), normalize(F.col(text_col)), F.lit(" ")).alias("_p"),
         F.split(normalize(F.col(text_col)), " ").alias("_w"),
@@ -140,8 +148,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + nt * 5 * F.greatest(nc * 30 - np_ * 300, F.lit(0).cast("long"))
     )
     den = nt * nc * 5
+    kept_names = list(keep_cols or [])
     return df.select(
         F.col("doc_id"),
+        *[F.col(c) for c in kept_names],
         nt.alias("n_tokens"),
         tc.alias("_tc"),
         sh.alias("stopword_hits"),
@@ -150,6 +160,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         den.alias("_d"),
     ).selectExpr(
         "doc_id",
+        *kept_names,
         "n_tokens",
         # round-half-up(1e4 * tc / nt) in pure integer arithmetic
         "(20000 * _tc + n_tokens) div (2 * n_tokens) as mean_token_len_e4",
@@ -158,8 +169,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         # round-half-up(100 * N / D)
         "(200 * _n + _d) div (2 * _d) as quality_score_centi",
     ).select(
-        "doc_id", "n_tokens", "mean_token_len_e4", "stopword_hits",
-        "n_punct", "quality_score_centi",
+        "doc_id", *kept_names, "n_tokens", "mean_token_len_e4",
+        "stopword_hits", "n_punct", "quality_score_centi",
     )
 
 

@@ -1748,17 +1748,33 @@ def q_corpus_select(spark, sf_dir):
     component) cluster representative, and above the quality floor —
     the composed artifact a data pipeline feeds to training."""
     docs = ingest.load_tables(spark, sf_dir)["documents"]
-    exact = DD.dedup_exact(docs).select(F.col("keeper").alias("doc_id"))
     sig = DD.minhash_signature(docs, k=12, n=3)
     pairs = DD.lsh_candidates(sig, bands=4, rows_per_band=3)
     comp = DD.connected_components(pairs)
-    quality = TX.quality_features(docs).select("doc_id", "quality_score_centi")
+    # r16 optimization round (guide §1.2 fewer passes, §2.3 narrower
+    # shuffles): digest + quality score come from ONE corpus scan
+    # (quality_features carries the digest through), and the exact
+    # keeper IS min(doc_id) per digest — min over a (doc_id, score)
+    # struct picks the keeper row AND its score in one narrow
+    # hash-aggregate. The pre-r16 shape scanned documents three times
+    # (dedup_exact, quality_features, the id spine) and re-attached
+    # the pieces with two doc_id joins; values are identical — same
+    # keeper (struct order = doc_id first, unique within a digest
+    # group), same score, same filters.
+    fq = TX.quality_features(
+        docs.withColumn("digest", DD.content_digest(F.col("text"))),
+        keep_cols=["digest"])
+    keepers = (
+        fq.groupBy("digest")
+        .agg(F.min(F.struct(F.col("doc_id"),
+                            F.col("quality_score_centi"))).alias("_k"))
+        .select(F.col("_k.doc_id").alias("doc_id"),
+                F.col("_k.quality_score_centi").alias("quality_score_centi"))
+    )
     kept = (
-        docs.select("doc_id")
-        .join(exact, "doc_id")  # exact keeper (semi)
+        keepers
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
-        .join(quality, "doc_id")
         .filter(F.col("quality_score_centi") >= 5500)
     )
     return kept.select("doc_id")
